@@ -1,0 +1,160 @@
+"""Cross-engine deterministic text hashing (shingles, MinHash, SimHash).
+
+Built-in hash functions differ between engines (Spark xxhash64/murmur3 vs
+DuckDB's hash), so oracle-checkable dedup needs hashes defined by plain
+64-bit integer arithmetic that both Spark expressions and DuckDB SQL compute
+identically:
+
+    shingle hash:  h(s) = ( Σ_j code(s[j]) · 31^(K-1-j) ) mod P      (K=8)
+    minhash_i:     min over shingles of (a_i·h + b_i) mod P
+    simhash bit j: sign of Σ over shingles of (2·((h >> j) & 1) − 1)
+
+P = 1e9+7 keeps every intermediate < 2^63 (codes ≤ 0x10FFFF, a_i ≤ 9973).
+
+Everything here is a *builder*: Spark-side it returns Column expressions
+(JVM-evaluated, whole-stage-codegen — no Python in the hot path); oracle-side
+it returns SQL fragments. Both derive from the same constants, so they cannot
+drift apart.
+
+Scale: per-row array expressions, no shuffle. MinHash signatures are tiny
+(N_PERM longs/doc) — the LSH band join afterwards is the only shuffle in the
+dedup pipeline (see operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+P = 1_000_000_007
+K = 8  # shingle width (characters)
+COEF = [pow(31, K - 1 - j, P) for j in range(K)]
+
+# MinHash permutation parameters (fixed small primes; a_i·h < 1e13 << 2^63).
+MINHASH_A = [4973, 6203, 7369, 8539, 9973, 5647, 7187, 8867,
+             5323, 6701, 7919, 9311, 5059, 6481, 7759, 9127]
+MINHASH_B = [911, 1723, 2617, 3469, 4397, 1303, 2141, 3041,
+             1013, 1861, 2767, 3673, 1117, 1987, 2897, 3833]
+N_PERM = len(MINHASH_A)
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+SIMHASH_BITS = 32
+
+
+# ---------------------------------------------------------------------------
+# Spark expression builders
+# ---------------------------------------------------------------------------
+def char_codes(text: Column) -> Column:
+    """array<int> of per-character code points (1-based positions)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(text.substr(i, F.lit(1))),
+    )
+
+
+def shingle_hashes(codes: Column, text_len: Column) -> Column:
+    """array<long> of K-gram polynomial hashes over a code-point array.
+
+    Caller must guarantee text_len >= K (filter first).
+    """
+
+    def one(i: Column) -> Column:
+        terms = [
+            F.element_at(codes, (i + F.lit(j)).cast("int")).cast("long") * F.lit(COEF[j])
+            for j in range(K)
+        ]
+        return reduce(lambda a, b: a + b, terms) % F.lit(P)
+
+    return F.transform(F.sequence(F.lit(1), text_len - F.lit(K - 1)), one)
+
+
+def _perm(a: int, b: int):
+    return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P)
+
+
+def minhash_signature(distinct_hashes: Column) -> Column:
+    """array<long> MinHash signature (N_PERM permutations)."""
+    sigs = [
+        F.array_min(F.transform(distinct_hashes, _perm(a, b)))
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+    return F.array(*sigs)
+
+
+def band_keys(signature: Column) -> Column:
+    """array<string>: one concatenated key per LSH band."""
+    keys = []
+    for band in range(N_BANDS):
+        parts = [
+            F.element_at(signature, band * ROWS_PER_BAND + r + 1).cast("string")
+            for r in range(ROWS_PER_BAND)
+        ]
+        keys.append(F.concat_ws("-", *parts))
+    return F.array(*keys)
+
+
+def simhash(hashes: Column) -> Column:
+    """32-bit SimHash of a shingle-hash array, as a long.
+
+    Bit j is 1 iff strictly more than half the shingles have bit j set.
+    Implemented as 32 array-aggregate expressions — fine for one codegen
+    stage; at extreme doc sizes switch to explode + groupBy (same result).
+    """
+    n = F.size(hashes)
+
+    def bit_counter(j: int):
+        return lambda acc, x: acc + F.shiftright(x, j).bitwiseAND(F.lit(1))
+
+    bits = []
+    for j in range(SIMHASH_BITS):
+        ones = F.aggregate(hashes, F.lit(0).cast("long"), bit_counter(j))
+        bits.append(F.when(ones * 2 > n.cast("long"), F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
+    return reduce(lambda a, b: a + b, bits).alias("simhash")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragment builders (the oracle twins of the above)
+# ---------------------------------------------------------------------------
+def sql_char_codes(text_expr: str) -> str:
+    return (
+        f"list_transform(range(1, length({text_expr}) + 1), "
+        f"i -> unicode(substr({text_expr}, i, 1)))"
+    )
+
+
+def sql_shingle_hashes(codes_expr: str, text_expr: str) -> str:
+    terms = " + ".join(
+        f"CAST({codes_expr}[i + {j}] AS BIGINT) * {COEF[j]}" for j in range(K)
+    )
+    return (
+        f"list_transform(range(1, length({text_expr}) - {K - 2}), "
+        f"i -> CAST(({terms}) % {P} AS BIGINT))"
+    )
+
+
+def sql_minhash_signature(hashes_expr: str) -> str:
+    sigs = ", ".join(
+        f"list_min(list_transform({hashes_expr}, x -> ({a} * x + {b}) % {P}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    return f"[{sigs}]"
+
+
+def sql_band_key(sig_expr: str, band: int) -> str:
+    parts = " || '-' || ".join(
+        f"CAST({sig_expr}[{band * ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+        for r in range(ROWS_PER_BAND)
+    )
+    return parts
+
+
+def sql_simhash(hashes_expr: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform({hashes_expr}, x -> (x >> {j}) & 1)) "
+        f"> len({hashes_expr}) THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"({bits})"

@@ -1,0 +1,209 @@
+"""Deduplication operators over the ``documents`` table.
+
+Exact dedup, MinHash+LSH near-dedup, SimHash, and n-gram Jaccard — the
+LLM-training-pipeline surface (BASELINE.json north star). All Spark-side
+logic is built-in array/aggregate expressions (JVM, codegen); the only
+Python is in the oracle-SQL builders.
+
+Scale design:
+- exact dedup: groupBy(text) at test scale; at 100 TB group by sha2(text)
+  first (fixed-width shuffle key) — see t01's docstring.
+- MinHash LSH: signatures are per-row expressions (no shuffle); candidate
+  generation is an equi-join on (band_id, band_key) — the classic
+  distributed LSH plan, linear in corpus size, never all-pairs.
+- n-gram Jaccard brute force is the verifier / small-corpus baseline; the
+  LSH path is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..tables import table
+
+JACCARD_THRESHOLD = 0.10  # test corpus has no true near-dups; 0.10 yields pairs
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id + distinct 8-gram shingle hash set (docs shorter than K dropped)."""
+    return (
+        docs.filter(F.length("text") >= H.K)
+        .withColumn("_codes", H.char_codes(F.col("text")))
+        .withColumn("_hs", H.shingle_hashes(F.col("_codes"), F.length("text")))
+        .withColumn("shingles", F.array_distinct(F.col("_hs")))
+        .drop("_codes")
+    )
+
+
+SQL_SHINGLES = f"""
+  SELECT doc_id,
+         {H.sql_shingle_hashes('codes', 'text')} AS hs,
+         list_distinct({H.sql_shingle_hashes('codes', 'text')}) AS shingles
+  FROM (SELECT doc_id, text, {H.sql_char_codes('text')} AS codes
+        FROM documents WHERE length(text) >= {H.K})
+"""
+
+
+# ---------------------------------------------------------------------------
+# t01 — exact dedup: keep lowest doc_id per identical text.
+# The test corpus has no exact dups, so we synthesize copies of every 50th
+# doc (ids offset by 10000) and report the dup groups.
+# At 100 TB: group by sha2(text, 256) instead of raw text so the shuffle
+# carries 32-byte keys, then resolve rare hash collisions inside the group.
+# ---------------------------------------------------------------------------
+def t01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    union = docs.unionByName(copies)
+    return (
+        union.groupBy("text")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("kept_doc_id", "n_copies")
+    )
+
+
+ORACLE_T01 = """
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+)
+SELECT MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+FROM unioned GROUP BY text HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# t02 — MinHash + LSH near-dedup: shingle → minhash signature → band keys →
+# bucket equi-join → verify true Jaccard.
+# ---------------------------------------------------------------------------
+def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_shingles(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    sig = docs.withColumn("sig", H.minhash_signature(F.col("shingles")))
+    bands = sig.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        "band_id",
+        "band_key",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        "band_id",
+        "band_key",
+    )
+    cand = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _oracle_t02() -> str:
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, shingles, {b} AS band_id, {H.sql_band_key('sig', b)} AS band_key FROM sig"
+        for b in range(H.N_BANDS)
+    )
+    return f"""
+WITH sh AS ({SQL_SHINGLES}),
+sig AS (
+  SELECT doc_id, shingles, {H.sql_minhash_signature('shingles')} AS sig FROM sh
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(1.0 * len(list_intersect(sa.shingles, sb.shingles))
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE ROUND(1.0 * len(list_intersect(sa.shingles, sb.shingles))
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# t03 — SimHash document signatures.
+# ---------------------------------------------------------------------------
+def t03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_shingles(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return docs.select("doc_id", H.simhash(F.col("shingles")).alias("simhash"))
+
+
+def _oracle_t03() -> str:
+    return f"""
+WITH sh AS ({SQL_SHINGLES})
+SELECT doc_id, {H.sql_simhash('shingles')} AS simhash FROM sh
+"""
+
+
+# ---------------------------------------------------------------------------
+# t04 — brute-force n-gram Jaccard pairs (verifier / baseline).
+# All-pairs is O(n²): correct at test scale, replaced by t02's LSH plan at
+# 100 TB. Kept as a first-class query because it is the ground truth the
+# LSH path approximates.
+# ---------------------------------------------------------------------------
+def t04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_shingles(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _oracle_t04() -> str:
+    return f"""
+WITH sh AS ({SQL_SHINGLES})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(1.0 * len(list_intersect(a.shingles, b.shingles))
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE ROUND(1.0 * len(list_intersect(a.shingles, b.shingles))
+            / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "t01_dedup_exact": t01_dedup_exact,
+    "t02_dedup_minhash_lsh": t02_dedup_minhash_lsh,
+    "t03_simhash": t03_simhash,
+    "t04_ngram_jaccard_pairs": t04_ngram_jaccard_pairs,
+}
+
+ORACLES = {
+    "t01_dedup_exact": ORACLE_T01,
+    "t02_dedup_minhash_lsh": _oracle_t02(),
+    "t03_simhash": _oracle_t03(),
+    "t04_ngram_jaccard_pairs": _oracle_t04(),
+}

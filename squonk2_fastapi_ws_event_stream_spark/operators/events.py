@@ -1,0 +1,438 @@
+"""Event-stream operators — batch analogs of the reference's data plane.
+
+The reference relays a keyed, ordered, append-only log with offset/time
+replay and per-message enrichment (SURVEY §2.2-§2.5; /root/reference/app/
+app.py:393-524). The ``events`` test table doubles as the batch form of that
+stream (`event_id` ↔ ordinal, `ts` ↔ broker timestamp, `props` ↔ JSON body —
+FIXTURES.md §B). Every transform here is also reused by the streaming path
+(streaming/pipeline.py) — they are pure DataFrame→DataFrame functions.
+
+Scale notes:
+- replay predicates are single comparisons on sorted/partitioned columns →
+  parquet min/max pruning skips irrelevant row-groups; at 100 TB with
+  time-partitioned storage this is partition pruning, not a scan.
+- enrichment is pure per-row expression work: one whole-stage-codegen span,
+  no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+POISON = "POISON"  # control message, never forwarded (app/app.py:463-467)
+
+
+# ---------------------------------------------------------------------------
+# Replay (time travel) — SURVEY §2.2 Q1-Q4.
+# Contract: exclusive seek — first delivered event is the one AFTER the
+# reference position (README.md:196-202). Explicit 0 is honored (the
+# reference's `if stream_from_ordinal:` falsy-zero bug is deliberately fixed;
+# app/app.py:245, SURVEY §2.2).
+# ---------------------------------------------------------------------------
+def replay_from_ordinal(df: DataFrame, ordinal: int, col: str = "event_id") -> DataFrame:
+    """Events strictly after `ordinal` (README.md:196-198)."""
+    if ordinal is None:
+        raise ValueError("ordinal must not be None; use 0 for 'from the beginning'")
+    return df.filter(F.col(col) > F.lit(int(ordinal)))
+
+
+def replay_from_timestamp(df: DataFrame, epoch_ms: int, col: str = "ts") -> DataFrame:
+    """Events strictly after the epoch-millis position (app/app.py:256-266)."""
+    return df.filter(F.unix_millis(F.col(col)) > F.lit(int(epoch_ms)))
+
+
+def replay_from_datetime(df: DataFrame, dt_str: str, col: str = "ts") -> DataFrame:
+    """Events after an ISO-8601 datetime; tz-less strings are UTC.
+
+    The reference parses with dateutil then converts via process-local
+    ``time.mktime`` (app/app.py:230-244) — a UTC bug we fix by pinning the
+    session timezone to UTC (session.py).
+    """
+    return df.filter(F.col(col) > F.to_timestamp(F.lit(dt_str)))
+
+
+# ---------------------------------------------------------------------------
+# Wire-format handling — SURVEY §2.3/§2.4 (P1-P5, F1-F2).
+# ---------------------------------------------------------------------------
+def is_json_format(msg: Column) -> Column:
+    """Format dispatch on first character (app/app.py:468-469)."""
+    return msg.startswith("{")
+
+
+def filter_control_messages(df: DataFrame, msg_col: str = "msg") -> DataFrame:
+    """Drop empty bodies and the POISON pill (app/app.py:463-468)."""
+    m = F.col(msg_col)
+    return df.filter(m.isNotNull() & (F.length(m) > 0) & (m != POISON))
+
+
+def enrich_json(df: DataFrame, msg_col: str, ordinal_col: str, ts_col: str) -> DataFrame:
+    """Add ess_ordinal / ess_timestamp to a JSON envelope (app/app.py:487-489).
+
+    Only `ess_`-prefixed keys may be added (app/app.py:470-471). Malformed
+    JSON is dropped, not failed (app/app.py:474-485): the try_parse returns
+    NULL and the row is filtered.
+    """
+    parsed = F.try_parse_json(F.col(msg_col))
+    return (
+        df.withColumn("_vj", parsed)
+        .filter(F.col("_vj").isNotNull())
+        .withColumn("ess_ordinal", F.col(ordinal_col).cast("long"))
+        .withColumn("ess_timestamp", F.unix_millis(F.col(ts_col)))
+        .drop("_vj")
+    )
+
+
+def enrich_prototext(df: DataFrame, msg_col: str, ordinal_col: str, ts_col: str) -> DataFrame:
+    """Append `|ordinal: N|timestamp: M` to a protobuf-text message
+    (app/app.py:490-494; wire shape README.md:137-147)."""
+    return df.withColumn(
+        "enriched",
+        F.concat(
+            F.col(msg_col),
+            F.lit("|ordinal: "),
+            F.col(ordinal_col).cast("string"),
+            F.lit("|timestamp: "),
+            F.unix_millis(F.col(ts_col)).cast("string"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query entries (spark, sf_dir) -> DataFrame, with DuckDB oracles.
+# ---------------------------------------------------------------------------
+def e01_replay_from_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return replay_from_ordinal(ev, 9900).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+ORACLE_E01 = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_id > 9900
+"""
+
+
+def e02_replay_from_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 2024-01-28T00:00:00Z == 1706400000000 ms
+    ev = table(spark, sf_dir, "events")
+    return replay_from_timestamp(ev, 1706400000000).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+
+
+ORACLE_E02 = """
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+FROM events WHERE epoch_ms(ts) > 1706400000000
+"""
+
+
+def e03_replay_from_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return replay_from_datetime(ev, "2024-01-28 06:30:00").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+ORACLE_E03 = """
+SELECT event_id, user_id, event_type
+FROM events WHERE ts > TIMESTAMP '2024-01-28 06:30:00'
+"""
+
+
+def e04_enrich_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON envelope enrichment, batch analog: props is the message body."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    enriched = enrich_json(ev, "props", "event_id", "ts")
+    return enriched.select(
+        "event_id",
+        F.col("event_type").alias("message_type"),
+        "ess_ordinal",
+        "ess_timestamp",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+ORACLE_E04 = """
+SELECT event_id,
+       event_type AS message_type,
+       event_id AS ess_ordinal,
+       epoch_ms(ts) AS ess_timestamp,
+       CAST(props->>'$.k' AS BIGINT) AS k_value
+FROM events WHERE event_id < 2000
+"""
+
+
+def e05_filter_control_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISON/empty filtering + format dispatch, batch analog.
+
+    Synthesizes the reference's wire mix deterministically from events:
+    every 101st message empty, every 997th POISON, odd ids protobuf-text,
+    even ids JSON — then applies the F1/F2/P2 pipeline and counts survivors
+    by format class.
+    """
+    ev = table(spark, sf_dir, "events")
+    msg = (
+        F.when(F.col("event_id") % 101 == 0, F.lit(""))
+        .when(F.col("event_id") % 997 == 0, F.lit(POISON))
+        .when(F.col("event_id") % 2 == 0, F.col("props"))
+        .otherwise(F.concat(F.lit("accountserver.MerchantCharge|sqn: "), F.col("event_id")))
+    )
+    df = ev.withColumn("msg", msg)
+    kept = filter_control_messages(df, "msg")
+    return (
+        kept.withColumn(
+            "format", F.when(is_json_format(F.col("msg")), "json").otherwise("prototext")
+        )
+        .groupBy("format")
+        .agg(F.count(F.lit(1)).alias("n_messages"))
+    )
+
+
+ORACLE_E05 = """
+WITH m AS (
+  SELECT CASE
+           WHEN event_id % 101 = 0 THEN ''
+           WHEN event_id % 997 = 0 THEN 'POISON'
+           WHEN event_id % 2 = 0 THEN props
+           ELSE 'accountserver.MerchantCharge|sqn: ' || CAST(event_id AS VARCHAR)
+         END AS msg
+  FROM events
+)
+SELECT CASE WHEN msg LIKE '{%' THEN 'json' ELSE 'prototext' END AS format,
+       COUNT(*) AS n_messages
+FROM m
+WHERE msg IS NOT NULL AND length(msg) > 0 AND msg <> 'POISON'
+GROUP BY 1
+"""
+
+
+def e06_enrich_prototext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    base = ev.withColumn(
+        "msg",
+        F.concat(F.lit("accountserver.MerchantCharge|sqn: "), F.col("event_id").cast("string")),
+    )
+    return enrich_prototext(base, "msg", "event_id", "ts").select("event_id", "enriched")
+
+
+ORACLE_E06 = """
+SELECT event_id,
+       'accountserver.MerchantCharge|sqn: ' || CAST(event_id AS VARCHAR)
+         || '|ordinal: ' || CAST(event_id AS VARCHAR)
+         || '|timestamp: ' || CAST(epoch_ms(ts) AS VARCHAR) AS enriched
+FROM events WHERE event_id < 1000
+"""
+
+
+def e07_message_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 byte-stats analog (app/app.py:424-426,499-501; ws_listener.py:43-48)."""
+    ev = table(spark, sf_dir, "events")
+    blen = F.length(F.col("props"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total_messages"),
+        F.sum(blen.cast("long")).alias("total_bytes"),
+        F.min(blen).alias("min_bytes"),
+        F.max(blen).alias("max_bytes"),
+        F.round(F.sum(blen.cast("long")) / F.count(F.lit(1)), 6).alias("avg_bytes"),
+    )
+
+
+ORACLE_E07 = """
+SELECT event_type,
+       COUNT(*) AS total_messages,
+       CAST(SUM(length(props)) AS BIGINT) AS total_bytes,
+       CAST(MIN(length(props)) AS INTEGER) AS min_bytes,
+       CAST(MAX(length(props)) AS INTEGER) AS max_bytes,
+       ROUND(CAST(SUM(length(props)) AS BIGINT) / COUNT(*), 6) AS avg_bytes
+FROM events GROUP BY event_type
+"""
+
+
+def e08_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-gap detection (message loss is detectable via ordinal gaps,
+    README.md:230-233). Simulates retention loss by dropping every 13th
+    ordinal, then reports each gap via lag()."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 13 != 0)
+    w = Window.orderBy(F.col("event_id").asc())
+    with_prev = ev.select("event_id").withColumn("prev_id", F.lag("event_id", 1).over(w))
+    return (
+        with_prev.filter(F.col("event_id") - F.col("prev_id") > 1)
+        .select(
+            F.col("prev_id").alias("gap_after"),
+            F.col("event_id").alias("resume_at"),
+            (F.col("event_id") - F.col("prev_id") - 1).alias("n_lost"),
+        )
+    )
+
+
+ORACLE_E08 = """
+WITH kept AS (SELECT event_id FROM events WHERE event_id % 13 <> 0),
+     seq AS (SELECT event_id, LAG(event_id) OVER (ORDER BY event_id) AS prev_id FROM kept)
+SELECT prev_id AS gap_after, event_id AS resume_at,
+       event_id - prev_id - 1 AS n_lost
+FROM seq WHERE event_id - prev_id > 1
+"""
+
+
+def e09_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregate (extension per SURVEY §2.9; the
+    streaming twin uses window()+watermark in streaming/pipeline.py)."""
+    ev = table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.start.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_E09 = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def e10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session assignment via gaps-and-islands: a >30-minute silence starts a
+    new session. (Streaming twin: session_window in streaming/pipeline.py.)
+
+    Scale: two window passes over the same (user_id, ts) partitioning — Spark
+    reuses the exchange, so it is one shuffle.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = (F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts", 1).over(w))) > 30 * 60 * 1000
+    flagged = ev.withColumn("new_session", F.when(gap, 1).otherwise(0))
+    with_sid = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_session = with_sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+ORACLE_E10 = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sid AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sid GROUP BY user_id, session_id
+)
+SELECT user_id,
+       COUNT(DISTINCT session_id) AS n_sessions,
+       MAX(n_events) AS max_session_events,
+       CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM per_session GROUP BY user_id
+"""
+
+
+def e11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for each purchase, the latest click at-or-before it by the
+    same user. Spark lacks a native as-of join — the Spark-first composition
+    is a union + `last(ignorenulls)` running window: one shuffle on user_id,
+    no range explosion (vs. the naive inequality join, which is quadratic
+    per user at 100 TB).
+
+    Tie rule: clicks sort before purchases at equal ts (matches the oracle's
+    `c.ts <= p.ts` + MAX semantics).
+    """
+    ev = table(spark, sf_dir, "events")
+    cp = ev.filter(F.col("event_type").isin("click", "purchase"))
+    tagged = cp.withColumn(
+        "type_order", F.when(F.col("event_type") == "click", 0).otherwise(1)
+    ).withColumn(
+        "click_ts", F.when(F.col("event_type") == "click", F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("type_order").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_last = tagged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    return (
+        with_last.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+            F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_click_ts"),
+        )
+    )
+
+
+ORACLE_E11 = """
+SELECT p.event_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(MAX(c.ts), '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+QUERIES = {
+    "e01_replay_from_ordinal": e01_replay_from_ordinal,
+    "e02_replay_from_timestamp": e02_replay_from_timestamp,
+    "e03_replay_from_datetime": e03_replay_from_datetime,
+    "e04_enrich_json": e04_enrich_json,
+    "e05_filter_control_messages": e05_filter_control_messages,
+    "e06_enrich_prototext": e06_enrich_prototext,
+    "e07_message_stats": e07_message_stats,
+    "e08_gap_detection": e08_gap_detection,
+    "e09_tumbling_window": e09_tumbling_window,
+    "e10_sessionize": e10_sessionize,
+    "e11_asof_join": e11_asof_join,
+}
+
+ORACLES = {
+    "e01_replay_from_ordinal": ORACLE_E01,
+    "e02_replay_from_timestamp": ORACLE_E02,
+    "e03_replay_from_datetime": ORACLE_E03,
+    "e04_enrich_json": ORACLE_E04,
+    "e05_filter_control_messages": ORACLE_E05,
+    "e06_enrich_prototext": ORACLE_E06,
+    "e07_message_stats": ORACLE_E07,
+    "e08_gap_detection": ORACLE_E08,
+    "e09_tumbling_window": ORACLE_E09,
+    "e10_sessionize": ORACLE_E10,
+    "e11_asof_join": ORACLE_E11,
+}

@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
+processed by Arrow-batched ``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the decode step is a clearly
+marked deterministic stub (`_decode_stub`) — but everything Spark-side is
+real and tested: schema, binary columns, metadata struct, the mapInPandas
+batch shape, and partition-parallel execution. Swapping `_decode_stub` for
+PIL/ffmpeg is a one-function change.
+
+Scale: mapInPandas streams Arrow batches through Python — the right shape
+for CPU-bound decode at 100 TB (per-partition parallelism, no collect, no
+per-row UDF overhead). Binary payloads stay opaque until the decode stage,
+so scans of metadata-only queries never read the bytes (parquet column
+pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+ADLER_MOD = 65521
+
+DECODED_SCHEMA = (
+    "doc_id long, n_bytes long, first_byte int, checksum long, kind string"
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Model a multimodal ingest: text → opaque binary payload + metadata.
+
+    Real pipelines read image/audio bytes from parquet/object storage; here
+    the payload is the UTF-8 encoding of the text, which keeps the whole
+    path deterministic and oracle-checkable.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes) -> dict:
+    """STUB for the real decoder (PIL.Image.open / soundfile / av).
+
+    Deterministic fake 'feature extraction': byte count, first byte, and an
+    Adler-style checksum. Raise NotImplementedError here if you want a hard
+    gate instead of a fake.
+    """
+    return {
+        "n_bytes": len(payload),
+        "first_byte": payload[0] if payload else -1,
+        "checksum": sum(payload) % ADLER_MOD,
+    }
+
+
+def decode_features(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract over the binary column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(_decode_stub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": feats.map(lambda d: d["n_bytes"]),
+                    "first_byte": feats.map(lambda d: d["first_byte"]),
+                    "checksum": feats.map(lambda d: d["checksum"]),
+                    "kind": pdf["meta"].map(lambda m: m["mime"]),
+                }
+            )
+
+    return with_payload.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_features(attach_payload(docs))
+
+
+# The documents corpus is pure ASCII, so bytes == code points and DuckDB can
+# mirror the stub exactly with list arithmetic.
+ORACLE_M01 = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(unicode(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
+            i -> unicode(substr(text, i, 1)))) % {ADLER_MOD} AS BIGINT) AS checksum,
+       'text/plain' AS kind
+FROM documents
+"""
+
+
+QUERIES = {"m01_multimodal_decode": m01_multimodal_decode}
+ORACLES = {"m01_multimodal_decode": ORACLE_M01}

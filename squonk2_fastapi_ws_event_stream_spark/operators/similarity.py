@@ -1,0 +1,178 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Three tiers, mirroring a production ANN stack:
+- v01: all-pairs near-duplicate detection (cosine ≥ threshold) — the
+  embedding-space twin of dedup.t04; brute force, ground truth.
+- v02: brute-force top-k for a fixed query set — the exact-search baseline.
+  The query side is tiny → broadcast; the corpus streams through map-side.
+  This plan IS 100-TB-correct (one pass, no shuffle on the corpus).
+- v03: IVF-style cell-probed top-k — the scale path: corpus is assigned to
+  centroid cells once (map-side, centroids broadcast), queries probe only
+  NPROBE cells, so the scanned fraction drops to ~NPROBE/N_CELLS.
+
+Centroids here are a deterministic subset of vectors (every 50th) so the
+DuckDB oracle can replicate cell assignment exactly; production would
+k-means them — the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, sql_cosine
+from ..tables import table
+
+COSINE_THRESHOLD = 0.40  # corpus max pairwise cosine ≈ 0.45 — yields pairs
+TOP_K = 10
+N_PROBE = 3
+QUERY_STRIDE = 100   # query set: vec_id % 100 == 0  (5 queries at sf0.01)
+CENTROID_STRIDE = 50  # centroid set: vec_id % 50 == 0 (10 cells at sf0.01)
+
+
+def v01_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+ORACLE_V01 = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {sql_cosine('a.embedding', 'b.embedding')} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+"""
+
+
+def v02_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+ORACLE_V02 = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+           WHERE vec_id % {QUERY_STRIDE} = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         {sql_cosine('q.q_emb', 'e.embedding')} AS cos
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cos FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def v03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    # Cell assignment: nearest centroid per vector (centroids broadcast —
+    # map-side only, the single pass over the corpus).
+    assign_w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cell_id").asc())
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
+        .withColumn("c_rank", F.row_number().over(assign_w))
+        .filter(F.col("c_rank") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    # Queries probe their N_PROBE nearest cells.
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("p_cos").desc(), F.col("cell_id").asc())
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("p_cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("p_rank", F.row_number().over(probe_w))
+        .filter(F.col("p_rank") <= N_PROBE)
+        .select("query_id", "q_emb", "cell_id")
+    )
+    # Search only the probed cells.
+    scored = (
+        assigned.join(probes, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+ORACLE_V03 = f"""
+WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+           WHERE vec_id % {CENTROID_STRIDE} = 0),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS c_rank
+    FROM embeddings e CROSS JOIN c
+  ) WHERE c_rank = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id % {QUERY_STRIDE} = 0),
+probes AS (
+  SELECT query_id, q_emb, cell_id FROM (
+    SELECT q.query_id, q.q_emb, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {sql_cosine('q.q_emb', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS p_rank
+    FROM q CROSS JOIN c
+  ) WHERE p_rank <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         {sql_cosine('p.q_emb', 'a.embedding')} AS cos
+  FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cos FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+QUERIES = {
+    "v01_neardup_cosine": v01_neardup_cosine,
+    "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
+    "v03_ann_ivf_topk": v03_ann_ivf_topk,
+}
+
+ORACLES = {
+    "v01_neardup_cosine": ORACLE_V01,
+    "v02_ann_bruteforce_topk": ORACLE_V02,
+    "v03_ann_ivf_topk": ORACLE_V03,
+}

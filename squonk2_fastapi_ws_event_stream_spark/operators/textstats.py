@@ -1,0 +1,238 @@
+"""Text-analysis operators over ``documents``: language ID, quality scoring,
+token counting, document fingerprinting (winnowing).
+
+All Spark-side logic is built-in string/array expressions — one
+whole-stage-codegen span per query, no shuffle except final aggregation,
+no Python. That is the property that scales to 100 TB: these are the
+per-document map-side stages of a training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..tables import table
+
+# Stopword marker lists for the n-gram language heuristic. The padded-
+# occurrence-count trick (len(t) - len(replace(t, w, ''))) / len(w) is
+# exactly expressible in both engines.
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " los ", " que "],
+}
+
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+WINNOW_WINDOW = 5
+
+
+def _occurrences(padded: Column, word: str) -> Column:
+    """Count of non-overlapping occurrences of `word` in `padded`."""
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(word), F.lit(""))))
+        / len(word)
+    ).cast("long")
+
+
+def _sql_occurrences(padded: str, word: str) -> str:
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{word}', ''))) "
+        f"/ {len(word)} AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# t08 — language ID via stopword-marker counts.
+# ---------------------------------------------------------------------------
+def t08_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    hits = {
+        lang: sum((_occurrences(padded, w) for w in words), F.lit(0).cast("long"))
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # insertion order = priority on ties
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    out = docs.withColumn("predicted_lang", pred)
+    for lang in LANG_MARKERS:
+        out = out.withColumn(f"hits_{lang}", hits[lang])
+    return out.select(
+        "doc_id", "lang", "predicted_lang", *[f"hits_{lang}" for lang in LANG_MARKERS]
+    )
+
+
+def _oracle_t08() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    hit_exprs = {
+        lang: "(" + " + ".join(_sql_occurrences(padded, w) for w in words) + ")"
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = f"GREATEST({', '.join(hit_exprs.values())})"
+    whens = "\n         ".join(
+        f"WHEN {hit_exprs[lang]} = {best} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    hit_cols = ",\n       ".join(f"{hit_exprs[lang]} AS hits_{lang}" for lang in LANG_MARKERS)
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN {best} = 0 THEN 'und'
+         {whens}
+       END AS predicted_lang,
+       {hit_cols}
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# t09 — quality scoring: word count, avg word length, stopword ratio,
+# composite score + bucket.
+# ---------------------------------------------------------------------------
+def t09_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    stop_hits = (
+        _occurrences(padded, " the ") + _occurrences(padded, " a ") + _occurrences(padded, " of ")
+    )
+    avg_word_len = F.round((F.col("n_chars") - (n_words - 1)) / n_words, 6)
+    stop_ratio = F.round(stop_hits / n_words, 6)
+    score = F.round(
+        0.3 * F.least(n_words / 100.0, F.lit(1.0))
+        + 0.4 * (1.0 - stop_ratio)
+        + 0.3 * F.least(avg_word_len / 6.0, F.lit(1.0)),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+        F.when(score >= 0.8, "high").when(score >= 0.6, "medium").otherwise("low").alias("quality_bucket"),
+    )
+
+
+def _oracle_t09() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    stop_hits = " + ".join(_sql_occurrences(padded, w) for w in (" the ", " a ", " of "))
+    return f"""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         ({stop_hits}) AS stop_hits
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_words,
+         ROUND((n_chars - (n_words - 1)) / n_words, 6) AS avg_word_len,
+         ROUND(stop_hits / n_words, 6) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_words, avg_word_len, stopword_ratio,
+       ROUND(0.3 * LEAST(n_words / 100.0, 1.0)
+             + 0.4 * (1.0 - stopword_ratio)
+             + 0.3 * LEAST(avg_word_len / 6.0, 1.0), 6) AS quality_score,
+       CASE WHEN ROUND(0.3 * LEAST(n_words / 100.0, 1.0)
+                       + 0.4 * (1.0 - stopword_ratio)
+                       + 0.3 * LEAST(avg_word_len / 6.0, 1.0), 6) >= 0.8 THEN 'high'
+            WHEN ROUND(0.3 * LEAST(n_words / 100.0, 1.0)
+                       + 0.4 * (1.0 - stopword_ratio)
+                       + 0.3 * LEAST(avg_word_len / 6.0, 1.0), 6) >= 0.6 THEN 'medium'
+            ELSE 'low' END AS quality_bucket
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# t10 — token counting: whitespace tokens + BPE-ish regex tokens.
+# ---------------------------------------------------------------------------
+def t10_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    lowered = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(lowered, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+ORACLE_T10 = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# t11 — document fingerprinting via winnowing: min shingle-hash per sliding
+# window, distinct mins = fingerprint set; reported as count + checksum.
+# ---------------------------------------------------------------------------
+def t11_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= H.K + WINNOW_WINDOW - 1)
+        .withColumn("_codes", H.char_codes(F.col("text")))
+        .withColumn("hs", H.shingle_hashes(F.col("_codes"), F.length("text")))
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - F.lit(WINNOW_WINDOW - 1)),
+        lambda i: F.array_min(F.slice(F.col("hs"), i, WINNOW_WINDOW)),
+    )
+    fp = F.array_distinct(wins)
+    checksum = F.aggregate(fp, F.lit(0).cast("long"), lambda acc, x: (acc + x) % F.lit(H.P))
+    return docs.select(
+        "doc_id",
+        F.size(fp).cast("long").alias("n_fingerprints"),
+        F.array_min(fp).alias("fp_min"),
+        F.array_max(fp).alias("fp_max"),
+        checksum.alias("fp_checksum"),
+    )
+
+
+def _oracle_t11() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         {H.sql_shingle_hashes('codes', 'text')} AS hs
+  FROM (SELECT doc_id, text, {H.sql_char_codes('text')} AS codes
+        FROM documents WHERE length(text) >= {H.K + WINNOW_WINDOW - 1})
+),
+fp AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hs) - {WINNOW_WINDOW - 2}),
+             i -> list_min(hs[i:i+{WINNOW_WINDOW - 1}]))) AS f
+  FROM sh
+)
+SELECT doc_id,
+       CAST(len(f) AS BIGINT) AS n_fingerprints,
+       list_min(f) AS fp_min,
+       list_max(f) AS fp_max,
+       CAST(list_sum(f) % {H.P} AS BIGINT) AS fp_checksum
+FROM fp
+"""
+
+
+QUERIES = {
+    "t08_lang_id": t08_lang_id,
+    "t09_quality_score": t09_quality_score,
+    "t10_token_count": t10_token_count,
+    "t11_doc_fingerprint": t11_doc_fingerprint,
+}
+
+ORACLES = {
+    "t08_lang_id": _oracle_t08(),
+    "t09_quality_score": _oracle_t09(),
+    "t10_token_count": ORACLE_T10,
+    "t11_doc_fingerprint": _oracle_t11(),
+}

@@ -1,0 +1,447 @@
+"""TPC-H-style relational plans over the driver's test tables.
+
+The reference has no relational algebra (SURVEY §2.11) — these queries
+exercise the Spark-native surface that replaces it: scans with pushdown,
+projections, hash/broadcast joins, aggregation, windows, set ops, subqueries,
+rollup, top-k, range joins and as-of joins.
+
+Scale notes per query are inline; the common rules:
+- dims (region/nation/supplier at TPC-H proportions) are broadcast,
+- aggregates are decimal-summed (exact + map-side combinable; see
+  functions/numeric.py),
+- every ORDER BY used under a LIMIT has a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg, dsum, dsum2
+from ..tables import table
+
+
+def _d(ts_col: str) -> F.Column:
+    return F.date_format(F.col(ts_col), "yyyy-MM-dd")
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape): scan + filter + hash aggregate.
+# Scale: fully map-side-combinable; shuffle carries ≤ |flag × status| rows.
+# ---------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum2("l_quantity").alias("sum_qty"),
+            dsum2("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity", "decimal(18,2)").alias("avg_qty"),
+            davg("l_extendedprice", "decimal(18,2)").alias("avg_price"),
+            davg("l_discount", "decimal(18,6)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — top customers by order revenue: join + agg + deterministic top-k.
+# Scale: nation/region broadcast; top-k is a rank over an already-reduced
+# per-customer aggregate (cardinality = |customer|, not |orders|).
+# ---------------------------------------------------------------------------
+def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    rev = orders.groupBy("o_custkey").agg(
+        dsum2("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders")
+    )
+    joined = (
+        rev.join(customer, rev.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue", "n_orders")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 15)
+        .select("rank", "c_custkey", "c_name", "n_name", "revenue", "n_orders")
+    )
+
+
+ORACLE_Q02 = """
+WITH rev AS (
+  SELECT o_custkey,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey ASC) AS INTEGER) AS rank,
+       c_custkey, c_name, n_name, revenue, n_orders
+FROM rev
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — shipping priority (TPC-H Q3): 3-way join + agg + top-k.
+# Scale: filters push to all three scans; join keys are the natural
+# distribution keys so AQE handles skew; LIMIT runs on the reduced agg.
+# ---------------------------------------------------------------------------
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", _d("o_orderdate").alias("o_orderdate"), "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_Q03 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q04 — order priority count (TPC-H Q4): EXISTS subquery as a LEFT SEMI join.
+# Scale: semi join shuffles only the join keys; no row multiplication.
+# ---------------------------------------------------------------------------
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_Q04 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q05 — regional supplier revenue (TPC-H Q5): 6-way join, dims broadcast.
+# Scale: region/nation/supplier broadcast; only orders⋈lineitem shuffles.
+# ---------------------------------------------------------------------------
+def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+ORACLE_Q05 = """
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q06 — forecast revenue change (TPC-H Q6): pure scan-filter-agg, no joins.
+# Scale: everything pushes to the parquet scan; the plan is one codegen stage.
+# ---------------------------------------------------------------------------
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_Q06 = """
+SELECT
+  ROUND(CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# q07 — rollup: region → nation revenue hierarchy (GROUPING SETS family).
+# Scale: rollup = one shuffle, partial aggregation at every level.
+# ---------------------------------------------------------------------------
+def q07_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(dsum2("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+ORACLE_Q07 = """
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q08 — window functions: per-customer order history (row_number, lag,
+# running sum). Scale: one shuffle on the partition key; frames are
+# streaming-evaluable (no full-partition buffering).
+# ---------------------------------------------------------------------------
+def q08_order_history_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _d("o_orderdate").alias("order_date"),
+        F.row_number().over(w).alias("order_seq"),
+        F.lag(price_dec, 1).over(w).cast("double").alias("prev_price"),
+        F.sum(price_dec).over(wsum).cast("double").alias("running_total"),
+    )
+
+
+ORACLE_Q08 = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS order_seq,
+       CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_price,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+         AS running_total
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 — set operations: nations with customers vs nations with suppliers.
+# Scale: INTERSECT/EXCEPT over small distinct sets after early reduction.
+# ---------------------------------------------------------------------------
+def q09_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    cust_nations = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name").distinct()
+    supp_nations = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("n_name").distinct()
+    both = cust_nations.intersect(supp_nations).withColumn("tag", F.lit("BOTH"))
+    cust_only = cust_nations.exceptAll(supp_nations).withColumn("tag", F.lit("CUSTOMER_ONLY"))
+    supp_only = supp_nations.exceptAll(cust_nations).withColumn("tag", F.lit("SUPPLIER_ONLY"))
+    return both.unionByName(cust_only).unionByName(supp_only).select("tag", "n_name")
+
+
+ORACLE_Q09 = """
+WITH cn AS (SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+     sn AS (SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+SELECT 'BOTH' AS tag, n_name FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+UNION ALL
+SELECT 'CUSTOMER_ONLY' AS tag, n_name FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
+UNION ALL
+SELECT 'SUPPLIER_ONLY' AS tag, n_name FROM (SELECT n_name FROM sn EXCEPT SELECT n_name FROM cn)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 — anti join: customers who never ordered.
+# Scale: LEFT ANTI shuffles only keys; returns ids, no payload explosion.
+# ---------------------------------------------------------------------------
+def q10_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11 — range join: orders binned into derived quarter dimension rows.
+# Scale: the quarter dim is tiny → broadcast nested-loop join is the right
+# physical plan; at 100 TB the probe side streams through it map-side.
+# ---------------------------------------------------------------------------
+def q11_quarter_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    quarters = (
+        orders.select(F.date_trunc("quarter", F.col("o_orderdate")).alias("q_start"))
+        .distinct()
+        .withColumn("q_end", F.col("q_start") + F.expr("INTERVAL 3 MONTHS"))
+    )
+    return (
+        orders.join(
+            F.broadcast(quarters),
+            (F.col("o_orderdate") >= F.col("q_start")) & (F.col("o_orderdate") < F.col("q_end")),
+        )
+        .groupBy(F.date_format("q_start", "yyyy-MM-dd").alias("quarter"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum2("o_totalprice").alias("revenue"))
+    )
+
+
+ORACLE_Q11 = """
+WITH quarters AS (
+  SELECT DISTINCT date_trunc('quarter', o_orderdate) AS q_start,
+         date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH AS q_end
+  FROM orders
+)
+SELECT strftime(q_start, '%Y-%m-%d') AS quarter,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
+FROM orders JOIN quarters
+  ON o_orderdate >= q_start AND o_orderdate < q_end
+GROUP BY strftime(q_start, '%Y-%m-%d')
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_customers": q02_top_customers,
+    "q03_shipping_priority": q03_shipping_priority,
+    "q04_order_priority": q04_order_priority,
+    "q05_regional_revenue": q05_regional_revenue,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "q07_rollup_sales": q07_rollup_sales,
+    "q08_order_history_windows": q08_order_history_windows,
+    "q09_set_ops": q09_set_ops,
+    "q10_customers_without_orders": q10_customers_without_orders,
+    "q11_quarter_range_join": q11_quarter_range_join,
+}
+
+ORACLES = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q02_top_customers": ORACLE_Q02,
+    "q03_shipping_priority": ORACLE_Q03,
+    "q04_order_priority": ORACLE_Q04,
+    "q05_regional_revenue": ORACLE_Q05,
+    "q06_forecast_revenue": ORACLE_Q06,
+    "q07_rollup_sales": ORACLE_Q07,
+    "q08_order_history_windows": ORACLE_Q08,
+    "q09_set_ops": ORACLE_Q09,
+    "q10_customers_without_orders": ORACLE_Q10,
+    "q11_quarter_range_join": ORACLE_Q11,
+}

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+Scale design notes (targets a 1000-executor cluster at ~100 TB; tested on
+local[32]):
+
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned shuffle counts.
+- UTC session timezone, always: the reference's datetime-seek quirk
+  (/root/reference/app/app.py:238 uses process-local tz via ``time.mktime``)
+  is fixed per SURVEY §2.2 — we pin UTC explicitly.
+- Arrow enabled for the few pandas-UDF paths (multimodal decode, flexible
+  datetime parse); everything else stays JVM-side / whole-stage-codegen.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 128 MB scan splits: good balance of task count vs overhead for
+    # columnar parquet at any SF.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # The driver's events.parquet stores TIMESTAMP(NANOS); read as long and
+    # convert exactly in tables.py (Spark has no nanos timestamp type).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "squonk2-ws-event-stream-spark") -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's tuned config."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    builder = builder.config("spark.sql.shuffle.partitions", str(max(32, cpus)))
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    for key, value in ENGINE_CONF.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+def apply_session_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an externally created session.
+
+    The driver hands us its own SparkSession; timestamp determinism requires
+    UTC regardless of who built the session.
+    """
+    for key, value in ENGINE_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Static conf on a live session (e.g. under ANSI policies) —
+            # ignore; only the runtime-settable ones matter here.
+            pass
+    return spark
