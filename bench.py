@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headliners are the scale-path queries — the quadratic ground-truth baselines
+(t04 all-pairs Jaccard, v01 all-pairs cosine) are deliberately excluded: at
+sf0.1 they are O(n²) by construction and the LSH/IVF variants (t02, v03) are
+their production twins.
+
+Each query is forced with a noop-sink write (full materialization, no
+driver-side collect — the honest distributed cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from squonk2_fastapi_ws_event_stream_spark.registry import QUERIES
+from squonk2_fastapi_ws_event_stream_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_regional_revenue",
+    "q06_forecast_revenue",
+    "q07_rollup_sales",
+    "q08_order_history_windows",
+    "q11_quarter_range_join",
+    "e04_enrich_json",
+    "e07_message_stats",
+    "e10_sessionize",
+    "e11_asof_join",
+    "t01_dedup_exact",
+    "t02_dedup_minhash_lsh",
+    "t03_simhash",
+    "t09_quality_score",
+    "t10_token_count",
+    "t11_doc_fingerprint",
+    "v02_ann_bruteforce_topk",
+    "v03_ann_ivf_topk",
+    "m01_multimodal_decode",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("squonk2-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen and the Python UDF workers (one per core) so the
+    # first query isn't charged session startup — long-lived executors are
+    # the production reality being modeled.
+    spark.range(1000).count()
+
+    def _identity(batches):
+        yield from batches
+
+    spark.range(0, 64, 1, 64).mapInPandas(_identity, schema="id long").count()
+
+    def run_pass() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        return timings
+
+    # Pass 1 warms analysis/codegen caches (the steady state of a long-lived
+    # cluster); pass 2 is the reported measurement.
+    cold = run_pass()
+    for name, t in cold.items():
+        print(f"  cold {name}: {t:.3f}s", file=sys.stderr)
+    timings = run_pass()
+    for name, t in timings.items():
+        print(f"  warm {name}: {t:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cold_total_sec": round(sum(cold.values()), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -21,15 +21,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
-from ..tables import table
+from ..tables import fan_out, table
 
 JACCARD_THRESHOLD = 0.10  # test corpus has no true near-dups; 0.10 yields pairs
 
 
-def _with_shingles(docs: DataFrame) -> DataFrame:
+def _with_shingles(docs: DataFrame, spark: SparkSession) -> DataFrame:
     """doc_id + distinct 8-gram shingle hash set (docs shorter than K dropped)."""
     return (
-        docs.filter(F.length("text") >= H.K)
+        fan_out(docs.filter(F.length("text") >= H.K), spark)
         .withColumn("_codes", H.char_codes(F.col("text")))
         .withColumn("_hs", H.shingle_hashes(F.col("_codes"), F.length("text")))
         .withColumn("shingles", F.array_distinct(F.col("_hs")))
@@ -84,34 +84,35 @@ FROM unioned GROUP BY text HAVING COUNT(*) > 1
 # bucket equi-join → verify true Jaccard.
 # ---------------------------------------------------------------------------
 def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _with_shingles(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # Persist the shingle table: it feeds three consumers (signature
+    # computation + both sides of the verify join) and shingling is the
+    # dominant CPU cost — without persist Spark recomputes it 3×. At
+    # cluster scale this is the standard LSH staging table (disk-backed).
+    docs = _with_shingles(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    ).persist()
+    # Band join carries only (doc_id, band_id, band_key) — never the shingle
+    # arrays (carrying them through a 4-band explode would 4× the shuffled
+    # bytes). Shingle sets are re-joined once per verified pair.
     sig = docs.withColumn("sig", H.minhash_signature(F.col("shingles")))
     bands = sig.select(
-        "doc_id",
-        "shingles",
-        F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key"),
-    )
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        "band_id",
-        "band_key",
-    )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        "band_id",
-        "band_key",
+        "doc_id", F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key")
     )
     cand = (
-        left.join(right, ["band_id", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = docs.select("doc_id", "shingles")
+    pairs = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -151,7 +152,7 @@ WHERE ROUND(1.0 * len(list_intersect(sa.shingles, sb.shingles))
 # t03 — SimHash document signatures.
 # ---------------------------------------------------------------------------
 def t03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _with_shingles(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = _with_shingles(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     return docs.select("doc_id", H.simhash(F.col("shingles")).alias("simhash"))
 
 
@@ -169,7 +170,7 @@ SELECT doc_id, {H.sql_simhash('shingles')} AS simhash FROM sh
 # LSH path approximates.
 # ---------------------------------------------------------------------------
 def t04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _with_shingles(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = _with_shingles(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import table
+from ..tables import fan_out, table
 
 ADLER_MOD = 65521
 
@@ -83,7 +83,7 @@ def decode_features(with_payload: DataFrame) -> DataFrame:
 
 
 def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     return decode_features(attach_payload(docs))
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, sql_cosine
-from ..tables import table
+from ..tables import fan_out, table
 
 COSINE_THRESHOLD = 0.40  # corpus max pairwise cosine ≈ 0.45 — yields pairs
 TOP_K = 10
@@ -31,7 +31,7 @@ CENTROID_STRIDE = 50  # centroid set: vec_id % 50 == 0 (10 cells at sf0.01)
 
 
 def v01_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
@@ -51,7 +51,7 @@ WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
 
 
 def v02_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -86,7 +86,7 @@ SELECT query_id, rank, vec_id, cos FROM ranked WHERE rank <= {TOP_K}
 
 
 def v03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
     centroids = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
     )

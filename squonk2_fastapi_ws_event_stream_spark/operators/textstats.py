@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
-from ..tables import table
+from ..tables import fan_out, table
 
 # Stopword marker lists for the n-gram language heuristic. The padded-
 # occurrence-count trick (len(t) - len(replace(t, w, ''))) / len(w) is
@@ -179,9 +179,12 @@ FROM documents
 # ---------------------------------------------------------------------------
 def t11_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.length("text") >= H.K + WINNOW_WINDOW - 1)
+        fan_out(
+            table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.length("text") >= H.K + WINNOW_WINDOW - 1),
+            spark,
+        )
         .withColumn("_codes", H.char_codes(F.col("text")))
         .withColumn("hs", H.shingle_hashes(F.col("_codes"), F.length("text")))
     )

@@ -42,6 +42,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a narrow input across all cores before CPU-heavy per-row work.
+
+    Local test parquet is a single row-group → one task, which serializes
+    compute-bound operators (shingling, simhash, vector math). On a real
+    cluster the input already has thousands of splits, so the repartition
+    is skipped (only applied when the scan has fewer partitions than the
+    available parallelism). The shuffled payload is the narrow pre-compute
+    projection — cheap relative to the compute it parallelizes.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every test table present in ``sf_dir``."""
     out: dict[str, DataFrame] = {}
