@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Run the event-stream service: Spark-backed control plane + consume API.
+
+Usage:
+    python serve.py [--port 8081] [--log-root /data/event-log] \
+                    [--db /data/event-streams.db] [--checkpoints /data/ckpt]
+
+Single process serving both the internal REST API (C1-C4) and the consume
+path (C5) — the reference splits these across two uvicorn processes
+(docker-entrypoint.sh:8-10); here one WSGI app fronts one SparkSession.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from squonk2_fastapi_ws_event_stream_spark.session import get_spark
+from squonk2_fastapi_ws_event_stream_spark.sources.registry import Registry
+from squonk2_fastapi_ws_event_stream_spark.streaming.api import create_app
+from squonk2_fastapi_ws_event_stream_spark.streaming.manager import StreamManager
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8081)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--log-root", default="/tmp/event-log")
+    ap.add_argument("--db", default="/tmp/event-streams.db")
+    ap.add_argument("--checkpoints", default="/tmp/es-checkpoints")
+    args = ap.parse_args()
+
+    spark = get_spark("squonk2-ws-event-stream-service")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = Registry(args.db)
+    manager = StreamManager(spark, args.log_root, args.checkpoints)
+    app = create_app(spark, registry, manager)
+    try:
+        app.run(host=args.host, port=args.port, threaded=True)
+    finally:
+        manager.stop_all()
+
+
+if __name__ == "__main__":
+    main()

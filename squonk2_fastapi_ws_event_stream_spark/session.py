@@ -33,10 +33,29 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+def _export_package_path() -> str:
+    """Make this package importable by Spark's spawned Python workers.
+
+    The custom DataSource class is cloudpickled by reference and unpickled
+    inside worker processes, which only see PYTHONPATH — not the launching
+    script's sys.path. Without this, any process started outside the repo
+    root fails with ModuleNotFoundError at query start.
+    """
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
+    return pkg_parent
+
+
 def get_spark(app_name: str = "squonk2-ws-event-stream-spark") -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's tuned config."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pkg_parent = _export_package_path()
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    builder = builder.config("spark.executorEnv.PYTHONPATH", pkg_parent)
     builder = builder.config("spark.sql.shuffle.partitions", str(max(32, cpus)))
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     for key, value in ENGINE_CONF.items():

@@ -1,0 +1,148 @@
+"""Per-stream StreamingQuery lifecycle management.
+
+The reference arbitrates "at most one live consumer per stream" through a
+memcached knock-out cell checked on every message (/root/reference/app/
+app.py:320-344,451-462). Spark's model makes that protocol unnecessary:
+the control plane owns exactly one StreamingQuery handle per stream
+(SURVEY §1.4) — starting a new consumer stops the previous query first,
+and DELETE stops it synchronously (better than the reference, where an
+idle consumer lingers until the next message or a POISON pill,
+app/app.py:677-717; SURVEY §3.4).
+
+Delivery: each query runs `foreachBatch` → an in-process hub queue that the
+socket layer drains (the WebSocket-sink pattern of SURVEY §2.7 K1; the
+actual WS framing needs the `websockets` package, absent in this container —
+the hub is the seam where it plugs in, see api.py).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from ..sources.eventstream import EventStreamDataSource
+from .pipeline import annotate
+
+
+@dataclass
+class Delivery:
+    """One enriched message handed to the socket layer."""
+
+    key: str
+    offset: int
+    out: str
+
+
+@dataclass
+class ConsumerHandle:
+    stream: str
+    hub: "queue.Queue[Delivery | None]"
+    query: object = None
+    stats: dict = field(default_factory=lambda: {"received": 0, "sent": 0})
+
+
+class StreamManager:
+    def __init__(self, spark: SparkSession, log_root: str, checkpoint_root: str):
+        self.spark = spark
+        self.log_root = log_root
+        self.checkpoint_root = checkpoint_root
+        self._consumers: dict[str, ConsumerHandle] = {}
+        self._lock = threading.Lock()
+        spark.dataSource.register(EventStreamDataSource)
+
+    def start_consumer(
+        self,
+        stream: str,
+        starting_ordinal: int | None = None,
+        starting_timestamp_ms: int | None = None,
+        starting_datetime: str | None = None,
+    ) -> ConsumerHandle:
+        """Start (or replace) the single consumer for a stream."""
+        with self._lock:
+            old = self._consumers.pop(stream, None)
+        if old is not None:
+            self.stop_consumer_handle(old)
+
+        hub: queue.Queue = queue.Queue(maxsize=10_000)
+        handle = ConsumerHandle(stream=stream, hub=hub)
+
+        reader = self.spark.readStream.format("eventstream").option(
+            "path", self.log_root
+        ).option("stream", stream)
+        if starting_ordinal is not None:
+            reader = reader.option("startingOrdinal", starting_ordinal)
+        if starting_timestamp_ms is not None:
+            reader = reader.option("startingTimestampMs", starting_timestamp_ms)
+        if starting_datetime is not None:
+            reader = reader.option("startingDatetime", starting_datetime)
+
+        # The whole relay transform (decode, filters, enrichment, poison
+        # detection) runs JVM-side inside the streaming query; foreachBatch
+        # collects only the final delivery rows (SURVEY §2.7 K1: delivery is
+        # per-connection and driver-side, matching the reference's single
+        # socket per stream).
+        relayed = annotate(reader.load())
+
+        manager = self
+
+        def push_batch(batch_df, batch_id):  # runs on the driver per micro-batch
+            rows = sorted(batch_df.collect(), key=lambda r: r["offset"])
+            poisoned = False
+            for r in rows:
+                handle.stats["received"] += 1
+                if r["is_poison"]:
+                    # Never forwarded; stops the consumer
+                    # (app/app.py:463-467,520-524).
+                    poisoned = True
+                    break
+                if r["out"] is not None:
+                    hub.put(Delivery(key=r["key"], offset=r["offset"], out=r["out"]))
+                    handle.stats["sent"] += 1
+            if poisoned:
+                hub.put(None)  # end-of-stream sentinel for the socket layer
+                threading.Thread(
+                    target=manager.stop_consumer, args=(stream,), daemon=True
+                ).start()
+
+        query = (
+            relayed.writeStream.foreachBatch(push_batch)
+            .option(
+                "checkpointLocation",
+                f"{self.checkpoint_root}/{stream}-{id(handle):x}",
+            )
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        handle.query = query
+        with self._lock:
+            self._consumers[stream] = handle
+        return handle
+
+    def stop_consumer(self, stream: str) -> bool:
+        with self._lock:
+            handle = self._consumers.pop(stream, None)
+        if handle is None:
+            return False
+        self.stop_consumer_handle(handle)
+        return True
+
+    @staticmethod
+    def stop_consumer_handle(handle: ConsumerHandle) -> None:
+        try:
+            if handle.query is not None:
+                handle.query.stop()
+        finally:
+            try:
+                handle.hub.put_nowait(None)
+            except queue.Full:
+                pass
+
+    def stop_all(self) -> None:
+        with self._lock:
+            handles = list(self._consumers.values())
+            self._consumers.clear()
+        for h in handles:
+            self.stop_consumer_handle(h)

@@ -1,0 +1,79 @@
+"""Relay-pipeline parity: golden enrichment bytes derived from the
+reference's documented wire formats (README.md:137-158; app/app.py:463-494).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from squonk2_fastapi_ws_event_stream_spark.streaming.pipeline import (
+    annotate,
+    relay_transform,
+)
+
+TS = datetime(2025, 4, 30, 19, 20, 37, tzinfo=timezone.utc)
+TS_MS = int(TS.timestamp() * 1000)
+
+
+def _envelope(spark, rows):
+    return spark.createDataFrame(
+        [(k, v.encode("utf-8"), o, TS) for (k, v, o) in rows],
+        "key string, value binary, offset long, timestamp timestamp",
+    )
+
+
+def test_json_enrichment_appends_ess_keys(spark):
+    body = '{"message_type": "accountserver.MerchantProcessingCharge", "message_body": {"sqn": 1}}'
+    df = relay_transform(_envelope(spark, [("s", body, 42)]))
+    out = df.collect()[0]["out"]
+    import json
+
+    parsed = json.loads(out)
+    # envelope preserved + only ess_-prefixed keys added (app/app.py:470-489)
+    assert parsed["message_type"] == "accountserver.MerchantProcessingCharge"
+    assert parsed["message_body"] == {"sqn": 1}
+    assert parsed["ess_ordinal"] == 42
+    assert parsed["ess_timestamp"] == TS_MS
+    assert set(parsed) == {"message_type", "message_body", "ess_ordinal", "ess_timestamp"}
+    # original body text is preserved verbatim (string-splice enrichment)
+    assert out.startswith(body[:-1])
+
+
+def test_prototext_enrichment_appends_ordinal_timestamp(spark):
+    body = 'accountserver.MerchantCharge|timestamp: "2025-04-30T19:20:37" merchant_kind: "DATA_MANAGER"'
+    df = relay_transform(_envelope(spark, [("s", body, 7)]))
+    out = df.collect()[0]["out"]
+    # byte-exact append semantics (app/app.py:490-494; README.md:137-147)
+    assert out == body + f"|ordinal: 7|timestamp: {TS_MS}"
+
+
+def test_poison_empty_malformed_dropped(spark):
+    rows = [
+        ("s", "POISON", 1),
+        ("s", "", 2),
+        ("s", '{"broken": ', 3),  # starts like JSON, fails to parse → dropped
+        ("s", '{"ok": 1}', 4),
+        ("s", "proto|x: 1", 5),
+    ]
+    df = relay_transform(_envelope(spark, rows))
+    offs = sorted(r["offset"] for r in df.collect())
+    assert offs == [4, 5]
+
+
+def test_annotate_flags_poison_without_forwarding(spark):
+    rows = [("s", "POISON", 1), ("s", '{"ok": 1}', 2)]
+    ann = annotate(_envelope(spark, rows)).orderBy("offset").collect()
+    assert ann[0]["is_poison"] is True and ann[0]["out"] is None
+    assert ann[1]["is_poison"] is False and ann[1]["out"] is not None
+
+
+def test_ordering_preserved_within_stream(spark):
+    rows = [("s", '{"n": %d}' % i, i) for i in range(50)]
+    df = relay_transform(_envelope(spark, rows))
+    got = [r["offset"] for r in df.orderBy("offset").collect()]
+    assert got == list(range(50))
+    # gap detectability: ess_ordinal is embedded in every delivered message
+    sample = df.filter(F.col("offset") == 13).collect()[0]["out"]
+    assert '"ess_ordinal": 13' in sample
