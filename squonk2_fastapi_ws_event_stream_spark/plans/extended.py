@@ -1,0 +1,205 @@
+"""Extended relational surface: correlated subqueries, pivot, percentiles,
+cube/grouping sets, token analytics, vector centroid aggregation.
+
+These exercise the Catalyst features SURVEY §2.11 lists as absent in the
+reference but required of a complete engine (subquery decorrelation,
+grouping sets, exact percentiles) plus two more LLM-pipeline aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import fan_out, table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# ---------------------------------------------------------------------------
+# q12 — correlated scalar subquery: richest customer per nation.
+# Expressed in SQL so Catalyst performs the decorrelation (rewrites to an
+# aggregate + join — the plan a hand-written window would produce).
+# ---------------------------------------------------------------------------
+def q12_richest_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT n_name, c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+        FROM v_customer c JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM v_customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+ORACLE_Q12 = """
+SELECT n_name, c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+                     WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 — pivot: daily event counts, one column per event type.
+# Fixed pivot value list → stable schema at any SF (never let pivot infer
+# distinct values at 100 TB — that is an extra full pass).
+# ---------------------------------------------------------------------------
+def q13_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+ORACLE_Q13 = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 — percentiles: exact (interpolated) and approximate quantiles.
+# The approx path (approx_percentile/t-digest) is the 100-TB answer; the
+# exact path is the oracle-checkable one (rounded — both engines use the
+# same (n-1)p linear interpolation, differing only in final ulps).
+# ---------------------------------------------------------------------------
+def q14_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_Q14 = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q15 — cube: revenue over (orderpriority, orderstatus) with all subtotal
+# combinations (GROUPING SETS family beyond q07's rollup).
+# ---------------------------------------------------------------------------
+def q15_cube_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4).alias(
+                "revenue"
+            ),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+ORACLE_Q15 = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# t12 — token frequency: explode → count → deterministic top-k.
+# The wordcount shape: fully map-side-combinable, shuffle carries one row
+# per distinct token.
+# ---------------------------------------------------------------------------
+def t12_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents").select("text"), spark)
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    return (
+        toks.filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+ORACLE_T12 = """
+SELECT token, COUNT(*) AS n
+FROM documents, unnest(string_split(text, ' ')) AS u(token)
+WHERE length(token) > 0
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# v04 — centroid aggregation: per-label mean embedding, one row per
+# (label, dim). Row form (not array form) keeps the oracle comparison
+# order-insensitive; decimal sums make the means exact.
+# Scale: posexplode is a flatMap (no shuffle); the aggregate shuffles
+# |labels| × dims rows — tiny.
+# ---------------------------------------------------------------------------
+def v04_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(table(spark, sf_dir, "embeddings"), spark)
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "val")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("val").cast("double").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+ORACLE_V04 = """
+SELECT label, CAST(d.i - 1 AS INTEGER) AS dim,
+       ROUND(CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_val,
+       COUNT(*) AS n_vectors
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS d(i)
+GROUP BY label, d.i
+"""
+
+
+QUERIES = {
+    "q12_richest_per_nation": q12_richest_per_nation,
+    "q13_pivot_daily_events": q13_pivot_daily_events,
+    "q14_value_percentiles": q14_value_percentiles,
+    "q15_cube_order_revenue": q15_cube_order_revenue,
+    "t12_top_tokens": t12_top_tokens,
+    "v04_label_centroids": v04_label_centroids,
+}
+
+ORACLES = {
+    "q12_richest_per_nation": ORACLE_Q12,
+    "q13_pivot_daily_events": ORACLE_Q13,
+    "q14_value_percentiles": ORACLE_Q14,
+    "q15_cube_order_revenue": ORACLE_Q15,
+    "t12_top_tokens": ORACLE_T12,
+    "v04_label_centroids": ORACLE_V04,
+}

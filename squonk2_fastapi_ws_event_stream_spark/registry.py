@@ -11,9 +11,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import dedup, events, multimodal, similarity, textstats
-from .plans import tpch
+from .plans import extended, tpch
 
-_MODULES = (tpch, events, dedup, textstats, similarity, multimodal)
+_MODULES = (tpch, extended, events, dedup, textstats, similarity, multimodal)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

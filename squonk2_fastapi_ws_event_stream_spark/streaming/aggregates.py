@@ -1,0 +1,89 @@
+"""Streaming aggregations over the event stream — the extension surface
+beyond relay parity (SURVEY §2.9: the reference has no windows/watermarks;
+the engine provides them Spark-natively).
+
+Each function takes the envelope stream from the "eventstream" source and
+returns a streaming DataFrame; the batch twins (operators/events.py
+e09/e10) are oracle-checked, and tests assert the streaming results agree
+with the batch results on the same log (stream-batch unification is the
+point of Structured Streaming).
+
+Scale notes:
+- watermarks bound state: without them a windowed agg's state grows
+  forever at 100 TB/day ingest.
+- session_window is the built-in stateful sessionizer — state per active
+  (key, session), evicted by the watermark.
+- observe() computes per-batch stats inside the existing plan (no extra
+  pass) and surfaces them on the StreamingQueryListener — the A1 counters
+  (app/app.py:424-426,499-501) without touching the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    envelope: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window message counts + byte totals per stream key.
+
+    Watermark on the broker timestamp: the reference guarantees it is
+    monotonic per stream (README.md:172-180), so late data beyond the
+    watermark can only come from cross-stream skew.
+    """
+    return (
+        envelope.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", window).alias("win"), "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.sum(F.octet_length("value").cast("long")).alias("n_bytes"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "key",
+            "n_messages",
+            "n_bytes",
+        )
+    )
+
+
+def session_counts(
+    envelope: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session-window aggregation: a >gap silence closes the session.
+
+    The streaming twin of the gaps-and-islands batch sessionizer
+    (operators/events.py e10) using the built-in stateful operator.
+    """
+    return (
+        envelope.withWatermark("timestamp", watermark)
+        .groupBy(F.session_window("timestamp", gap).alias("sess"), "key")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "key",
+            "n_events",
+        )
+    )
+
+
+def with_message_stats(envelope: DataFrame, name: str = "ess_stats") -> DataFrame:
+    """Attach A1-style counters via observe(): received count + byte stats
+    appear in every micro-batch's StreamingQueryProgress under
+    `observedMetrics[name]` (and on QueryProgressEvent for listeners) —
+    the Spark-native ESS_MESSAGE_STATS_INTERVAL log line."""
+    return envelope.observe(
+        name,
+        F.count(F.lit(1)).alias("received"),
+        F.sum(F.octet_length("value").cast("long")).alias("total_bytes"),
+        F.min(F.octet_length("value")).alias("min_bytes"),
+        F.max(F.octet_length("value")).alias("max_bytes"),
+    )

@@ -1,0 +1,89 @@
+"""Physical-plan guards: the performance properties that make these
+operators 100-TB-viable, asserted on the optimized plans so a refactor
+that silently loses pushdown/broadcast/codegen fails here.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from squonk2_fastapi_ws_event_stream_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def explain(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q01_filter_pushed_to_scan_and_columns_pruned(spark):
+    plan = explain(QUERIES["q01_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: orderkey/partkey/suppkey/linenumber are never read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_q05_dims_are_broadcast(spark):
+    plan = explain(QUERIES["q05_regional_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "CartesianProduct" not in plan
+
+
+def test_q06_range_filters_pushed(spark):
+    plan = explain(QUERIES["q06_forecast_revenue"](spark, SF))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+
+
+def test_q04_semi_join_not_inner(spark):
+    plan = explain(QUERIES["q04_order_priority"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_q10_anti_join(spark):
+    plan = explain(QUERIES["q10_customers_without_orders"](spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_e01_replay_predicate_pushed(spark):
+    plan = explain(QUERIES["e01_replay_from_ordinal"](spark, SF))
+    assert "GreaterThan(event_id,9900)" in plan
+
+
+def test_relay_transform_has_no_shuffle(spark):
+    from squonk2_fastapi_ws_event_stream_spark.streaming.pipeline import relay_transform
+
+    env = spark.createDataFrame(
+        [("s", b"{}", 1, None)],
+        "key string, value binary, offset long, timestamp timestamp",
+    )
+    plan = explain(relay_transform(env))
+    assert "Exchange" not in plan  # pure per-row pipeline, one codegen span
+    assert "codegen id : 1" in plan and "codegen id : 2" not in plan
+
+
+def test_lsh_plan_is_equi_join_not_cartesian(spark):
+    plan = explain(QUERIES["t02_dedup_minhash_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    plan = explain(QUERIES["v02_ann_bruteforce_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q13_pivot_has_no_extra_scan(spark):
+    # fixed pivot values → a single scan of events, no distinct-values pass
+    plan = explain(QUERIES["q13_pivot_daily_events"](spark, SF), mode="simple")
+    assert plan.count("FileScan parquet") == 1

@@ -1,0 +1,115 @@
+"""Streaming aggregation extensions: windowed counts, session windows, and
+observe()-based stats over the eventstream source — each checked against
+its batch twin on the same log (stream-batch unification)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from squonk2_fastapi_ws_event_stream_spark.sources.eventstream import (
+    EventLogWriter,
+    EventStreamDataSource,
+)
+from squonk2_fastapi_ws_event_stream_spark.streaming.aggregates import (
+    session_counts,
+    windowed_counts,
+    with_message_stats,
+)
+
+BASE_TS = 1_700_000_000_000  # 2023-11-14T22:13:20Z
+HOUR = 3_600_000
+
+
+@pytest.fixture()
+def log_root(tmp_path, spark):
+    root = str(tmp_path / "log")
+    w = EventLogWriter(root, "metrics")
+    # hour 0: 3 events; hour 1: 2 events; a >30min silence inside hour 1
+    for ms in (0, 60_000, 120_000, HOUR, HOUR + 40 * 60_000):
+        w.publish('{"m": 1}', BASE_TS + ms)
+    spark.dataSource.register(EventStreamDataSource)
+    return root
+
+
+def _run(df, spark, tmp_path, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}"), q
+
+
+def test_windowed_counts_match_batch_twin(spark, log_root, tmp_path):
+    stream = (
+        spark.readStream.format("eventstream")
+        .option("path", log_root)
+        .option("stream", "metrics")
+        .option("startingOrdinal", 0)
+        .load()
+    )
+    out, _ = _run(windowed_counts(stream), spark, tmp_path, "win_counts")
+    got = {
+        (r["window_start"].isoformat(), r["n_messages"], r["n_bytes"])
+        for r in out.collect()
+    }
+    # batch twin over the same envelope
+    batch = (
+        spark.read.format("eventstream").option("path", log_root).load()
+        .groupBy(F.window("timestamp", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.octet_length("value")).alias("b"))
+    )
+    want = {
+        (r["w"]["start"].isoformat(), r["n"], r["b"]) for r in batch.collect()
+    }
+    assert got == want
+    assert sum(n for _, n, _ in got) == 5
+
+
+def test_session_window_splits_on_gap(spark, log_root, tmp_path):
+    stream = (
+        spark.readStream.format("eventstream")
+        .option("path", log_root)
+        .option("stream", "metrics")
+        .option("startingOrdinal", 0)
+        .load()
+    )
+    out, _ = _run(session_counts(stream), spark, tmp_path, "sess_counts")
+    rows = sorted(out.collect(), key=lambda r: r["session_start"])
+    # events at +0,+1m,+2m form one session; +60m another; +100m (40min gap)
+    # a third
+    assert [r["n_events"] for r in rows] == [3, 1, 1]
+
+
+def test_observe_stats_surface_in_progress(spark, log_root, tmp_path):
+    stream = (
+        spark.readStream.format("eventstream")
+        .option("path", log_root)
+        .option("stream", "metrics")
+        .option("startingOrdinal", 0)
+        .load()
+    )
+    q = (
+        with_message_stats(stream)
+        .writeStream.format("memory")
+        .queryName("obs_stats")
+        .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    observed = [
+        p.observedMetrics["ess_stats"]
+        for p in (q.recentProgress or [])
+        if "ess_stats" in (p.observedMetrics or {})
+    ]
+    assert observed, "no observed metrics in progress events"
+    total_received = sum(m["received"] for m in observed)
+    assert total_received == 5
+    assert all(m["min_bytes"] == len('{"m": 1}') for m in observed)
