@@ -45,7 +45,13 @@ HEADLINE = [
     "t11_doc_fingerprint",
     "v02_ann_bruteforce_topk",
     "v03_ann_ivf_topk",
+    "v05_ann_pandas_udf_topk",
     "m01_multimodal_decode",
+    "q13_pivot_daily_events",
+    "q14_value_percentiles",
+    "q16_distinct_users_daily",
+    "t12_top_tokens",
+    "v04_label_centroids",
 ]
 
 

@@ -100,5 +100,69 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Image / audio stage stubs: real Spark plumbing (schemas, Arrow batching,
+# partition parallelism), deterministic fake compute where the codec would
+# run. Swap the marked line for PIL/ffmpeg on a cluster that has them.
+# ---------------------------------------------------------------------------
+RESIZE_SCHEMA = "doc_id long, width int, height int, thumb binary"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_checksum long"
+
+
+def resize_images(with_payload: DataFrame, size: tuple[int, int] = (32, 32)) -> DataFrame:
+    """Thumbnail stage. STUB decode: treats the payload as raw bytes and
+    derives a deterministic pseudo-thumbnail (repeating byte pattern) of
+    exactly width*height bytes — the Arrow batch shape and output schema
+    are what a PIL implementation would produce."""
+    w, h = size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [
+                bytes((payload * ((w * h) // max(len(payload), 1) + 1))[: w * h])
+                # ^ STUB: replace with PIL.Image.open(io.BytesIO(payload)).resize(size)
+                for payload in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "thumb": thumbs,
+                }
+            )
+
+    return with_payload.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(with_payload: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage (video/audio analog): emits n_frames rows per
+    payload — a fan-out mapInPandas, the shape a real ffmpeg frame sampler
+    has. STUB compute: per-frame checksum over a byte stride."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                stride = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = payload[i * stride : (i + 1) * stride]
+                    # STUB: replace with av/ffmpeg frame decode + feature
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(sum(chunk) % ADLER_MOD)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums}
+            )
+
+    return with_payload.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def metadata_only(docs_with_payload: DataFrame) -> DataFrame:
+    """Metadata projection — never touches the payload column, so the scan
+    prunes the binary bytes entirely (asserted in test_plan_shapes)."""
+    return docs_with_payload.select("doc_id", "meta.mime", "meta.n_bytes")
+
+
 QUERIES = {"m01_multimodal_decode": m01_multimodal_decode}
 ORACLES = {"m01_multimodal_decode": ORACLE_M01}

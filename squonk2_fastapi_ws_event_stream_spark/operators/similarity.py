@@ -17,6 +17,9 @@ k-means them — the plan shape is identical.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -165,14 +168,56 @@ SELECT query_id, rank, vec_id, cos FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# v05 — pandas-UDF cosine top-k: the Arrow-vectorized twin of v02.
+# Same query shape, but the dot products run in NumPy over Arrow batches —
+# the pattern to reach for when the metric is not expressible in built-ins
+# (learned distance, quantized codes). For plain cosine the JVM expression
+# path (v02) wins; both are kept so the bench shows the tradeoff.
+# ---------------------------------------------------------------------------
+def v05_ann_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos6(a: pd.Series, b: pd.Series) -> pd.Series:
+        # per-row: float32 inputs upcast to float64; round(6) absorbs
+        # summation-order noise vs the sequential oracle
+        out = np.empty(len(a))
+        for i in range(len(a)):
+            x = np.asarray(a.iloc[i], dtype=np.float64)
+            y = np.asarray(b.iloc[i], dtype=np.float64)
+            out[i] = np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y))
+        return pd.Series(np.round(out, 6))
+
+    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).withColumn(
+        "cos", cos6(F.col("q_emb"), F.col("embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+# Same semantics as v02 → same oracle.
+ORACLE_V05 = ORACLE_V02
+
+
 QUERIES = {
     "v01_neardup_cosine": v01_neardup_cosine,
     "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
     "v03_ann_ivf_topk": v03_ann_ivf_topk,
+    "v05_ann_pandas_udf_topk": v05_ann_pandas_udf_topk,
 }
 
 ORACLES = {
     "v01_neardup_cosine": ORACLE_V01,
     "v02_ann_bruteforce_topk": ORACLE_V02,
     "v03_ann_ivf_topk": ORACLE_V03,
+    "v05_ann_pandas_udf_topk": ORACLE_V05,
 }

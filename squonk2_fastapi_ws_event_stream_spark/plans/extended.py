@@ -186,6 +186,29 @@ GROUP BY label, d.i
 """
 
 
+# ---------------------------------------------------------------------------
+# q16 — distinct counts: exact per group. The 100-TB path swaps the exact
+# count for approx_count_distinct (HLL sketch, mergeable, one pass) —
+# sketches differ per engine so only the exact form is oracle-comparable.
+# ---------------------------------------------------------------------------
+def q16_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.countDistinct("event_type").alias("distinct_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_Q16 = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS distinct_users,
+       COUNT(DISTINCT event_type) AS distinct_types,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "q12_richest_per_nation": q12_richest_per_nation,
     "q13_pivot_daily_events": q13_pivot_daily_events,
@@ -193,6 +216,7 @@ QUERIES = {
     "q15_cube_order_revenue": q15_cube_order_revenue,
     "t12_top_tokens": t12_top_tokens,
     "v04_label_centroids": v04_label_centroids,
+    "q16_distinct_users_daily": q16_distinct_users_daily,
 }
 
 ORACLES = {
@@ -202,4 +226,5 @@ ORACLES = {
     "q15_cube_order_revenue": ORACLE_Q15,
     "t12_top_tokens": ORACLE_T12,
     "v04_label_centroids": ORACLE_V04,
+    "q16_distinct_users_daily": ORACLE_Q16,
 }

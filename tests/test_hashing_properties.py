@@ -1,0 +1,89 @@
+"""Property tests: the Spark expression builders, the DuckDB SQL fragment
+builders, and a plain-Python reference implementation of the hashing
+pipeline must agree on arbitrary ASCII text — this is the invariant the
+whole oracle-checkable dedup family rests on."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from squonk2_fastapi_ws_event_stream_spark.functions import hashing as H
+
+ASCII_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=H.K,
+    max_size=60,
+)
+
+
+def py_shingle_hashes(text: str) -> list[int]:
+    codes = [ord(c) for c in text]
+    return [
+        sum(codes[i + j] * H.COEF[j] for j in range(H.K)) % H.P
+        for i in range(len(text) - H.K + 1)
+    ]
+
+
+def py_minhash(hashes: list[int]) -> list[int]:
+    hs = sorted(set(hashes))
+    return [
+        min((a * x + b) % H.P for x in hs) for a, b in zip(H.MINHASH_A, H.MINHASH_B)
+    ]
+
+
+def py_simhash(hashes: list[int]) -> int:
+    n = len(hashes)
+    out = 0
+    for j in range(H.SIMHASH_BITS):
+        ones = sum((x >> j) & 1 for x in hashes)
+        if 2 * ones > n:
+            out |= 1 << j
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(ASCII_TEXT)
+def test_duckdb_fragments_match_python_reference(text):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 1 AS doc_id, ? AS text", [text])
+    sql = f"""
+    WITH c AS (SELECT doc_id, text, {H.sql_char_codes('text')} AS codes FROM documents),
+    s AS (SELECT doc_id, {H.sql_shingle_hashes('codes', 'text')} AS hs FROM c)
+    SELECT hs, list_distinct(hs) AS dhs,
+           {H.sql_minhash_signature('list_distinct(hs)')} AS mh,
+           {H.sql_simhash('hs')} AS sh
+    FROM s
+    """
+    hs, dhs, mh, sh = con.execute(sql).fetchone()
+    assert list(hs) == py_shingle_hashes(text)
+    assert sorted(dhs) == sorted(set(py_shingle_hashes(text)))
+    assert list(mh) == py_minhash(py_shingle_hashes(text))
+    assert sh == py_simhash(py_shingle_hashes(text))
+
+
+def test_spark_builders_match_python_reference(spark):
+    import pyspark.sql.functions as F
+
+    samples = [
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaa",
+        "key agg row scan slow fast table value part",
+        "x" * 8,
+        "0123456789 abcdef {}[]()!@#$",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "id long, text string")
+    out = (
+        df.withColumn("codes", H.char_codes(F.col("text")))
+        .withColumn("hs", H.shingle_hashes(F.col("codes"), F.length("text")))
+        .withColumn("mh", H.minhash_signature(F.array_distinct(F.col("hs"))))
+        .withColumn("sh", H.simhash(F.col("hs")))
+        .select("id", "hs", "mh", "sh")
+        .collect()
+    )
+    for r in out:
+        text = samples[r["id"]]
+        assert list(r["hs"]) == py_shingle_hashes(text)
+        assert list(r["mh"]) == py_minhash(py_shingle_hashes(text))
+        assert r["sh"] == py_simhash(py_shingle_hashes(text))
