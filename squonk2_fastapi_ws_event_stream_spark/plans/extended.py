@@ -209,6 +209,77 @@ FROM events GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q17 — uncorrelated scalar subquery in HAVING (TPC-H Q11 shape): nations
+# whose order revenue exceeds 5% of global revenue.
+# ---------------------------------------------------------------------------
+def q17_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT n_name,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+                 AS revenue
+        FROM v_orders
+        JOIN v_customer ON o_custkey = c_custkey
+        JOIN v_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) >
+               (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 0.05 FROM v_orders)
+        """
+    )
+
+
+ORACLE_Q17 = """
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) >
+       (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 0.05 FROM orders)
+"""
+
+
+# ---------------------------------------------------------------------------
+# t13 — Python UDTF: sentence segmentation as a table function (one row per
+# fragment). UDTFs are the engine's user-extensible fan-out surface; the
+# segmentation rule (split on ". ") is trivially mirrored in the oracle.
+# ---------------------------------------------------------------------------
+def t13_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string, n_chars int")
+    class SplitSentences:
+        def eval(self, doc_id: int, text: str):
+            for i, frag in enumerate(text.split(". ")):
+                if frag:
+                    yield doc_id, i, frag, len(frag)
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("v_documents")
+    return spark.sql(
+        """
+        SELECT s.* FROM v_documents d,
+        LATERAL split_sentences(d.doc_id, d.text) s
+        """
+    )
+
+
+ORACLE_T13 = """
+SELECT doc_id,
+       CAST(u.i - 1 AS INTEGER) AS sent_idx,
+       parts[u.i] AS sentence,
+       CAST(length(parts[u.i]) AS INTEGER) AS n_chars
+FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+     unnest(range(1, len(parts) + 1)) AS u(i)
+WHERE length(parts[u.i]) > 0
+"""
+
+
 QUERIES = {
     "q12_richest_per_nation": q12_richest_per_nation,
     "q13_pivot_daily_events": q13_pivot_daily_events,
@@ -217,6 +288,8 @@ QUERIES = {
     "t12_top_tokens": t12_top_tokens,
     "v04_label_centroids": v04_label_centroids,
     "q16_distinct_users_daily": q16_distinct_users_daily,
+    "q17_revenue_share": q17_revenue_share,
+    "t13_sentence_udtf": t13_sentence_udtf,
 }
 
 ORACLES = {
@@ -227,4 +300,6 @@ ORACLES = {
     "t12_top_tokens": ORACLE_T12,
     "v04_label_centroids": ORACLE_V04,
     "q16_distinct_users_daily": ORACLE_Q16,
+    "q17_revenue_share": ORACLE_Q17,
+    "t13_sentence_udtf": ORACLE_T13,
 }

@@ -1,0 +1,79 @@
+"""Stream-static and stream-stream joins over the eventstream source."""
+
+from __future__ import annotations
+
+from squonk2_fastapi_ws_event_stream_spark.sources.eventstream import (
+    EventLogWriter,
+    EventStreamDataSource,
+)
+from squonk2_fastapi_ws_event_stream_spark.sources.registry import Registry
+from squonk2_fastapi_ws_event_stream_spark.streaming.joins import (
+    enrich_with_registry,
+    interval_join,
+)
+
+BASE_TS = 1_700_000_000_000
+MIN = 60_000
+
+
+def _stream(spark, root, name):
+    return (
+        spark.readStream.format("eventstream")
+        .option("path", root)
+        .option("stream", name)
+        .option("startingOrdinal", 0)
+        .load()
+    )
+
+
+def test_stream_static_registry_enrichment(spark, tmp_path):
+    root = str(tmp_path / "log")
+    w = EventLogWriter(root, "charges")
+    for i in range(3):
+        w.publish('{"n": %d}' % i, BASE_TS + i * 1000)
+    spark.dataSource.register(EventStreamDataSource)
+
+    registry = Registry(str(tmp_path / "es.db"))
+    rec = registry.create("charges")
+
+    out = enrich_with_registry(_stream(spark, root, "charges"), registry.to_dataframe(spark))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched_reg")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM enriched_reg ORDER BY offset").collect()
+    assert len(rows) == 3
+    assert all(r["es_id"] == rec["id"] and r["es_uuid"] == rec["uuid"] for r in rows)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    root = str(tmp_path / "log")
+    clicks = EventLogWriter(root, "clicks")
+    purchases = EventLogWriter(root, "purchases")
+    # purchases at +5m (joins), +25m (outside 10m bound), click base +20m
+    clicks.publish("c1", BASE_TS)
+    clicks.publish("c2", BASE_TS + 20 * MIN)
+    purchases.publish("p1", BASE_TS + 5 * MIN)   # joins c1
+    purchases.publish("p2", BASE_TS + 25 * MIN)  # joins c2 (+5m), not c1 (+25m)
+    spark.dataSource.register(EventStreamDataSource)
+
+    # interval join requires equal keys: rename both to a shared key
+    from pyspark.sql import functions as F
+
+    left = _stream(spark, root, "clicks").withColumn("key", F.lit("user1"))
+    right = _stream(spark, root, "purchases").withColumn("key", F.lit("user1"))
+    out = interval_join(left, right, max_delay="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("joined_streams")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["l_offset"], r["r_offset"]) for r in spark.sql("SELECT * FROM joined_streams").collect()}
+    assert rows == {(1, 1), (2, 2)}  # c1⋈p1 and c2⋈p2 only — bound enforced
