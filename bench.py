@@ -88,6 +88,8 @@ def main() -> None:
     for name, t in timings.items():
         print(f"  warm {name}: {t:.3f}s", file=sys.stderr)
 
+    streaming = bench_streaming_relay(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -98,9 +100,70 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "cold_total_sec": round(sum(cold.values()), 3),
+                "streaming": streaming,
             }
         )
     )
+
+
+def bench_streaming_relay(spark) -> dict:
+    """Relay throughput: messages/sec through source → enrichment → sink —
+    the reference's own measurement design (A1/A2 counters, BASELINE.md).
+    8 streams × 20k messages, one partition per stream (total order),
+    8 concurrent StreamingQueries, availableNow trigger."""
+    import shutil
+    import tempfile
+
+    from squonk2_fastapi_ws_event_stream_spark.sources.eventstream import (
+        EventLogWriter,
+        EventStreamDataSource,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.streaming.pipeline import relay_transform
+
+    n_streams, per_stream = 8, 20_000
+    root = tempfile.mkdtemp(prefix="es-bench-")
+    try:
+        for s in range(n_streams):
+            w = EventLogWriter(root, f"s{s}")
+            with open(w.path, "a", encoding="utf-8") as f:  # bulk append
+                for i in range(per_stream):
+                    f.write(
+                        '{"offset": %d, "timestamp": %d, "value": "{\\"message_type\\": \\"bench\\", \\"message_body\\": {\\"sqn\\": %d}}"}\n'
+                        % (i + 1, 1_700_000_000_000 + i, i)
+                    )
+        spark.dataSource.register(EventStreamDataSource)
+        total_msgs = n_streams * per_stream
+        t0 = time.perf_counter()
+        counts = []
+        queries = []
+        for s in range(n_streams):
+            env = (
+                spark.readStream.format("eventstream")
+                .option("path", root)
+                .option("stream", f"s{s}")
+                .option("startingOrdinal", 0)
+                .load()
+            )
+            q = (
+                relay_transform(env)
+                .writeStream.foreachBatch(lambda df, _id: counts.append(df.count()))
+                .option("checkpointLocation", f"{root}/ckpt-{s}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            queries.append(q)
+        for q in queries:
+            q.awaitTermination(300)
+        elapsed = time.perf_counter() - t0
+        assert sum(counts) == total_msgs, (sum(counts), total_msgs)
+        return {
+            "relay_messages": total_msgs,
+            "relay_sec": round(elapsed, 3),
+            "relay_msgs_per_sec": round(total_msgs / elapsed),
+            "n_streams": n_streams,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
