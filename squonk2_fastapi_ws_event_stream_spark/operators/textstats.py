@@ -226,11 +226,47 @@ FROM fp
 """
 
 
+# ---------------------------------------------------------------------------
+# t14 — string-function battery: case ops, trim/pad, substring, translate,
+# edit distance (all JVM built-ins with exact DuckDB twins).
+# ---------------------------------------------------------------------------
+REF_PHRASE = "the quick brown fox"
+
+
+def t14_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    head = F.substring(F.col("text"), 1, 19)
+    return docs.select(
+        "doc_id",
+        F.upper(head).alias("head_upper"),
+        F.length(F.trim(F.col("text"))).cast("long").alias("trimmed_len"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
+        F.translate(head, "aeiou", "AEIOU").alias("vowels_up"),
+        F.levenshtein(head, F.lit(REF_PHRASE)).alias("edit_dist"),
+        F.reverse(head).alias("head_rev"),
+        F.concat_ws("|", F.lit("doc"), F.col("doc_id"), head).alias("tagged"),
+    )
+
+
+ORACLE_T14 = f"""
+SELECT doc_id,
+       upper(substr(text, 1, 19)) AS head_upper,
+       CAST(length(trim(text)) AS BIGINT) AS trimmed_len,
+       lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+       translate(substr(text, 1, 19), 'aeiou', 'AEIOU') AS vowels_up,
+       CAST(levenshtein(substr(text, 1, 19), '{REF_PHRASE}') AS INTEGER) AS edit_dist,
+       reverse(substr(text, 1, 19)) AS head_rev,
+       concat_ws('|', 'doc', CAST(doc_id AS VARCHAR), substr(text, 1, 19)) AS tagged
+FROM documents
+"""
+
+
 QUERIES = {
     "t08_lang_id": t08_lang_id,
     "t09_quality_score": t09_quality_score,
     "t10_token_count": t10_token_count,
     "t11_doc_fingerprint": t11_doc_fingerprint,
+    "t14_string_ops": t14_string_ops,
 }
 
 ORACLES = {
@@ -238,4 +274,5 @@ ORACLES = {
     "t09_quality_score": _oracle_t09(),
     "t10_token_count": ORACLE_T10,
     "t11_doc_fingerprint": _oracle_t11(),
+    "t14_string_ops": ORACLE_T14,
 }

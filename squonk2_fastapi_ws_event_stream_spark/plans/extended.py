@@ -280,6 +280,58 @@ WHERE length(parts[u.i]) > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# q18 — explicit GROUPING SETS + grouping_id: mixed granularity aggregates
+# in one pass (finer than q07's rollup / q15's cube).
+# ---------------------------------------------------------------------------
+def q18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER)
+                 AS gid,
+               COUNT(*) AS n_orders
+        FROM v_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+ORACLE_Q18 = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
+# ---------------------------------------------------------------------------
+# x01/x02 — approximate sketches: the 100-TB forms of q16/q14. Sketch
+# internals differ per engine, so these are rows-only checked (no oracle);
+# their exact twins are the hash-matched ones.
+# ---------------------------------------------------------------------------
+def x01_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+def x02_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("approx_pcts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "q12_richest_per_nation": q12_richest_per_nation,
     "q13_pivot_daily_events": q13_pivot_daily_events,
@@ -290,6 +342,9 @@ QUERIES = {
     "q16_distinct_users_daily": q16_distinct_users_daily,
     "q17_revenue_share": q17_revenue_share,
     "t13_sentence_udtf": t13_sentence_udtf,
+    "q18_grouping_sets": q18_grouping_sets,
+    "x01_approx_distinct": x01_approx_distinct,
+    "x02_approx_percentiles": x02_approx_percentiles,
 }
 
 ORACLES = {
@@ -302,4 +357,7 @@ ORACLES = {
     "q16_distinct_users_daily": ORACLE_Q16,
     "q17_revenue_share": ORACLE_Q17,
     "t13_sentence_udtf": ORACLE_T13,
+    "q18_grouping_sets": ORACLE_Q18,
+    # x01/x02 intentionally have no oracles: sketches are engine-specific;
+    # the driver records the weaker rows-only check for them.
 }
