@@ -168,7 +168,7 @@ def v04_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exploded.groupBy("label", "dim").agg(
         F.round(
-            F.sum(F.col("val").cast("double").cast("decimal(28,12)")).cast("double")
+            F.sum(F.col("val").cast("double").cast("decimal(18,12)")).cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("mean_val"),
@@ -178,7 +178,7 @@ def v04_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_V04 = """
 SELECT label, CAST(d.i - 1 AS INTEGER) AS dim,
-       ROUND(CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+       ROUND(CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)
              / COUNT(*), 6) AS mean_val,
        COUNT(*) AS n_vectors
 FROM embeddings, unnest(range(1, len(embedding) + 1)) AS d(i)

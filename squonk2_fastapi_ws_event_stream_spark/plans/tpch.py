@@ -53,8 +53,8 @@ ORACLE_Q01 = """
 SELECT l_returnflag, l_linestatus,
   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty,
   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
-  ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_disc_price,
-  ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,10))) AS DOUBLE), 4) AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,10))) AS DOUBLE), 4) AS sum_charge,
   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS avg_qty,
   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*), 6) AS avg_price,
   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*), 6) AS avg_disc,
@@ -134,7 +134,7 @@ ORACLE_Q03 = """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+       ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,10))) AS DOUBLE), 4) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -209,7 +209,7 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q05 = """
 SELECT n_name,
-       ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+       ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,10))) AS DOUBLE), 4) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -247,7 +247,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q06 = """
 SELECT
-  ROUND(CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue,
+  ROUND(CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,10))) AS DOUBLE), 4) AS revenue,
   COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

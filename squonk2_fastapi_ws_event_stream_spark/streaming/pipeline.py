@@ -36,8 +36,12 @@ def annotate(envelope: DataFrame) -> DataFrame:
     Keeping dropped/poison rows visible (instead of filtering here) lets the
     streaming sink observe the pill and stop the consumer, while batch
     callers just filter on `out IS NOT NULL`.
+
+    Decode parity: the reference DROPS messages whose bytes are not valid
+    UTF-8 (app/app.py:433-443); `try_validate_utf8` returns NULL for those
+    (a bare cast would substitute replacement characters instead).
     """
-    msg = F.col("value").cast("string")
+    msg = F.try_validate_utf8(F.col("value"))
     df = envelope.withColumn("msg", msg)
     ordinal = F.col("offset").cast("string")
     ts_ms = F.unix_millis(F.col("timestamp")).cast("string")

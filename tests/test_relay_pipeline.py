@@ -62,6 +62,27 @@ def test_poison_empty_malformed_dropped(spark):
     assert offs == [4, 5]
 
 
+def test_invalid_utf8_dropped_not_mangled(spark):
+    # the reference drops undecodable bytes (app/app.py:433-443) — they must
+    # not surface as replacement characters
+    df = spark.createDataFrame(
+        [("s", b"\xff\xfe\x01", 1, TS), ("s", '{"ok": 1}'.encode(), 2, TS)],
+        "key string, value binary, offset long, timestamp timestamp",
+    )
+    out = relay_transform(df).collect()
+    assert [r["offset"] for r in out] == [2]
+
+
+def test_unicode_bodies_survive_enrichment(spark):
+    body = '{"message_type": "t", "message_body": {"name": "héllo → wörld ✓"}}'
+    df = relay_transform(_envelope(spark, [("s", body, 9)]))
+    import json
+
+    parsed = json.loads(df.collect()[0]["out"])
+    assert parsed["message_body"]["name"] == "héllo → wörld ✓"
+    assert parsed["ess_ordinal"] == 9
+
+
 def test_annotate_flags_poison_without_forwarding(spark):
     rows = [("s", "POISON", 1), ("s", '{"ok": 1}', 2)]
     ann = annotate(_envelope(spark, rows)).orderBy("offset").collect()
