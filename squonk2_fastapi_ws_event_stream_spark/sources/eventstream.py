@@ -321,5 +321,42 @@ class EventStreamDataSource(DataSource):
         return EventStreamStreamReader(dict(self.options))
 
 
+def enforce_retention(
+    root: str,
+    stream: str,
+    max_age_ms: int | None = None,
+    max_messages: int | None = None,
+    now_ms: int | None = None,
+) -> int:
+    """Expire old log entries by age and/or count — the broker's
+    age+size-bounded retention (README.md:222-237). Returns the number of
+    expired messages. Replay requests older than what remains silently
+    start at the first retained event (Q6 semantics, already handled by
+    _seek_start). Archive first (streaming/archive.py) if history matters.
+    """
+    path = os.path.join(stream_dir(root, stream), LOG_FILE)
+    if not os.path.exists(path):
+        return 0
+    if now_ms is None:
+        import time
+
+        now_ms = int(time.time() * 1000)
+    with open(path, encoding="utf-8") as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    keep = recs
+    if max_age_ms is not None:
+        keep = [r for r in keep if now_ms - r["timestamp"] <= max_age_ms]
+    if max_messages is not None and len(keep) > max_messages:
+        keep = keep[-max_messages:]
+    expired = len(recs) - len(keep)
+    if expired:
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for r in keep:
+                f.write(json.dumps(r) + "\n")
+        os.replace(tmp, path)
+    return expired
+
+
 def register(spark) -> None:
     spark.dataSource.register(EventStreamDataSource)

@@ -56,6 +56,27 @@ def create_app(
 ) -> Flask:
     app = Flask("squonk2-ws-event-stream-spark")
 
+    @app.get("/event-stream/health/")
+    def health():
+        """Readiness/liveness analog of the reference's probe scripts
+        (probes/readiness.sh, probes/liveness.sh): reports Spark session
+        liveness and the per-stream consumer states."""
+        try:
+            spark.sql("SELECT 1").collect()
+            spark_ok = True
+        except Exception:
+            spark_ok = False
+        consumers = {
+            stream: {
+                "active": bool(h.query and h.query.isActive),
+                "received": h.stats["received"],
+                "sent": h.stats["sent"],
+            }
+            for stream, h in list(manager._consumers.items())
+        }
+        status = 200 if spark_ok else 503
+        return jsonify({"spark": spark_ok, "consumers": consumers}), status
+
     @app.get("/event-stream/version/")
     def version():  # C1
         return jsonify(
