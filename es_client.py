@@ -94,7 +94,9 @@ def main() -> None:
         + urllib.parse.urlencode(params)
     )
     stats = ByteStats()
-    with urllib.request.urlopen(url) as resp:
+    # client-side timeout: the server's timeout_s bounds the idle wait, but
+    # a hung/unreachable server must not block forever
+    with urllib.request.urlopen(url, timeout=args.timeout + 30) as resp:
         for raw in resp:
             line = raw.decode("utf-8").rstrip("\n")
             if not line:

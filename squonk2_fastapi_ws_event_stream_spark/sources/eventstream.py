@@ -84,13 +84,56 @@ def list_streams(root: str) -> list[str]:
     )
 
 
+HWM_FILE = "hwm"  # high-water mark: survives retention expiring every record
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_lock(root: str, stream: str):
+    """Per-stream advisory file lock serializing publish vs retention.
+
+    Without it, enforce_retention's read-rewrite-replace could silently
+    destroy a message appended between its read and its replace.
+    """
+    import fcntl
+
+    os.makedirs(stream_dir(root, stream), exist_ok=True)
+    lock_path = os.path.join(stream_dir(root, stream), ".lock")
+    with open(lock_path, "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+
+
+def _read_hwm(root: str, stream: str) -> int:
+    path = os.path.join(stream_dir(root, stream), HWM_FILE)
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            return int(f.read().strip() or 0)
+    return 0
+
+
+def _write_hwm(root: str, stream: str, value: int) -> None:
+    path = os.path.join(stream_dir(root, stream), HWM_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(value))
+    os.replace(tmp, path)
+
+
 class EventLogWriter:
     """Test publisher analog of ampq_publisher.py:50-67: appends messages to
     a stream's log, assigning broker attributes (offset, timestamp).
 
     Ordinals are 1-based, matching the documented contract: the first
     message in a stream has ordinal 1, so an exclusive seek from ordinal 0
-    replays from the beginning (README.md:168-170,200-202).
+    replays from the beginning (README.md:168-170,200-202). The high-water
+    mark file keeps ordinals monotonic even when retention expires every
+    retained record (a broker never reuses offsets).
     """
 
     def __init__(self, root: str, stream: str):
@@ -100,13 +143,7 @@ class EventLogWriter:
         self.path = os.path.join(stream_dir(root, stream), LOG_FILE)
 
     def next_offset(self) -> int:
-        last = 0
-        if os.path.exists(self.path):
-            with open(self.path, "rb") as f:
-                for line in f:
-                    if line.strip():
-                        last = json.loads(line)["offset"]
-        return last + 1
+        return _last_offset(self.root, self.stream) + 1
 
     def publish(self, body: str | bytes, timestamp_ms: int | None = None) -> int:
         """Append one message; returns its assigned offset (ordinal)."""
@@ -116,10 +153,11 @@ class EventLogWriter:
             import time
 
             timestamp_ms = int(time.time() * 1000)
-        offset = self.next_offset()
-        rec = {"offset": offset, "timestamp": timestamp_ms, "value": body}
-        with open(self.path, "a", encoding="utf-8") as f:
-            f.write(json.dumps(rec) + "\n")
+        with _stream_lock(self.root, self.stream):
+            offset = self.next_offset()
+            rec = {"offset": offset, "timestamp": timestamp_ms, "value": body}
+            with open(self.path, "a", encoding="utf-8") as f:
+                f.write(json.dumps(rec) + "\n")
         return offset
 
 
@@ -145,7 +183,8 @@ def _read_log(root: str, stream: str, start_exclusive: int, end_inclusive: int |
 
 def _last_offset(root: str, stream: str) -> int:
     """Highest assigned offset, or 0 for an empty stream (ordinals are
-    1-based)."""
+    1-based). The high-water mark file dominates when retention emptied
+    the log — assigned ordinals are never reused."""
     last = 0
     path = os.path.join(stream_dir(root, stream), LOG_FILE)
     if os.path.exists(path):
@@ -153,7 +192,7 @@ def _last_offset(root: str, stream: str) -> int:
             for line in f:
                 if line.strip():
                     last = json.loads(line)["offset"]
-    return last
+    return max(last, _read_hwm(root, stream))
 
 
 def _opt(options: dict, name: str):
@@ -341,20 +380,29 @@ def enforce_retention(
         import time
 
         now_ms = int(time.time() * 1000)
-    with open(path, encoding="utf-8") as f:
-        recs = [json.loads(line) for line in f if line.strip()]
-    keep = recs
-    if max_age_ms is not None:
-        keep = [r for r in keep if now_ms - r["timestamp"] <= max_age_ms]
-    if max_messages is not None and len(keep) > max_messages:
-        keep = keep[-max_messages:]
-    expired = len(recs) - len(keep)
-    if expired:
-        tmp = path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            for r in keep:
-                f.write(json.dumps(r) + "\n")
-        os.replace(tmp, path)
+    # Locked against concurrent publish(): the read-rewrite-replace below
+    # would otherwise destroy a message appended mid-pass.
+    with _stream_lock(root, stream):
+        with open(path, encoding="utf-8") as f:
+            recs = [json.loads(line) for line in f if line.strip()]
+        keep = recs
+        if max_age_ms is not None:
+            keep = [r for r in keep if now_ms - r["timestamp"] <= max_age_ms]
+        if max_messages is not None and len(keep) > max_messages:
+            keep = keep[-max_messages:]
+        expired = len(recs) - len(keep)
+        if expired:
+            # Persist the high-water mark BEFORE rewriting: assigned
+            # ordinals must never be reused even if every record expires
+            # (a checkpointed consumer at offset N would otherwise silently
+            # skip all messages re-assigned 1..N).
+            if recs:
+                _write_hwm(root, stream, recs[-1]["offset"])
+            tmp = path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                for r in keep:
+                    f.write(json.dumps(r) + "\n")
+            os.replace(tmp, path)
     return expired
 
 

@@ -66,16 +66,8 @@ def create_app(
             spark_ok = True
         except Exception:
             spark_ok = False
-        consumers = {
-            stream: {
-                "active": bool(h.query and h.query.isActive),
-                "received": h.stats["received"],
-                "sent": h.stats["sent"],
-            }
-            for stream, h in list(manager._consumers.items())
-        }
         status = 200 if spark_ok else 503
-        return jsonify({"spark": spark_ok, "consumers": consumers}), status
+        return jsonify({"spark": spark_ok, "consumers": manager.snapshot()}), status
 
     @app.get("/event-stream/version/")
     def version():  # C1

@@ -140,6 +140,19 @@ class StreamManager:
             except queue.Full:
                 pass
 
+    def snapshot(self) -> dict[str, dict]:
+        """Consistent per-stream health view (used by /event-stream/health/)."""
+        with self._lock:
+            handles = dict(self._consumers)
+        return {
+            stream: {
+                "active": bool(h.query is not None and h.query.isActive),
+                "received": h.stats["received"],
+                "sent": h.stats["sent"],
+            }
+            for stream, h in handles.items()
+        }
+
     def stop_all(self) -> None:
         with self._lock:
             handles = list(self._consumers.values())

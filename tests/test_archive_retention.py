@@ -91,6 +91,19 @@ def test_retention_by_age_and_count(spark, tmp_path):
     assert sorted(r["offset"] for r in df.collect()) == [8, 9, 10]
 
 
+def test_retention_never_reuses_ordinals(spark, tmp_path):
+    """Expiring EVERY record must not reset the ordinal counter — a
+    checkpointed consumer at offset N would silently skip re-assigned
+    ordinals 1..N, and replay clients would see duplicate ordinals."""
+    root = str(tmp_path / "log")
+    w = EventLogWriter(root, "s")
+    for i in range(5):
+        w.publish("m%d" % i, BASE_TS + i * 1000)
+    expired = enforce_retention(root, "s", max_age_ms=1, now_ms=BASE_TS + 10_000_000)
+    assert expired == 5  # log is now empty
+    assert w.publish("fresh", BASE_TS + 10_000_000) == 6  # NOT 1
+
+
 def test_health_endpoint(spark, tmp_path):
     from squonk2_fastapi_ws_event_stream_spark.sources.registry import Registry
     from squonk2_fastapi_ws_event_stream_spark.streaming.api import create_app
