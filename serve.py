@@ -27,7 +27,13 @@ def main() -> None:
     ap.add_argument("--log-root", default="/tmp/event-log")
     ap.add_argument("--db", default="/tmp/event-streams.db")
     ap.add_argument("--checkpoints", default="/tmp/es-checkpoints")
+    ap.add_argument("--log-dir", default=None, help="rotating es.log/access.log dir")
     args = ap.parse_args()
+
+    if args.log_dir:
+        from squonk2_fastapi_ws_event_stream_spark.logging_setup import configure_logging
+
+        configure_logging(args.log_dir).info("service starting")
 
     spark = get_spark("squonk2-ws-event-stream-service")
     spark.sparkContext.setLogLevel("ERROR")

@@ -8,7 +8,6 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
-import pytest
 
 from squonk2_fastapi_ws_event_stream_spark.registry import QUERIES
 
