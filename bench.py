@@ -80,11 +80,13 @@ def main() -> None:
         return timings
 
     # Pass 1 warms analysis/codegen caches (the steady state of a long-lived
-    # cluster); pass 2 is the reported measurement.
+    # cluster); the reported number is the per-query min of two warm passes
+    # (damps interference from other load on a shared host).
     cold = run_pass()
     for name, t in cold.items():
         print(f"  cold {name}: {t:.3f}s", file=sys.stderr)
-    timings = run_pass()
+    warm1, warm2 = run_pass(), run_pass()
+    timings = {name: min(warm1[name], warm2[name]) for name in warm1}
     for name, t in timings.items():
         print(f"  warm {name}: {t:.3f}s", file=sys.stderr)
 
