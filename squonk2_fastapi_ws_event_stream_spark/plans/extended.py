@@ -332,6 +332,51 @@ def x02_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q19 — promo revenue share (TPC-H Q14 shape): lineitem ⋈ part with a
+# conditional aggregate ratio. part is small relative to lineitem →
+# broadcast; the ratio of two exact decimal sums is deterministic.
+# ---------------------------------------------------------------------------
+def q19_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,10)")
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,10)"))
+    joined = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.groupBy("p_brand").agg(
+        F.round(F.sum(promo_rev).cast("double"), 4).alias("promo_revenue"),
+        F.round(F.sum(rev).cast("double"), 4).alias("total_revenue"),
+        F.round(
+            100.0 * F.sum(promo_rev).cast("double") / F.sum(rev).cast("double"), 6
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_Q19 = """
+SELECT p_brand,
+       ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,10))
+                  ELSE CAST(0 AS DECIMAL(18,10)) END) AS DOUBLE), 4) AS promo_revenue,
+       ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,10))) AS DOUBLE), 4)
+         AS total_revenue,
+       ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,10))
+                  ELSE CAST(0 AS DECIMAL(18,10)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,10))) AS DOUBLE), 6)
+         AS promo_pct,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY p_brand
+"""
+
+
 QUERIES = {
     "q12_richest_per_nation": q12_richest_per_nation,
     "q13_pivot_daily_events": q13_pivot_daily_events,
@@ -345,6 +390,7 @@ QUERIES = {
     "q18_grouping_sets": q18_grouping_sets,
     "x01_approx_distinct": x01_approx_distinct,
     "x02_approx_percentiles": x02_approx_percentiles,
+    "q19_promo_revenue": q19_promo_revenue,
 }
 
 ORACLES = {
@@ -358,6 +404,7 @@ ORACLES = {
     "q17_revenue_share": ORACLE_Q17,
     "t13_sentence_udtf": ORACLE_T13,
     "q18_grouping_sets": ORACLE_Q18,
+    "q19_promo_revenue": ORACLE_Q19,
     # x01/x02 intentionally have no oracles: sketches are engine-specific;
     # the driver records the weaker rows-only check for them.
 }
