@@ -161,24 +161,52 @@ class EventLogWriter:
         return offset
 
 
+ARROW_BATCH_ROWS = 10_000
+
+
 def _read_log(root: str, stream: str, start_exclusive: int, end_inclusive: int | None):
-    """Yield (key, value, offset, timestamp) for offsets in
-    (start_exclusive, end_inclusive]."""
+    """Yield pyarrow RecordBatches of (key, value, offset, timestamp) for
+    offsets in (start_exclusive, end_inclusive].
+
+    Arrow batches cross the worker boundary zero-copy — ~an order of
+    magnitude faster than row-at-a-time tuple yields for high-volume
+    replay (the Python Data Source API accepts either).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.json as pajson
+
     path = os.path.join(stream_dir(root, stream), LOG_FILE)
     if not os.path.exists(path):
         return
-    with open(path, encoding="utf-8") as f:
-        for line in f:
-            if not line.strip():
-                continue
-            rec = json.loads(line)
-            off = rec["offset"]
-            if off <= start_exclusive:
-                continue
-            if end_inclusive is not None and off > end_inclusive:
-                break
-            ts = datetime.fromtimestamp(rec["timestamp"] / 1000.0, tz=timezone.utc)
-            yield (stream, rec["value"].encode("utf-8"), off, ts)
+
+    # C++-side JSONL parse (~10× a Python json.loads loop), then a
+    # vectorized offset-range filter — the whole read never touches
+    # Python-object rows.
+    tbl = pajson.read_json(
+        path,
+        parse_options=pajson.ParseOptions(
+            explicit_schema=pa.schema(
+                [("offset", pa.int64()), ("timestamp", pa.int64()), ("value", pa.string())]
+            ),
+            unexpected_field_behavior="ignore",
+        ),
+    )
+    mask = pc.greater(tbl["offset"], start_exclusive)
+    if end_inclusive is not None:
+        mask = pc.and_(mask, pc.less_equal(tbl["offset"], end_inclusive))
+    tbl = tbl.filter(mask)
+    if tbl.num_rows == 0:
+        return
+    out = pa.table(
+        {
+            "key": pa.array([stream] * tbl.num_rows, type=pa.string()),
+            "value": tbl["value"].cast(pa.binary()),
+            "offset": tbl["offset"],
+            "timestamp": pc.multiply(tbl["timestamp"], 1000).cast(pa.timestamp("us")),
+        }
+    )
+    yield from out.to_batches(max_chunksize=ARROW_BATCH_ROWS)
 
 
 def _last_offset(root: str, stream: str) -> int:
