@@ -84,17 +84,18 @@ FROM unioned GROUP BY text HAVING COUNT(*) > 1
 # bucket equi-join → verify true Jaccard.
 # ---------------------------------------------------------------------------
 def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Persist the shingle table: it feeds three consumers (signature
-    # computation + both sides of the verify join) and shingling is the
-    # dominant CPU cost — without persist Spark recomputes it 3×. At
-    # cluster scale this is the standard LSH staging table (disk-backed).
+    # Persist the signature table (shingles + minhash sig): it feeds four
+    # consumers — both sides of the band self-join and both sides of the
+    # verify join — and shingling+minhash is the dominant CPU cost; without
+    # persist Spark recomputes it per consumer. At cluster scale this is
+    # the standard LSH staging table (disk-backed).
     docs = _with_shingles(
         table(spark, sf_dir, "documents").select("doc_id", "text"), spark
-    ).persist()
+    )
     # Band join carries only (doc_id, band_id, band_key) — never the shingle
     # arrays (carrying them through a 4-band explode would 4× the shuffled
     # bytes). Shingle sets are re-joined once per verified pair.
-    sig = docs.withColumn("sig", H.minhash_signature(F.col("shingles")))
+    sig = docs.withColumn("sig", H.minhash_signature(F.col("shingles"))).persist()
     bands = sig.select(
         "doc_id", F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key")
     )
@@ -105,7 +106,7 @@ def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = docs.select("doc_id", "shingles")
+    sh = sig.select("doc_id", "shingles")  # reads the persisted table
     pairs = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
