@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# Full pre-round validation: unit+parity tests, driver-gate sweep at sf0.01,
+# and the benchmark. Usage: scripts/check.sh [--quick]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+if [[ "${1:-}" == "--quick" ]]; then
+    python -m pytest tests/ -x -q
+    exit 0
+fi
+
+echo "=== unit + parity suite (sf0.001) ==="
+python -m pytest tests/ -q
+
+echo "=== driver-gate parity (sf0.01) ==="
+ORACLE_PARITY_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
+
+echo "=== bench (sf0.1) ==="
+python bench.py
