@@ -208,11 +208,44 @@ def v05_ann_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_V05 = ORACLE_V02
 
 
+# ---------------------------------------------------------------------------
+# v06 — L2 normalization: the preprocessing stage that turns cosine ANN
+# into dot-product ANN (normalize once at ingest, save the per-query norm
+# at 100 TB). Row form keeps the oracle comparison order-insensitive.
+# ---------------------------------------------------------------------------
+def v06_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import norm
+
+    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
+    with_norm = emb.withColumn("l2", norm(F.col("embedding")))
+    exploded = with_norm.select(
+        "vec_id", "l2", F.posexplode(F.col("embedding")).alias("dim", "val")
+    )
+    return exploded.select(
+        "vec_id",
+        "dim",
+        F.round(F.col("val").cast("double") / F.col("l2"), 6).alias("unit_val"),
+        F.round("l2", 6).alias("l2_norm"),
+    )
+
+
+from ..functions.vectors import sql_norm
+
+ORACLE_V06 = f"""
+SELECT vec_id,
+       CAST(d.i - 1 AS INTEGER) AS dim,
+       ROUND(CAST(embedding[d.i] AS DOUBLE) / {sql_norm('embedding')}, 6) AS unit_val,
+       ROUND({sql_norm('embedding')}, 6) AS l2_norm
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS d(i)
+"""
+
+
 QUERIES = {
     "v01_neardup_cosine": v01_neardup_cosine,
     "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
     "v03_ann_ivf_topk": v03_ann_ivf_topk,
     "v05_ann_pandas_udf_topk": v05_ann_pandas_udf_topk,
+    "v06_l2_normalize": v06_l2_normalize,
 }
 
 ORACLES = {
@@ -220,4 +253,5 @@ ORACLES = {
     "v02_ann_bruteforce_topk": ORACLE_V02,
     "v03_ann_ivf_topk": ORACLE_V03,
     "v05_ann_pandas_udf_topk": ORACLE_V05,
+    "v06_l2_normalize": ORACLE_V06,
 }

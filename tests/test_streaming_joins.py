@@ -50,6 +50,29 @@ def test_stream_static_registry_enrichment(spark, tmp_path):
     assert all(r["es_id"] == rec["id"] and r["es_uuid"] == rec["uuid"] for r in rows)
 
 
+def test_stream_static_join_unregistered_stream_null_extended(spark, tmp_path):
+    """A stream with no registry row must still flow (left join null
+    extension), not silently drop — the data plane never depends on
+    control-plane completeness."""
+    root = str(tmp_path / "log")
+    EventLogWriter(root, "orphan").publish('{"x": 1}', BASE_TS)
+    spark.dataSource.register(EventStreamDataSource)
+    registry = Registry(str(tmp_path / "es.db"))  # empty
+
+    out = enrich_with_registry(_stream(spark, root, "orphan"), registry.to_dataframe(spark))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("orphan_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_orphan"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM orphan_stream").collect()
+    assert len(rows) == 1
+    assert rows[0]["es_id"] is None and rows[0]["es_uuid"] is None
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     root = str(tmp_path / "log")
     clicks = EventLogWriter(root, "clicks")
