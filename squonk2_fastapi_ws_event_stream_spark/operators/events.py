@@ -257,28 +257,44 @@ FROM events GROUP BY event_type
 
 
 def e08_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordinal-gap detection (message loss is detectable via ordinal gaps,
-    README.md:230-233). Simulates retention loss by dropping every 13th
-    ordinal, then reports each gap via lag()."""
-    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 13 != 0)
-    w = Window.orderBy(F.col("event_id").asc())
-    with_prev = ev.select("event_id").withColumn("prev_id", F.lag("event_id", 1).over(w))
-    return (
-        with_prev.filter(F.col("event_id") - F.col("prev_id") > 1)
-        .select(
-            F.col("prev_id").alias("gap_after"),
-            F.col("event_id").alias("resume_at"),
-            (F.col("event_id") - F.col("prev_id") - 1).alias("n_lost"),
-        )
+    """Per-stream ordinal-gap detection (message loss is detectable via
+    ordinal gaps, README.md:230-233). Each user_id is a stream with its own
+    1-based monotonic ordinal (the relay model: ordinals are per-stream,
+    app/app.py:245). Simulates retention loss by dropping every 13th global
+    event_id, then reports each stream's gaps via lag() partitioned by the
+    stream key — every window here is partitioned, so at 100x the work
+    spreads across |streams| tasks instead of funnelling one global sort
+    through a single partition.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id")
+    w_ord = Window.partitionBy("user_id").orderBy(F.col("event_id").asc())
+    seq = ev.withColumn("ord", F.row_number().over(w_ord).cast("bigint"))
+    kept = seq.filter(F.col("event_id") % 13 != 0)
+    w_lag = Window.partitionBy("user_id").orderBy(F.col("ord").asc())
+    lagged = kept.withColumn("prev_ord", F.lag("ord", 1).over(w_lag))
+    return lagged.filter(F.col("ord") - F.col("prev_ord") > 1).select(
+        "user_id",
+        F.col("prev_ord").alias("gap_after"),
+        F.col("ord").alias("resume_at"),
+        (F.col("ord") - F.col("prev_ord") - 1).alias("n_lost"),
     )
 
 
 ORACLE_E08 = """
-WITH kept AS (SELECT event_id FROM events WHERE event_id % 13 <> 0),
-     seq AS (SELECT event_id, LAG(event_id) OVER (ORDER BY event_id) AS prev_id FROM kept)
-SELECT prev_id AS gap_after, event_id AS resume_at,
-       event_id - prev_id - 1 AS n_lost
-FROM seq WHERE event_id - prev_id > 1
+WITH seq AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS ord
+  FROM events
+),
+kept AS (SELECT * FROM seq WHERE event_id % 13 <> 0),
+lagged AS (
+  SELECT user_id, ord,
+         LAG(ord) OVER (PARTITION BY user_id ORDER BY ord) AS prev_ord
+  FROM kept
+)
+SELECT user_id, prev_ord AS gap_after, ord AS resume_at,
+       ord - prev_ord - 1 AS n_lost
+FROM lagged WHERE ord - prev_ord > 1
 """
 
 

@@ -180,13 +180,13 @@ def v05_ann_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def cos6(a: pd.Series, b: pd.Series) -> pd.Series:
-        # per-row: float32 inputs upcast to float64; round(6) absorbs
-        # summation-order noise vs the sequential oracle
-        out = np.empty(len(a))
-        for i in range(len(a)):
-            x = np.asarray(a.iloc[i], dtype=np.float64)
-            y = np.asarray(b.iloc[i], dtype=np.float64)
-            out[i] = np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y))
+        # whole-batch matrix form: one (n,dim) stack per side, one BLAS-level
+        # pass for dots and norms — no per-row Python. float32 inputs upcast
+        # to float64; round(6) absorbs summation-order noise vs the oracle.
+        A = np.stack(a.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(b.to_numpy()).astype(np.float64, copy=False)
+        dots = np.einsum("ij,ij->i", A, B)
+        out = dots / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
         return pd.Series(np.round(out, 6))
 
     emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)

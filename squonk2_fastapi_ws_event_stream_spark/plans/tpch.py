@@ -67,8 +67,12 @@ GROUP BY l_returnflag, l_linestatus
 
 # ---------------------------------------------------------------------------
 # q02 — top customers by order revenue: join + agg + deterministic top-k.
-# Scale: nation/region broadcast; top-k is a rank over an already-reduced
-# per-customer aggregate (cardinality = |customer|, not |orders|).
+# Scale: nation/region broadcast; top-k is sort+limit (TakeOrderedAndProject
+# = per-partition partial top-k merged on the driver), NOT a global
+# row_number window — an unpartitioned window would funnel every
+# per-customer aggregate through one task at 100x. rank is attached by a
+# window over the already-limited 15-row result, where a single partition
+# is the point.
 # ---------------------------------------------------------------------------
 def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
@@ -77,16 +81,17 @@ def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = orders.groupBy("o_custkey").agg(
         dsum2("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders")
     )
-    joined = (
+    order_cols = [F.col("revenue").desc(), F.col("c_custkey").asc()]
+    top = (
         rev.join(customer, rev.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .select("c_custkey", "c_name", "n_name", "revenue", "n_orders")
+        .orderBy(*order_cols)
+        .limit(15)
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 15)
-        .select("rank", "c_custkey", "c_name", "n_name", "revenue", "n_orders")
+    w = Window.orderBy(*order_cols)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "c_custkey", "c_name", "n_name", "revenue", "n_orders"
     )
 
 

@@ -82,6 +82,24 @@ def test_ann_bruteforce_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_q02_topk_is_take_ordered_not_global_window_sort(spark):
+    # top-15 must be TakeOrderedAndProject (per-partition partial top-k);
+    # the only window sort allowed is the rank attach over the 15-row limit,
+    # which must sit ABOVE the TakeOrdered, never below a full-table sort.
+    plan = explain(QUERIES["q02_top_customers"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # the rank window runs over the 15-row limit, so no Exchange
+    # SinglePartition (the signature of an unpartitioned full-table window)
+    assert "SinglePartition" not in plan
+
+
+def test_e08_gap_window_is_partitioned(spark):
+    # lag() must be partitioned by the stream key — a plan with an
+    # unpartitioned window shows Exchange SinglePartition feeding Window.
+    plan = explain(QUERIES["e08_gap_detection"](spark, SF))
+    assert "SinglePartition" not in plan
+
+
 def test_q13_pivot_has_no_extra_scan(spark):
     # fixed pivot values → a single scan of events, no distinct-values pass
     plan = explain(QUERIES["q13_pivot_daily_events"](spark, SF), mode="simple")
