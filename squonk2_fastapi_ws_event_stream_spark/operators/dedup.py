@@ -80,9 +80,67 @@ FROM unioned GROUP BY text HAVING COUNT(*) > 1
 
 
 # ---------------------------------------------------------------------------
+# t05 — exact dedup at 100 TB: the sha2-keyed form t01's docstring promises.
+# Phase 1 shuffles ONLY (digest, doc_id) — 32-byte keys, zero document
+# bytes — to find candidate-dup digests. Phase 2 joins the (tiny) candidate
+# set back and groups by exact text to resolve sha collisions in-group, so
+# the full text is only ever shuffled for rows already known to share a
+# digest. Same output contract as t01; at scale t01's groupBy(text) would
+# shuffle the whole corpus body while this shuffles ~n×40 bytes.
+# ---------------------------------------------------------------------------
+def t05_dedup_exact_sha2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    keyed = docs.unionByName(copies).withColumn("digest", F.sha2(F.col("text"), 256))
+    cand = (
+        keyed.select("digest", "doc_id")
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_digest"))
+        .filter(F.col("n_digest") > 1)
+        .select("digest")
+    )
+    return (
+        keyed.join(cand, "digest")
+        .groupBy("digest", "text")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("kept_doc_id", "n_copies")
+    )
+
+
+ORACLE_T05 = """
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+keyed AS (SELECT doc_id, text, sha256(text) AS digest FROM unioned),
+cand AS (SELECT digest FROM keyed GROUP BY digest HAVING COUNT(*) > 1)
+SELECT MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+FROM keyed JOIN cand USING (digest)
+GROUP BY digest, text HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # t02 — MinHash + LSH near-dedup: shingle → minhash signature → band keys →
 # bucket equi-join → verify true Jaccard.
 # ---------------------------------------------------------------------------
+# The persisted LSH signature table from the most recent t02 call. A
+# long-lived session (driver sweeps, bench warm passes) would otherwise
+# accumulate one orphaned cache per invocation; each call evicts its
+# predecessor, and unpersist_lsh_cache() releases the last one.
+_SIG_CACHE: list[DataFrame] = []
+
+
+def unpersist_lsh_cache() -> None:
+    while _SIG_CACHE:
+        _SIG_CACHE.pop().unpersist()
+
+
 def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist the signature table (shingles + minhash sig): it feeds four
     # consumers — both sides of the band self-join and both sides of the
@@ -95,7 +153,9 @@ def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Band join carries only (doc_id, band_id, band_key) — never the shingle
     # arrays (carrying them through a 4-band explode would 4× the shuffled
     # bytes). Shingle sets are re-joined once per verified pair.
+    unpersist_lsh_cache()
     sig = docs.withColumn("sig", H.minhash_signature(F.col("shingles"))).persist()
+    _SIG_CACHE.append(sig)
     bands = sig.select(
         "doc_id", F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key")
     )
@@ -201,6 +261,7 @@ QUERIES = {
     "t02_dedup_minhash_lsh": t02_dedup_minhash_lsh,
     "t03_simhash": t03_simhash,
     "t04_ngram_jaccard_pairs": t04_ngram_jaccard_pairs,
+    "t05_dedup_exact_sha2": t05_dedup_exact_sha2,
 }
 
 ORACLES = {
@@ -208,4 +269,5 @@ ORACLES = {
     "t02_dedup_minhash_lsh": _oracle_t02(),
     "t03_simhash": _oracle_t03(),
     "t04_ngram_jaccard_pairs": _oracle_t04(),
+    "t05_dedup_exact_sha2": ORACLE_T05,
 }

@@ -313,6 +313,8 @@ class EventStreamBatchReader(DataSourceReader):
         )
 
 
+
+
 class EventStreamStreamReader(DataSourceStreamReader):
     """Micro-batch reader over one stream (single partition → total order)."""
 
@@ -328,12 +330,10 @@ class EventStreamStreamReader(DataSourceStreamReader):
             raise ValueError(f"EventStream backing stream does not exist: {self.stream}")
         self.options = options
         # maxOffsetsPerTrigger-style backpressure (SURVEY §2.9).
-        # Limitation: the Python stream-reader API does not expose the last
-        # committed offset to latestOffset(), so after a checkpoint restart
-        # the first trigger's cap is computed from the seek position and can
-        # plan "no new data"; the cursor catches up on the next trigger
-        # (i.e. rate-limited streams need a recurring trigger, not
-        # availableNow, to resume after restart).
+        # Note: availableNow snapshots ONE latestOffset() as the run's
+        # target, so a capped availableNow run drains at most one cap of
+        # messages per run; a recurring trigger drains the backlog one cap
+        # per trigger. See latestOffset() for the restart contract.
         self.max_per_batch = int(_opt(options, "maxOffsetsPerTrigger") or 0) or None
         self._cursor: int | None = None  # last planned end offset
 
@@ -345,6 +345,17 @@ class EventStreamStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         latest = _last_offset(self.root, self.stream)
         if self.max_per_batch is not None:
+            # Cap from the planner's position. Fresh run: the seek start IS
+            # the position (the engine calls latestOffset before
+            # initialOffset, so the cursor is still unset). Restart: the
+            # engine replays the last committed range via partitions()
+            # BEFORE calling latestOffset, which syncs the cursor to the
+            # committed offset — the cap never lands below it. If a
+            # recovery path ever skips that replay, the seek-start base
+            # could undershoot the committed start; partitions() clamps end
+            # up to start, so the worst case is one empty batch (same
+            # offset re-committed), never a regressed commit or
+            # re-delivery.
             base = (
                 self._cursor
                 if self._cursor is not None
@@ -355,12 +366,16 @@ class EventStreamStreamReader(DataSourceStreamReader):
         return {"offset": latest}
 
     def partitions(self, start: dict, end: dict):
+        # Never plan a regressed batch: the checkpoint's `start` is the
+        # committed truth, so clamp end up to it (a stale cap could
+        # otherwise hand us end < start).
+        lo, hi = start["offset"], max(start["offset"], end["offset"])
         # Keep the rate-limit cursor in sync with the planner's actual
         # progress (covers checkpoint-restart replay, where `start` comes
         # from the offset log rather than our latestOffset()).
-        if self._cursor is None or end["offset"] > self._cursor:
-            self._cursor = end["offset"]
-        return [StreamSlice(self.stream, start["offset"], end["offset"])]
+        if self._cursor is None or hi > self._cursor:
+            self._cursor = hi
+        return [StreamSlice(self.stream, lo, hi)]
 
     def read(self, partition: StreamSlice):
         yield from _read_log(

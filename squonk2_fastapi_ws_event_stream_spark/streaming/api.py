@@ -163,7 +163,9 @@ def create_app(
                     yield item.out + "\n"
                     delivered += 1
             finally:
-                manager.stop_consumer(rec["routing_key"])
+                # by handle identity: a newer consume request may already
+                # have replaced this stream's consumer — don't stop it
+                manager.stop_consumer_if_current(rec["routing_key"], handle)
 
         return Response(generate(), mimetype="application/x-ndjson")
 

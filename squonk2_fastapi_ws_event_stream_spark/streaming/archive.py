@@ -28,10 +28,15 @@ def archive_stream(envelope: DataFrame, stream: str, path: str, checkpoint: str)
     per-path `_spark_metadata` commit log and two queries sharing one path
     collide on batch ids (the second silently skips its writes).
     """
+    # The archive is the lossless record of the log: keep the raw bytes
+    # (`value`) verbatim, plus the relay's decoded view (`body`, NULL for
+    # invalid UTF-8 via try_validate_utf8 — a plain string cast would
+    # silently substitute U+FFFD and lose the original bytes).
     enriched = envelope.select(
         "offset",
         "timestamp",
-        F.col("value").cast("string").alias("body"),
+        "value",
+        F.try_validate_utf8(F.col("value")).alias("body"),
         F.date_format("timestamp", "yyyy-MM-dd").alias("event_date"),
     )
     return (

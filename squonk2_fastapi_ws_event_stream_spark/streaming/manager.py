@@ -103,8 +103,13 @@ class StreamManager:
                     handle.stats["sent"] += 1
             if poisoned:
                 hub.put(None)  # end-of-stream sentinel for the socket layer
+                # Stop by handle identity, not by name: a reconnect may have
+                # already replaced this stream's consumer, and a by-name stop
+                # from this (stale) batch would kill the replacement.
                 threading.Thread(
-                    target=manager.stop_consumer, args=(stream,), daemon=True
+                    target=manager.stop_consumer_if_current,
+                    args=(stream, handle),
+                    daemon=True,
                 ).start()
 
         query = (
@@ -126,6 +131,21 @@ class StreamManager:
             handle = self._consumers.pop(stream, None)
         if handle is None:
             return False
+        self.stop_consumer_handle(handle)
+        return True
+
+    def stop_consumer_if_current(self, stream: str, handle: ConsumerHandle) -> bool:
+        """Stop `stream`'s consumer only if it is still `handle`.
+
+        Teardown paths that captured a handle earlier (a finishing consume
+        request, the poison-stop thread) must not stop a replacement
+        consumer that a newer request has since registered under the same
+        stream name; they still stop their own (now-unregistered) handle so
+        its query and hub are released.
+        """
+        with self._lock:
+            if self._consumers.get(stream) is handle:
+                self._consumers.pop(stream)
         self.stop_consumer_handle(handle)
         return True
 

@@ -46,9 +46,18 @@ def annotate(envelope: DataFrame) -> DataFrame:
     ordinal = F.col("offset").cast("string")
     ts_ms = F.unix_millis(F.col("timestamp")).cast("string")
     json_ok = F.try_parse_json(F.col("msg")).isNotNull()
+    # An empty object body ('{}', '{ }') has no key to splice after: the
+    # leading comma would make the output malformed ('{, "ess_ordinal"...'),
+    # where the reference's json.loads/json.dumps round-trip stays valid —
+    # so the comma is conditional. A body that already carries ess_ keys
+    # ends up with a duplicate key; JSON parsers take the last value, which
+    # matches the reference's dict-overwrite semantics (app/app.py:486-488).
+    is_empty_obj = F.col("msg").rlike(r"^\{\s*\}\s*$")
     enriched_json = F.concat(
         F.regexp_replace(F.col("msg"), r"\}\s*$", ""),
-        F.lit(', "ess_ordinal": '),
+        F.when(is_empty_obj, F.lit('"ess_ordinal": ')).otherwise(
+            F.lit(', "ess_ordinal": ')
+        ),
         ordinal,
         F.lit(', "ess_timestamp": '),
         ts_ms,

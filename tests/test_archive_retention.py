@@ -39,7 +39,18 @@ def test_archive_stream_to_parquet_and_read_back(spark, tmp_path):
 
     hist = read_archive(spark, str(tmp_path / "archive"))
     assert hist.count() == 10
-    assert set(hist.columns) == {"key", "offset", "timestamp", "body", "event_date"}
+    assert set(hist.columns) == {
+        "key",
+        "offset",
+        "timestamp",
+        "value",
+        "body",
+        "event_date",
+    }
+    # lossless: raw log bytes survive alongside the decoded view
+    row = hist.filter((F.col("key") == "a") & (F.col("offset") == 1)).collect()[0]
+    assert bytes(row["value"]) == b'{"n": 0}'
+    assert row["body"] == '{"n": 0}'
 
     # partition pruning: filtering by event_date must prune partitions
     one_day = hist.filter(

@@ -129,3 +129,35 @@ def test_consume_poison_stops_consumer(stack):
     # only the pre-poison message (ordinal 1) arrives; POISON is never forwarded
     assert len(lines) == 1
     assert lines[0]["ess_ordinal"] == 1
+
+
+def test_stale_teardown_does_not_stop_replacement_consumer(stack):
+    # A teardown path holding an old handle (finished request, poison-stop
+    # thread) must not knock out a consumer that replaced it by name.
+    import queue
+
+    from squonk2_fastapi_ws_event_stream_spark.streaming.manager import ConsumerHandle
+
+    _, _, manager, _ = stack
+
+    class _FakeQuery:
+        def __init__(self):
+            self.stopped = False
+            self.isActive = True
+
+        def stop(self):
+            self.stopped = True
+            self.isActive = False
+
+    old = ConsumerHandle(stream="s", hub=queue.Queue(), query=_FakeQuery())
+    new = ConsumerHandle(stream="s", hub=queue.Queue(), query=_FakeQuery())
+    manager._consumers["s"] = new
+
+    manager.stop_consumer_if_current("s", old)
+    assert old.query.stopped  # the stale handle itself is released
+    assert not new.query.stopped  # the replacement keeps running
+    assert manager._consumers["s"] is new
+
+    manager.stop_consumer_if_current("s", new)
+    assert new.query.stopped
+    assert "s" not in manager._consumers

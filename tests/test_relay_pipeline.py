@@ -41,12 +41,60 @@ def test_json_enrichment_appends_ess_keys(spark):
     assert out.startswith(body[:-1])
 
 
+def test_empty_object_body_enriches_to_valid_json(spark):
+    # '{}' has no key to splice after: no leading comma (the reference's
+    # json.loads/json.dumps round-trip emits valid JSON for this input too)
+    import json
+
+    for body in ("{}", "{ }", "{  }"):
+        df = relay_transform(_envelope(spark, [("s", body, 9)]))
+        out = df.collect()[0]["out"]
+        parsed = json.loads(out)  # must not raise
+        assert parsed == {"ess_ordinal": 9, "ess_timestamp": TS_MS}
+
+
+def test_preexisting_ess_key_last_value_wins(spark):
+    # a body already carrying ess_ keys: parsers take the last (spliced)
+    # value, matching the reference's dict-overwrite (app/app.py:486-488)
+    import json
+
+    df = relay_transform(_envelope(spark, [("s", '{"ess_ordinal": 1, "a": 2}', 9)]))
+    parsed = json.loads(df.collect()[0]["out"])
+    assert parsed["ess_ordinal"] == 9
+    assert parsed["a"] == 2
+
+
 def test_prototext_enrichment_appends_ordinal_timestamp(spark):
     body = 'accountserver.MerchantCharge|timestamp: "2025-04-30T19:20:37" merchant_kind: "DATA_MANAGER"'
     df = relay_transform(_envelope(spark, [("s", body, 7)]))
     out = df.collect()[0]["out"]
     # byte-exact append semantics (app/app.py:490-494; README.md:137-147)
     assert out == body + f"|ordinal: 7|timestamp: {TS_MS}"
+
+
+def test_merchant_charge_golden_prototext_roundtrip(spark):
+    """Golden MerchantCharge fixture: the reference publisher's exact wire
+    shape — `<class>|<text_format one-line>` (ampq_publisher.py:38-52) —
+    enriched byte-for-byte per the README's documented example
+    (README.md:137-147: append `|ordinal: N|timestamp: M`).
+    The field text is what protobuf text_format.MessageToString(...,
+    as_one_line=True) emits for the publisher's demonstration message.
+    """
+    wire = (
+        "accountserver.MerchantCharge"
+        '|timestamp: "2025-04-30T19:20:37.926+00:00"'
+        ' merchant_kind: "DATA_MANAGER" merchant_name: "squonk"'
+        " merchant_id: 1 operation: OPERATION_ENUM_PROCESSING"
+        ' auth_code: 456782 value: "0.50" sqn: 1'
+    )
+    ordinal = 2
+    ts = datetime.fromtimestamp(1746042171620 / 1000, tz=timezone.utc)
+    env = spark.createDataFrame(
+        [("s", wire.encode("utf-8"), ordinal, ts)],
+        "key string, value binary, offset long, timestamp timestamp",
+    )
+    out = relay_transform(env).collect()[0]["out"]
+    assert out == wire + "|ordinal: 2|timestamp: 1746042171620"
 
 
 def test_poison_empty_malformed_dropped(spark):
