@@ -9,10 +9,13 @@ Three tiers, mirroring a production ANN stack:
 - v03: IVF-style cell-probed top-k — the scale path: corpus is assigned to
   centroid cells once (map-side, centroids broadcast), queries probe only
   NPROBE cells, so the scanned fraction drops to ~NPROBE/N_CELLS.
+- v07: v03 with the centroids actually trained — deterministic Lloyd
+  iterations (exact-decimal means), same IVF search plan on the result.
 
-Centroids here are a deterministic subset of vectors (every 50th) so the
-DuckDB oracle can replicate cell assignment exactly; production would
-k-means them — the plan shape is identical.
+v03's centroids are a deterministic subset of vectors (every 50th) so the
+cheapest oracle can replicate cell assignment exactly; v07 is the
+production form and is equally oracle-checked because every Lloyd step is
+itself cross-engine deterministic.
 """
 
 from __future__ import annotations
@@ -169,6 +172,157 @@ SELECT query_id, rank, vec_id, cos FROM ranked WHERE rank <= {TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# v07 — k-means IVF: v03 with Lloyd-iterated centroids instead of the raw
+# stride subset. Each iteration is one map-side pass over the corpus
+# (centroids broadcast) plus a (cell_id, dim)-keyed partial aggregate —
+# the shuffle carries k×dim rows, not the corpus — so at 100 TB the loop
+# costs ITERS corpus scans and nothing else. Determinism for the oracle:
+# centroid components are exact decimal means rounded to 6 (the q14/v04
+# recipe), so both engines iterate from bit-identical centroids; cosine
+# assignment ties break on cell_id.
+# ---------------------------------------------------------------------------
+KMEANS_ITERS = 2
+_CDEC = "decimal(28,12)"
+
+
+def _lloyd_step(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd iteration: assign to nearest centroid, re-average."""
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cell_id").asc()
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
+        .withColumn("c_rank", F.row_number().over(assign_w))
+        .filter(F.col("c_rank") == 1)
+        .select("cell_id", "embedding")
+    )
+    by_dim = (
+        assigned.select("cell_id", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("cell_id", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast(_CDEC)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_val")
+        )
+    )
+    return by_dim.groupBy("cell_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "avg_val"))),
+            lambda s: s.avg_val,
+        ).alias("c_emb")
+    )
+
+
+def v07_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
+    cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _lloyd_step(emb, cents)
+    # IVF search against the learned centroids — identical plan to v03.
+    assign_w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cell_id").asc())
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
+        .withColumn("c_rank", F.row_number().over(assign_w))
+        .filter(F.col("c_rank") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("p_cos").desc(), F.col("cell_id").asc())
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("p_cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("p_rank", F.row_number().over(probe_w))
+        .filter(F.col("p_rank") <= N_PROBE)
+        .select("query_id", "q_emb", "cell_id")
+    )
+    scored = (
+        assigned.join(probes, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def _oracle_v07() -> str:
+    def assign(cent_cte: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS c_rank
+    FROM embeddings e CROSS JOIN {cent_cte} c
+  ) WHERE c_rank = 1
+)"""
+
+    def recenter(assign_cte: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT cell_id, list(avg_val ORDER BY dim) AS c_emb FROM (
+    SELECT cell_id, d.i AS dim,
+           ROUND(CAST(SUM(CAST(embedding[d.i] AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_val
+    FROM {assign_cte}, unnest(range(1, len(embedding) + 1)) AS d(i)
+    GROUP BY cell_id, d.i
+  ) GROUP BY cell_id
+)"""
+
+    steps = [
+        f"""cent0 AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+           WHERE vec_id % {CENTROID_STRIDE} = 0)"""
+    ]
+    for i in range(KMEANS_ITERS):
+        steps.append(assign(f"cent{i}", f"assign{i}"))
+        steps.append(recenter(f"assign{i}", f"cent{i + 1}"))
+    final = f"cent{KMEANS_ITERS}"
+    steps.append(assign(final, "assigned"))
+    steps.append(
+        f"""q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id % {QUERY_STRIDE} = 0)"""
+    )
+    steps.append(
+        f"""probes AS (
+  SELECT query_id, q_emb, cell_id FROM (
+    SELECT q.query_id, q.q_emb, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {sql_cosine('q.q_emb', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS p_rank
+    FROM q CROSS JOIN {final} c
+  ) WHERE p_rank <= {N_PROBE}
+)"""
+    )
+    steps.append(
+        f"""scored AS (
+  SELECT p.query_id, a.vec_id,
+         {sql_cosine('p.q_emb', 'a.embedding')} AS cos
+  FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"\nSELECT query_id, rank, vec_id, cos FROM ranked WHERE rank <= {TOP_K}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # v05 — pandas-UDF cosine top-k: the Arrow-vectorized twin of v02.
 # Same query shape, but the dot products run in NumPy over Arrow batches —
 # the pattern to reach for when the metric is not expressible in built-ins
@@ -246,6 +400,7 @@ QUERIES = {
     "v03_ann_ivf_topk": v03_ann_ivf_topk,
     "v05_ann_pandas_udf_topk": v05_ann_pandas_udf_topk,
     "v06_l2_normalize": v06_l2_normalize,
+    "v07_ann_kmeans_topk": v07_ann_kmeans_topk,
 }
 
 ORACLES = {
@@ -254,4 +409,5 @@ ORACLES = {
     "v03_ann_ivf_topk": ORACLE_V03,
     "v05_ann_pandas_udf_topk": ORACLE_V05,
     "v06_l2_normalize": ORACLE_V06,
+    "v07_ann_kmeans_topk": _oracle_v07(),
 }

@@ -359,32 +359,59 @@ FROM events GROUP BY event_type
 
 
 def x02_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t-digest-style approximate percentiles vs exact, per event_type.
+    """Approximate percentiles vs exact, per event_type.
 
-    percentile_approx(accuracy=10_000) bounds rank error at n/10_000
-    (1e-4 relative rank). The hashed columns are the exact interpolated
-    percentiles (rounded, same as q14) plus per-quantile verdicts that the
-    approx answer lands within 1% relative value error — comfortably above
-    the rank-error bound on this distribution, deterministic at any SF.
+    percentile_approx(accuracy=10_000) publishes a RANK-error bound
+    (<= n/10_000), not a value bound — in a heavy tail, adjacent order
+    statistics can be arbitrarily far apart in value, so the verdict
+    checks rank: the approx answer's rank in the data
+    (count of values <= approx) must sit within max(2, 0.1%·n) of the
+    target rank p·n — 10x the published bound, deterministic at any SF.
+    The hashed columns are the exact interpolated percentiles (the q14
+    recipe) plus the three verdicts.
     """
-    ev = table(spark, sf_dir, "events")
-    exact = {p: F.expr(f"percentile(value, {p})") for p in (0.5, 0.9, 0.99)}
-    approx = {p: F.percentile_approx("value", p, 10_000) for p in (0.5, 0.9, 0.99)}
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    PCTS = (0.5, 0.9, 0.99)
+    agg = ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {p})"), 6).alias(f"p{int(p * 100)}_exact")
+            for p in PCTS
+        ],
+        *[
+            F.percentile_approx("value", p, 10_000).alias(f"a{int(p * 100)}")
+            for p in PCTS
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    # Rank of each approx answer: one more corpus pass with the 5-row agg
+    # broadcast — no second shuffle of the data.
+    ranks = (
+        ev.join(F.broadcast(agg.select("event_type", "a50", "a90", "a99")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.sum((F.col("value") <= F.col(f"a{int(p * 100)}")).cast("long")).alias(
+                    f"r{int(p * 100)}"
+                )
+                for p in PCTS
+            ]
+        )
+    )
 
     def verdict(p: float):
-        return (
-            F.abs(approx[p] - exact[p]) / F.greatest(F.abs(exact[p]), F.lit(1e-6))
-            <= F.lit(0.01)
-        )
+        target = F.lit(p) * F.col("n")
+        slack = F.greatest(F.lit(2.0), F.lit(0.001) * F.col("n"))
+        return F.abs(F.col(f"r{int(p * 100)}") - target) <= slack
 
-    return ev.groupBy("event_type").agg(
-        F.round(exact[0.5], 6).alias("p50_exact"),
-        F.round(exact[0.9], 6).alias("p90_exact"),
-        F.round(exact[0.99], 6).alias("p99_exact"),
+    return agg.join(ranks, "event_type").select(
+        "event_type",
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
         verdict(0.5).alias("p50_ok"),
         verdict(0.9).alias("p90_ok"),
         verdict(0.99).alias("p99_ok"),
-        F.count(F.lit(1)).alias("n"),
+        "n",
     )
 
 
