@@ -4,6 +4,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+With ``--check [baseline.json]`` (default: the newest BENCH_r*.json in the
+repo root) it additionally diffs per-query against the recorded baseline and
+exits non-zero on a >2x regression — the driver-gate threshold — so a round
+cannot silently regress. Queries absent from the baseline are reported as
+new and not gated; sub-0.3s deltas are ignored as shared-host noise.
+
 Headliners are the scale-path queries — the quadratic ground-truth baselines
 (t04 all-pairs Jaccard, v01 all-pairs cosine) are deliberately excluded: at
 sf0.1 they are O(n²) by construction and the LSH/IVF variants (t02, v03) are
@@ -46,13 +52,52 @@ HEADLINE = [
     "v02_ann_bruteforce_topk",
     "v03_ann_ivf_topk",
     "v05_ann_pandas_udf_topk",
+    "v07_ann_kmeans_topk",
     "m01_multimodal_decode",
     "q13_pivot_daily_events",
     "q14_value_percentiles",
     "q16_distinct_users_daily",
     "t12_top_tokens",
     "v04_label_centroids",
+    "t05_dedup_exact_sha2",
+    "q19_promo_revenue",
+    "x01_approx_distinct",
+    "x02_approx_percentiles",
 ]
+
+# Regression gate (--check): >2x the recorded baseline per query, matching
+# BASELINE.md's qualitative bound; deltas under the floor are host noise.
+CHECK_RATIO = 2.0
+CHECK_FLOOR_SEC = 0.3
+
+
+def check_against_baseline(result: dict, baseline_path: str) -> int:
+    with open(baseline_path, encoding="utf-8") as f:
+        base = json.load(f)
+    base = base.get("parsed", base)  # driver wrapper or raw bench line
+    base_q = base.get("queries", {})
+    failures, news = [], []
+    for name, sec in result["queries"].items():
+        if name not in base_q:
+            news.append(name)
+            continue
+        if sec > base_q[name] * CHECK_RATIO and sec - base_q[name] > CHECK_FLOOR_SEC:
+            failures.append(f"{name}: {sec:.3f}s vs baseline {base_q[name]:.3f}s")
+    for name in news:
+        print(f"bench-check: NEW (not gated): {name}", file=sys.stderr)
+    for line in failures:
+        print(f"bench-check: REGRESSION >{CHECK_RATIO}x: {line}", file=sys.stderr)
+    base_stream = base.get("streaming", {}).get("relay_msgs_per_sec")
+    got_stream = result.get("streaming", {}).get("relay_msgs_per_sec")
+    if base_stream and got_stream and got_stream < base_stream / CHECK_RATIO:
+        failures.append(f"relay throughput {got_stream} < {base_stream}/{CHECK_RATIO}")
+        print(f"bench-check: REGRESSION: {failures[-1]}", file=sys.stderr)
+    print(
+        f"bench-check vs {baseline_path}: {len(failures)} regressions, "
+        f"{len(news)} new queries",
+        file=sys.stderr,
+    )
+    return 1 if failures else 0
 
 
 def main() -> None:
@@ -93,19 +138,29 @@ def main() -> None:
     streaming = bench_streaming_relay(spark)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "streaming": streaming,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "streaming": streaming,
+    }
+    print(json.dumps(result))
+
+    if "--check" in sys.argv:
+        idx = sys.argv.index("--check")
+        if idx + 1 < len(sys.argv):
+            baseline = sys.argv[idx + 1]
+        else:
+            import glob
+
+            candidates = sorted(glob.glob("BENCH_r*.json"))
+            baseline = candidates[-1] if candidates else ""
+        if baseline and os.path.exists(baseline):
+            sys.exit(check_against_baseline(result, baseline))
+        print("bench-check: no baseline file found, skipping", file=sys.stderr)
 
 
 def bench_streaming_relay(spark) -> dict:

@@ -15,5 +15,5 @@ python -m pytest tests/ -q
 echo "=== driver-gate parity (sf0.01) ==="
 ORACLE_PARITY_SF=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
 
-echo "=== bench (sf0.1) ==="
-python bench.py
+echo "=== bench (sf0.1, gated vs newest BENCH_r*.json) ==="
+python bench.py --check
