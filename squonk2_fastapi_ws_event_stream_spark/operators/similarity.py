@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, sql_cosine
+from ..functions.vectors import cosine, dot, norm, sql_cosine
 from ..tables import fan_out, table
 
 COSINE_THRESHOLD = 0.40  # corpus max pairwise cosine ≈ 0.45 — yields pairs
@@ -91,33 +91,90 @@ SELECT query_id, rank, vec_id, cos FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def _packed_cells(cents: DataFrame) -> DataFrame:
+    """All centroids as ONE broadcastable array row (k is small by design).
+
+    collect_list order is nondeterministic → array_sort (struct compares by
+    cell_id first) pins it, keeping argmax/slice results reproducible.
+    Centroid norms are precomputed here so the per-(row, centroid) work in
+    assignment is a single dot product. ``norm(c_emb)`` is the exact
+    expression ``cosine`` would evaluate, so factoring it out is
+    bit-identical to the oracle's inline form.
+    """
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cell_id", "c_emb", norm(F.col("c_emb")).alias("c_norm")))
+        ).alias("cells")
+    )
+
+
+def _cell_cos(emb_col: str, c: "F.Column") -> "F.Column":
+    """cos(row, centroid) with norms factored: round(dot/(row_norm*c_norm), 6)
+    — the same IEEE ops ``cosine`` performs (identical sub-expressions, same
+    final rounding), with each norm computed once instead of once per pair."""
+    return F.round(dot(F.col(emb_col), c.c_emb) / (F.col("_row_norm") * c.c_norm), 6)
+
+
+def _with_nearest_cell(df: DataFrame, packed: DataFrame, emb_col: str) -> DataFrame:
+    """Nearest-centroid assignment as a map-side argmax.
+
+    The packed centroid row is broadcast and the argmax runs inside a single
+    projection — the corpus is never shuffled. (The crossJoin+row_number
+    alternative shuffles corpus×k rows into a per-vector window sort: fine
+    at sf0.1, the dominant cost at 100 TB.) Ordering matches the oracle's
+    ``ORDER BY cos DESC, cell_id ASC``: struct max on (cos, -cell_id).
+    """
+    best = F.array_max(
+        F.transform(
+            F.col("cells"),
+            lambda c: F.struct(
+                _cell_cos(emb_col, c).alias("cos"), (-c.cell_id).alias("neg_cell")
+            ),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(packed))
+        .withColumn("_row_norm", norm(F.col(emb_col)))
+        .withColumn("cell_id", -best.neg_cell)
+        .drop("cells", "_row_norm")
+    )
+
+
+def _with_probe_cells(queries: DataFrame, packed: DataFrame, n_probe: int) -> DataFrame:
+    """Top-n_probe nearest cells per query: sort the scored array, slice —
+    same map-side shape as assignment; ascending (-cos, cell_id) struct sort
+    reproduces ``cos DESC, cell_id ASC``."""
+    scored = F.array_sort(
+        F.transform(
+            F.col("cells"),
+            lambda c: F.struct(
+                (-_cell_cos("q_emb", c)).alias("neg_cos"), c.cell_id.alias("cell_id")
+            ),
+        )
+    )
+    return (
+        queries.crossJoin(F.broadcast(packed))
+        .withColumn("_row_norm", norm(F.col("q_emb")))
+        .select("query_id", "q_emb", F.explode(F.slice(scored, 1, n_probe)).alias("p"))
+        .select("query_id", "q_emb", F.col("p").cell_id.alias("cell_id"))
+    )
+
+
 def v03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
     centroids = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
     )
-    # Cell assignment: nearest centroid per vector (centroids broadcast —
-    # map-side only, the single pass over the corpus).
-    assign_w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cell_id").asc())
-    assigned = (
-        emb.crossJoin(F.broadcast(centroids))
-        .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
-        .withColumn("c_rank", F.row_number().over(assign_w))
-        .filter(F.col("c_rank") == 1)
-        .select("vec_id", "embedding", "cell_id")
+    packed = _packed_cells(centroids)
+    # Cell assignment: map-side argmax, single pass over the corpus.
+    assigned = _with_nearest_cell(emb, packed, "embedding").select(
+        "vec_id", "embedding", "cell_id"
     )
     # Queries probe their N_PROBE nearest cells.
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    probe_w = Window.partitionBy("query_id").orderBy(F.col("p_cos").desc(), F.col("cell_id").asc())
-    probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn("p_cos", cosine(F.col("q_emb"), F.col("c_emb")))
-        .withColumn("p_rank", F.row_number().over(probe_w))
-        .filter(F.col("p_rank") <= N_PROBE)
-        .select("query_id", "q_emb", "cell_id")
-    )
+    probes = _with_probe_cells(queries, packed, N_PROBE)
     # Search only the probed cells.
     scored = (
         assigned.join(probes, "cell_id")
@@ -186,16 +243,15 @@ _CDEC = "decimal(28,12)"
 
 
 def _lloyd_step(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """One Lloyd iteration: assign to nearest centroid, re-average."""
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("cell_id").asc()
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
-        .withColumn("c_rank", F.row_number().over(assign_w))
-        .filter(F.col("c_rank") == 1)
-        .select("cell_id", "embedding")
+    """One Lloyd iteration: assign to nearest centroid, re-average.
+
+    Assignment is the map-side argmax (zero corpus shuffle); the re-average
+    explodes to (cell_id, dim) keys whose cardinality is k×dim, so partial
+    (map-side) aggregation collapses each task's contribution to ≤ k×dim
+    rows before the only shuffle.
+    """
+    assigned = _with_nearest_cell(emb, _packed_cells(cents), "embedding").select(
+        "cell_id", "embedding"
     )
     by_dim = (
         assigned.select("cell_id", F.posexplode("embedding").alias("dim", "val"))
@@ -222,25 +278,14 @@ def v07_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KMEANS_ITERS):
         cents = _lloyd_step(emb, cents)
     # IVF search against the learned centroids — identical plan to v03.
-    assign_w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cell_id").asc())
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
-        .withColumn("c_rank", F.row_number().over(assign_w))
-        .filter(F.col("c_rank") == 1)
-        .select("vec_id", "embedding", "cell_id")
+    packed = _packed_cells(cents)
+    assigned = _with_nearest_cell(emb, packed, "embedding").select(
+        "vec_id", "embedding", "cell_id"
     )
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    probe_w = Window.partitionBy("query_id").orderBy(F.col("p_cos").desc(), F.col("cell_id").asc())
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("p_cos", cosine(F.col("q_emb"), F.col("c_emb")))
-        .withColumn("p_rank", F.row_number().over(probe_w))
-        .filter(F.col("p_rank") <= N_PROBE)
-        .select("query_id", "q_emb", "cell_id")
-    )
+    probes = _with_probe_cells(queries, packed, N_PROBE)
     scored = (
         assigned.join(probes, "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -100,6 +100,20 @@ def test_e08_gap_window_is_partitioned(spark):
     assert "SinglePartition" not in plan
 
 
+def test_ivf_assignment_never_shuffles_the_corpus(spark):
+    # v03/v07 assign vectors to centroid cells with a map-side argmax over
+    # the broadcast packed-centroid array. A crossJoin+row_number form would
+    # shuffle corpus×k rows into a per-vector window (Exchange
+    # hashpartitioning(vec_id…) feeding Window) — fatal at 100 TB.
+    for name in ("v03_ann_ivf_topk", "v07_ann_kmeans_topk"):
+        plan = explain(QUERIES[name](spark, SF))
+        assert "hashpartitioning(vec_id" not in plan, name
+        # exactly one Window op remains: the final per-query top-k rank
+        import re
+
+        assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1, name
+
+
 def test_q13_pivot_has_no_extra_scan(spark):
     # fixed pivot values → a single scan of events, no distinct-values pass
     plan = explain(QUERIES["q13_pivot_daily_events"](spark, SF), mode="simple")
