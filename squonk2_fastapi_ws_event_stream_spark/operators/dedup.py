@@ -225,6 +225,93 @@ SELECT doc_id, {H.sql_simhash('shingles')} AS simhash FROM sh
 
 
 # ---------------------------------------------------------------------------
+# t06 — SimHash near-dedup, banded: the scale form of SimHash (t03 computes
+# the fingerprints; this finds the near-dup PAIRS). The 32-bit fingerprint
+# splits into 4 bands of 8 bits; candidates equi-join on (band_id,
+# band_val); verification keeps hamming(xor) <= HAMMING_MAX. Because
+# HAMMING_MAX (3) < N bands (4), the pigeonhole principle guarantees every
+# qualifying pair collides in at least one band — the banded plan is
+# EXACT, not approximate, so the oracle's direct all-pairs filter computes
+# the identical result. The band join is linear in corpus size (the t02
+# argument); all-pairs is only ever run by the sf0.01 oracle.
+# The test corpus has no near-dups, so we synthesize exact copies (every
+# 50th doc, ids +10000 → hamming 0) and lightly perturbed copies (every
+# 70th doc with 3 appended chars, ids +20000 → small nonzero hamming).
+# ---------------------------------------------------------------------------
+HAMMING_MAX = 3
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = H.SIMHASH_BITS // SIMHASH_BANDS  # 8
+
+
+def t06_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_copies = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near_copies = docs.filter(F.col("doc_id") % 70 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    unioned = docs.unionByName(exact_copies).unionByName(near_copies)
+    sims = _with_shingles(unioned, spark).select(
+        "doc_id", H.simhash(F.col("shingles")).alias("sim")
+    )
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("sim"), b * SIMHASH_BAND_BITS).bitwiseAND(
+                F.lit((1 << SIMHASH_BAND_BITS) - 1)
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sims.select("doc_id", F.posexplode(band_vals).alias("band_id", "band_val"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sims.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
+    sb = sims.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _oracle_t06() -> str:
+    # All-pairs filter — identical result to the banded plan because
+    # HAMMING_MAX < SIMHASH_BANDS (see t06 comment).
+    return f"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' zq' AS text
+  FROM documents WHERE doc_id % 70 = 0
+),
+sh AS (
+  SELECT doc_id, list_distinct({H.sql_shingle_hashes('codes', 'text')}) AS shingles
+  FROM (SELECT doc_id, text, {H.sql_char_codes('text')} AS codes
+        FROM unioned WHERE length(text) >= {H.K})
+),
+sims AS (SELECT doc_id, {H.sql_simhash('shingles')} AS sim FROM sh)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {HAMMING_MAX}
+"""
+
+
+# ---------------------------------------------------------------------------
 # t04 — brute-force n-gram Jaccard pairs (verifier / baseline).
 # All-pairs is O(n²): correct at test scale, replaced by t02's LSH plan at
 # 100 TB. Kept as a first-class query because it is the ground truth the
@@ -262,6 +349,7 @@ QUERIES = {
     "t03_simhash": t03_simhash,
     "t04_ngram_jaccard_pairs": t04_ngram_jaccard_pairs,
     "t05_dedup_exact_sha2": t05_dedup_exact_sha2,
+    "t06_dedup_simhash_banded": t06_dedup_simhash_banded,
 }
 
 ORACLES = {
@@ -270,4 +358,5 @@ ORACLES = {
     "t03_simhash": _oracle_t03(),
     "t04_ngram_jaccard_pairs": _oracle_t04(),
     "t05_dedup_exact_sha2": ORACLE_T05,
+    "t06_dedup_simhash_banded": _oracle_t06(),
 }

@@ -368,6 +368,146 @@ ranked AS (
 
 
 # ---------------------------------------------------------------------------
+# v08 — SRP-LSH near-dup: the scale path for v01's all-pairs cosine scan.
+# Sign-random-projection sketch: bit p = [dot(v, h_p) >= 0] for N_PLANES
+# deterministic hyperplanes (integer components from a closed-form LCG,
+# embedded as literals in BOTH engines — no RNG at runtime). Bits pack into
+# SRP_BANDS bands; candidate pairs equi-join on (band_id, band_val) — the
+# t02 LSH plan, linear in corpus size — then verify true cosine >= the
+# v01 threshold. Semantics ARE the bucketed semantics (pairs sharing >= 1
+# band), so the oracle mirrors the same sketch + bucket join, not a cosine
+# scan: deterministic, hash-checkable, and honest about SRP recall.
+# The corpus has no true near-dups, so every 40th vector gets a lightly
+# perturbed copy (+0.05 on dim 0, ids +100000): cos ≈ 0.999 → recalled.
+# ---------------------------------------------------------------------------
+SRP_PLANES = 16
+SRP_BANDS = 4
+SRP_BAND_BITS = SRP_PLANES // SRP_BANDS  # 4
+COPY_STRIDE = 40
+COPY_ID_OFFSET = 100_000
+
+# h[p][d] in [-48, 48]: fixed LCG over the (plane, dim) index — pure integer
+# arithmetic, so the literal tables below are identical in Spark and DuckDB.
+_SRP_H = [
+    [((1103515245 * (p * 64 + d) + 12345) >> 16) % 97 - 48 for d in range(64)]
+    for p in range(SRP_PLANES)
+]
+
+
+def _srp_dot(emb_col: "F.Column", plane: list[int]) -> "F.Column":
+    prods = F.zip_with(
+        emb_col,
+        F.array(*[F.lit(float(c)) for c in plane]),
+        lambda x, y: x.cast("double") * y,
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _srp_bands(emb_col: "F.Column") -> "F.Column":
+    """array<int> of SRP_BANDS packed sign-bit band values."""
+    bits = [
+        F.when(_srp_dot(emb_col, _SRP_H[p]) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in range(SRP_PLANES)
+    ]
+    bands = []
+    for b in range(SRP_BANDS):
+        val = None
+        for r in range(SRP_BAND_BITS):
+            term = bits[b * SRP_BAND_BITS + r] * F.lit(1 << r)
+            val = term if val is None else val + term
+        bands.append(val)
+    return F.array(*bands)
+
+
+def _v08_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % COPY_STRIDE == 0).select(
+        (F.col("vec_id") + COPY_ID_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, (x.cast("double") + F.lit(0.05)).cast("float")).otherwise(x),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(copies)
+
+
+def v08_neardup_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(_v08_corpus(spark, sf_dir), spark)
+    sk = emb.select("vec_id", "embedding", _srp_bands(F.col("embedding")).alias("bands"))
+    bands = sk.select("vec_id", F.posexplode("bands").alias("band_id", "band_val"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_val"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = sk.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = sk.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+def _oracle_v08() -> str:
+    def sql_srp_dot(emb: str, plane: list[int]) -> str:
+        coeffs = ", ".join(str(c) for c in plane)
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * ([{coeffs}]::DOUBLE[])[i]))"
+        )
+
+    band_exprs = []
+    for b in range(SRP_BANDS):
+        terms = " + ".join(
+            f"(CASE WHEN {sql_srp_dot('embedding', _SRP_H[b * SRP_BAND_BITS + r])} >= 0 "
+            f"THEN {1 << r} ELSE 0 END)"
+            for r in range(SRP_BAND_BITS)
+        )
+        band_exprs.append(f"({terms}) AS band{b}")
+    band_cols = ",\n         ".join(band_exprs)
+    band_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band_id, band{b} AS band_val FROM sk"
+        for b in range(SRP_BANDS)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {COPY_ID_OFFSET} AS vec_id,
+         list_transform(range(1, len(embedding) + 1),
+            i -> CASE WHEN i = 1
+                      THEN CAST(CAST(embedding[i] AS DOUBLE) + 0.05 AS FLOAT)
+                      ELSE embedding[i] END) AS embedding
+  FROM embeddings WHERE vec_id % {COPY_STRIDE} = 0
+),
+sk AS (
+  SELECT vec_id, embedding,
+         {band_cols}
+  FROM corpus
+),
+bands AS (
+{band_union}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       {sql_cosine('sa.embedding', 'sb.embedding')} AS cos
+FROM cand c
+JOIN sk sa ON sa.vec_id = c.vec_a
+JOIN sk sb ON sb.vec_id = c.vec_b
+WHERE {sql_cosine('sa.embedding', 'sb.embedding')} >= {COSINE_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # v05 — pandas-UDF cosine top-k: the Arrow-vectorized twin of v02.
 # Same query shape, but the dot products run in NumPy over Arrow batches —
 # the pattern to reach for when the metric is not expressible in built-ins
@@ -446,6 +586,7 @@ QUERIES = {
     "v05_ann_pandas_udf_topk": v05_ann_pandas_udf_topk,
     "v06_l2_normalize": v06_l2_normalize,
     "v07_ann_kmeans_topk": v07_ann_kmeans_topk,
+    "v08_neardup_srp_lsh": v08_neardup_srp_lsh,
 }
 
 ORACLES = {
@@ -455,4 +596,5 @@ ORACLES = {
     "v05_ann_pandas_udf_topk": ORACLE_V05,
     "v06_l2_normalize": ORACLE_V06,
     "v07_ann_kmeans_topk": _oracle_v07(),
+    "v08_neardup_srp_lsh": _oracle_v08(),
 }
