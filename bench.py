@@ -63,6 +63,11 @@ HEADLINE = [
     "q19_promo_revenue",
     "x01_approx_distinct",
     "x02_approx_percentiles",
+    "t06_dedup_simhash_banded",
+    "v08_neardup_srp_lsh",
+    "t15_pipeline_quality_dedup_stats",
+    "q20_small_quantity_revenue",
+    "q22_dormant_customers",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -1,0 +1,190 @@
+"""Correlated-subquery plans and the end-to-end training-data pipeline.
+
+q20/q22 are written as ANSI SQL and executed VERBATIM by both engines
+(``spark.sql`` over registered views, DuckDB over the same parquet): the
+point is Catalyst's decorrelation — a correlated scalar subquery becomes a
+per-key aggregate + join, NOT EXISTS becomes a left-anti join — so the
+declared plan is the distributed plan with no hand-scheduling.
+
+t15 chains the LLM-pipeline stages (quality scoring → exact dedup →
+corpus statistics) into ONE declarative plan, the way a real training-data
+job composes them: every stage stays in the same codegen pipeline until
+the dedup shuffle (fixed-width sha2 keys), and the final per-language
+aggregate is the only other shuffle.
+
+Scale notes:
+- q20: the decorrelated per-partkey aggregate shuffles lineitem once on
+  l_partkey; the re-join is AQE-planned (broadcast when the agg side is
+  small). No row explosion.
+- q22: the scalar subquery is a 1-row broadcast; NOT EXISTS is a LeftAnti
+  on o_custkey (keys only); nation dim broadcast.
+- t15: dedup groups on sha2 digests (32-byte shuffle keys, the t05
+  argument); the quality/token expressions are map-side codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.textstats import BPE_ISH_PATTERN, _occurrences, _sql_occurrences
+from ..tables import register_views, table
+
+# ---------------------------------------------------------------------------
+# q20 — small-quantity revenue by brand (TPC-H Q17 shape): correlated
+# scalar subquery against the outer row's partkey. l_quantity is
+# integer-valued, so AVG is an exact double in both engines; revenue sums
+# use the decimal recipe.
+# ---------------------------------------------------------------------------
+SQL_Q20 = """
+SELECT p_brand,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,10))) AS DOUBLE) / 7.0, 4)
+         AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem l1 JOIN part p ON p.p_partkey = l1.l_partkey
+WHERE l1.l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey)
+GROUP BY p_brand
+"""
+
+
+def q20_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_Q20)
+
+
+# ---------------------------------------------------------------------------
+# q22 — dormant high-balance customers (TPC-H Q22 shape): uncorrelated
+# scalar subquery (global positive-balance average, decimal-exact) + a
+# correlated NOT EXISTS that Catalyst turns into a left-anti join.
+# ---------------------------------------------------------------------------
+SQL_Q22 = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*) AS v
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name,
+       COUNT(*) AS n_custs,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,10))) AS DOUBLE), 4) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT v FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY n_name
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_Q22)
+
+
+# ---------------------------------------------------------------------------
+# t15 — the pipeline composition: synthesize dups (every 50th doc, ids
+# +10000, as in t01/t05) → sha2 exact dedup keeping the lowest doc_id →
+# quality-score (t09 formula) and token-count (t10) the survivors → drop
+# low-quality docs → per-language corpus stats.
+# ---------------------------------------------------------------------------
+QUALITY_MIN = 0.6
+
+
+def t15_pipeline_quality_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    copies = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang", "n_chars"
+    )
+    unioned = docs.unionByName(copies)
+    # Exact dedup on the 32-byte digest; identical texts keep the lowest id.
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    kept = (
+        unioned.withColumn("digest", F.sha2(F.col("text"), 256))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("digest", "rn")
+    )
+    # Quality (t09 formula) + BPE-ish token count (t10) — map-side codegen.
+    n_words = F.size(F.split(F.col("text"), " ")).cast("long")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    stop_hits = (
+        _occurrences(padded, " the ") + _occurrences(padded, " a ") + _occurrences(padded, " of ")
+    )
+    avg_word_len = F.round((F.col("n_chars") - (n_words - 1)) / n_words, 6)
+    stop_ratio = F.round(stop_hits / n_words, 6)
+    score = F.round(
+        0.3 * F.least(n_words / 100.0, F.lit(1.0))
+        + 0.4 * (1.0 - stop_ratio)
+        + 0.3 * F.least(avg_word_len / 6.0, F.lit(1.0)),
+        6,
+    )
+    bpe_tokens = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    ).cast("long")
+    scored = kept.select("doc_id", "lang", score.alias("q"), bpe_tokens.alias("toks"))
+    return (
+        scored.filter(F.col("q") >= QUALITY_MIN)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+        )
+    )
+
+
+def _oracle_t15() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    stop_hits = " + ".join(_sql_occurrences(padded, w) for w in (" the ", " a ", " of "))
+    return f"""
+WITH unioned AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text, lang, n_chars
+  FROM documents WHERE doc_id % 50 = 0
+),
+kept AS (
+  SELECT doc_id, text, lang, n_chars FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM unioned
+  ) WHERE rn = 1
+),
+base AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         ({stop_hits}) AS stop_hits,
+         CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')) AS BIGINT) AS toks
+  FROM kept
+),
+m AS (
+  SELECT doc_id, lang, toks,
+         ROUND(0.3 * LEAST(n_words / 100.0, 1.0)
+               + 0.4 * (1.0 - ROUND(stop_hits / n_words, 6))
+               + 0.3 * LEAST(ROUND((n_chars - (n_words - 1)) / n_words, 6) / 6.0, 1.0),
+               6) AS q
+  FROM base
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(q AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+FROM m WHERE q >= {QUALITY_MIN}
+GROUP BY lang
+"""
+
+
+QUERIES = {
+    "q20_small_quantity_revenue": q20_small_quantity_revenue,
+    "q22_dormant_customers": q22_dormant_customers,
+    "t15_pipeline_quality_dedup_stats": t15_pipeline_quality_dedup_stats,
+}
+
+ORACLES = {
+    "q20_small_quantity_revenue": SQL_Q20,
+    "q22_dormant_customers": SQL_Q22,
+    "t15_pipeline_quality_dedup_stats": _oracle_t15(),
+}

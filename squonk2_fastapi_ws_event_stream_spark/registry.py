@@ -11,9 +11,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import dedup, events, multimodal, similarity, textstats
-from .plans import extended, tpch
+from .plans import extended, pipeline, tpch
 
-_MODULES = (tpch, extended, events, dedup, textstats, similarity, multimodal)
+_MODULES = (tpch, extended, pipeline, events, dedup, textstats, similarity, multimodal)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -100,6 +100,20 @@ def test_e08_gap_window_is_partitioned(spark):
     assert "SinglePartition" not in plan
 
 
+def test_q20_correlated_subquery_decorrelates(spark):
+    # Catalyst must rewrite the correlated scalar subquery into a per-key
+    # aggregate + join — no nested-loop re-execution, no cartesian product.
+    plan = explain(QUERIES["q20_small_quantity_revenue"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q22_not_exists_is_anti_join(spark):
+    plan = explain(QUERIES["q22_dormant_customers"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ivf_assignment_never_shuffles_the_corpus(spark):
     # v03/v07 assign vectors to centroid cells with a map-side argmax over
     # the broadcast packed-centroid array. A crossJoin+row_number form would
