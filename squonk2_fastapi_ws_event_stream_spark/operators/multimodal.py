@@ -164,5 +164,87 @@ def metadata_only(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.select("doc_id", "meta.mime", "meta.n_bytes")
 
 
-QUERIES = {"m01_multimodal_decode": m01_multimodal_decode}
-ORACLES = {"m01_multimodal_decode": ORACLE_M01}
+# ---------------------------------------------------------------------------
+# m02/m03 — the resize and frame-sample stages as ledger queries. The raw
+# thumb bytes are summarized to (octet_length, checksum) so the result is
+# hash-comparable; the corpus is ASCII, so DuckDB mirrors the byte
+# arithmetic with string functions.
+# ---------------------------------------------------------------------------
+THUMB_W, THUMB_H = 32, 32
+N_FRAMES = 4
+
+
+def m02_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    thumbs = resize_images(attach_payload(docs), (THUMB_W, THUMB_H))
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "thumb_bytes": pdf["thumb"].map(len),
+                    "thumb_checksum": pdf["thumb"].map(lambda b: sum(b) % ADLER_MOD),
+                }
+            )
+
+    return thumbs.mapInPandas(
+        summarize,
+        schema="doc_id long, width int, height int, thumb_bytes long, thumb_checksum long",
+    )
+
+
+ORACLE_M02 = f"""
+WITH thumb AS (
+  SELECT doc_id,
+         substr(repeat(text, ({THUMB_W * THUMB_H} // GREATEST(length(text), 1)) + 1),
+                1, {THUMB_W * THUMB_H}) AS t
+  FROM documents
+)
+SELECT doc_id,
+       {THUMB_W} AS width,
+       {THUMB_H} AS height,
+       CAST(length(t) AS BIGINT) AS thumb_bytes,
+       CAST(COALESCE(list_sum(list_transform(range(1, length(t) + 1),
+            i -> unicode(substr(t, i, 1)))), 0) % {ADLER_MOD} AS BIGINT) AS thumb_checksum
+FROM thumb
+"""
+
+
+def m03_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return sample_frames(attach_payload(docs), N_FRAMES)
+
+
+ORACLE_M03 = f"""
+WITH strided AS (
+  SELECT doc_id, text,
+         GREATEST(length(text) // {N_FRAMES}, 1) AS stride
+  FROM documents
+),
+frames AS (
+  SELECT doc_id,
+         CAST(f.i AS INTEGER) AS frame_idx,
+         substr(text, f.i * stride + 1, stride) AS chunk
+  FROM strided, unnest(range(0, {N_FRAMES})) AS f(i)
+)
+SELECT doc_id, frame_idx,
+       CAST(COALESCE(list_sum(list_transform(range(1, length(chunk) + 1),
+            i -> unicode(substr(chunk, i, 1)))), 0) % {ADLER_MOD} AS BIGINT)
+         AS frame_checksum
+FROM frames
+"""
+
+
+QUERIES = {
+    "m01_multimodal_decode": m01_multimodal_decode,
+    "m02_multimodal_resize": m02_multimodal_resize,
+    "m03_multimodal_frame_sample": m03_multimodal_frame_sample,
+}
+ORACLES = {
+    "m01_multimodal_decode": ORACLE_M01,
+    "m02_multimodal_resize": ORACLE_M02,
+    "m03_multimodal_frame_sample": ORACLE_M03,
+}
