@@ -96,23 +96,30 @@ def band_keys(signature: Column) -> Column:
     return F.array(*keys)
 
 
-def simhash(hashes: Column) -> Column:
-    """32-bit SimHash of a shingle-hash array, as a long.
+def simhash(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """`bits`-wide SimHash of a shingle-hash array, as a long (bits <= 62).
 
     Bit j is 1 iff strictly more than half the shingles have bit j set.
-    Implemented as 32 array-aggregate expressions — fine for one codegen
-    stage; at extreme doc sizes switch to explode + groupBy (same result).
+    Bits above 29 fold the 30-bit-entropy shingle hash (h < P < 2^30) by
+    re-mixing: bit j for j >= 30 uses ((h * (j+1)) % P) bit (j % 30), so
+    every output bit still carries signal. Implemented as `bits`
+    array-aggregate expressions — fine for one codegen stage; at extreme
+    doc sizes switch to explode + groupBy (same result).
     """
     n = F.size(hashes)
 
     def bit_counter(j: int):
-        return lambda acc, x: acc + F.shiftright(x, j).bitwiseAND(F.lit(1))
+        if j < 30:
+            return lambda acc, x: acc + F.shiftright(x, j).bitwiseAND(F.lit(1))
+        return lambda acc, x: acc + F.shiftright(
+            (x * F.lit(j + 1)) % F.lit(P), j % 30
+        ).bitwiseAND(F.lit(1))
 
-    bits = []
-    for j in range(SIMHASH_BITS):
+    bits_cols = []
+    for j in range(bits):
         ones = F.aggregate(hashes, F.lit(0).cast("long"), bit_counter(j))
-        bits.append(F.when(ones * 2 > n.cast("long"), F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
-    return reduce(lambda a, b: a + b, bits).alias("simhash")
+        bits_cols.append(F.when(ones * 2 > n.cast("long"), F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
+    return reduce(lambda a, b: a + b, bits_cols).alias("simhash")
 
 
 # ---------------------------------------------------------------------------
@@ -151,10 +158,15 @@ def sql_band_key(sig_expr: str, band: int) -> str:
     return parts
 
 
-def sql_simhash(hashes_expr: str) -> str:
-    bits = " + ".join(
-        f"(CASE WHEN 2 * list_sum(list_transform({hashes_expr}, x -> (x >> {j}) & 1)) "
+def sql_simhash(hashes_expr: str, bits: int = SIMHASH_BITS) -> str:
+    def bit_src(j: int) -> str:
+        if j < 30:
+            return f"(x >> {j}) & 1"
+        return f"(((x * {j + 1}) % {P}) >> {j % 30}) & 1"
+
+    terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform({hashes_expr}, x -> {bit_src(j)})) "
         f"> len({hashes_expr}) THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     )
-    return f"({bits})"
+    return f"({terms})"

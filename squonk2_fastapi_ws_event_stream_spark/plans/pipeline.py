@@ -82,6 +82,77 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q21 — suppliers who kept finished orders waiting (TPC-H Q21 shape): the
+# double-correlation — EXISTS (another supplier shared the order) AND NOT
+# EXISTS (another supplier was also late). "Late" is shipdate > orderdate
+# + 60 days (this schema has no commit/receipt dates). Catalyst plans the
+# EXISTS as a left-semi and the NOT EXISTS as a left-anti on l_orderkey —
+# keys-only joins, no per-row re-execution.
+# ---------------------------------------------------------------------------
+SQL_Q21 = """
+SELECT s_name, COUNT(*) AS n_waits
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_Q21)
+
+
+# ---------------------------------------------------------------------------
+# x03 — deterministic hash sampling: the experimentation primitive a
+# training pipeline needs (reproducible 10% slices with no RNG state).
+# The sample membership is a closed-form integer hash both engines compute
+# identically — unlike TABLESAMPLE, the slice is stable across engines,
+# partitionings, and reruns. Map-side filter → the sample never shuffles.
+# ---------------------------------------------------------------------------
+SAMPLE_PCT = 10
+_MIX = 48271  # minstd multiplier
+
+
+def x03_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    bucket = (
+        (F.col("l_orderkey") * _MIX + F.col("l_linenumber")) % 1_000_003
+    ) % 100
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,10)")
+    return (
+        li.filter(bucket < SAMPLE_PCT)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum(rev).cast("double"), 4).alias("sample_revenue"),
+        )
+    )
+
+
+ORACLE_X03 = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_sampled,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,10)))
+                  AS DOUBLE), 4) AS sample_revenue
+FROM lineitem
+WHERE ((l_orderkey * {_MIX} + l_linenumber) % 1000003) % 100 < {SAMPLE_PCT}
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # t15 — the pipeline composition: synthesize dups (every 50th doc, ids
 # +10000, as in t01/t05) → sha2 exact dedup keeping the lowest doc_id →
 # quality-score (t09 formula) and token-count (t10) the survivors → drop
@@ -179,12 +250,16 @@ GROUP BY lang
 
 QUERIES = {
     "q20_small_quantity_revenue": q20_small_quantity_revenue,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_dormant_customers": q22_dormant_customers,
+    "x03_hash_sample": x03_hash_sample,
     "t15_pipeline_quality_dedup_stats": t15_pipeline_quality_dedup_stats,
 }
 
 ORACLES = {
     "q20_small_quantity_revenue": SQL_Q20,
+    "q21_waiting_suppliers": SQL_Q21,
     "q22_dormant_customers": SQL_Q22,
+    "x03_hash_sample": ORACLE_X03,
     "t15_pipeline_quality_dedup_stats": _oracle_t15(),
 }

@@ -33,11 +33,14 @@ def py_minhash(hashes: list[int]) -> list[int]:
     ]
 
 
-def py_simhash(hashes: list[int]) -> int:
+def py_simhash(hashes: list[int], bits: int = H.SIMHASH_BITS) -> int:
     n = len(hashes)
     out = 0
-    for j in range(H.SIMHASH_BITS):
-        ones = sum((x >> j) & 1 for x in hashes)
+    for j in range(bits):
+        if j < 30:
+            ones = sum((x >> j) & 1 for x in hashes)
+        else:  # shingle hashes carry <30 bits of entropy: re-mix (hashing.py)
+            ones = sum((((x * (j + 1)) % H.P) >> (j % 30)) & 1 for x in hashes)
         if 2 * ones > n:
             out |= 1 << j
     return out

@@ -114,6 +114,13 @@ def test_q22_not_exists_is_anti_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q21_double_correlation_is_semi_plus_anti(spark):
+    plan = explain(QUERIES["q21_waiting_suppliers"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ivf_assignment_never_shuffles_the_corpus(spark):
     # v03/v07 assign vectors to centroid cells with a map-side argmax over
     # the broadcast packed-centroid array. A crossJoin+row_number form would
