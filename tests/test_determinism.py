@@ -1,0 +1,53 @@
+"""Parallelism-invariance guards: results must not depend on partition
+count or partial-aggregate merge order.
+
+The cross-engine recipe (decimal-cast sums, ROUND before compare,
+closed-form hashing, explicit tie-breaks) is what makes these queries
+hash-match DuckDB — but the same recipe is what makes them return
+IDENTICAL bytes on 2 partitions and on 2000. This is the correctness
+property that survives a 1000-executor cluster; these tests pin it by
+running representative queries under deliberately different shuffle
+parallelism and diffing the sorted results.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from squonk2_fastapi_ws_event_stream_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# One query per family whose plan contains a shuffle whose merge order
+# could plausibly leak into results: decimal aggs, window tie-breaks,
+# iterative centroid training, LSH candidate generation, sampling.
+REPRESENTATIVES = [
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "t02_dedup_minhash_lsh",
+    "t15_pipeline_quality_dedup_stats",
+    "v03_ann_ivf_topk",
+    "v07_ann_kmeans_topk",
+    "v08_neardup_srp_lsh",
+    "x03_hash_sample",
+]
+
+
+def _canon(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(by=cols).reset_index(drop=True).astype(str)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_result_invariant_under_shuffle_parallelism(spark, name):
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = _canon(QUERIES[name](spark, SF))
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = _canon(QUERIES[name](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    pd.testing.assert_frame_equal(wide, narrow)
