@@ -67,7 +67,9 @@ HEADLINE = [
     "v08_neardup_srp_lsh",
     "t15_pipeline_quality_dedup_stats",
     "q20_small_quantity_revenue",
+    "q21_waiting_suppliers",
     "q22_dormant_customers",
+    "x03_hash_sample",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching
