@@ -104,7 +104,10 @@ def simhash(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
     re-mixing: bit j for j >= 30 uses ((h * (j+1)) % P) bit (j % 30), so
     every output bit still carries signal. Implemented as `bits`
     array-aggregate expressions — fine for one codegen stage; at extreme
-    doc sizes switch to explode + groupBy (same result).
+    doc sizes switch to explode + groupBy (same result). (A packed
+    multi-lane popcount variant was benchmarked and is NOT faster: the
+    per-element lane arithmetic costs what the extra aggregate passes
+    cost, and the wrapper expressions defeat plan simplification.)
     """
     n = F.size(hashes)
 

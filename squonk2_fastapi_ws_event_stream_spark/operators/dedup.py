@@ -257,9 +257,14 @@ def t06_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" zq")).alias("text"),
     )
     unioned = docs.unionByName(exact_copies).unionByName(near_copies)
+    # The fingerprint table feeds three consumers (band explode + both
+    # sides of the verify join): persist it so the 60-aggregate simhash
+    # computes once, with the same eviction discipline as t02.
+    unpersist_lsh_cache()
     sims = _with_shingles(unioned, spark).select(
         "doc_id", H.simhash(F.col("shingles"), T06_SIMHASH_BITS).alias("sim")
-    )
+    ).persist()
+    _SIG_CACHE.append(sims)
     band_vals = F.array(
         *[
             F.shiftright(F.col("sim"), b * SIMHASH_BAND_BITS).bitwiseAND(
