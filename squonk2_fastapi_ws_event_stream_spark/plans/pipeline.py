@@ -153,6 +153,95 @@ GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# q23 — datetime function battery (the q14-of-dates): every date/time
+# function family the engine exposes, per order row, pinned UTC. Pure
+# map-side projection — one codegen span, no shuffle.
+# ---------------------------------------------------------------------------
+def q23_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofweek(d).alias("dow"),  # 1=Sunday (both engines below)
+        F.dayofyear(d).alias("doy"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.expr("o_orderdate + INTERVAL 1 MONTH").alias("plus_month"),
+        F.datediff(F.lit("1999-01-01").cast("timestamp"), d).cast("int").alias(
+            "days_to_1999"
+        ),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
+# DuckDB's dayofweek is 0=Sunday; Spark's 1=Sunday — shift to match.
+ORACLE_Q23 = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+       o_orderdate + INTERVAL 1 MONTH AS plus_month,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '1999-01-01 00:00:00') AS INTEGER)
+         AS days_to_1999,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# x04 — skew-safe two-phase aggregation as a ledger query: the salted
+# partial→merge plan from functions/skew.py over lineitem's return-flag
+# groups (3 giant groups — exactly the hot-key shape that pins a naive
+# groupBy onto 3 tasks). The salt assignment is partition-dependent, but
+# algebraic merges (decimal sum / count / max) make the OUTPUT independent
+# of salting and partitioning — which is what the oracle (a plain GROUP
+# BY) and tests/test_determinism.py verify.
+# ---------------------------------------------------------------------------
+def x04_skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import two_phase_agg
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    out = two_phase_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty": (F.sum(F.col("l_quantity").cast("decimal(18,10)")), "sum"),
+            "n_items": (F.count(F.lit(1)), "sum"),
+            "max_price": (F.max("l_extendedprice"), "max"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("sum_qty").cast("double"), 4).alias("sum_qty"),
+        "n_items",
+        F.round("max_price", 4).alias("max_price"),
+    )
+
+
+ORACLE_X04 = """
+SELECT l_returnflag,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,10))) AS DOUBLE), 4) AS sum_qty,
+       COUNT(*) AS n_items,
+       ROUND(MAX(l_extendedprice), 4) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # t15 — the pipeline composition: synthesize dups (every 50th doc, ids
 # +10000, as in t01/t05) → sha2 exact dedup keeping the lowest doc_id →
 # quality-score (t09 formula) and token-count (t10) the survivors → drop
@@ -252,7 +341,9 @@ QUERIES = {
     "q20_small_quantity_revenue": q20_small_quantity_revenue,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_dormant_customers": q22_dormant_customers,
+    "q23_datetime_functions": q23_datetime_functions,
     "x03_hash_sample": x03_hash_sample,
+    "x04_skew_two_phase_agg": x04_skew_two_phase_agg,
     "t15_pipeline_quality_dedup_stats": t15_pipeline_quality_dedup_stats,
 }
 
@@ -260,6 +351,8 @@ ORACLES = {
     "q20_small_quantity_revenue": SQL_Q20,
     "q21_waiting_suppliers": SQL_Q21,
     "q22_dormant_customers": SQL_Q22,
+    "q23_datetime_functions": ORACLE_Q23,
     "x03_hash_sample": ORACLE_X03,
+    "x04_skew_two_phase_agg": ORACLE_X04,
     "t15_pipeline_quality_dedup_stats": _oracle_t15(),
 }

@@ -31,6 +31,7 @@ REPRESENTATIVES = [
     "v07_ann_kmeans_topk",
     "v08_neardup_srp_lsh",
     "x03_hash_sample",
+    "x04_skew_two_phase_agg",  # salt assignment varies; algebraic merge must not
 ]
 
 
