@@ -70,6 +70,9 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "q22_dormant_customers",
     "x03_hash_sample",
+    "x04_skew_two_phase_agg",
+    "q23_datetime_functions",
+    "v09_ann_sq8_topk",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching
