@@ -90,3 +90,49 @@ def test_spark_builders_match_python_reference(spark):
         assert list(r["hs"]) == py_shingle_hashes(text)
         assert list(r["mh"]) == py_minhash(py_shingle_hashes(text))
         assert r["sh"] == py_simhash(py_shingle_hashes(text))
+
+
+def test_t06_banded_plan_equals_allpairs_ground_truth(spark):
+    """The pigeonhole claim: with HAMMING_MAX < SIMHASH_BANDS the banded
+    LSH candidate set provably contains every qualifying pair, so the
+    banded plan's output must equal a brute-force all-pairs hamming scan.
+    """
+    from pyspark.sql import functions as F
+
+    from squonk2_fastapi_ws_event_stream_spark.operators import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.t06_dedup_simhash_banded(spark, sf).collect()
+    }
+
+    # Brute force: same synthesized corpus, same fingerprints, all pairs.
+    from squonk2_fastapi_ws_event_stream_spark.tables import table
+
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 70 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    unioned = docs.unionByName(exact).unionByName(near)
+    sims = D._with_shingles(unioned, spark).select(
+        "doc_id", D.H.simhash(F.col("shingles"), D.T06_SIMHASH_BITS).alias("sim")
+    )
+    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
+    b = sims.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in (
+            a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+            )
+            .filter(F.col("hamming") <= D.HAMMING_MAX)
+        ).collect()
+    }
+    assert banded == brute and len(brute) > 0
