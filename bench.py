@@ -72,6 +72,8 @@ HEADLINE = [
     "x03_hash_sample",
     "x04_skew_two_phase_agg",
     "q23_datetime_functions",
+    "q24_conditional_functions",
+    "t16_array_ops",
     "v09_ann_sq8_topk",
 ]
 

@@ -337,11 +337,75 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# t16 — array/collection function battery over whitespace tokens: the
+# list-manipulation surface (size/distinct/contains/min/max/slice/reverse)
+# with scalar outputs only (array cells don't canonicalize for hashing).
+# Map-side, one codegen span.
+# ---------------------------------------------------------------------------
+def t16_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = F.split(F.lower(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct"),
+        F.array_contains(tok, "the").alias("has_the"),
+        F.array_min(tok).alias("min_token"),
+        F.array_max(tok).alias("max_token"),
+        F.concat_ws("-", F.slice(tok, 1, 3)).alias("first3"),
+        F.element_at(F.reverse(tok), 1).alias("last_token"),
+        F.array_position(tok, "the").cast("long").alias("first_the_pos"),
+    )
+
+
+ORACLE_T16 = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tok FROM documents)
+SELECT doc_id,
+       CAST(len(tok) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(tok)) AS INTEGER) AS n_distinct,
+       list_contains(tok, 'the') AS has_the,
+       list_min(tok) AS min_token,
+       list_max(tok) AS max_token,
+       array_to_string(tok[1:3], '-') AS first3,
+       tok[-1] AS last_token,
+       CAST(COALESCE(list_position(tok, 'the'), 0) AS BIGINT) AS first_the_pos
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# q24 — conditional / null-handling battery: CASE, COALESCE, NULLIF,
+# GREATEST/LEAST, IF over customer balances (NULLs synthesized with NULLIF
+# since the test tables are complete). Verbatim ANSI SQL on both engines.
+# ---------------------------------------------------------------------------
+SQL_Q24 = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal > 5000 THEN 'high'
+            WHEN c_acctbal > 0 THEN 'mid'
+            ELSE 'low' END AS bal_bucket,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+       ROUND(GREATEST(c_acctbal, 0.0), 4) AS bal_floor0,
+       ROUND(LEAST(c_acctbal, 1000.0), 4) AS bal_cap1000,
+       (NULLIF(c_acctbal, c_acctbal) IS NULL) AS nullif_self_is_null,
+       CASE WHEN c_nationkey % 2 = 0 THEN c_nationkey ELSE -c_nationkey END
+         AS signed_nation
+FROM customer
+"""
+
+
+def q24_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_Q24)
+
+
 QUERIES = {
     "q20_small_quantity_revenue": q20_small_quantity_revenue,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_dormant_customers": q22_dormant_customers,
     "q23_datetime_functions": q23_datetime_functions,
+    "q24_conditional_functions": q24_conditional_functions,
+    "t16_array_ops": t16_array_ops,
     "x03_hash_sample": x03_hash_sample,
     "x04_skew_two_phase_agg": x04_skew_two_phase_agg,
     "t15_pipeline_quality_dedup_stats": t15_pipeline_quality_dedup_stats,
@@ -352,6 +416,8 @@ ORACLES = {
     "q21_waiting_suppliers": SQL_Q21,
     "q22_dormant_customers": SQL_Q22,
     "q23_datetime_functions": ORACLE_Q23,
+    "q24_conditional_functions": SQL_Q24,
+    "t16_array_ops": ORACLE_T16,
     "x03_hash_sample": ORACLE_X03,
     "x04_skew_two_phase_agg": ORACLE_X04,
     "t15_pipeline_quality_dedup_stats": _oracle_t15(),
