@@ -9,6 +9,14 @@ stream key, with timeout-based eviction bounding state size at scale.
 
 Emits one row per (stream, micro-batch): cumulative message count and
 byte total — the A1 stats as a *stream* instead of a log line.
+
+API choice: Spark 4's `transformWithStateInPandas` (typed state, TTL,
+timers) is the successor API, but in this environment its driver-side
+Python worker crashes during state-schema validation even on the minimal
+canonical example (RocksDB provider set; `TransformWithStateInPySparkExec.
+validateAndMaybeEvolveStateSchema` → "driver worker exited unexpectedly"),
+so the operator stays on `applyInPandasWithState`, which is fully
+functional and restart-tested here.
 """
 
 from __future__ import annotations
