@@ -75,6 +75,7 @@ HEADLINE = [
     "q24_conditional_functions",
     "t16_array_ops",
     "v09_ann_sq8_topk",
+    "x05_hll_sketch_merge",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -399,6 +399,45 @@ def q24_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_Q24)
 
 
+# ---------------------------------------------------------------------------
+# x05 — MERGEABLE HLL sketches (DataSketches): per-day sketches built in
+# one pass, unioned to a global estimate — the pre-aggregation workflow
+# that makes 100-TB distinct counts cheap (store k-byte sketches per
+# partition/day in ETL; merging is associative, re-scanning never needed).
+# The sketch binary is engine-specific, so (the x01 recipe) the hashed
+# output is the exact count + a tolerance verdict the oracle mirrors.
+# ---------------------------------------------------------------------------
+HLL_LG_K = 12  # 4096 buckets → ~1.6% relative standard error
+
+
+def x05_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("ts", "user_id")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return merged.crossJoin(exact).select(
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+            <= F.lit(3 * 0.016)  # 3σ of lgK=12's ~1.6% RSE
+        ).alias("within_tol"),
+    )
+
+
+ORACLE_X05 = """
+SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_tol
+FROM events
+"""
+
+
 QUERIES = {
     "q20_small_quantity_revenue": q20_small_quantity_revenue,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -408,6 +447,7 @@ QUERIES = {
     "t16_array_ops": t16_array_ops,
     "x03_hash_sample": x03_hash_sample,
     "x04_skew_two_phase_agg": x04_skew_two_phase_agg,
+    "x05_hll_sketch_merge": x05_hll_sketch_merge,
     "t15_pipeline_quality_dedup_stats": t15_pipeline_quality_dedup_stats,
 }
 
@@ -420,5 +460,6 @@ ORACLES = {
     "t16_array_ops": ORACLE_T16,
     "x03_hash_sample": ORACLE_X03,
     "x04_skew_two_phase_agg": ORACLE_X04,
+    "x05_hll_sketch_merge": ORACLE_X05,
     "t15_pipeline_quality_dedup_stats": _oracle_t15(),
 }
