@@ -76,6 +76,7 @@ HEADLINE = [
     "t16_array_ops",
     "v09_ann_sq8_topk",
     "x05_hll_sketch_merge",
+    "x06_cms_heavy_hitters",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

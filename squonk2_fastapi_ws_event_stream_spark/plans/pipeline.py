@@ -463,3 +463,100 @@ ORACLES = {
     "x05_hll_sketch_merge": ORACLE_X05,
     "t15_pipeline_quality_dedup_stats": _oracle_t15(),
 }
+
+
+# ---------------------------------------------------------------------------
+# x06 — Count-Min Sketch heavy hitters: the bounded-memory frequency
+# estimator (d x w counters, estimate = min over d rows) built with the
+# repo's closed-form hash family, so the sketch is DETERMINISTIC and the
+# oracle reproduces it exactly — no tolerance verdict needed. The sketch
+# build shuffles at most d*w counter rows (map-side partial agg over key
+# cardinality d*w = 4096), independent of corpus size; CMS guarantees
+# estimate >= true, and the overcount column exposes the collision error.
+# ---------------------------------------------------------------------------
+CMS_D = 4
+CMS_W = 1024
+CMS_P = 1_000_000_007
+CMS_A = [4973, 6203, 7369, 8539]
+CMS_B = [911, 1723, 2617, 3469]
+CMS_TOPN = 10
+
+
+def x06_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id")
+    rows = [
+        ev.select(
+            F.lit(i).alias("row_i"),
+            ((F.col("user_id") * CMS_A[i] + CMS_B[i]) % CMS_P % CMS_W).alias("bucket"),
+        )
+        for i in range(CMS_D)
+    ]
+    hashed = rows[0]
+    for r in rows[1:]:
+        hashed = hashed.unionByName(r)
+    counters = hashed.groupBy("row_i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    # Heavy-hitter query set: top-N true counts (deterministic tie-break).
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    top = truth.orderBy(F.col("true_n").desc(), F.col("user_id").asc()).limit(CMS_TOPN)
+
+    probes = top.select(
+        "user_id",
+        "true_n",
+        *[
+            ((F.col("user_id") * CMS_A[i] + CMS_B[i]) % CMS_P % CMS_W).alias(f"b{i}")
+            for i in range(CMS_D)
+        ],
+    )
+    est = probes
+    for i in range(CMS_D):
+        ci = counters.filter(F.col("row_i") == i).select(
+            F.col("bucket").alias(f"b{i}"), F.col("c").alias(f"c{i}")
+        )
+        est = est.join(F.broadcast(ci), f"b{i}")
+    cms = F.least(*[F.col(f"c{i}") for i in range(CMS_D)])
+    return est.select(
+        "user_id",
+        "true_n",
+        cms.alias("cms_estimate"),
+        (cms - F.col("true_n")).alias("overcount"),
+    )
+
+
+def _oracle_x06() -> str:
+    hash_cols = ", ".join(
+        f"(user_id * {CMS_A[i]} + {CMS_B[i]}) % {CMS_P} % {CMS_W} AS b{i}"
+        for i in range(CMS_D)
+    )
+    counter_ctes = ",\n".join(
+        f"""cnt{i} AS (
+  SELECT (user_id * {CMS_A[i]} + {CMS_B[i]}) % {CMS_P} % {CMS_W} AS b{i},
+         COUNT(*) AS c{i}
+  FROM events GROUP BY 1
+)"""
+        for i in range(CMS_D)
+    )
+    joins = "\n".join(f"JOIN cnt{i} USING (b{i})" for i in range(CMS_D))
+    least = "LEAST(" + ", ".join(f"c{i}" for i in range(CMS_D)) + ")"
+    return f"""
+WITH truth AS (
+  SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY user_id
+),
+top AS (
+  SELECT user_id, true_n FROM truth
+  ORDER BY true_n DESC, user_id ASC LIMIT {CMS_TOPN}
+),
+probes AS (
+  SELECT user_id, true_n, {hash_cols} FROM top
+),
+{counter_ctes}
+SELECT user_id, true_n,
+       {least} AS cms_estimate,
+       {least} - true_n AS overcount
+FROM probes
+{joins}
+"""
+
+
+QUERIES["x06_cms_heavy_hitters"] = x06_cms_heavy_hitters
+ORACLES["x06_cms_heavy_hitters"] = _oracle_x06()
