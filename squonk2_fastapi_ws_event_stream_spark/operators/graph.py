@@ -1,0 +1,159 @@
+"""Graph operators: connected components for duplicate clustering.
+
+Candidate-pair generators (t02 MinHash LSH, t06 banded SimHash, v08 SRP
+LSH) emit PAIRS; a real dedup pipeline must then group pairs into
+duplicate CLUSTERS and elect one canonical document per cluster — "keep
+the lowest doc_id of each component". That pairs→clusters step is a
+connected-components computation, implemented here as iterative
+min-label propagation over DataFrames.
+
+Scale design (100 TB):
+- Each round is one equi-join (edges ⋈ labels on the edge endpoint) plus
+  one groupBy-min — both shuffle on the node key, both map-side
+  combinable. No all-pairs step, no driver-side adjacency.
+- Rounds needed = graph diameter. Near-dup similarity graphs are dense
+  little cliques (diameter 1-3), so propagation converges in a handful
+  of rounds. For adversarial long-chain graphs the published fix is the
+  alternating large-star/small-star algorithm (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14), which
+  converges in O(log² n) rounds with the same per-round join shape; the
+  propagation loop below is the same plan with a simpler round body.
+- `localCheckpoint(eager=True)` after every round truncates lineage so
+  the plan does not grow with iteration count (the classic iterative-
+  DataFrame pitfall: round k re-derives rounds 1..k-1).
+- Convergence is detected with a `limit(1).count()` on changed labels —
+  an O(1)-result action, not a collect of the label table.
+
+Reference parity: the reference relay (app/app.py) has no graph surface;
+this operator belongs to the driver's LLM-training-pipeline extension
+mandate alongside t01-t06.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .dedup import t06_dedup_simhash_banded, _oracle_t06
+
+MAX_CC_ROUNDS = 25  # safety bound; diameter of dedup graphs is far smaller
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """(src, dst) undirected edge list -> (node, cluster_id) labels.
+
+    cluster_id is the minimum node id in each component. Only nodes that
+    appear in ``edges`` are labeled (isolated nodes have no duplicates
+    and need no cluster).
+    """
+    und = (
+        edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+        .unionByName(edges.select(F.col("dst").alias("s"), F.col("src").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(MAX_CC_ROUNDS):
+        # Each node adopts min(own label, neighbours' labels).
+        via_edges = (
+            und.join(labels, und["d"] == labels["node"])
+            .select(F.col("s").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(via_edges)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# t07 — duplicate clusters from near-dup pairs: t06's banded SimHash pairs
+# plus deterministic chain edges (doc_id -> doc_id+1 where doc_id % 10 < 3,
+# giving length-4 paths 0-1-2-3, 10-11-12-13, ... so convergence genuinely
+# needs multi-hop propagation, not just the 1-hop cliques t06 emits).
+# Output: every clustered doc with its canonical id (component minimum) and
+# the component size. The oracle computes the same closure with a DuckDB
+# recursive CTE — the all-pairs/recursive form is only ever run at oracle
+# scale.
+# ---------------------------------------------------------------------------
+def _chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    return (
+        docs.filter(F.col("doc_id") % 10 < 3)
+        .join(F.broadcast(mx), F.col("doc_id") + 1 <= F.col("m"))
+        .select(
+            F.col("doc_id").cast("long").alias("src"),
+            (F.col("doc_id") + 1).cast("long").alias("dst"),
+        )
+    )
+
+
+def t07_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair_edges = t06_dedup_simhash_banded(spark, sf_dir).select(
+        F.col("doc_a").cast("long").alias("src"), F.col("doc_b").cast("long").alias("dst")
+    )
+    edges = pair_edges.unionByName(_chain_edges(spark, sf_dir))
+    labels = connected_components(edges)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+def _oracle_t07() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT CAST(doc_a AS BIGINT) AS src, CAST(doc_b AS BIGINT) AS dst
+  FROM ({_oracle_t06()})
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 1 AS BIGINT)
+  FROM documents
+  WHERE doc_id % 10 < 3 AND doc_id + 1 <= (SELECT MAX(doc_id) FROM documents)
+),
+edges AS (
+  SELECT src AS s, dst AS d FROM pairs
+  UNION
+  SELECT dst AS s, src AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+),
+labels AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+SELECT l.node AS doc_id, l.cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS cluster_size
+FROM labels l
+"""
+
+
+QUERIES = {
+    "t07_dedup_cluster_cc": t07_dedup_cluster_cc,
+}
+
+ORACLES = {
+    "t07_dedup_cluster_cc": _oracle_t07(),
+}

@@ -10,10 +10,22 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, events, multimodal, similarity, textstats
-from .plans import extended, pipeline, tpch
+from .operators import dedup, events, graph, multimodal, quality, similarity, textstats
+from .plans import extended, pipeline, relational2, tpch
 
-_MODULES = (tpch, extended, pipeline, events, dedup, textstats, similarity, multimodal)
+_MODULES = (
+    tpch,
+    extended,
+    pipeline,
+    relational2,
+    events,
+    dedup,
+    graph,
+    quality,
+    textstats,
+    similarity,
+    multimodal,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
