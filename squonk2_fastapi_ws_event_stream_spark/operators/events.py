@@ -425,6 +425,47 @@ GROUP BY p.event_id, p.user_id, p.ts
 """
 
 
+def e12_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (overlapping-window rates —
+    SURVEY §2.9 extension; streaming twin is window(ts, '10 minutes',
+    '5 minutes') with a watermark). Each event lands in exactly 2 windows;
+    Spark's window() explodes map-side, so the only shuffle is the final
+    (window_start, event_type) aggregate with map-side partial combine —
+    same budget as the tumbling form. The oracle derives both epoch-aligned
+    window starts arithmetically (floor(epoch/300)*300 and its predecessor).
+    """
+    ev = table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(win.start.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_E12 = """
+WITH starts AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+         unnest([CAST(FLOOR(epoch(ts) / 300) AS BIGINT) * 300,
+                 CAST(FLOOR(epoch(ts) / 300) AS BIGINT) * 300 - 300]) AS ws
+  FROM events
+)
+SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(v) AS DOUBLE), 4) AS sum_value
+FROM starts GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "e01_replay_from_ordinal": e01_replay_from_ordinal,
     "e02_replay_from_timestamp": e02_replay_from_timestamp,
@@ -437,6 +478,7 @@ QUERIES = {
     "e09_tumbling_window": e09_tumbling_window,
     "e10_sessionize": e10_sessionize,
     "e11_asof_join": e11_asof_join,
+    "e12_sliding_window": e12_sliding_window,
 }
 
 ORACLES = {
@@ -451,4 +493,5 @@ ORACLES = {
     "e09_tumbling_window": ORACLE_E09,
     "e10_sessionize": ORACLE_E10,
     "e11_asof_join": ORACLE_E11,
+    "e12_sliding_window": ORACLE_E12,
 }

@@ -680,6 +680,55 @@ FROM embeddings, unnest(range(1, len(embedding) + 1)) AS d(i)
 """
 
 
+# ---------------------------------------------------------------------------
+# v10 — ANN quality evaluation in-engine: recall@k of the IVF path (v03)
+# against the brute-force ground truth (v02), per query. This is the metric
+# that justifies shipping an ANN index at 100 TB: the IVF plan touches
+# ~N_PROBE/N_CELLS of the corpus, and this query prices that speedup in
+# recall. Both inputs are deterministic DataFrame plans, so the whole
+# evaluation is hash-checkable; the join is tiny (|queries| x k rows).
+# Scale: both sides are already reduced to |queries| x k rows before the
+# hit-join — the evaluation never touches the corpus again.
+# ---------------------------------------------------------------------------
+def v10_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = v02_ann_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = v03_ann_ivf_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        approx.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_query = (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_returned"))
+        .join(hits, "query_id", "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+    )
+    return per_query.select(
+        "query_id",
+        F.col("n_returned").cast("long").alias("n_returned"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(F.col("n_hits") / F.lit(TOP_K) * 1.0, 6).alias("recall_at_k"),
+    )
+
+
+ORACLE_V10 = f"""
+WITH exact AS (SELECT query_id, vec_id FROM ({ORACLE_V02})),
+approx AS (SELECT query_id, vec_id FROM ({ORACLE_V03})),
+hits AS (
+  SELECT a.query_id, COUNT(*) AS n_hits
+  FROM approx a JOIN exact e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY a.query_id
+)
+SELECT p.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_returned,
+       CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS BIGINT) AS n_hits,
+       ROUND(1.0 * COALESCE(ANY_VALUE(h.n_hits), 0) / {TOP_K}, 6) AS recall_at_k
+FROM approx p LEFT JOIN hits h ON p.query_id = h.query_id
+GROUP BY p.query_id
+"""
+
+
 QUERIES = {
     "v01_neardup_cosine": v01_neardup_cosine,
     "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
@@ -689,6 +738,7 @@ QUERIES = {
     "v07_ann_kmeans_topk": v07_ann_kmeans_topk,
     "v08_neardup_srp_lsh": v08_neardup_srp_lsh,
     "v09_ann_sq8_topk": v09_ann_sq8_topk,
+    "v10_ann_recall_at_k": v10_ann_recall_at_k,
 }
 
 ORACLES = {
@@ -700,4 +750,5 @@ ORACLES = {
     "v07_ann_kmeans_topk": _oracle_v07(),
     "v08_neardup_srp_lsh": _oracle_v08(),
     "v09_ann_sq8_topk": ORACLE_V09,
+    "v10_ann_recall_at_k": ORACLE_V10,
 }

@@ -18,6 +18,8 @@ perturb doubles.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -83,10 +85,132 @@ WINDOW w_total AS (PARTITION BY o_custkey ORDER BY day_num, o_orderkey)
 """
 
 
+# ---------------------------------------------------------------------------
+# x07 — bloom-filter join pruning (runtime-filter pattern): build a bloom
+# filter over the qualifying build side (orders of AUTOMOBILE customers),
+# broadcast it, and pre-filter the probe side (lineitem) MAP-SIDE before any
+# shuffle. At 100 TB this is the difference between shuffling the full fact
+# table on the join key and shuffling only the ~selectivity fraction that can
+# possibly match — the same trick Spark's own runtime row-group filtering
+# plays, made explicit and engine-checkable.
+#
+# The bloom uses the repo's closed-form hash family ((a*key + b) mod P mod M,
+# functions/hashing.py rationale) so Spark and DuckDB build bit-identical
+# filters and agree on every false positive — the summary row hash-matches
+# exactly. The filter itself is a REAL packed bitmap: 2^18 bits folded into
+# 4096 64-bit words with a bit_or aggregate, shipped to every probe task as
+# one broadcast map row (32 KB regardless of build-side cardinality), and
+# probed with O(1) lookups — the shape that survives a 100-TB probe side.
+# Invariant carried in the output: false_negatives MUST be 0 (a bloom never
+# drops a true match); false_positives is the honest cost of the M sizing
+# (2^18 bits / 3 hashes holds fp under ~3% up to ~30k build keys).
+# ---------------------------------------------------------------------------
+BLOOM_M = 1 << 18
+BLOOM_AB = ((4973, 911), (7369, 2617), (9973, 4397))  # hashing.py prime family
+_P = 1_000_000_007
+
+
+def _bloom_pos_spark(key: "F.Column", a: int, b: int) -> "F.Column":
+    return ((key * a + b) % _P) % BLOOM_M
+
+
+def _bloom_pos_sql(key: str, a: int, b: int) -> str:
+    return f"((({key}) * {a} + {b}) % {_P}) % {BLOOM_M}"
+
+
+def x07_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+    )
+    okeys = (
+        table(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey")
+    )
+    # Build: positions → (word, bit) → bit_or per word → ONE map row.
+    words = okeys.select(
+        F.explode(
+            F.array(*[_bloom_pos_spark(F.col("o_orderkey"), a, b) for a, b in BLOOM_AB])
+        ).alias("p")
+    ).select(
+        (F.col("p") / 64).cast("long").alias("w"),
+        # shiftleft's amount arg must be a literal in the Python API → expr
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
+    )
+    bitmap = (
+        words.groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+        .agg(F.map_from_arrays(F.collect_list("w"), F.collect_list("bits")).alias("bloom"))
+    )
+
+    def _probe_bit(a: int, b: int) -> "F.Column":
+        p = f"((l_orderkey * {a} + {b}) % {_P}) % {BLOOM_M}"
+        return F.expr(
+            f"coalesce(element_at(bloom, CAST(({p}) / 64 AS BIGINT)), CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT)) != 0"
+        )
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    probe = li.crossJoin(F.broadcast(bitmap)).withColumn(
+        "bloom_pass",
+        reduce(lambda x, y: x & y, [_probe_bit(a, b) for a, b in BLOOM_AB]),
+    )
+    truth = okeys.distinct().withColumn("is_match", F.lit(True))
+    tagged = (
+        probe.join(F.broadcast(truth), probe["l_orderkey"] == truth["o_orderkey"], "left")
+        .withColumn("is_match", F.coalesce("is_match", F.lit(False)))
+    )
+    return tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_rows"),
+        F.sum(F.col("bloom_pass").cast("long")).cast("long").alias("n_bloom_pass"),
+        F.sum(F.col("is_match").cast("long")).cast("long").alias("n_true_match"),
+        F.sum((F.col("bloom_pass") & ~F.col("is_match")).cast("long"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum((~F.col("bloom_pass") & F.col("is_match")).cast("long"))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+
+
+ORACLE_X07 = f"""
+WITH okeys AS (
+  SELECT o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'AUTOMOBILE'
+),
+bits AS (
+  SELECT DISTINCT p FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('o_orderkey', a, b)} AS p FROM okeys" for a, b in BLOOM_AB)}
+  )
+),
+truth AS (SELECT DISTINCT o_orderkey FROM okeys),
+probe AS (
+  SELECT l.l_orderkey,
+         ({" AND ".join(f"EXISTS (SELECT 1 FROM bits WHERE p = {_bloom_pos_sql('l.l_orderkey', a, b)})" for a, b in BLOOM_AB)})
+           AS bloom_pass,
+         (t.o_orderkey IS NOT NULL) AS is_match
+  FROM lineitem l LEFT JOIN truth t ON l.l_orderkey = t.o_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_rows,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       CAST(SUM(CASE WHEN NOT bloom_pass AND is_match THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_neg
+FROM probe
+"""
+
+
 QUERIES = {
     "q25_window_frames": q25_window_frames,
+    "x07_bloom_join_pruning": x07_bloom_join_pruning,
 }
 
 ORACLES = {
     "q25_window_frames": ORACLE_Q25,
+    "x07_bloom_join_pruning": ORACLE_X07,
 }

@@ -139,3 +139,38 @@ def test_q13_pivot_has_no_extra_scan(spark):
     # fixed pivot values → a single scan of events, no distinct-values pass
     plan = explain(QUERIES["q13_pivot_daily_events"](spark, SF), mode="simple")
     assert plan.count("FileScan parquet") == 1
+
+
+def test_q25_every_window_is_partitioned(spark):
+    # The q02/e08 rule, applied to the frame battery: no window may funnel
+    # the table through one task.
+    plan = explain(QUERIES["q25_window_frames"](spark, SF))
+    assert "SinglePartition" not in plan
+
+
+def test_x07_bloom_probe_is_broadcast_only(spark):
+    # The probe side (lineitem) must never shuffle: the bitmap and the truth
+    # table arrive by broadcast, the filter evaluates map-side.
+    plan = explain(QUERIES["x07_bloom_join_pruning"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning(l_orderkey" not in plan
+
+
+def test_t19_line_frequency_joins_broadcast(spark):
+    # The frequent-line table is tiny by definition (heavy hitters) → the
+    # join-back must be a broadcast hash join, not a shuffle of all lines.
+    plan = explain(QUERIES["t19_boilerplate_removal"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_e12_sliding_window_single_shuffle(spark):
+    # window() explodes map-side; the only exchange is the final
+    # (window, event_type) aggregate.
+    plan = explain(QUERIES["e12_sliding_window"](spark, SF), mode="simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_v10_recall_join_has_no_cartesian(spark):
+    plan = explain(QUERIES["v10_ann_recall_at_k"](spark, SF))
+    assert "CartesianProduct" not in plan
