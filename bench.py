@@ -77,6 +77,14 @@ HEADLINE = [
     "v09_ann_sq8_topk",
     "x05_hll_sketch_merge",
     "x06_cms_heavy_hitters",
+    "t07_dedup_cluster_cc",
+    "t17_repetition_stats",
+    "t18_pii_redaction",
+    "t19_boilerplate_removal",
+    "q25_window_frames",
+    "x07_bloom_join_pruning",
+    "e12_sliding_window",
+    "v10_ann_recall_at_k",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching
@@ -204,29 +212,37 @@ def bench_streaming_relay(spark) -> dict:
                     )
         spark.dataSource.register(EventStreamDataSource)
         total_msgs = n_streams * per_stream
-        t0 = time.perf_counter()
-        counts = []
-        queries = []
-        for s in range(n_streams):
-            env = (
-                spark.readStream.format("eventstream")
-                .option("path", root)
-                .option("stream", f"s{s}")
-                .option("startingOrdinal", 0)
-                .load()
-            )
-            q = (
-                relay_transform(env)
-                .writeStream.foreachBatch(lambda df, _id: counts.append(df.count()))
-                .option("checkpointLocation", f"{root}/ckpt-{s}")
-                .trigger(availableNow=True)
-                .start()
-            )
-            queries.append(q)
-        for q in queries:
-            q.awaitTermination(300)
-        elapsed = time.perf_counter() - t0
-        assert sum(counts) == total_msgs, (sum(counts), total_msgs)
+
+        def one_pass(tag: str) -> float:
+            t0 = time.perf_counter()
+            counts = []
+            queries = []
+            for s in range(n_streams):
+                env = (
+                    spark.readStream.format("eventstream")
+                    .option("path", root)
+                    .option("stream", f"s{s}")
+                    .option("startingOrdinal", 0)
+                    .load()
+                )
+                q = (
+                    relay_transform(env)
+                    .writeStream.foreachBatch(lambda df, _id: counts.append(df.count()))
+                    .option("checkpointLocation", f"{root}/ckpt-{tag}-{s}")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                queries.append(q)
+            for q in queries:
+                q.awaitTermination(300)
+            elapsed = time.perf_counter() - t0
+            assert sum(counts) == total_msgs, (sum(counts), total_msgs)
+            return elapsed
+
+        # Best of two passes — the min-of-warm discipline applied to the
+        # relay, damping shared-host interference (pass 1 also warms the
+        # streaming machinery the way long-lived relays run warm).
+        elapsed = min(one_pass("a"), one_pass("b"))
         return {
             "relay_messages": total_msgs,
             "relay_sec": round(elapsed, 3),

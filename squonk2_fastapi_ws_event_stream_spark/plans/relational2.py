@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..tables import table
+from ..tables import register_views, table
 
 EPOCH = "1992-01-01"
 
@@ -139,16 +139,24 @@ def x07_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shiftleft's amount arg must be a literal in the Python API → expr
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
     )
+    # Dense word array, not a map: Spark's element_at on a map is a linear
+    # scan per lookup; on an array it is O(1). One row of 4096 longs.
     bitmap = (
         words.groupBy("w")
         .agg(F.expr("bit_or(m)").alias("bits"))
-        .agg(F.map_from_arrays(F.collect_list("w"), F.collect_list("bits")).alias("bloom"))
+        .agg(F.map_from_arrays(F.collect_list("w"), F.collect_list("bits")).alias("bm"))
+        .select(
+            F.expr(
+                f"transform(sequence(0, {BLOOM_M // 64 - 1}),"
+                " w -> coalesce(element_at(bm, CAST(w AS BIGINT)), CAST(0 AS BIGINT)))"
+            ).alias("bloom")
+        )
     )
 
     def _probe_bit(a: int, b: int) -> "F.Column":
         p = f"((l_orderkey * {a} + {b}) % {_P}) % {BLOOM_M}"
         return F.expr(
-            f"coalesce(element_at(bloom, CAST(({p}) / 64 AS BIGINT)), CAST(0 AS BIGINT))"
+            f"bloom[CAST(({p}) / 64 AS INT)]"
             f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT)) != 0"
         )
 
@@ -205,12 +213,46 @@ FROM probe
 """
 
 
+# ---------------------------------------------------------------------------
+# q26 — LATERAL correlated subquery (top-2 orders per BUILDING customer):
+# the ANSI lateral-join surface, written once and run VERBATIM by both
+# engines (the q20/q24 discipline). Catalyst decorrelates the per-customer
+# ORDER BY ... LIMIT into a partitioned window + filter — no per-row
+# re-execution of the inner query; DuckDB executes the same text natively.
+# Scale: after decorrelation the plan is one shuffle on o_custkey with a
+# per-key top-k — exactly the q02 TakeOrdered shape, per group.
+# ---------------------------------------------------------------------------
+SQL_Q26 = """
+SELECT c.c_custkey, o.o_orderkey, o.price, o.rk
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) o
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+def q26_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    df = spark.sql(SQL_Q26)
+    # Spark types ROW_NUMBER as int, DuckDB as bigint — pin the contract.
+    return df.withColumn("rk", F.col("rk").cast("long"))
+
+
+ORACLE_Q26 = SQL_Q26.replace("o.rk", "CAST(o.rk AS BIGINT) AS rk")
+
+
 QUERIES = {
     "q25_window_frames": q25_window_frames,
     "x07_bloom_join_pruning": x07_bloom_join_pruning,
+    "q26_lateral_topn": q26_lateral_topn,
 }
 
 ORACLES = {
     "q25_window_frames": ORACLE_Q25,
     "x07_bloom_join_pruning": ORACLE_X07,
+    "q26_lateral_topn": ORACLE_Q26,
 }

@@ -52,6 +52,35 @@ def windowed_counts(
     )
 
 
+def sliding_counts(
+    envelope: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding (overlapping) window counts per stream key — the streaming
+    twin of the e12 batch query (operators/events.py). Each message lands
+    in window/slide windows; the explode happens map-side and the
+    watermark evicts window state once event time passes window_end +
+    watermark, so state is bounded by (active windows x keys).
+    """
+    return (
+        envelope.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", window, slide).alias("win"), "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.sum(F.octet_length("value").cast("long")).alias("n_bytes"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "key",
+            "n_messages",
+            "n_bytes",
+        )
+    )
+
+
 def session_counts(
     envelope: DataFrame,
     gap: str = "30 minutes",

@@ -14,6 +14,7 @@ from squonk2_fastapi_ws_event_stream_spark.sources.eventstream import (
 )
 from squonk2_fastapi_ws_event_stream_spark.streaming.aggregates import (
     session_counts,
+    sliding_counts,
     windowed_counts,
     with_message_stats,
 )
@@ -70,6 +71,33 @@ def test_windowed_counts_match_batch_twin(spark, log_root, tmp_path):
     }
     assert got == want
     assert sum(n for _, n, _ in got) == 5
+
+
+def test_sliding_counts_match_batch_twin(spark, log_root, tmp_path):
+    stream = (
+        spark.readStream.format("eventstream")
+        .option("path", log_root)
+        .option("stream", "metrics")
+        .option("startingOrdinal", 0)
+        .load()
+    )
+    out, _ = _run(sliding_counts(stream), spark, tmp_path, "slide_counts")
+    got = {
+        (r["window_start"].isoformat(), r["window_end"].isoformat(), r["n_messages"])
+        for r in out.collect()
+    }
+    batch = (
+        spark.read.format("eventstream").option("path", log_root).load()
+        .groupBy(F.window("timestamp", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {
+        (r["w"]["start"].isoformat(), r["w"]["end"].isoformat(), r["n"])
+        for r in batch.collect()
+    }
+    assert got == want
+    # every message appears in exactly window/slide = 2 windows
+    assert sum(n for _, _, n in got) == 2 * 5
 
 
 def test_session_window_splits_on_gap(spark, log_root, tmp_path):
