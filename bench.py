@@ -85,6 +85,11 @@ HEADLINE = [
     "x07_bloom_join_pruning",
     "e12_sliding_window",
     "v10_ann_recall_at_k",
+    "q26_lateral_topn",
+    "q27_unpivot_metrics",
+    "x08_stratified_hash_sample",
+    "e13_windowed_topk",
+    "m04_media_content_dedup",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -466,6 +466,44 @@ FROM starts GROUP BY 1, 2
 """
 
 
+def e13_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per hour by volume — windowed heavy hitters, the
+    composition behind 'trending now' dashboards. The rank window partitions
+    by hour (thousands of hours at scale, no single-partition funnel); ties
+    break on event_type for engine-stable output.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("hour").orderBy(F.col("n_events").desc(), F.col("event_type").asc())
+    return (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("hour", "event_type", "n_events", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+ORACLE_E13 = """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT hour, event_type, n_events, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT hour, event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY hour
+                            ORDER BY n_events DESC, event_type ASC) AS rk
+  FROM hourly
+) WHERE rk <= 3
+"""
+
+
 QUERIES = {
     "e01_replay_from_ordinal": e01_replay_from_ordinal,
     "e02_replay_from_timestamp": e02_replay_from_timestamp,
@@ -479,6 +517,7 @@ QUERIES = {
     "e10_sessionize": e10_sessionize,
     "e11_asof_join": e11_asof_join,
     "e12_sliding_window": e12_sliding_window,
+    "e13_windowed_topk": e13_windowed_topk,
 }
 
 ORACLES = {
@@ -494,4 +533,5 @@ ORACLES = {
     "e10_sessionize": ORACLE_E10,
     "e11_asof_join": ORACLE_E11,
     "e12_sliding_window": ORACLE_E12,
+    "e13_windowed_topk": ORACLE_E13,
 }

@@ -238,13 +238,58 @@ FROM frames
 """
 
 
+# ---------------------------------------------------------------------------
+# m04 — media content-hash dedup: the t01/t05 stage for binary payloads,
+# run BEFORE any decode. sha2 over the payload bytes is pure JVM (no Python
+# stage at all), the shuffle carries (32-byte digest, doc_id) only, and the
+# parquet scan prunes to the payload column — at 100 TB this is the first
+# filter of every media-ingest pipeline (exact byte-duplicates are the
+# dominant duplication mode for scraped media). Duplicate payloads are
+# synthesized (every 40th doc, ids +30000) since the corpus has none.
+# ---------------------------------------------------------------------------
+def m04_media_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 30000).alias("doc_id"), "text"
+    )
+    payloads = attach_payload(docs.unionByName(copies))
+    return (
+        payloads.select("doc_id", F.sha2("payload", 256).alias("content_sha"),
+                        F.col("meta.n_bytes").alias("n_bytes"))
+        .groupBy("content_sha")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_bytes").cast("long").alias("n_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("content_sha", "kept_doc_id", "n_copies", "n_bytes")
+    )
+
+
+ORACLE_M04 = """
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 30000 AS doc_id, text FROM documents WHERE doc_id % 40 = 0
+)
+SELECT sha256(text) AS content_sha,
+       MIN(doc_id) AS kept_doc_id,
+       COUNT(*) AS n_copies,
+       CAST(MIN(length(text)) AS BIGINT) AS n_bytes
+FROM unioned GROUP BY sha256(text) HAVING COUNT(*) > 1
+"""
+
+
 QUERIES = {
     "m01_multimodal_decode": m01_multimodal_decode,
     "m02_multimodal_resize": m02_multimodal_resize,
     "m03_multimodal_frame_sample": m03_multimodal_frame_sample,
+    "m04_media_content_dedup": m04_media_content_dedup,
 }
 ORACLES = {
     "m01_multimodal_decode": ORACLE_M01,
     "m02_multimodal_resize": ORACLE_M02,
     "m03_multimodal_frame_sample": ORACLE_M03,
+    "m04_media_content_dedup": ORACLE_M04,
 }

@@ -245,14 +245,105 @@ def q26_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q26 = SQL_Q26.replace("o.rk", "CAST(o.rk AS BIGINT) AS rk")
 
 
+# ---------------------------------------------------------------------------
+# x08 — stratified deterministic sampling: per-stratum rates (downsample the
+# dominant class, keep the rare one) via the closed-form hash bucket of x03.
+# The classic rebalancing stage of a training-data pipeline — and because
+# the bucket is a pure function of the row key, the sample is identical on
+# any engine, partitioning, or cluster size (no rand(), no seed plumbing).
+# Map-side filter; the only shuffle is the final per-stratum count.
+# ---------------------------------------------------------------------------
+_X08_MIX = 2_654_435_761  # Knuth multiplicative mix (public constant)
+X08_RATES = {"AUTOMOBILE": 80, "BUILDING": 40, "MACHINERY": 20, "FURNITURE": 10, "HOUSEHOLD": 5}
+
+
+def x08_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    bucket = (F.col("c_custkey") * _X08_MIX % 1_000_003) % 100
+    rate = None
+    for seg, pct in X08_RATES.items():
+        cond = F.when(F.col("c_mktsegment") == seg, F.lit(pct))
+        rate = cond if rate is None else rate.when(F.col("c_mktsegment") == seg, F.lit(pct))
+    sampled = cust.withColumn("rate_pct", rate.otherwise(F.lit(0))).filter(
+        bucket < F.col("rate_pct")
+    )
+    return (
+        sampled.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+            .alias("sampled_balance"),
+        )
+    )
+
+
+def _oracle_x08() -> str:
+    rate_case = " ".join(f"WHEN '{seg}' THEN {pct}" for seg, pct in X08_RATES.items())
+    return f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_sampled,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sampled_balance
+FROM customer
+WHERE (c_custkey * {_X08_MIX} % 1000003) % 100
+      < (CASE c_mktsegment {rate_case} ELSE 0 END)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# q27 — UNPIVOT/melt: wide per-nation metrics back to long (metric, value)
+# rows — the inverse of q13's pivot, used to feed generic metric sinks.
+# Spark side uses the DataFrame unpivot (melt) operator; the oracle states
+# the same relation as a UNION ALL (the portable ANSI form), so the test
+# pins Spark's unpivot semantics against first principles.
+# ---------------------------------------------------------------------------
+def q27_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+            .alias("total_balance"),
+            F.round(F.max("c_acctbal"), 2).alias("max_balance"),
+        )
+    )
+    return wide.unpivot(
+        "c_mktsegment",
+        ["n_customers", "total_balance", "max_balance"],
+        "metric",
+        "value",
+    )
+
+
+ORACLE_Q27 = """
+WITH wide AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_balance,
+         ROUND(MAX(c_acctbal), 2) AS max_balance
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS value FROM wide
+UNION ALL
+SELECT c_mktsegment, 'total_balance' AS metric, total_balance AS value FROM wide
+UNION ALL
+SELECT c_mktsegment, 'max_balance' AS metric, max_balance AS value FROM wide
+"""
+
+
 QUERIES = {
     "q25_window_frames": q25_window_frames,
     "x07_bloom_join_pruning": x07_bloom_join_pruning,
     "q26_lateral_topn": q26_lateral_topn,
+    "x08_stratified_hash_sample": x08_stratified_hash_sample,
+    "q27_unpivot_metrics": q27_unpivot_metrics,
 }
 
 ORACLES = {
     "q25_window_frames": ORACLE_Q25,
     "x07_bloom_join_pruning": ORACLE_X07,
     "q26_lateral_topn": ORACLE_Q26,
+    "x08_stratified_hash_sample": _oracle_x08(),
+    "q27_unpivot_metrics": ORACLE_Q27,
 }

@@ -32,6 +32,11 @@ REPRESENTATIVES = [
     "v08_neardup_srp_lsh",
     "x03_hash_sample",
     "x04_skew_two_phase_agg",  # salt assignment varies; algebraic merge must not
+    "t07_dedup_cluster_cc",  # iterative propagation must converge identically
+    "x07_bloom_join_pruning",  # bit_or word merge order must not leak
+    "t17_repetition_stats",
+    "t19_boilerplate_removal",
+    "q25_window_frames",  # frame evaluation under different sort partitioning
 ]
 
 
@@ -43,11 +48,15 @@ def _canon(df) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", REPRESENTATIVES)
 def test_result_invariant_under_shuffle_parallelism(spark, name):
+    from squonk2_fastapi_ws_event_stream_spark.operators.dedup import unpersist_lsh_cache
+
     base = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+        unpersist_lsh_cache()  # staged LSH tables must rebuild per pass,
         wide = _canon(QUERIES[name](spark, SF))
         spark.conf.set("spark.sql.shuffle.partitions", "3")
+        unpersist_lsh_cache()  # or the cache would mask the recompute
         narrow = _canon(QUERIES[name](spark, SF))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base)
