@@ -90,6 +90,7 @@ HEADLINE = [
     "x08_stratified_hash_sample",
     "e13_windowed_topk",
     "m04_media_content_dedup",
+    "t20_decontamination",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -71,6 +71,24 @@ def shingle_hashes(codes: Column, text_len: Column) -> Column:
     return F.transform(F.sequence(F.lit(1), text_len - F.lit(K - 1)), one)
 
 
+def shingle_hash_at(text: Column, pos: Column) -> Column:
+    """K-gram polynomial hash of ``text[pos .. pos+K-1]`` (1-based ``pos``).
+
+    The explode-per-position twin of :func:`shingle_hashes`: when shingles
+    are needed as ROWS (equi-join probes) rather than an array column,
+    compute the hash from eight direct ``substr`` terms AFTER the position
+    explode. Nesting the array form under a Generate makes Catalyst inline
+    the char-codes transform into every ``element_at``, which then
+    evaluates interpreted and quadratic per document; this form stays
+    whole-stage-codegen and linear in document length.
+    """
+    terms = [
+        F.ascii(text.substr(pos + F.lit(j), F.lit(1))).cast("long") * F.lit(COEF[j])
+        for j in range(K)
+    ]
+    return reduce(lambda a, b: a + b, terms) % F.lit(P)
+
+
 def _perm(a: int, b: int):
     return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P)
 

@@ -239,14 +239,125 @@ GROUP BY l.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# t20 — decontamination: flag training documents that overlap an evaluation
+# set by >= MIN_SHARED distinct 8-gram shingles (the n-gram-overlap rule of
+# GPT-3 App. C / PaLM App. D). The eval set here is doc_id % 97 == 0
+# (deterministic stand-in for a benchmark suite); overlap candidates come
+# from an equi-join on shingle hash — linear in corpus size, never
+# all-pairs — then per-(train, eval) distinct-shingle counting. Synthetic
+# true contamination: every 90th doc re-enters the corpus with an eval
+# doc's text appended (ids +40000), guaranteeing hits.
+# Scale: the eval side is small by definition (benchmarks are thousands of
+# docs, the corpus is billions) — its exploded shingle table broadcasts,
+# so the corpus-side shingle stream never shuffles for the probe; only
+# surviving (train, eval) pairs aggregate.
+# ---------------------------------------------------------------------------
+MIN_SHARED_SHINGLES = 3
+EVAL_STRIDE = 97
+CONTAM_STRIDE = 90
+
+
+def _shingle_rows(docs: DataFrame, spark: SparkSession, id_alias: str) -> DataFrame:
+    """(id, shingle-hash) rows, one per K-gram position (duplicates kept —
+    the consumer counts DISTINCT). Explode positions first, then hash with
+    direct substr terms: the array-form shingle expression must NOT be
+    nested under the explode (see hashing.shingle_hash_at)."""
+    from ..functions import hashing as H
+    from ..tables import fan_out
+
+    d = fan_out(docs.filter(F.length("text") >= H.K), spark)
+    positions = d.select(
+        F.col("doc_id").alias(id_alias),
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(H.K - 1))
+        ).alias("pos"),
+    )
+    return positions.select(
+        id_alias, H.shingle_hash_at(F.col("text"), F.col("pos")).alias("h")
+    )
+
+
+def t20_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    evald = docs.filter(F.col("doc_id") % EVAL_STRIDE == 0)
+    eval0 = evald.filter(F.col("doc_id") == 0).select(F.col("text").alias("e_text"))
+    contaminated = (
+        docs.filter(
+            (F.col("doc_id") % CONTAM_STRIDE == 0) & (F.col("doc_id") % EVAL_STRIDE != 0)
+        )
+        .crossJoin(F.broadcast(eval0))  # append eval doc 0's text to each
+        .select(
+            (F.col("doc_id") + 40000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), F.col("e_text")).alias("text"),
+        )
+    )
+    corpus = docs.filter(F.col("doc_id") % EVAL_STRIDE != 0).unionByName(contaminated)
+    train_sh = _shingle_rows(corpus, spark, "train_id")
+    eval_sh = _shingle_rows(evald, spark, "eval_id")
+    shared = (
+        train_sh.join(F.broadcast(eval_sh), "h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.countDistinct("h").alias("n_shared"))
+        .filter(F.col("n_shared") >= MIN_SHARED_SHINGLES)
+    )
+    return shared.select(
+        "train_id", "eval_id", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
+def _oracle_t20() -> str:
+    from ..functions import hashing as H
+
+    shingles_of = (
+        "SELECT doc_id, list_distinct({expr}) AS shingles "
+        "FROM (SELECT doc_id, text, {codes} AS codes FROM {src} "
+        f"      WHERE length(text) >= {H.K})"
+    )
+
+    def sh(src: str) -> str:
+        return shingles_of.format(
+            expr=H.sql_shingle_hashes("codes", "text"),
+            codes=H.sql_char_codes("text"),
+            src=src,
+        )
+
+    return f"""
+WITH evald AS (SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_STRIDE} = 0),
+contaminated AS (
+  SELECT d.doc_id + 40000 AS doc_id, d.text || ' ' || e.text AS text
+  FROM documents d, evald e
+  WHERE d.doc_id % {CONTAM_STRIDE} = 0 AND d.doc_id % {EVAL_STRIDE} != 0
+    AND e.doc_id = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_STRIDE} != 0
+  UNION ALL SELECT doc_id, text FROM contaminated
+),
+train_sh AS (
+  SELECT doc_id AS train_id, unnest(shingles) AS h FROM ({sh('corpus')})
+),
+eval_sh AS (
+  SELECT doc_id AS eval_id, unnest(shingles) AS h FROM ({sh('evald')})
+)
+SELECT t.train_id, e.eval_id, CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_shared
+FROM train_sh t JOIN eval_sh e ON t.h = e.h
+GROUP BY t.train_id, e.eval_id
+HAVING COUNT(DISTINCT t.h) >= {MIN_SHARED_SHINGLES}
+"""
+
+
 QUERIES = {
     "t17_repetition_stats": t17_repetition_stats,
     "t18_pii_redaction": t18_pii_redaction,
     "t19_boilerplate_removal": t19_boilerplate_removal,
+    "t20_decontamination": t20_decontamination,
 }
 
 ORACLES = {
     "t17_repetition_stats": ORACLE_T17,
     "t18_pii_redaction": ORACLE_T18,
     "t19_boilerplate_removal": ORACLE_T19,
+    "t20_decontamination": _oracle_t20(),
 }

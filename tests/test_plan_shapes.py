@@ -174,3 +174,15 @@ def test_e12_sliding_window_single_shuffle(spark):
 def test_v10_recall_join_has_no_cartesian(spark):
     plan = explain(QUERIES["v10_ann_recall_at_k"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_t20_eval_side_broadcasts_and_hash_is_linear(spark):
+    plan = explain(QUERIES["t20_decontamination"](spark, SF))
+    # The benchmark side is small by definition → it broadcasts; the corpus
+    # shingle stream is probed map-side, never shuffled for the join.
+    assert "BroadcastHashJoin" in plan
+    # Regression guard: the shingle hash must be the direct-substr
+    # per-position form. The array form (element_at over a char-codes
+    # transform) nested under the explode evaluates interpreted and
+    # quadratic per document (see hashing.shingle_hash_at).
+    assert "element_at" not in plan
