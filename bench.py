@@ -91,6 +91,9 @@ HEADLINE = [
     "e13_windowed_topk",
     "m04_media_content_dedup",
     "t20_decontamination",
+    "t21_decontamination_removal",
+    "t22_unigram_logprob",
+    "t23_paragraph_dedup",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -279,7 +279,10 @@ def _shingle_rows(docs: DataFrame, spark: SparkSession, id_alias: str) -> DataFr
     )
 
 
-def t20_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _t20_corpus_and_flags(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(synthetic corpus, flagged (train_id, eval_id, n_shared) pairs)."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     evald = docs.filter(F.col("doc_id") % EVAL_STRIDE == 0)
     eval0 = evald.filter(F.col("doc_id") == 0).select(F.col("text").alias("e_text"))
@@ -296,18 +299,55 @@ def t20_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % EVAL_STRIDE != 0).unionByName(contaminated)
     train_sh = _shingle_rows(corpus, spark, "train_id")
     eval_sh = _shingle_rows(evald, spark, "eval_id")
+    # Distinct shingle count per eval doc: the contamination verdict is
+    # FRACTIONAL (PaLM App. D flags a doc when a large fraction of the
+    # eval item's n-grams appear in it) — an absolute overlap count can't
+    # separate true containment from background similarity, and the
+    # integer form 2*n_shared >= n_eval needs no float threshold.
+    evsz = eval_sh.groupBy("eval_id").agg(F.countDistinct("h").alias("n_eval"))
     shared = (
         train_sh.join(F.broadcast(eval_sh), "h")
         .groupBy("train_id", "eval_id")
         .agg(F.countDistinct("h").alias("n_shared"))
         .filter(F.col("n_shared") >= MIN_SHARED_SHINGLES)
+        .join(F.broadcast(evsz), "eval_id")
+        .withColumn("contaminated", F.col("n_shared") * 2 >= F.col("n_eval"))
     )
+    return corpus, shared
+
+
+def t20_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, shared = _t20_corpus_and_flags(spark, sf_dir)
     return shared.select(
-        "train_id", "eval_id", F.col("n_shared").cast("long").alias("n_shared")
+        "train_id",
+        "eval_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_eval").cast("long").alias("n_eval"),
+        "contaminated",
     )
 
 
-def _oracle_t20() -> str:
+# ---------------------------------------------------------------------------
+# t21 — decontamination REMOVAL: the enforcement half of t20. Anti-join the
+# corpus against train docs whose overlap meets the containment verdict,
+# keeping only clean documents.
+# Scale: the flagged set is a tiny fraction of the corpus (contamination is
+# rare by construction and in practice), so it broadcasts and the removal
+# is a map-side broadcast anti-join — the corpus never shuffles.
+# ---------------------------------------------------------------------------
+def t21_decontamination_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, shared = _t20_corpus_and_flags(spark, sf_dir)
+    flagged = (
+        shared.filter("contaminated").select(F.col("train_id").alias("doc_id")).distinct()
+    )
+    return (
+        corpus.join(F.broadcast(flagged), "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+
+def _t20_with_block() -> str:
+    """Shared DuckDB CTE block: synthetic corpus + flagged (train, eval) pairs."""
     from ..functions import hashing as H
 
     shingles_of = (
@@ -340,11 +380,173 @@ train_sh AS (
 ),
 eval_sh AS (
   SELECT doc_id AS eval_id, unnest(shingles) AS h FROM ({sh('evald')})
+),
+evsz AS (
+  SELECT eval_id, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_eval
+  FROM eval_sh GROUP BY eval_id
+),
+flagged AS (
+  SELECT s.train_id, s.eval_id, s.n_shared, z.n_eval,
+         s.n_shared * 2 >= z.n_eval AS contaminated
+  FROM (
+    SELECT t.train_id, e.eval_id, CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_shared
+    FROM train_sh t JOIN eval_sh e ON t.h = e.h
+    GROUP BY t.train_id, e.eval_id
+    HAVING COUNT(DISTINCT t.h) >= {MIN_SHARED_SHINGLES}
+  ) s JOIN evsz z USING (eval_id)
+)"""
+
+
+def _oracle_t20() -> str:
+    return (
+        _t20_with_block()
+        + "\nSELECT train_id, eval_id, n_shared, n_eval, contaminated FROM flagged"
+    )
+
+
+def _oracle_t21() -> str:
+    return (
+        _t20_with_block()
+        + """
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT DISTINCT train_id FROM flagged WHERE contaminated)"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# t22 — unigram log-prob quality score (the CCNet/Wenzek et al. 2019 idea:
+# rank documents by average token log-probability under a corpus unigram
+# model; gibberish and rare-token soup score low). Cross-engine float
+# discipline (see functions/numeric.py) forbids transcendentals, so the
+# log2 is QUANTIZED exactly: floor(log2(n)) == length(bin(n)) - 1, an
+# integer both engines compute from the binary string representation —
+# no libm, no ulp drift. avg_bits is then an exact-integer sum divided by
+# an exact count, rounded once.
+# Scale: token frequencies are heavy-tailed, so the frequency table join
+# is a broadcast for the hot vocabulary; the per-doc aggregate shuffles
+# (doc_id, bits) longs only. Two shuffles total (vocab count + doc agg).
+# ---------------------------------------------------------------------------
+def t22_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # floor(log2(cnt)) via binary-string length: exact, engine-agnostic.
+    freq = freq.withColumn(
+        "bits", (F.length(F.regexp_replace(F.bin("cnt"), "^0+", "")) - 1).cast("long")
+    )
+    scored = (
+        toks.join(F.broadcast(freq.select("w", "bits")), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").alias("sum_bits"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("sum_bits").cast("long").alias("sum_bits"),
+        F.round(F.col("sum_bits") / F.col("n_tokens"), 6).alias("avg_bits"),
+    )
+
+
+ORACLE_T22 = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (
+  SELECT w, COUNT(*) AS cnt, CAST(length(bin(COUNT(*))) - 1 AS BIGINT) AS bits
+  FROM toks GROUP BY w
 )
-SELECT t.train_id, e.eval_id, CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_shared
-FROM train_sh t JOIN eval_sh e ON t.h = e.h
-GROUP BY t.train_id, e.eval_id
-HAVING COUNT(DISTINCT t.h) >= {MIN_SHARED_SHINGLES}
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(f.bits) AS BIGINT) AS sum_bits,
+       ROUND(SUM(f.bits) / COUNT(*), 6) AS avg_bits
+FROM toks t JOIN freq f USING (w)
+GROUP BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# t23 — paragraph-level exact dedup (RefinedWeb/Penedo et al. 2023 run
+# exact dedup at sub-document granularity so boilerplate blocks shared by
+# otherwise-distinct pages are removed). The corpus has no newlines, so a
+# "paragraph" is a fixed window of CHUNK_TOKENS consecutive tokens;
+# synthetic dups re-enter every 25th doc (ids +20000) so every chunk of a
+# copied doc collides. Keeper = lexicographic min (doc_id, pos), encoded
+# as one integer so both engines agree without struct-min semantics.
+# Scale: one shuffle keyed by the chunk digest (sha2, fixed 32-byte key —
+# the t05 trick); map-side partial agg; only duplicated chunks survive to
+# the output, and those are heavy hitters by definition.
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 20
+_POS_ENC = 1000  # pos < 1000 always (docs are <= ~100 tokens)
+
+
+def t23_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    unioned = fan_out(docs.unionByName(copies), spark).withColumn(
+        "words", F.split("text", " ")
+    )
+    chunks = (
+        unioned.filter(F.size("words") >= CHUNK_TOKENS)
+        .select(
+            "doc_id",
+            "words",
+            F.explode(
+                F.sequence(F.lit(1), F.floor(F.size("words") / CHUNK_TOKENS).cast("int"))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.array_join(
+                F.slice("words", (F.col("pos") - 1) * CHUNK_TOKENS + 1, CHUNK_TOKENS),
+                " ",
+            ).alias("chunk"),
+        )
+    )
+    return (
+        chunks.groupBy(F.sha2(F.col("chunk"), 256).alias("chunk_sha"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.col("doc_id") * _POS_ENC + F.col("pos")).alias("keep_key"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .select(
+            "chunk_sha",
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.floor(F.col("keep_key") / _POS_ENC).cast("long").alias("keep_doc"),
+            (F.col("keep_key") % _POS_ENC).cast("long").alias("keep_pos"),
+        )
+    )
+
+
+ORACLE_T23 = f"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+),
+worded AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM unioned
+  WHERE len(string_split(text, ' ')) >= {CHUNK_TOKENS}
+),
+chunks AS (
+  SELECT doc_id, pos,
+         array_to_string(words[(pos - 1) * {CHUNK_TOKENS} + 1 : pos * {CHUNK_TOKENS}], ' ') AS chunk
+  FROM worded, unnest(generate_series(1, CAST(floor(len(words) / {CHUNK_TOKENS}) AS INT))) AS t(pos)
+)
+SELECT sha256(chunk) AS chunk_sha,
+       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(floor(MIN(doc_id * {_POS_ENC} + pos) / {_POS_ENC}) AS BIGINT) AS keep_doc,
+       CAST(MIN(doc_id * {_POS_ENC} + pos) % {_POS_ENC} AS BIGINT) AS keep_pos
+FROM chunks
+GROUP BY sha256(chunk)
+HAVING COUNT(*) > 1
 """
 
 
@@ -353,6 +555,9 @@ QUERIES = {
     "t18_pii_redaction": t18_pii_redaction,
     "t19_boilerplate_removal": t19_boilerplate_removal,
     "t20_decontamination": t20_decontamination,
+    "t21_decontamination_removal": t21_decontamination_removal,
+    "t22_unigram_logprob": t22_unigram_logprob,
+    "t23_paragraph_dedup": t23_paragraph_dedup,
 }
 
 ORACLES = {
@@ -360,4 +565,7 @@ ORACLES = {
     "t18_pii_redaction": ORACLE_T18,
     "t19_boilerplate_removal": ORACLE_T19,
     "t20_decontamination": _oracle_t20(),
+    "t21_decontamination_removal": _oracle_t21(),
+    "t22_unigram_logprob": ORACLE_T22,
+    "t23_paragraph_dedup": ORACLE_T23,
 }

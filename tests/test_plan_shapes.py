@@ -176,6 +176,29 @@ def test_v10_recall_join_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_t21_removal_is_broadcast_anti_join(spark):
+    # The flagged set is tiny relative to the corpus → the removal must be
+    # a map-side broadcast anti-join, never a corpus shuffle.
+    plan = explain(QUERIES["t21_decontamination_removal"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_t22_vocab_join_is_broadcast(spark):
+    # The token-frequency table joins back by broadcast; only (doc_id,
+    # bits) longs reach the per-doc aggregate shuffle.
+    plan = explain(QUERIES["t22_unigram_logprob"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_t23_chunk_dedup_single_digest_shuffle(spark):
+    # One corpus-wide shuffle keyed by the 32-byte chunk digest, with
+    # map-side partial aggregation before it.
+    plan = explain(QUERIES["t23_paragraph_dedup"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
 def test_t20_eval_side_broadcasts_and_hash_is_linear(spark):
     plan = explain(QUERIES["t20_decontamination"](spark, SF))
     # The benchmark side is small by definition → it broadcasts; the corpus
