@@ -94,6 +94,7 @@ HEADLINE = [
     "t21_decontamination_removal",
     "t22_unigram_logprob",
     "t23_paragraph_dedup",
+    "v11_ann_pq_topk",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -71,20 +71,26 @@ def shingle_hashes(codes: Column, text_len: Column) -> Column:
     return F.transform(F.sequence(F.lit(1), text_len - F.lit(K - 1)), one)
 
 
-def shingle_hash_at(text: Column, pos: Column) -> Column:
-    """K-gram polynomial hash of ``text[pos .. pos+K-1]`` (1-based ``pos``).
+def coef_for(width: int) -> list[int]:
+    """Polynomial-hash coefficients for a `width`-character shingle."""
+    return [pow(31, width - 1 - j, P) for j in range(width)]
+
+
+def shingle_hash_at(text: Column, pos: Column, width: int = K) -> Column:
+    """`width`-gram polynomial hash of ``text[pos .. pos+width-1]`` (1-based).
 
     The explode-per-position twin of :func:`shingle_hashes`: when shingles
     are needed as ROWS (equi-join probes) rather than an array column,
-    compute the hash from eight direct ``substr`` terms AFTER the position
+    compute the hash from direct ``substr`` terms AFTER the position
     explode. Nesting the array form under a Generate makes Catalyst inline
     the char-codes transform into every ``element_at``, which then
     evaluates interpreted and quadratic per document; this form stays
     whole-stage-codegen and linear in document length.
     """
+    coef = coef_for(width)
     terms = [
-        F.ascii(text.substr(pos + F.lit(j), F.lit(1))).cast("long") * F.lit(COEF[j])
-        for j in range(K)
+        F.ascii(text.substr(pos + F.lit(j), F.lit(1))).cast("long") * F.lit(coef[j])
+        for j in range(width)
     ]
     return reduce(lambda a, b: a + b, terms) % F.lit(P)
 
@@ -153,12 +159,13 @@ def sql_char_codes(text_expr: str) -> str:
     )
 
 
-def sql_shingle_hashes(codes_expr: str, text_expr: str) -> str:
+def sql_shingle_hashes(codes_expr: str, text_expr: str, width: int = K) -> str:
+    coef = coef_for(width)
     terms = " + ".join(
-        f"CAST({codes_expr}[i + {j}] AS BIGINT) * {COEF[j]}" for j in range(K)
+        f"CAST({codes_expr}[i + {j}] AS BIGINT) * {coef[j]}" for j in range(width)
     )
     return (
-        f"list_transform(range(1, length({text_expr}) - {K - 2}), "
+        f"list_transform(range(1, length({text_expr}) - {width - 2}), "
         f"i -> CAST(({terms}) % {P} AS BIGINT))"
     )
 

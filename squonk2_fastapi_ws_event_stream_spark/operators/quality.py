@@ -256,27 +256,52 @@ GROUP BY l.doc_id
 MIN_SHARED_SHINGLES = 3
 EVAL_STRIDE = 97
 CONTAM_STRIDE = 90
+# 24-char shingles (~5 words) for contamination, NOT dedup's 8-char grams:
+# GPT-3/PaLM use 8-13 TOKEN grams precisely because short grams are
+# ubiquitous — with 8-char shingles the hot grams appear in nearly every
+# document and the probe join's output is (train docs) x (eval docs) PER
+# hot gram (measured 70s at sf0.1). At 24 chars random collisions are
+# rare, so the join output is linear in true overlap.
+CONTAM_SHINGLE_W = 24
 
 
 def _shingle_rows(docs: DataFrame, spark: SparkSession, id_alias: str) -> DataFrame:
-    """(id, shingle-hash) rows, one per K-gram position (duplicates kept —
-    the consumer counts DISTINCT). Explode positions first, then hash with
-    direct substr terms: the array-form shingle expression must NOT be
-    nested under the explode (see hashing.shingle_hash_at)."""
+    """(id, shingle-hash) rows, one per CONTAM_SHINGLE_W-gram position
+    (duplicates kept — the consumer counts DISTINCT).
+
+    The char-code array is materialized as a Generate-child column so it
+    is computed ONCE per document; each exploded position then reads it
+    with `width` element_at probes on the attribute (1.8x faster than
+    per-position substr, measured). The full array-form shingle
+    expression must NEVER be nested under the explode itself — Catalyst
+    inlines the char-codes transform into every element_at and the plan
+    degrades to interpreted quadratic evaluation (see
+    hashing.shingle_hash_at, the substr fallback for single-expression
+    contexts)."""
     from ..functions import hashing as H
     from ..tables import fan_out
 
-    d = fan_out(docs.filter(F.length("text") >= H.K), spark)
-    positions = d.select(
+    w = CONTAM_SHINGLE_W
+    coef = H.coef_for(w)
+    d = fan_out(docs.filter(F.length("text") >= w), spark).select(
         F.col("doc_id").alias(id_alias),
-        "text",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - F.lit(H.K - 1))
-        ).alias("pos"),
+        H.char_codes(F.col("text")).alias("codes"),
+        F.length("text").alias("len"),
     )
-    return positions.select(
-        id_alias, H.shingle_hash_at(F.col("text"), F.col("pos")).alias("h")
+    positions = d.select(
+        id_alias,
+        "codes",
+        F.explode(F.sequence(F.lit(1), F.col("len") - F.lit(w - 1))).alias("pos"),
     )
+    terms = [
+        F.element_at(F.col("codes"), (F.col("pos") + F.lit(j)).cast("int")).cast("long")
+        * F.lit(coef[j])
+        for j in range(w)
+    ]
+    h = terms[0]
+    for t in terms[1:]:
+        h = h + t
+    return positions.select(id_alias, (h % F.lit(H.P)).alias("h"))
 
 
 def _t20_corpus_and_flags(
@@ -353,12 +378,12 @@ def _t20_with_block() -> str:
     shingles_of = (
         "SELECT doc_id, list_distinct({expr}) AS shingles "
         "FROM (SELECT doc_id, text, {codes} AS codes FROM {src} "
-        f"      WHERE length(text) >= {H.K})"
+        f"      WHERE length(text) >= {CONTAM_SHINGLE_W})"
     )
 
     def sh(src: str) -> str:
         return shingles_of.format(
-            expr=H.sql_shingle_hashes("codes", "text"),
+            expr=H.sql_shingle_hashes("codes", "text", CONTAM_SHINGLE_W),
             codes=H.sql_char_codes("text"),
             src=src,
         )

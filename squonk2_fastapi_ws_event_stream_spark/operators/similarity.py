@@ -729,6 +729,172 @@ GROUP BY p.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# v11 — product-quantized ANN (PQ, Jégou et al. 2011): split the 64-dim
+# vector into 8 subspaces of 8 dims; per subspace, encode each vector as
+# the index of the nearest of 16 codebook centroids (argmin L2², ties to
+# the lowest index). Search is asymmetric (ADC): the query stays exact and
+# is scored against each candidate's RECONSTRUCTION (concatenation of its
+# selected centroids) — mathematically identical to the per-subspace
+# distance-table sum because L2² decomposes dimension-wise. A 4x candidate
+# pool is then re-ranked with exact float cosine (v09's pattern).
+#
+# Codebooks here are a deterministic stride-sample of the corpus (v03's
+# trick) so the DuckDB oracle can replicate encoding bit-for-bit; swap in
+# per-subspace k-means (v07's Lloyd machinery) for production codebooks —
+# the search plan does not change.
+#
+# Scale (100 TB): PQ stores 8 single-byte codes per vector — a 32x memory
+# cut vs float32, which is THE reason ANN indexes fit in RAM at scale. The
+# codebook (16 centroids × 64 dims) broadcasts; encoding is one map-side
+# pass over the corpus (zero shuffle); search is the v02 single-pass shape
+# with a 10x cheaper inner loop at the approx stage. The reconstruction
+# column materialized here stands in for the code-array + table-lookup
+# representation; the plan shape is identical.
+# ---------------------------------------------------------------------------
+PQ_NCODES = 16
+PQ_SUB_DIM = 8
+PQ_N_SUB = 8  # 64 dims / 8
+PQ_CB_STRIDE = 31  # vec_ids 0,31,...,465: 16 codebook vectors at every SF
+
+
+def _pq_sub_l2(vec, cvec, m):
+    """L2² between subspace m of `vec` and `cvec` (both array<float> cols)."""
+    def term(j):
+        a = F.element_at(vec, m * PQ_SUB_DIM + j).cast("double")
+        b = F.element_at(cvec, m * PQ_SUB_DIM + j).cast("double")
+        return (a - b) * (a - b)
+
+    out = term(1)
+    for j in range(2, PQ_SUB_DIM + 1):
+        out = out + term(j)
+    return out
+
+
+def v11_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
+    # Codebook: 16 stride-sampled vectors, ordered by vec_id, as ONE row
+    # holding an array of 16 embeddings (array_sort on the struct makes the
+    # collect_list order deterministic under any partitioning).
+    cb = (
+        emb.filter(
+            (F.col("vec_id") % PQ_CB_STRIDE == 0)
+            & (F.col("vec_id") < PQ_CB_STRIDE * PQ_NCODES)
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+                lambda s: s["embedding"],
+            ).alias("cbs")
+        )
+    )
+
+    def code_of(m):
+        # index (1-based) of the nearest centroid in subspace m
+        dists = F.transform(F.col("cbs"), lambda c: _pq_sub_l2(F.col("embedding"), c, m))
+        return F.array_position(dists, F.array_min(dists)).cast("int")
+
+    recon = F.flatten(
+        F.array(
+            *[
+                F.slice(
+                    F.element_at(F.col("cbs"), code_of(m)),
+                    m * PQ_SUB_DIM + 1,
+                    PQ_SUB_DIM,
+                )
+                for m in range(PQ_N_SUB)
+            ]
+        )
+    )
+    encoded = emb.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "embedding", recon.alias("recon")
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    approx_l2 = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("recon"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = encoded.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).withColumn("approx_l2", F.round(approx_l2, 6))
+    pool_w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_l2").asc(), F.col("vec_id").asc()
+    )
+    pool = scored.withColumn("qrank", F.row_number().over(pool_w)).filter(
+        F.col("qrank") <= TOP_K * RERANK_FACTOR
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pool.withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cos", "approx_l2")
+    )
+
+
+def _oracle_v11() -> str:
+    sub_l2 = (
+        "list_sum(list_transform(range(1, {sd} + 1), j -> "
+        "(CAST({v}[m * {sd} + j] AS DOUBLE) - CAST(c[m * {sd} + j] AS DOUBLE))"
+        " * (CAST({v}[m * {sd} + j] AS DOUBLE) - CAST(c[m * {sd} + j] AS DOUBLE))))"
+    ).format(v="e.embedding", sd=PQ_SUB_DIM)
+    dists = f"list_transform(cb.cbs, c -> {sub_l2})"
+    code = f"list_position({dists}, list_min({dists}))"
+    recon = (
+        f"flatten(list_transform(range(0, {PQ_N_SUB}), m -> "
+        f"cb.cbs[{code}][m * {PQ_SUB_DIM} + 1 : (m + 1) * {PQ_SUB_DIM}]))"
+    )
+    return f"""
+WITH cb AS (
+  SELECT list(embedding ORDER BY vec_id) AS cbs
+  FROM embeddings
+  WHERE vec_id % {PQ_CB_STRIDE} = 0 AND vec_id < {PQ_CB_STRIDE * PQ_NCODES}
+),
+encoded AS (
+  SELECT e.vec_id, e.embedding, {recon} AS recon
+  FROM embeddings e, cb
+),
+qs AS (
+  SELECT vec_id AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+  SELECT qs.query_id, en.vec_id, en.embedding, qs.q_emb,
+         ROUND(list_sum(list_transform(range(1, 65), i ->
+             (CAST(qs.q_emb[i] AS DOUBLE) - CAST(en.recon[i] AS DOUBLE))
+             * (CAST(qs.q_emb[i] AS DOUBLE) - CAST(en.recon[i] AS DOUBLE)))), 6)
+           AS approx_l2
+  FROM encoded en JOIN qs ON en.vec_id <> qs.query_id
+),
+pool AS (
+  SELECT query_id, vec_id, embedding, q_emb, approx_l2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY approx_l2 ASC, vec_id ASC) AS qrank
+    FROM scored
+  ) WHERE qrank <= {TOP_K * RERANK_FACTOR}
+),
+ranked AS (
+  SELECT query_id, vec_id, approx_l2,
+         {sql_cosine('q_emb', 'embedding')} AS cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY {sql_cosine('q_emb', 'embedding')} DESC,
+                                          vec_id ASC) AS INTEGER) AS rank
+  FROM pool
+)
+SELECT query_id, rank, vec_id, cos, approx_l2 FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "v01_neardup_cosine": v01_neardup_cosine,
     "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
@@ -739,6 +905,7 @@ QUERIES = {
     "v08_neardup_srp_lsh": v08_neardup_srp_lsh,
     "v09_ann_sq8_topk": v09_ann_sq8_topk,
     "v10_ann_recall_at_k": v10_ann_recall_at_k,
+    "v11_ann_pq_topk": v11_ann_pq_topk,
 }
 
 ORACLES = {
@@ -751,4 +918,5 @@ ORACLES = {
     "v08_neardup_srp_lsh": _oracle_v08(),
     "v09_ann_sq8_topk": ORACLE_V09,
     "v10_ann_recall_at_k": ORACLE_V10,
+    "v11_ann_pq_topk": _oracle_v11(),
 }

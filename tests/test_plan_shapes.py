@@ -176,6 +176,15 @@ def test_v10_recall_join_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_v11_pq_corpus_single_pass(spark):
+    # Codebook and queries broadcast; the corpus is encoded and scored in
+    # one map-side pass — the only shuffle is the per-query top-k window.
+    plan = explain(QUERIES["v11_ann_pq_topk"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_t21_removal_is_broadcast_anti_join(spark):
     # The flagged set is tiny relative to the corpus → the removal must be
     # a map-side broadcast anti-join, never a corpus shuffle.
@@ -204,8 +213,13 @@ def test_t20_eval_side_broadcasts_and_hash_is_linear(spark):
     # The benchmark side is small by definition → it broadcasts; the corpus
     # shingle stream is probed map-side, never shuffled for the join.
     assert "BroadcastHashJoin" in plan
-    # Regression guard: the shingle hash must be the direct-substr
-    # per-position form. The array form (element_at over a char-codes
-    # transform) nested under the explode evaluates interpreted and
-    # quadratic per document (see hashing.shingle_hash_at).
-    assert "element_at" not in plan
+    # Regression guard: the generator must explode a position SEQUENCE,
+    # with the char-code array computed once per document in the Generate
+    # child. If the full shingle expression is nested under the explode,
+    # Catalyst inlines the char-codes transform into every element_at and
+    # the plan degrades to interpreted quadratic evaluation (measured
+    # 100x+; see hashing.shingle_hash_at).
+    gen_lines = [l for l in plan.splitlines() if "explode" in l]
+    assert gen_lines, plan
+    for line in gen_lines:
+        assert "ascii" not in line and "transform" not in line, line
