@@ -95,6 +95,7 @@ HEADLINE = [
     "t22_unigram_logprob",
     "t23_paragraph_dedup",
     "v11_ann_pq_topk",
+    "t24_sequence_packing",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -575,6 +575,72 @@ HAVING COUNT(*) > 1
 """
 
 
+# ---------------------------------------------------------------------------
+# t24 — training-sequence packing: the concat-and-chunk assembly step of an
+# LM data pipeline (documents are concatenated in a deterministic order and
+# cut into fixed-length training sequences; a document may straddle a
+# boundary). Each doc gets the sequence id and intra-sequence offset where
+# its first token lands.
+# Scale: a GLOBAL running sum would serialize on one task, so packing is
+# sharded — docs hash to PACK_SHARDS independent streams, each packed by a
+# partitioned running-sum window. That is exactly how a 1000-executor
+# pipeline packs 100 TB: shards are data-parallel, sequence ids are
+# namespaced by shard, and no global order is ever materialized.
+# ---------------------------------------------------------------------------
+SEQ_LEN = 256
+PACK_SHARDS = 32
+_SEQ_NS = 1_000_000  # sequence-id namespace stride per shard
+
+
+def t24_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .withColumn("shard", F.col("doc_id") % PACK_SHARDS)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("shard").cast("long").alias("shard"),
+        (F.col("shard") * _SEQ_NS + F.floor(F.col("cum_before") / SEQ_LEN))
+        .cast("long")
+        .alias("seq_id"),
+        (F.col("cum_before") % SEQ_LEN).cast("long").alias("seq_offset"),
+    )
+
+
+ORACLE_T24 = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM d
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(shard * {_SEQ_NS} + floor(cum_before / {SEQ_LEN}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {SEQ_LEN} AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 QUERIES = {
     "t17_repetition_stats": t17_repetition_stats,
     "t18_pii_redaction": t18_pii_redaction,
@@ -583,6 +649,7 @@ QUERIES = {
     "t21_decontamination_removal": t21_decontamination_removal,
     "t22_unigram_logprob": t22_unigram_logprob,
     "t23_paragraph_dedup": t23_paragraph_dedup,
+    "t24_sequence_packing": t24_sequence_packing,
 }
 
 ORACLES = {
@@ -593,4 +660,5 @@ ORACLES = {
     "t21_decontamination_removal": _oracle_t21(),
     "t22_unigram_logprob": ORACLE_T22,
     "t23_paragraph_dedup": ORACLE_T23,
+    "t24_sequence_packing": ORACLE_T24,
 }

@@ -176,6 +176,14 @@ def test_v10_recall_join_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_t24_packing_window_is_sharded(spark):
+    # Packing must never serialize on a global running sum: the window is
+    # partitioned by shard, so there is no single-partition exchange.
+    plan = explain(QUERIES["t24_sequence_packing"](spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
 def test_v11_pq_corpus_single_pass(spark):
     # Codebook and queries broadcast; the corpus is encoded and scored in
     # one map-side pass — the only shuffle is the per-query top-k window.
