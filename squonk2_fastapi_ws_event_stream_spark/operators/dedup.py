@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
-from ..tables import fan_out, table
+from ..tables import fan_out, guard_all_pairs, table
 
 JACCARD_THRESHOLD = 0.10  # test corpus has no true near-dups; 0.10 yields pairs
 
@@ -346,6 +346,7 @@ WHERE bit_count(xor(a.sim, b.sim)) <= {HAMMING_MAX}
 # ---------------------------------------------------------------------------
 def t04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_shingles(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    docs = guard_all_pairs(docs, "t04_ngram_jaccard_pairs", "t02_dedup_minhash_lsh / t06_dedup_simhash_banded")
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, dot, norm, sql_cosine
-from ..tables import fan_out, table
+from ..tables import fan_out, guard_all_pairs, table
 
 COSINE_THRESHOLD = 0.40  # corpus max pairwise cosine ≈ 0.45 — yields pairs
 TOP_K = 10
@@ -38,6 +38,7 @@ CENTROID_STRIDE = 50  # centroid set: vec_id % 50 == 0 (10 cells at sf0.01)
 
 def v01_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
+    emb = guard_all_pairs(emb, "v01_neardup_cosine", "v08_srp_lsh_neardup")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))

@@ -41,3 +41,48 @@ missing = QUERIES.keys() - ORACLES.keys()
 # Queries without oracles get the driver's weaker rows-only check; keep the
 # set empty unless an op is genuinely non-SQL-expressible.
 NON_SQL_QUERIES = frozenset(missing)
+
+# The driver checks at most ~50 queries per round, sampled in registry
+# order. Front-load (a) queries that have never received a driver-side
+# oracle row (VERDICT r2: t05-t07, t17-t24, v07-v11, m02-m04, e12-e13) and
+# (b) the four queries regressed-and-fixed in r2/r3, so CORRECTNESS_r03
+# records hard driver rows for exactly the entries that lack them. Local
+# oracle-parity tests still cover all queries regardless of this order.
+_PRIORITY = (
+    "t05_dedup_exact_sha2",
+    "t06_dedup_simhash_banded",
+    "t07_dedup_cluster_cc",
+    "t17_repetition_stats",
+    "t18_pii_redaction",
+    "t19_boilerplate_removal",
+    "t20_decontamination",
+    "t21_decontamination_removal",
+    "t22_unigram_logprob",
+    "t23_paragraph_dedup",
+    "t24_sequence_packing",
+    "v07_ann_kmeans_topk",
+    "v08_neardup_srp_lsh",
+    "v09_ann_sq8_topk",
+    "v10_ann_recall_at_k",
+    "v11_ann_pq_topk",
+    "m02_multimodal_resize",
+    "m03_multimodal_frame_sample",
+    "m04_media_content_dedup",
+    "e12_sliding_window",
+    "e13_windowed_topk",
+    "e02_replay_from_timestamp",
+    "e04_enrich_json",
+    "e06_enrich_prototext",
+    "e10_sessionize",
+)
+_unknown = set(_PRIORITY) - QUERIES.keys()
+if _unknown:
+    raise RuntimeError(f"priority list names unknown queries: {_unknown}")
+QUERIES = {
+    **{k: QUERIES[k] for k in _PRIORITY},
+    **{k: v for k, v in QUERIES.items() if k not in set(_PRIORITY)},
+}
+ORACLES = {
+    **{k: ORACLES[k] for k in _PRIORITY if k in ORACLES},
+    **{k: v for k, v in ORACLES.items() if k not in set(_PRIORITY)},
+}

@@ -30,6 +30,11 @@ ENGINE_CONF: dict[str, str] = {
     # The driver's events.parquet stores TIMESTAMP(NANOS); read as long and
     # convert exactly in tables.py (Spark has no nanos timestamp type).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Driver data regenerations have also produced timestamp[us] with no tz,
+    # which Spark 4.x infers as TIMESTAMP_NTZ; read as TIMESTAMP (exact under
+    # the UTC session tz above). tables.py additionally normalizes the dtype
+    # so sessions built without this conf still behave.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
