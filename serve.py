@@ -2,12 +2,13 @@
 """Run the event-stream service: Spark-backed control plane + consume API.
 
 Usage:
-    python serve.py [--port 8081] [--log-root /data/event-log] \
+    python serve.py [--port 8081] [--ws-port 8080] [--log-root /data/event-log] \
                     [--db /data/event-streams.db] [--checkpoints /data/ckpt]
 
-Single process serving both the internal REST API (C1-C4) and the consume
-path (C5) — the reference splits these across two uvicorn processes
-(docker-entrypoint.sh:8-10); here one WSGI app fronts one SparkSession.
+One process, two listeners — matching the reference's split
+(docker-entrypoint.sh:8-10): the internal REST API (C1-C4 + HTTP-stream
+consume) on --port, and the public WebSocket API (C5, RFC 6455 on the
+stdlib, streaming/websocket.py) on --ws-port. Both front one SparkSession.
 """
 
 from __future__ import annotations
@@ -18,11 +19,15 @@ from squonk2_fastapi_ws_event_stream_spark.session import get_spark
 from squonk2_fastapi_ws_event_stream_spark.sources.registry import Registry
 from squonk2_fastapi_ws_event_stream_spark.streaming.api import create_app
 from squonk2_fastapi_ws_event_stream_spark.streaming.manager import StreamManager
+from squonk2_fastapi_ws_event_stream_spark.streaming.websocket import (
+    EventStreamWsServer,
+)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=8081)
+    ap.add_argument("--ws-port", type=int, default=8080)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--log-root", default="/tmp/event-log")
     ap.add_argument("--db", default="/tmp/event-streams.db")
@@ -40,9 +45,14 @@ def main() -> None:
     registry = Registry(args.db)
     manager = StreamManager(spark, args.log_root, args.checkpoints)
     app = create_app(spark, registry, manager)
+    ws_server = EventStreamWsServer(
+        registry, manager, host=args.host, port=args.ws_port
+    ).start_background()
+    print(f"WebSocket API: ws://{args.host}:{ws_server.port}/event-stream/<uuid>")
     try:
         app.run(host=args.host, port=args.port, threaded=True)
     finally:
+        ws_server.stop()
         manager.stop_all()
 
 

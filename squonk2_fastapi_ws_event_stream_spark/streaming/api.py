@@ -10,12 +10,15 @@ Request/response shapes mirror /root/reference/app/app.py:150-187 exactly:
     GET    /event-stream/<uuid>/consume?stream_from_*               (C5, :193-373)
 
 Transport note: the reference serves C5 over WebSocket (protocol string
-"WEBSOCKET", app/app.py:598-603). This container has no `websockets`/ASGI
-package, so C5 here drains the consumer hub over plain HTTP (bounded by
-`max_events`/`timeout_s`); `WsForwarder` below is the seam where real WS
-framing plugs in (gated behind an import-try). All the WS close codes map
-to HTTP errors: 1000 unknown-uuid → 404 (app/app.py:287-291), 1002 bad
-params → 400 (:269-278), 1013 missing stream → 503 (:314-318).
+"WEBSOCKET", app/app.py:598-603). Real WebSocket transport ships in
+`streaming/websocket.py` — an RFC 6455 server on the Python stdlib (this
+container has no `websockets`/ASGI package), started alongside this app by
+serve.py on its own port, matching the reference's two-listener split
+(public WS 8080 / internal REST 8081, docker-entrypoint.sh:8-10). The
+HTTP-stream consume below remains as a second transport for bounded
+drains; its close codes map to HTTP errors: 1000 unknown-uuid → 404
+(app/app.py:287-291), 1002 bad params → 400 (:269-278), 1013 missing
+stream → 503 (:314-318).
 
 Flask (WSGI) is fine here: the heavy lifting is inside Spark; the API layer
 only manages StreamingQuery handles — it is control plane, not data plane.
@@ -28,13 +31,6 @@ import queue
 
 from pyspark.sql import SparkSession
 
-try:  # real WebSocket delivery, if the package exists
-    import websockets  # noqa: F401
-
-    HAS_WEBSOCKETS = True
-except ImportError:
-    HAS_WEBSOCKETS = False
-
 from flask import Flask, Response, jsonify, request
 
 from .. import __version__
@@ -42,7 +38,9 @@ from ..sources.eventstream import stream_exists
 from ..sources.registry import Registry
 from .manager import StreamManager
 
-PROTOCOL = "WEBSOCKET" if HAS_WEBSOCKETS else "HTTP-STREAM"
+# Native RFC 6455 server (streaming/websocket.py) serves C5 — same protocol
+# string as the reference (app/app.py:598-603).
+PROTOCOL = "WEBSOCKET"
 NAME = "PySpark Structured Streaming"
 
 
