@@ -146,3 +146,54 @@ def test_ordering_preserved_within_stream(spark):
     # gap detectability: ess_ordinal is embedded in every delivered message
     sample = df.filter(F.col("offset") == 13).collect()[0]["out"]
     assert '"ess_ordinal": 13' in sample
+
+
+def test_prototext_escaping_edge_cases_byte_exact(spark):
+    """Protobuf text_format escapes inside quoted string fields must pass
+    through the relay byte-for-byte: the reference appends to the raw
+    string without parsing it (app/app.py:490-494), so escaped quotes,
+    backslashes, newlines, unicode escapes — and even a literal `|` inside
+    a quoted value — are preserved verbatim with the enrichment appended
+    at the end (README.md:137-147)."""
+    cases = [
+        # escaped quote and backslash inside a string field
+        r'accountserver.MerchantCharge|merchant_name: "say \"hi\" \\ bye" sqn: 1',
+        # escaped newline/tab (text_format emits \n \t escapes in one-line mode)
+        r'accountserver.MerchantCharge|merchant_name: "line1\nline2\tend" sqn: 2',
+        # octal / hex escapes as text_format renders non-printables
+        r'accountserver.MerchantCharge|merchant_name: "\001\x7f" sqn: 3',
+        # a literal | inside a quoted value: the relay must still append at
+        # the very end (the reference's client-side split-on-| quirk is the
+        # client's concern, ws_listener.py:61-72 — the wire stays intact)
+        r'accountserver.MerchantCharge|merchant_name: "a|b" sqn: 4',
+        # unicode text passes through UTF-8 intact
+        'accountserver.MerchantCharge|merchant_name: "café ☃" sqn: 5',
+        # negative + large int64 values, enum, decimal-as-string money
+        'accountserver.MerchantCharge|merchant_id: -9223372036854775808 '
+        'operation: OPERATION_ENUM_PROCESSING value: "0.50" sqn: 6',
+    ]
+    rows = [("s", body, i + 1) for i, body in enumerate(cases)]
+    df = relay_transform(_envelope(spark, rows))
+    got = {r["offset"]: r["out"] for r in df.collect()}
+    for i, body in enumerate(cases):
+        assert got[i + 1] == body + f"|ordinal: {i + 1}|timestamp: {TS_MS}", body
+
+
+def test_readme_full_example_byte_exact(spark):
+    """The README's own worked example (README.md:137-147) reassembled on
+    one line: class accountserver.MerchantProcessingCharge, the documented
+    field text, ordinal 2, timestamp 1746042171620."""
+    body = (
+        "accountserver.MerchantProcessingCharge"
+        '|timestamp: "2025-04-30T19:20:37.926+00:00"'
+        ' merchant_kind: "DATA_MANAGER" merchant_name: "squonk"'
+        " merchant_id: 1 operation: OPERATION_ENUM_PROCESSING"
+        ' auth_code: 456782 value: "0.50" sqn: 1'
+    )
+    ts = datetime.fromtimestamp(1746042171620 / 1000, tz=timezone.utc)
+    env = spark.createDataFrame(
+        [("s", body.encode("utf-8"), 2, ts)],
+        "key string, value binary, offset long, timestamp timestamp",
+    )
+    out = relay_transform(env).collect()[0]["out"]
+    assert out == body + "|ordinal: 2|timestamp: 1746042171620"
