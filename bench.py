@@ -96,6 +96,13 @@ HEADLINE = [
     "t23_paragraph_dedup",
     "v11_ann_pq_topk",
     "t24_sequence_packing",
+    "v12_semdedup",
+    "t25_mixture_sampling",
+    "t26_leakage_safe_split",
+    "e14_log_compaction",
+    "q28_trade_flows",
+    "q29_market_share",
+    "q30_large_volume_customers",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -504,6 +504,51 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# e14 — changelog compaction: materialize the latest state per key from an
+# append-only event log — the Kafka compacted-topic / CDC-upsert semantic,
+# and the batch twin of a streaming `dropDuplicates` keyed on the entity.
+# Latest = max (ts, event_id) per (user_id, event_type): event_id is the
+# total-order tiebreak the relay's ess_ordinal contract guarantees
+# (README.md:172-180 — ordinals are monotonic where payload time is not).
+#
+# Scale: one shuffle on the compaction key; the per-key window sort sees
+# only that key's updates. At 100 TB the same plan serves incremental
+# compaction by restricting the scan to new partitions and unioning the
+# previous compacted table.
+# ---------------------------------------------------------------------------
+def e14_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_millis("ts").alias("last_ts_ms"),
+            F.round(F.col("value"), 6).alias("last_value"),
+        )
+    )
+
+
+ORACLE_E14 = """
+SELECT user_id, event_type,
+       event_id AS last_event_id,
+       epoch_ms(ts) AS last_ts_ms,
+       ROUND(value, 6) AS last_value
+FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "e01_replay_from_ordinal": e01_replay_from_ordinal,
     "e02_replay_from_timestamp": e02_replay_from_timestamp,
@@ -518,6 +563,7 @@ QUERIES = {
     "e11_asof_join": e11_asof_join,
     "e12_sliding_window": e12_sliding_window,
     "e13_windowed_topk": e13_windowed_topk,
+    "e14_log_compaction": e14_log_compaction,
 }
 
 ORACLES = {
@@ -534,4 +580,5 @@ ORACLES = {
     "e11_asof_join": ORACLE_E11,
     "e12_sliding_window": ORACLE_E12,
     "e13_windowed_topk": ORACLE_E13,
+    "e14_log_compaction": ORACLE_E14,
 }

@@ -641,6 +641,144 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# t25 — quality-weighted mixture sampling: the "data mixing" stage of a
+# training-data pipeline. Each source gets a token budget; a source over
+# budget is downsampled to rate ≈ budget/total via a deterministic
+# hash-bucket filter (no rand(): the sample is identical under any
+# partitioning and any engine — x08's discipline applied to corpus mixing,
+# cf. the per-source mixture weights of Gao et al. 2020 "The Pile" §1 and
+# Touvron et al. 2023 LLaMA §2.1).
+#
+# Scale: per-source token totals are one tiny aggregate (|sources| rows,
+# broadcast back); the sampling filter is map-side. The corpus is scanned
+# once and never shuffled.
+# ---------------------------------------------------------------------------
+T25_BUDGET_TOKENS = 2_500
+_T25_MIX = 769
+
+
+def t25_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tokens"),
+    )
+    totals = toks.groupBy("source").agg(F.sum("tokens").alias("total_tokens"))
+    rates = totals.select(
+        "source",
+        "total_tokens",
+        F.least(
+            F.lit(100),
+            F.floor(F.lit(100) * F.lit(T25_BUDGET_TOKENS) / F.col("total_tokens")),
+        )
+        .cast("int")
+        .alias("rate_pct"),
+    )
+    bucket = (F.col("doc_id") * _T25_MIX % 1_000_003) % 100
+    sampled = toks.join(F.broadcast(rates), "source").filter(bucket < F.col("rate_pct"))
+    return sampled.groupBy("source").agg(
+        F.max("rate_pct").alias("rate_pct"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("tokens").alias("sampled_tokens"),
+    )
+
+
+ORACLE_T25 = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents
+),
+rates AS (
+  SELECT source,
+         CAST(LEAST(100, FLOOR(100.0 * {T25_BUDGET_TOKENS} / SUM(tokens))) AS INTEGER)
+           AS rate_pct
+  FROM toks GROUP BY source
+)
+SELECT t.source,
+       MAX(r.rate_pct) AS rate_pct,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(t.tokens) AS BIGINT) AS sampled_tokens
+FROM toks t JOIN rates r ON t.source = r.source
+WHERE (t.doc_id * {_T25_MIX} % 1000003) % 100 < r.rate_pct
+GROUP BY t.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# t26 — leakage-safe train/validation split: every member of an exact-dup
+# group lands on the same side, because the split key is a hash of the
+# content digest, not the doc id. Splitting on doc_id leaks: a duplicate
+# pair straddling train/val inflates eval scores (the contamination
+# failure t20 detects, prevented structurally at split time).
+#
+# Scale: digest is a per-row sha2 (map-side); the group-representative
+# window shuffles once on the 64-hex-char digest key; the side assignment
+# is a pure expression over the digest — no second pass, no rand().
+# ---------------------------------------------------------------------------
+T26_TRAIN_PCT = 90
+
+
+def _digest_bucket(digest: "F.Column") -> "F.Column":
+    """Deterministic 0-99 bucket from the digest's first 8 hex chars via
+    the repo's polynomial char-code hash (cross-engine identical)."""
+    from ..functions.hashing import shingle_hash_at
+
+    return shingle_hash_at(digest, F.lit(1), width=8) % 100
+
+
+def _sql_digest_bucket(expr: str) -> str:
+    from ..functions.hashing import P, coef_for
+
+    coef = coef_for(8)
+    terms = " + ".join(
+        f"CAST(unicode(substr({expr}, {j + 1}, 1)) AS BIGINT) * {coef[j]}"
+        for j in range(8)
+    )
+    return f"((({terms}) % {P}) % 100)"
+
+
+def t26_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Same duplicated corpus as t05: re-inject every 50th doc with a
+    # shifted id so exact-dup groups exist to keep together.
+    dup = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    keyed = docs.unionByName(dup).withColumn("digest", F.sha2(F.col("text"), 256))
+    grouped = keyed.withColumn(
+        "group_rep", F.min("doc_id").over(Window.partitionBy("digest"))
+    )
+    side = F.when(_digest_bucket(F.col("digest")) < T26_TRAIN_PCT, "train").otherwise(
+        "val"
+    )
+    return grouped.select("doc_id", "group_rep", side.alias("side"))
+
+
+def _oracle_t26() -> str:
+    return f"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+keyed AS (SELECT doc_id, text, sha256(text) AS digest FROM unioned),
+grouped AS (
+  SELECT doc_id, digest,
+         MIN(doc_id) OVER (PARTITION BY digest) AS group_rep
+  FROM keyed
+)
+SELECT doc_id, group_rep,
+       CASE WHEN {_sql_digest_bucket('digest')} < {T26_TRAIN_PCT}
+            THEN 'train' ELSE 'val' END AS side
+FROM grouped
+"""
+
+
 QUERIES = {
     "t17_repetition_stats": t17_repetition_stats,
     "t18_pii_redaction": t18_pii_redaction,
@@ -650,6 +788,8 @@ QUERIES = {
     "t22_unigram_logprob": t22_unigram_logprob,
     "t23_paragraph_dedup": t23_paragraph_dedup,
     "t24_sequence_packing": t24_sequence_packing,
+    "t25_mixture_sampling": t25_mixture_sampling,
+    "t26_leakage_safe_split": t26_leakage_safe_split,
 }
 
 ORACLES = {
@@ -661,4 +801,6 @@ ORACLES = {
     "t22_unigram_logprob": ORACLE_T22,
     "t23_paragraph_dedup": ORACLE_T23,
     "t24_sequence_packing": ORACLE_T24,
+    "t25_mixture_sampling": ORACLE_T25,
+    "t26_leakage_safe_split": _oracle_t26(),
 }

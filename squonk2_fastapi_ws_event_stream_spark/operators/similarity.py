@@ -896,6 +896,86 @@ SELECT query_id, rank, vec_id, cos, approx_l2 FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# v12 — SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space, then drop near-duplicates WITHIN each cluster.
+# The all-pairs comparison is confined to single cells, so total work is
+# sum(|cell|²) ≈ n²/k instead of n² — the knob (number of centroids) is
+# chosen so cells stay small; the corpus shuffles exactly once (on cell_id)
+# and centroids are broadcast (v03's map-side assignment).
+#
+# Kept/dropped rule (deterministic): within a cell, a vector is dropped if
+# some lower-id vector in the same cell has cosine ≥ threshold; the emitted
+# witness `dup_of` is the lowest such id. The reference engine has no
+# embedding-space dedup — this extends the LLM-pipeline surface
+# (BASELINE.json mandate), composing v03's cell assignment with t05's
+# min-id keep discipline.
+# ---------------------------------------------------------------------------
+SEMDEDUP_THRESHOLD = 0.40
+
+
+def v12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
+    centroids = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    assigned = _with_nearest_cell(emb, _packed_cells(centroids), "embedding").select(
+        "vec_id", "embedding", "cell_id"
+    )
+    a = assigned.select(
+        "cell_id", F.col("vec_id").alias("keep_id"), F.col("embedding").alias("emb_a")
+    )
+    b = assigned.select(
+        "cell_id", F.col("vec_id").alias("vec_id"), F.col("embedding").alias("emb_b")
+    )
+    # Within-cell pairs only: the equi-join key is cell_id, so no pair ever
+    # crosses cells and the join is the single corpus shuffle.
+    dup_pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("keep_id") < F.col("vec_id"))
+        .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("keep_id").asc())
+    return (
+        dup_pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cell_id",
+            F.col("keep_id").alias("dup_of"),
+            "cos",
+        )
+    )
+
+
+ORACLE_V12 = f"""
+WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+           WHERE vec_id % {CENTROID_STRIDE} = 0),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS c_rank
+    FROM embeddings e CROSS JOIN c
+  ) WHERE c_rank = 1
+),
+dup_pairs AS (
+  SELECT b.vec_id, a.cell_id, a.vec_id AS dup_of,
+         {sql_cosine('a.embedding', 'b.embedding')} AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT vec_id, cell_id, dup_of, cos FROM (
+  SELECT vec_id, cell_id, dup_of, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dup_of ASC) AS rn
+  FROM dup_pairs
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "v01_neardup_cosine": v01_neardup_cosine,
     "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
@@ -907,6 +987,7 @@ QUERIES = {
     "v09_ann_sq8_topk": v09_ann_sq8_topk,
     "v10_ann_recall_at_k": v10_ann_recall_at_k,
     "v11_ann_pq_topk": v11_ann_pq_topk,
+    "v12_semdedup": v12_semdedup,
 }
 
 ORACLES = {
@@ -920,4 +1001,5 @@ ORACLES = {
     "v09_ann_sq8_topk": ORACLE_V09,
     "v10_ann_recall_at_k": ORACLE_V10,
     "v11_ann_pq_topk": _oracle_v11(),
+    "v12_semdedup": ORACLE_V12,
 }

@@ -332,12 +332,222 @@ SELECT c_mktsegment, 'max_balance' AS metric, max_balance AS value FROM wide
 """
 
 
+# ---------------------------------------------------------------------------
+# q28 — bilateral trade flows (TPC-H Q7 shape): revenue shipped between
+# supplier-nation and customer-nation pairs, by year. The two biggest
+# tables (lineitem, orders) meet in ONE shuffled equi-join on l_orderkey;
+# both nation-resolution joins are broadcasts (supplier and customer are
+# dims here, nation is 25 rows). The nation-pair filter prunes before the
+# aggregate, so the final shuffle carries |pairs × years| rows.
+# ---------------------------------------------------------------------------
+Q28_PAIRS = (("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))
+
+
+def q28_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("volume"),
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("l_year")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    flows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+    )
+    pair_filter = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("supp_nation") == s) & (F.col("cust_nation") == c)
+            for s, c in Q28_PAIRS
+        ],
+    )
+    return (
+        flows.filter(pair_filter)
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume").cast("double"), 2).alias("revenue"))
+    )
+
+
+def _oracle_q28() -> str:
+    pairs = " OR ".join(
+        f"(sn.n_name = '{s}' AND cn.n_name = '{c}')" for s, c in Q28_PAIRS
+    )
+    return f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(o.o_orderdate) AS l_year,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE {pairs}
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q29 — market share (TPC-H Q8 shape): one region's share of total revenue
+# attributable to one supplier nation, per year. The share is a
+# conditional-sum over the same aggregate rows — no second scan, no
+# self-join: sum(when)/sum() inside one groupBy.
+# ---------------------------------------------------------------------------
+Q29_REGION = "ASIA"
+Q29_NATION = "NATION_5"
+
+
+def q29_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("volume"),
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    # customer-side region restriction (the market being measured)
+    cust_region = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .filter(F.col("r_name") == Q29_REGION)
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_name"))),
+        supp.s_nationkey == F.col("snk"),
+    ).select("s_suppkey", "supp_name")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_region), orders.o_custkey == cust_region.c_custkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.when(F.col("supp_name") == Q29_NATION, F.col("volume")).otherwise(F.lit(0).cast("decimal(18,2)")))
+                    / F.sum("volume")
+                ).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum("volume").cast("double"), 2).alias("total_volume"),
+        )
+    )
+
+
+ORACLE_Q29 = f"""
+SELECT year(o.o_orderdate) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN sn.n_name = '{Q29_NATION}'
+                           THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END)
+                  / SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 6) AS mkt_share,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 2) AS total_volume
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE r.r_name = '{Q29_REGION}'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q30 — large-volume customers (TPC-H Q18 shape): orders whose total
+# quantity exceeds a threshold, with customer attribution. The HAVING
+# aggregate reduces lineitem to qualifying orderkeys FIRST (one shuffle on
+# l_orderkey, map-side partial sums); the qualifying set is tiny, so the
+# joins back to orders and customer broadcast it — the classic
+# "aggregate-then-join" ordering that keeps the big table from being
+# joined at full width.
+# ---------------------------------------------------------------------------
+Q30_MIN_QTY = 150
+
+
+def q30_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > Q30_MIN_QTY)
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+ORACLE_Q30 = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) > {Q30_MIN_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       ROUND(CAST(o.o_totalprice AS DOUBLE), 2) AS o_totalprice,
+       b.total_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 QUERIES = {
     "q25_window_frames": q25_window_frames,
     "x07_bloom_join_pruning": x07_bloom_join_pruning,
     "q26_lateral_topn": q26_lateral_topn,
     "x08_stratified_hash_sample": x08_stratified_hash_sample,
     "q27_unpivot_metrics": q27_unpivot_metrics,
+    "q28_trade_flows": q28_trade_flows,
+    "q29_market_share": q29_market_share,
+    "q30_large_volume_customers": q30_large_volume_customers,
 }
 
 ORACLES = {
@@ -346,4 +556,7 @@ ORACLES = {
     "q26_lateral_topn": ORACLE_Q26,
     "x08_stratified_hash_sample": _oracle_x08(),
     "q27_unpivot_metrics": ORACLE_Q27,
+    "q28_trade_flows": _oracle_q28(),
+    "q29_market_share": ORACLE_Q29,
+    "q30_large_volume_customers": ORACLE_Q30,
 }

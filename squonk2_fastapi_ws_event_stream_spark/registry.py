@@ -49,6 +49,14 @@ NON_SQL_QUERIES = frozenset(missing)
 # records hard driver rows for exactly the entries that lack them. Local
 # oracle-parity tests still cover all queries regardless of this order.
 _PRIORITY = (
+    # new this round — never sampled by any driver
+    "v12_semdedup",
+    "t25_mixture_sampling",
+    "t26_leakage_safe_split",
+    "e14_log_compaction",
+    "q28_trade_flows",
+    "q29_market_share",
+    "q30_large_volume_customers",
     "t05_dedup_exact_sha2",
     "t06_dedup_simhash_banded",
     "t07_dedup_cluster_cc",

@@ -231,3 +231,54 @@ def test_t20_eval_side_broadcasts_and_hash_is_linear(spark):
     assert gen_lines, plan
     for line in gen_lines:
         assert "ascii" not in line and "transform" not in line, line
+
+
+def test_v12_semdedup_assignment_map_side_and_cell_equi_join(spark):
+    plan = explain(QUERIES["v12_semdedup"](spark, SF))
+    # centroid assignment is a broadcast (one packed row), never a
+    # corpus-wide crossJoin+window; the pair generation is an equi-join on
+    # cell_id, not a cartesian product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_t25_rates_broadcast_and_sampling_is_map_side(spark):
+    plan = explain(QUERIES["t25_mixture_sampling"](spark, SF))
+    # the per-source rate table joins back as a broadcast; the corpus is
+    # never shuffled to be sampled
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_t26_split_window_is_digest_partitioned(spark):
+    plan = explain(QUERIES["t26_leakage_safe_split"](spark, SF))
+    # the group-representative window partitions on digest — no global sort
+    assert "Window" in plan
+    assert "partitionBy" not in plan or "digest" in plan
+    import re
+
+    for m in re.finditer(r"Sort \[(.*?)\]", plan):
+        assert "digest" in m.group(1) or "global=false" in m.group(0)
+
+
+def test_q28_fact_join_shuffles_once_dims_broadcast(spark):
+    plan = explain(QUERIES["q28_trade_flows"](spark, SF))
+    # supplier/customer/nation resolve via broadcast; only lineitem⋈orders
+    # may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q30_aggregate_then_join_broadcasts_qualifying_set(spark):
+    plan = explain(QUERIES["q30_large_volume_customers"](spark, SF))
+    # the HAVING-reduced orderkey set is the broadcast side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_e14_compaction_window_is_key_partitioned(spark):
+    plan = explain(QUERIES["e14_log_compaction"](spark, SF))
+    # no unpartitioned window: the sort keys include the compaction key
+    import re
+
+    sorts = [m.group(0) for m in re.finditer(r"Sort \[[^\]]*\], true", plan)]
+    assert not sorts, f"global sort found: {sorts}"
