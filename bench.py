@@ -103,6 +103,9 @@ HEADLINE = [
     "q28_trade_flows",
     "q29_market_share",
     "q30_large_volume_customers",
+    "q31_supplier_diversity",
+    "q32_top_supplier",
+    "e15_json_functions",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -7,6 +7,11 @@ formats, prints per-message lines and session byte stats
 Usage:
     python es_client.py http://localhost:8081 <uuid> [-o ORDINAL | -t MS | -d DT]
                         [--max-events N] [--timeout S]
+    python es_client.py ws://localhost:8080 <uuid> [...]   # real WebSocket
+
+With a ``ws://`` base URL the client speaks RFC 6455 against the public
+WebSocket API (the reference's native transport, ws_listener.py analog);
+with ``http://`` it drains the bounded NDJSON consume endpoint.
 """
 
 from __future__ import annotations
@@ -89,21 +94,39 @@ def main() -> None:
     if args.datetime is not None:
         params["stream_from_datetime"] = args.datetime
 
-    url = (
-        f"{args.base_url.rstrip('/')}/event-stream/{args.uuid}/consume?"
-        + urllib.parse.urlencode(params)
-    )
     stats = ByteStats()
-    # client-side timeout: the server's timeout_s bounds the idle wait, but
-    # a hung/unreachable server must not block forever
-    with urllib.request.urlopen(url, timeout=args.timeout + 30) as resp:
-        for raw in resp:
-            line = raw.decode("utf-8").rstrip("\n")
-            if not line:
-                continue
-            stats.add(len(line.encode("utf-8")))
-            m = parse_message(line)
-            print(f"[{m['ordinal']}] {m['timestamp']} {m['message_type']} {m['body']}")
+    if args.base_url.startswith(("ws://", "wss://")):
+        from squonk2_fastapi_ws_event_stream_spark.streaming.websocket import WsClient
+
+        u = urllib.parse.urlparse(args.base_url)
+        resource = f"/event-stream/{args.uuid}?" + urllib.parse.urlencode(params)
+        c = WsClient(u.hostname, u.port or 80, resource, timeout=args.timeout + 30)
+        try:
+            while True:
+                text, close = c.recv_text_or_close()
+                if text is None:
+                    print(f"closed: {close}", file=sys.stderr)
+                    break
+                stats.add(len(text.encode("utf-8")))
+                m = parse_message(text)
+                print(f"[{m['ordinal']}] {m['timestamp']} {m['message_type']} {m['body']}")
+        finally:
+            c.shutdown()
+    else:
+        url = (
+            f"{args.base_url.rstrip('/')}/event-stream/{args.uuid}/consume?"
+            + urllib.parse.urlencode(params)
+        )
+        # client-side timeout: the server's timeout_s bounds the idle wait,
+        # but a hung/unreachable server must not block forever
+        with urllib.request.urlopen(url, timeout=args.timeout + 30) as resp:
+            for raw in resp:
+                line = raw.decode("utf-8").rstrip("\n")
+                if not line:
+                    continue
+                stats.add(len(line.encode("utf-8")))
+                m = parse_message(line)
+                print(f"[{m['ordinal']}] {m['timestamp']} {m['message_type']} {m['body']}")
     print(json.dumps(stats.summary()), file=sys.stderr)
 
 

@@ -549,6 +549,41 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# e15 — JSON path functions over the payload column: the schema-on-read
+# surface every event pipeline needs (the reference parses payload JSON
+# blindly and re-serializes, app/app.py:472-489 — here the engine exposes
+# typed extraction). get_json_object / from_json run JVM-side inside
+# codegen; there is no Python in the path and no shuffle before the final
+# per-type aggregate.
+# ---------------------------------------------------------------------------
+def e15_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    parsed = ev.select("event_type", k.alias("k"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+ORACLE_E15 = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "e01_replay_from_ordinal": e01_replay_from_ordinal,
     "e02_replay_from_timestamp": e02_replay_from_timestamp,
@@ -564,6 +599,7 @@ QUERIES = {
     "e12_sliding_window": e12_sliding_window,
     "e13_windowed_topk": e13_windowed_topk,
     "e14_log_compaction": e14_log_compaction,
+    "e15_json_functions": e15_json_functions,
 }
 
 ORACLES = {
@@ -581,4 +617,5 @@ ORACLES = {
     "e12_sliding_window": ORACLE_E12,
     "e13_windowed_topk": ORACLE_E13,
     "e14_log_compaction": ORACLE_E14,
+    "e15_json_functions": ORACLE_E15,
 }

@@ -21,8 +21,13 @@ Scale design (100 TB):
 - `localCheckpoint(eager=True)` after every round truncates lineage so
   the plan does not grow with iteration count (the classic iterative-
   DataFrame pitfall: round k re-derives rounds 1..k-1).
-- Convergence is detected with a `limit(1).count()` on changed labels —
-  an O(1)-result action, not a collect of the label table.
+- Convergence is detected with an exact-decimal `sum(label)` aggregate:
+  min-label propagation is monotone (every node's label is non-increasing
+  and at least one strictly decreases until the fixpoint), so an
+  unchanged sum IS convergence. The probe is a single map-side-combined
+  aggregate over the just-checkpointed table — no join, no second
+  shuffle, and the decimal(38) sum cannot overflow for any realistic id
+  space.
 
 Reference parity: the reference relay (app/app.py) has no graph surface;
 this operator belongs to the driver's LLM-training-pipeline extension
@@ -56,28 +61,29 @@ def connected_components(edges: DataFrame) -> DataFrame:
     labels = (
         und.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=True)
+
+    def _label_sum(df: DataFrame) -> int:
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(MAX_CC_ROUNDS):
         # Each node adopts min(own label, neighbours' labels).
         via_edges = (
             und.join(labels, und["d"] == labels["node"])
             .select(F.col("s").alias("node"), "label")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(via_edges)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -330,14 +330,25 @@ def _t20_corpus_and_flags(
     # separate true containment from background similarity, and the
     # integer form 2*n_shared >= n_eval needs no float threshold.
     evsz = eval_sh.groupBy("eval_id").agg(F.countDistinct("h").alias("n_eval"))
-    shared = (
-        train_sh.join(F.broadcast(eval_sh), "h")
-        .groupBy("train_id", "eval_id")
-        .agg(F.countDistinct("h").alias("n_shared"))
-        .filter(F.col("n_shared") >= MIN_SHARED_SHINGLES)
-        .join(F.broadcast(evsz), "eval_id")
-        .withColumn("contaminated", F.col("n_shared") * 2 >= F.col("n_eval"))
-    )
+
+    def _build_shared() -> DataFrame:
+        return (
+            train_sh.join(F.broadcast(eval_sh), "h")
+            .groupBy("train_id", "eval_id")
+            .agg(F.countDistinct("h").alias("n_shared"))
+            .filter(F.col("n_shared") >= MIN_SHARED_SHINGLES)
+            .join(F.broadcast(evsz), "eval_id")
+            .withColumn("contaminated", F.col("n_shared") * 2 >= F.col("n_eval"))
+        )
+
+    # The flagged-pairs table is the expensive stage (corpus-side shingling
+    # feeds it) and serves both the detection report (t20) and the removal
+    # anti-join (t21) — persist it once per corpus, the t02 staging-table
+    # discipline. The result is tiny (flagged pairs only), so the persist
+    # costs KBs while saving the full shingle scan on every reuse.
+    from .dedup import _stage_cached
+
+    shared = _stage_cached("t20_flags", sf_dir, _build_shared)
     return corpus, shared
 
 

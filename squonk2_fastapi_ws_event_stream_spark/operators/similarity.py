@@ -277,7 +277,14 @@ def v07_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
     )
     for _ in range(KMEANS_ITERS):
-        cents = _lloyd_step(emb, cents)
+        # Materialize the k centroid rows after each Lloyd step: the loop
+        # otherwise builds one lineage chain, so iteration i re-runs every
+        # earlier iteration's corpus pass, and the search below (which
+        # consumes `cents` twice — assignment + probes) re-runs training
+        # twice more. Checkpointing k tiny rows caps training at exactly
+        # ITERS corpus passes (Spark MLlib's k-means keeps centroids on
+        # the driver for the same reason).
+        cents = _lloyd_step(emb, cents).localCheckpoint(eager=True)
     # IVF search against the learned centroids — identical plan to v03.
     packed = _packed_cells(cents)
     assigned = _with_nearest_cell(emb, packed, "embedding").select(
@@ -439,8 +446,20 @@ def _v08_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def v08_neardup_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fan_out(_v08_corpus(spark, sf_dir), spark)
-    sk = emb.select("vec_id", "embedding", _srp_bands(F.col("embedding")).alias("bands"))
+    from .dedup import _stage_cached
+
+    # The SRP sketch table feeds three consumers (the band self-join's two
+    # sides and the cosine verify) — persist it once per corpus, the t02
+    # LSH staging-table discipline. Sketching is the dominant CPU (bands ×
+    # bits 64-dim dot products per row); without the persist Spark
+    # recomputes it per consumer.
+    sk = _stage_cached(
+        "v08",
+        sf_dir,
+        lambda: fan_out(_v08_corpus(spark, sf_dir), spark).select(
+            "vec_id", "embedding", _srp_bands(F.col("embedding")).alias("bands")
+        ),
+    )
     bands = sk.select("vec_id", F.posexplode("bands").alias("band_id", "band_val"))
     cand = (
         bands.alias("a")

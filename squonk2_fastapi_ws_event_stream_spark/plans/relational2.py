@@ -539,6 +539,101 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q31 — supplier diversity per part class (TPC-H Q16 shape): how many
+# distinct suppliers serve each (p_brand, p_type, p_size) class, excluding
+# deadbeat suppliers. The supplier-part relationship derives from lineitem
+# (the fact table is the only place it exists in this schema): distinct
+# (partkey, suppkey) pairs reduce the fact FIRST — map-side-combinable —
+# then the part join attaches attributes and the exclusion is a broadcast
+# anti-join of a provably-small set.
+# ---------------------------------------------------------------------------
+def q31_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, pairs.l_partkey == part.p_partkey)
+        .filter(F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_Q31 = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ok AS (
+  SELECT p.l_partkey, p.l_suppkey FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                    WHERE s.s_suppkey = p.l_suppkey AND s.s_acctbal < 0)
+)
+SELECT pt.p_brand, pt.p_type, pt.p_size,
+       CAST(COUNT(DISTINCT ok.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ok JOIN part pt ON ok.l_partkey = pt.p_partkey
+WHERE pt.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q32 — top supplier(s) by revenue (TPC-H Q15 shape): per-supplier revenue
+# for one quarter, then the supplier(s) achieving the global maximum.
+# The max is a scalar derived from the same |suppliers|-row aggregate —
+# a cross-join of one broadcast row, NOT a re-scan of lineitem; ties are
+# all returned (Q15 semantics), so no arbitrary tiebreak is needed.
+# ---------------------------------------------------------------------------
+Q32_START, Q32_END = "1995-01-01", "1995-04-01"
+
+
+def q32_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q32_START) & (F.col("l_shipdate") < Q32_END)
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double"),
+            2,
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLE_Q32 = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q32_START}' AND l_shipdate < TIMESTAMP '{Q32_END}'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
 QUERIES = {
     "q25_window_frames": q25_window_frames,
     "x07_bloom_join_pruning": x07_bloom_join_pruning,
@@ -548,6 +643,8 @@ QUERIES = {
     "q28_trade_flows": q28_trade_flows,
     "q29_market_share": q29_market_share,
     "q30_large_volume_customers": q30_large_volume_customers,
+    "q31_supplier_diversity": q31_supplier_diversity,
+    "q32_top_supplier": q32_top_supplier,
 }
 
 ORACLES = {
@@ -559,4 +656,6 @@ ORACLES = {
     "q28_trade_flows": _oracle_q28(),
     "q29_market_share": ORACLE_Q29,
     "q30_large_volume_customers": ORACLE_Q30,
+    "q31_supplier_diversity": ORACLE_Q31,
+    "q32_top_supplier": ORACLE_Q32,
 }

@@ -57,6 +57,9 @@ _PRIORITY = (
     "q28_trade_flows",
     "q29_market_share",
     "q30_large_volume_customers",
+    "q31_supplier_diversity",
+    "q32_top_supplier",
+    "e15_json_functions",
     "t05_dedup_exact_sha2",
     "t06_dedup_simhash_banded",
     "t07_dedup_cluster_cc",

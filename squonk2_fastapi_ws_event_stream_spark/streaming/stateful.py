@@ -65,3 +65,48 @@ def running_totals(envelope: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming changelog compaction — the streaming twin of the e14 batch
+# operator: latest (offset, value) per stream key, updated each
+# micro-batch from keyed state. The state per key is one row (the current
+# winner), so state size is O(keys) regardless of throughput; the offset
+# total-order (monotonic ordinals, README.md:172-180) makes the fold
+# associative and restart-safe: replaying a batch can only re-apply
+# max-by-offset.
+# ---------------------------------------------------------------------------
+COMPACT_OUTPUT_SCHEMA = "key string, last_offset long, last_value string"
+COMPACT_STATE_SCHEMA = "last_offset long, last_value string"
+
+
+def _update_latest(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    best_off, best_val = state.get if state.exists else (-1, None)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        idx = pdf["offset"].idxmax()
+        off = int(pdf["offset"][idx])
+        if off > best_off:
+            best_off, best_val = off, str(pdf["value_str"][idx])
+    state.update((best_off, best_val))
+    yield pd.DataFrame(
+        {"key": [key[0]], "last_offset": [best_off], "last_value": [best_val]}
+    )
+
+
+def latest_state(envelope: DataFrame) -> DataFrame:
+    """Streaming compacted view: one (latest offset, value) row per key
+    per micro-batch that touches the key."""
+    rows = envelope.select(
+        "key", "offset", F.col("value").cast("string").alias("value_str")
+    )
+    return rows.groupBy("key").applyInPandasWithState(
+        _update_latest,
+        outputStructType=COMPACT_OUTPUT_SCHEMA,
+        stateStructType=COMPACT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

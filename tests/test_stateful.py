@@ -68,3 +68,73 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
     assert final["total_messages"] == 4  # state recovered across restart
     assert final["total_bytes"] == 10  # 1+2+3+4 bytes
     assert final["batch_messages"] == 2  # only the new messages this run
+
+
+def test_latest_state_compacts_to_max_offset(spark, tmp_path):
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import latest_state
+
+    root = str(tmp_path / "log")
+    w = EventLogWriter(root, "s1")
+    for i in range(5):
+        w.publish(f"v{i}", BASE_TS + i * 1000)
+    w2 = EventLogWriter(root, "s2")
+    w2.publish("only", BASE_TS)
+    spark.dataSource.register(EventStreamDataSource)
+
+    rows: list = []
+    q = (
+        latest_state(
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "s1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-compact"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {r["key"]: r for r in rows}  # last emission per key wins
+    assert final["s1"]["last_offset"] == 5
+    assert final["s1"]["last_value"] == "v4"
+
+
+def test_latest_state_survives_restart(spark, tmp_path):
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import latest_state
+
+    root = str(tmp_path / "log")
+    w = EventLogWriter(root, "s1")
+    w.publish("first", BASE_TS)
+    spark.dataSource.register(EventStreamDataSource)
+    ckpt = str(tmp_path / "ckpt-restart")
+
+    def run_once() -> list:
+        got: list = []
+        q = (
+            latest_state(
+                spark.readStream.format("eventstream")
+                .option("path", root)
+                .option("stream", "s1")
+                .option("startingOrdinal", 0)
+                .load()
+            )
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    first = run_once()
+    assert first and first[-1]["last_offset"] == 1
+    # new messages after the first run; the restart must resume from the
+    # checkpointed offset AND the recovered keyed state
+    w.publish("second", BASE_TS + 1000)
+    second = run_once()
+    assert second and second[-1]["last_offset"] == 2
+    assert second[-1]["last_value"] == "second"
