@@ -106,6 +106,8 @@ HEADLINE = [
     "q31_supplier_diversity",
     "q32_top_supplier",
     "e15_json_functions",
+    "t27_tfidf_top_terms",
+    "v13_cluster_representatives",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

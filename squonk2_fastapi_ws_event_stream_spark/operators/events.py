@@ -535,6 +535,39 @@ def e14_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compact_incremental(prev: DataFrame, new_events: DataFrame) -> DataFrame:
+    """Incremental form of e14: fold new events into a previously
+    compacted table without rescanning history.
+
+    ``prev`` has e14's output schema; ``new_events`` the raw events schema.
+    The union is |keys| + |new| rows — at 100 TB the prior compacted table
+    is orders of magnitude smaller than the log it summarizes, so daily
+    compaction costs one scan of the NEW partition only. Associativity of
+    max-by-(ts, event_id) makes the fold exact: the result equals e14 run
+    over the full history (tested in tests/test_compaction_incremental.py).
+    """
+    from pyspark.sql import Window
+
+    new_compact = (
+        new_events.select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_millis("ts").alias("last_ts_ms"),
+            F.round(F.col("value"), 6).alias("last_value"),
+        )
+    )
+    unioned = prev.unionByName(new_compact)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("last_ts_ms").desc(), F.col("last_event_id").desc()
+    )
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 ORACLE_E14 = """
 SELECT user_id, event_type,
        event_id AS last_event_id,

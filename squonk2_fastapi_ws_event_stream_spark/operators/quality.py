@@ -790,6 +790,79 @@ FROM grouped
 """
 
 
+# ---------------------------------------------------------------------------
+# t27 — TF-IDF top terms per document: the classic salience ranking used
+# for keyword extraction, topic labeling, and quality signals.
+#
+# idf is the RATIONAL BM25 form (N - df + 0.5)/(df + 0.5), not a log:
+# division of exact integers (+0.5) is a correctly-rounded IEEE op, so
+# Spark and DuckDB agree bit-for-bit, where libm log() is only ~1-ulp and
+# could flip a rounding at the 6th decimal. Ranking by the rational idf
+# preserves the log form's order exactly (x ↦ ln monotone).
+#
+# Scale: tf is the wordcount shape (one shuffle on (doc_id, term),
+# map-side-combined); df aggregates the same exploded stream to |vocab|
+# rows which join back as a broadcast (vocabulary is heavy-tailed — t22's
+# rule: broadcast the hot head, shuffle-join only a rare tail at 100 TB);
+# the top-k window partitions per doc.
+# ---------------------------------------------------------------------------
+TFIDF_TOP_K = 5
+
+
+def t27_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", F.col("rk").cast("long").alias("rk"), "term", "tfidf")
+    )
+
+
+ORACLE_T27 = f"""
+WITH terms AS (
+  SELECT doc_id, u.term
+  FROM documents, unnest(string_split(text, ' ')) AS u(term)
+  WHERE length(u.term) > 0
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         ROUND(t.tf * (n.n_docs - d.df + 0.5) / (d.df + 0.5), 6) AS tfidf
+  FROM tf t JOIN df d USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+) WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
 QUERIES = {
     "t17_repetition_stats": t17_repetition_stats,
     "t18_pii_redaction": t18_pii_redaction,
@@ -801,6 +874,7 @@ QUERIES = {
     "t24_sequence_packing": t24_sequence_packing,
     "t25_mixture_sampling": t25_mixture_sampling,
     "t26_leakage_safe_split": t26_leakage_safe_split,
+    "t27_tfidf_top_terms": t27_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -814,4 +888,5 @@ ORACLES = {
     "t24_sequence_packing": ORACLE_T24,
     "t25_mixture_sampling": ORACLE_T25,
     "t26_leakage_safe_split": _oracle_t26(),
+    "t27_tfidf_top_terms": ORACLE_T27,
 }

@@ -995,6 +995,101 @@ SELECT vec_id, cell_id, dup_of, cos FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# v13 — cluster representatives (medoid selection): after v12's cell
+# assignment, elect the most central member of each cell — the vector with
+# the highest mean cosine to its cell-mates. This is the selection step of
+# coreset/prototype pipelines (pick one exemplar per semantic cluster to
+# summarize or subsample a corpus).
+#
+# Scale: the pairwise mean is confined to cells exactly like v12 (Σ|cell|²
+# work via one cell_id equi-join); singleton cells return the member with
+# mean_cos = 1.0 (degenerate but well-defined). Ties break on vec_id.
+# ---------------------------------------------------------------------------
+def v13_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
+    centroids = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    assigned = _with_nearest_cell(emb, _packed_cells(centroids), "embedding").select(
+        "vec_id", "embedding", "cell_id"
+    )
+    a = assigned.select(
+        "cell_id", F.col("vec_id").alias("vec_id"), F.col("embedding").alias("emb_a")
+    )
+    b = assigned.select(
+        "cell_id", F.col("vec_id").alias("other_id"), F.col("embedding").alias("emb_b")
+    )
+    centrality = (
+        a.join(b, "cell_id")
+        .filter(F.col("vec_id") != F.col("other_id"))
+        .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
+        .groupBy("cell_id", "vec_id")
+        # exact-decimal sum before the divide (the v04 mean recipe):
+        # double addition is order-sensitive and could flip the 6th
+        # decimal under different partitionings/engines
+        .agg(
+            F.round(
+                F.sum(F.col("cos").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_cos")
+        )
+    )
+    # Singleton cells have no pairs — re-attach so every cell elects a rep.
+    singles = (
+        assigned.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("only_vec"))
+        .filter(F.col("n") == 1)
+        .select("cell_id", F.col("only_vec").alias("vec_id"), F.lit(1.0).alias("mean_cos"))
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("mean_cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        centrality.unionByName(singles)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cell_id", F.col("vec_id").alias("rep_vec_id"), "mean_cos")
+    )
+
+
+ORACLE_V13 = f"""
+WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+           WHERE vec_id % {CENTROID_STRIDE} = 0),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS c_rank
+    FROM embeddings e CROSS JOIN c
+  ) WHERE c_rank = 1
+),
+centrality AS (
+  SELECT a.cell_id, a.vec_id,
+         ROUND(CAST(SUM(CAST({sql_cosine('a.embedding', 'b.embedding')}
+                            AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS mean_cos
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+  GROUP BY a.cell_id, a.vec_id
+),
+singles AS (
+  SELECT cell_id, MIN(vec_id) AS vec_id, 1.0 AS mean_cos
+  FROM assigned GROUP BY cell_id HAVING COUNT(*) = 1
+),
+unioned AS (
+  SELECT * FROM centrality UNION ALL SELECT * FROM singles
+)
+SELECT cell_id, vec_id AS rep_vec_id, mean_cos FROM (
+  SELECT cell_id, vec_id, mean_cos,
+         ROW_NUMBER() OVER (PARTITION BY cell_id
+                            ORDER BY mean_cos DESC, vec_id ASC) AS rk
+  FROM unioned
+) WHERE rk = 1
+"""
+
+
 QUERIES = {
     "v01_neardup_cosine": v01_neardup_cosine,
     "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
@@ -1007,6 +1102,7 @@ QUERIES = {
     "v10_ann_recall_at_k": v10_ann_recall_at_k,
     "v11_ann_pq_topk": v11_ann_pq_topk,
     "v12_semdedup": v12_semdedup,
+    "v13_cluster_representatives": v13_cluster_representatives,
 }
 
 ORACLES = {
@@ -1021,4 +1117,5 @@ ORACLES = {
     "v10_ann_recall_at_k": ORACLE_V10,
     "v11_ann_pq_topk": _oracle_v11(),
     "v12_semdedup": ORACLE_V12,
+    "v13_cluster_representatives": ORACLE_V13,
 }

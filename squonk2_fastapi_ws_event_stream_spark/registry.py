@@ -60,6 +60,8 @@ _PRIORITY = (
     "q31_supplier_diversity",
     "q32_top_supplier",
     "e15_json_functions",
+    "t27_tfidf_top_terms",
+    "v13_cluster_representatives",
     "t05_dedup_exact_sha2",
     "t06_dedup_simhash_banded",
     "t07_dedup_cluster_cc",
