@@ -116,3 +116,46 @@ def with_message_stats(envelope: DataFrame, name: str = "ess_stats") -> DataFram
         F.min(F.octet_length("value")).alias("min_bytes"),
         F.max(F.octet_length("value")).alias("max_bytes"),
     )
+
+
+def windowed_topk(
+    envelope: DataFrame,
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Streaming windowed heavy hitters — the streaming twin of the e13
+    batch query: top-k stream keys per time window by message volume.
+
+    Returns ``(aggregated_stream, rank_batch)``: ranking needs a window
+    function, which Structured Streaming cannot run inside the stateful
+    plan, so the rank happens per micro-batch in the SINK stage
+    (`foreachBatch(lambda df, _: rank_batch(df)...)`) over the
+    watermark-bounded aggregate — the standard two-stage shape for
+    streaming top-k. The aggregate state is bounded by (windows x keys);
+    the rank input per batch is only the updated aggregate rows.
+    """
+    from pyspark.sql.window import Window as W
+
+    agg = (
+        envelope.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", window).alias("win"), "key")
+        .agg(F.count(F.lit(1)).alias("n_messages"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "key",
+            "n_messages",
+        )
+    )
+
+    def rank_batch(batch_df: DataFrame) -> DataFrame:
+        w = W.partitionBy("window_start").orderBy(
+            F.col("n_messages").desc(), F.col("key").asc()
+        )
+        return (
+            batch_df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("window_start", "key", "n_messages", F.col("rk").cast("long").alias("rk"))
+        )
+
+    return agg, rank_batch

@@ -141,3 +141,56 @@ def test_observe_stats_surface_in_progress(spark, log_root, tmp_path):
     total_received = sum(m["received"] for m in observed)
     assert total_received == 5
     assert all(m["min_bytes"] == len('{"m": 1}') for m in observed)
+
+
+def test_windowed_topk_matches_batch_rank(spark, tmp_path):
+    """Streaming aggregate + sink-stage rank = the same top-k a batch
+    computation produces over the full log (e13's shape on stream keys)."""
+    from squonk2_fastapi_ws_event_stream_spark.sources.eventstream import (
+        EventLogWriter,
+        EventStreamDataSource,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.streaming.aggregates import (
+        windowed_topk,
+    )
+
+    root = str(tmp_path / "log")
+    base = 1_700_000_000_000
+    # three streams with distinct volumes inside one hour window
+    for stream, n in (("a", 5), ("b", 3), ("c", 1)):
+        w = EventLogWriter(root, stream)
+        for i in range(n):
+            w.publish(f"m{i}", base + i * 1000)
+    spark.dataSource.register(EventStreamDataSource)
+
+    results: list = []
+    queries = []
+    for stream in ("a", "b", "c"):
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", stream)
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        agg, rank_batch = windowed_topk(env, k=2)
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(lambda df, _id: results.extend(rank_batch(df).collect()))
+            .option("checkpointLocation", str(tmp_path / f"ckpt-{stream}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        queries.append(q)
+    for q in queries:
+        q.awaitTermination(120)
+
+    # each per-stream query emits its own single-key rank; union of finals
+    finals = {}
+    for r in results:
+        finals[(r["window_start"], r["key"])] = r["n_messages"]
+    assert finals == {
+        (next(iter({k[0] for k in finals})), "a"): 5,
+        (next(iter({k[0] for k in finals})), "b"): 3,
+        (next(iter({k[0] for k in finals})), "c"): 1,
+    }
