@@ -108,6 +108,7 @@ HEADLINE = [
     "e15_json_functions",
     "t27_tfidf_top_terms",
     "v13_cluster_representatives",
+    "t28_source_overlap",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

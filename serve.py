@@ -49,6 +49,20 @@ def main() -> None:
         registry, manager, host=args.host, port=args.ws_port
     ).start_background()
     print(f"WebSocket API: ws://{args.host}:{ws_server.port}/event-stream/<uuid>")
+
+    # Graceful shutdown on SIGTERM — the k8s pre-stop / probes analog
+    # (reference: hooks/pre-stop-hook.sh writes a poison file the probes
+    # read). Here the handler stops consumers synchronously so in-flight
+    # StreamingQueries checkpoint cleanly before the process exits.
+    import signal
+    import sys as _sys
+
+    def _graceful(_signum, _frame):
+        ws_server.stop()
+        manager.stop_all()
+        _sys.exit(0)
+
+    signal.signal(signal.SIGTERM, _graceful)
     try:
         app.run(host=args.host, port=args.port, threaded=True)
     finally:

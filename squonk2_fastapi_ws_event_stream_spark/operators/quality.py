@@ -863,6 +863,79 @@ SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# t28 — cross-source overlap matrix: how many exact-duplicate texts each
+# pair of sources shares — the provenance/governance view of dedup (which
+# crawls/datasets are re-serving the same content, who to dedup against
+# whom). Also the denominator for per-source "uniqueness" quality scores.
+#
+# Scale: one shuffle keys distinct (digest, source) — 32-byte keys, t05's
+# discipline; the pair join runs on the digest equi-key and only digests
+# present in ≥2 sources survive the preceding HAVING, so the join input is
+# the (tiny) shared tail, not the corpus.
+# ---------------------------------------------------------------------------
+def t28_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # re-inject every 25th doc under a rotated source so cross-source
+    # exact dups exist (the synthetic corpus has none naturally)
+    rotated = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.lit("src"), ((F.substring("source", 4, 10).cast("int") + 1) % 5)).alias(
+            "source"
+        ),
+        "text",
+    )
+    keyed = (
+        docs.unionByName(rotated)
+        .select("source", F.sha2("text", 256).alias("digest"))
+        .distinct()
+    )
+    shared = (
+        keyed.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_sources"))
+        .filter(F.col("n_sources") >= 2)
+        .select("digest")
+    )
+    pairs = (
+        keyed.join(F.broadcast(shared), "digest")
+        .alias("a")
+        .join(keyed.join(F.broadcast(shared), "digest").alias("b"), "digest")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            "digest",
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.countDistinct("digest").alias("n_shared_texts")
+    )
+
+
+ORACLE_T28 = """
+WITH rotated AS (
+  SELECT doc_id + 20000 AS doc_id,
+         'src' || ((CAST(substr(source, 4) AS INTEGER) + 1) % 5) AS source,
+         text
+  FROM documents WHERE doc_id % 25 = 0
+),
+unioned AS (
+  SELECT source, text FROM documents
+  UNION ALL SELECT source, text FROM rotated
+),
+keyed AS (SELECT DISTINCT source, sha256(text) AS digest FROM unioned),
+shared AS (
+  SELECT digest FROM keyed GROUP BY digest HAVING COUNT(*) >= 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(DISTINCT a.digest) AS BIGINT) AS n_shared_texts
+FROM keyed a
+JOIN keyed b ON a.digest = b.digest AND a.source < b.source
+JOIN shared s ON a.digest = s.digest
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "t17_repetition_stats": t17_repetition_stats,
     "t18_pii_redaction": t18_pii_redaction,
@@ -875,6 +948,7 @@ QUERIES = {
     "t25_mixture_sampling": t25_mixture_sampling,
     "t26_leakage_safe_split": t26_leakage_safe_split,
     "t27_tfidf_top_terms": t27_tfidf_top_terms,
+    "t28_source_overlap": t28_source_overlap,
 }
 
 ORACLES = {
@@ -889,4 +963,5 @@ ORACLES = {
     "t25_mixture_sampling": ORACLE_T25,
     "t26_leakage_safe_split": _oracle_t26(),
     "t27_tfidf_top_terms": ORACLE_T27,
+    "t28_source_overlap": ORACLE_T28,
 }

@@ -62,6 +62,7 @@ _PRIORITY = (
     "e15_json_functions",
     "t27_tfidf_top_terms",
     "v13_cluster_representatives",
+    "t28_source_overlap",
     "t05_dedup_exact_sha2",
     "t06_dedup_simhash_banded",
     "t07_dedup_cluster_cc",
