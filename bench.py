@@ -109,6 +109,8 @@ HEADLINE = [
     "t27_tfidf_top_terms",
     "v13_cluster_representatives",
     "t28_source_overlap",
+    "x09_join_size_estimate",
+    "t29_quality_calibration",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -936,6 +936,48 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# t29 — per-source quality calibration: percentile-normalize a quality
+# signal WITHIN each source before thresholding. Absolute quality
+# thresholds misfilter across heterogeneous sources (a median web page
+# and a median reference text score very differently); normalizing
+# per-source makes "keep the top half of each source" well-defined —
+# the calibration step that precedes t25's budgeted mixing.
+#
+# Scale: one shuffle partitions by source; each source sorts
+# independently. For sources too large to sort, the same decision comes
+# from an approx_percentile threshold per source (x02's machinery) with
+# a map-side filter — the exact window form here IS the oracle for that
+# scale path. (doc_id tiebreak → total order → engine-stable ranks.)
+# ---------------------------------------------------------------------------
+T29_KEEP_FRACTION = 0.5
+
+
+def t29_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    pct = F.percent_rank().over(w)
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(pct, 6).alias("source_pct"),
+        (pct >= T29_KEEP_FRACTION).alias("keep"),
+    )
+
+
+ORACLE_T29 = f"""
+SELECT doc_id, source, n_chars,
+       ROUND(percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id), 6) AS source_pct,
+       percent_rank() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) >= {T29_KEEP_FRACTION} AS keep
+FROM documents
+"""
+
+
 QUERIES = {
     "t17_repetition_stats": t17_repetition_stats,
     "t18_pii_redaction": t18_pii_redaction,
@@ -949,6 +991,7 @@ QUERIES = {
     "t26_leakage_safe_split": t26_leakage_safe_split,
     "t27_tfidf_top_terms": t27_tfidf_top_terms,
     "t28_source_overlap": t28_source_overlap,
+    "t29_quality_calibration": t29_quality_calibration,
 }
 
 ORACLES = {
@@ -964,4 +1007,5 @@ ORACLES = {
     "t26_leakage_safe_split": _oracle_t26(),
     "t27_tfidf_top_terms": ORACLE_T27,
     "t28_source_overlap": ORACLE_T28,
+    "t29_quality_calibration": ORACLE_T29,
 }

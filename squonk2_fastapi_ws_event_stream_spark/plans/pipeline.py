@@ -560,3 +560,94 @@ FROM probes
 
 QUERIES["x06_cms_heavy_hitters"] = x06_cms_heavy_hitters
 ORACLES["x06_cms_heavy_hitters"] = _oracle_x06()
+
+
+# ---------------------------------------------------------------------------
+# x09 — sketch-based join-size estimation (AMS/CMS inner product,
+# Alon-Matias-Szegedy '96 / Cormode-Muthukrishnan '05): estimate
+# |lineitem ⋈ orders| on orderkey as min over sketch rows of
+# Σ_w cms_L[i,w] · cms_O[i,w], without executing the join. This is the
+# cardinality estimate a cost-based planner wants before choosing a join
+# strategy; CMS guarantees estimate >= true, and the deterministic hash
+# family makes the whole sketch — and therefore the estimate — exactly
+# oracle-checkable (no tolerance verdict needed).
+#
+# Scale: each side folds to d×w counters (map-side partial agg, shuffle
+# carries ≤ d·w rows regardless of table size); the inner product joins
+# counters on (row, bucket) — d·w rows against d·w rows. The true join
+# size is computed here only as the verdict column; a planner would skip
+# it (that is the point).
+# ---------------------------------------------------------------------------
+def x09_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def cms_counters(df, key):
+        rows = [
+            df.select(
+                F.lit(i).alias("row_i"),
+                ((F.col(key) * CMS_A[i] + CMS_B[i]) % CMS_P % CMS_W).alias("bucket"),
+            )
+            for i in range(CMS_D)
+        ]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out.groupBy("row_i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey")
+    cl = cms_counters(li, "l_orderkey").withColumnRenamed("c", "c_l")
+    co = cms_counters(orders, "o_orderkey").withColumnRenamed("c", "c_o")
+    per_row = (
+        cl.join(co, ["row_i", "bucket"])
+        .groupBy("row_i")
+        .agg(F.sum(F.col("c_l") * F.col("c_o")).alias("dot"))
+    )
+    est = per_row.agg(F.min("dot").alias("ams_estimate"))
+    truth = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+        F.count(F.lit(1)).alias("true_join_size")
+    )
+    return (
+        truth.crossJoin(F.broadcast(est))
+        .select(
+            "true_join_size",
+            "ams_estimate",
+            (F.col("ams_estimate") - F.col("true_join_size")).alias("overcount"),
+            (F.col("ams_estimate") >= F.col("true_join_size")).alias("never_underestimates"),
+        )
+    )
+
+
+def _oracle_x09() -> str:
+    cl_ctes = ",\n".join(
+        f"""cl{i} AS (
+  SELECT (l_orderkey * {CMS_A[i]} + {CMS_B[i]}) % {CMS_P} % {CMS_W} AS bucket,
+         COUNT(*) AS c_l
+  FROM lineitem GROUP BY 1
+),
+co{i} AS (
+  SELECT (o_orderkey * {CMS_A[i]} + {CMS_B[i]}) % {CMS_P} % {CMS_W} AS bucket,
+         COUNT(*) AS c_o
+  FROM orders GROUP BY 1
+),
+dot{i} AS (
+  SELECT SUM(c_l * c_o) AS dot FROM cl{i} JOIN co{i} USING (bucket)
+)"""
+        for i in range(CMS_D)
+    )
+    union_dots = " UNION ALL ".join(f"SELECT dot FROM dot{i}" for i in range(CMS_D))
+    return f"""
+WITH {cl_ctes},
+est AS (SELECT CAST(MIN(dot) AS BIGINT) AS ams_estimate FROM ({union_dots})),
+truth AS (
+  SELECT COUNT(*) AS true_join_size
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT t.true_join_size,
+       e.ams_estimate,
+       CAST(e.ams_estimate - t.true_join_size AS BIGINT) AS overcount,
+       e.ams_estimate >= t.true_join_size AS never_underestimates
+FROM truth t CROSS JOIN est e
+"""
+
+
+QUERIES["x09_join_size_estimate"] = x09_join_size_estimate
+ORACLES["x09_join_size_estimate"] = _oracle_x09()

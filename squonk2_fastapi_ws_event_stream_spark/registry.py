@@ -63,6 +63,8 @@ _PRIORITY = (
     "t27_tfidf_top_terms",
     "v13_cluster_representatives",
     "t28_source_overlap",
+    "x09_join_size_estimate",
+    "t29_quality_calibration",
     "t05_dedup_exact_sha2",
     "t06_dedup_simhash_banded",
     "t07_dedup_cluster_cc",
