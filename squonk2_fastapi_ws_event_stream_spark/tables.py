@@ -34,19 +34,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table as a DataFrame (native parquet scan)."""
     apply_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts has appeared in three physical encodings across driver data
-    # regenerations; normalize all of them to a session-UTC TIMESTAMP so
-    # every downstream unix_millis()/window() call sees one type:
+    # Timestamp columns have appeared in three physical encodings across
+    # driver data regenerations; normalize all of them to a session-UTC
+    # TIMESTAMP so every downstream unix_millis()/window() call sees one
+    # type:
     #   - TIMESTAMP(NANOS)    → bigint under nanosAsLong → exact DIV 1000
+    #     (only events.ts has ever used this encoding)
     #   - timestamp[us] no-tz → TIMESTAMP_NTZ → cast (exact: session tz is
     #     pinned UTC in session.py, so NTZ→LTZ is the identity mapping)
     #   - timestamp[us] w/ tz → already TIMESTAMP, no-op
-    if name == "events":
-        dtype = dict(df.dtypes).get("ts")
-        if dtype == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        elif dtype == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -1,0 +1,36 @@
+"""Driver-contract invariants on the query registry: these are the
+properties CORRECTNESS_r{N} generation depends on, pinned so a refactor
+cannot silently break the driver's sweep."""
+
+from __future__ import annotations
+
+from squonk2_fastapi_ws_event_stream_spark.registry import (
+    NON_SQL_QUERIES,
+    ORACLES,
+    QUERIES,
+    _PRIORITY,
+)
+
+
+def test_every_query_has_an_oracle():
+    assert set(QUERIES) == set(ORACLES)
+    assert not NON_SQL_QUERIES
+
+
+def test_no_duplicate_names_and_all_callable():
+    assert len(QUERIES) == len(set(QUERIES))
+    for fn in QUERIES.values():
+        assert callable(fn)
+
+
+def test_priority_names_resolve_and_lead_the_ordering():
+    names = list(QUERIES)
+    assert set(_PRIORITY) <= set(names)
+    assert names[: len(_PRIORITY)] == list(_PRIORITY)
+
+
+def test_entry_module_exports_match_registry():
+    import __spark_entry__ as e
+
+    assert set(e.queries()) == set(QUERIES)
+    assert set(e.oracle_sql()) == set(ORACLES)

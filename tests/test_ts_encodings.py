@@ -90,3 +90,29 @@ def test_all_encodings_agree(spark, tmp_path):
             .collect()
         }
     assert frames["nanos"] == frames["ntz_us"] == frames["tz_us"]
+
+
+def test_ntz_normalized_on_any_table(spark, tmp_path):
+    """The normalization is table-generic: a regenerated lineitem/orders
+    with NTZ timestamp columns must also come back as TIMESTAMP."""
+    sf_dir = tmp_path / "any"
+    sf_dir.mkdir()
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([10, 20], pa.int64()),
+            "o_orderstatus": pa.array(["O", "F"], pa.string()),
+            "o_totalprice": pa.array([1.0, 2.0], pa.float64()),
+            "o_orderdate": pa.array(
+                [dt.datetime(1995, 1, 1), dt.datetime(1996, 6, 15)],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(sf_dir / "orders.parquet"))
+    df = table(spark, str(sf_dir), "orders")
+    assert dict(df.dtypes)["o_orderdate"] == "timestamp"
+    got = {r["o_orderkey"]: r["y"] for r in df.select(
+        "o_orderkey", F.year("o_orderdate").alias("y")).collect()}
+    assert got == {1: 1995, 2: 1996}
