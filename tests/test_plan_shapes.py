@@ -282,3 +282,33 @@ def test_e14_compaction_window_is_key_partitioned(spark):
 
     sorts = [m.group(0) for m in re.finditer(r"Sort \[[^\]]*\], true", plan)]
     assert not sorts, f"global sort found: {sorts}"
+
+
+def test_t27_df_table_joins_broadcast(spark):
+    plan = explain(QUERIES["t27_tfidf_top_terms"](spark, SF))
+    # document-frequency and corpus-size tables join back as broadcasts;
+    # the corpus-side tf stream is never sort-merge joined
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_t28_pair_join_is_digest_equi_join(spark):
+    plan = explain(QUERIES["t28_source_overlap"](spark, SF))
+    assert "CartesianProduct" not in plan
+
+
+def test_t29_window_is_source_partitioned(spark):
+    plan = explain(QUERIES["t29_quality_calibration"](spark, SF))
+    import re
+
+    # no global sort: every Sort in the plan is per-partition
+    sorts = [m.group(0) for m in re.finditer(r"Sort \[[^\]]*\], true", plan)]
+    assert not sorts, f"global sort found: {sorts}"
+
+
+def test_x09_estimate_never_joins_the_fact_tables_for_the_sketch(spark):
+    df = QUERIES["x09_join_size_estimate"](spark, SF)
+    row = df.collect()[0]
+    # CMS inner product can only overestimate
+    assert row["never_underestimates"] is True
+    assert row["ams_estimate"] >= row["true_join_size"]
