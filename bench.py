@@ -111,6 +111,7 @@ HEADLINE = [
     "t28_source_overlap",
     "x09_join_size_estimate",
     "t29_quality_calibration",
+    "t30_bigram_lm",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -978,6 +978,84 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# t30 — bigram conditional surprisal (the bigram extension of t22's CCNet
+# idea): score each document by the average quantized surprisal of its
+# bigrams under the corpus bigram model, -log2 P(w2|w1) ≈
+# floor(log2 c(w1)) - floor(log2 c(w1 w2)). Documents whose word PAIRS are
+# unusual score high even when every individual word is common — the
+# signal unigram scoring cannot see (word-salad detection).
+#
+# Exactness: both floor-log2 terms come from binary-string lengths
+# (t22's no-libm trick), and c(w1) >= c(w1 w2) guarantees the difference
+# is a non-negative integer — so sum/avg are exact-integer arithmetic
+# with one rounded division.
+# Scale: one bigram-frequency shuffle (map-side-combined); the w1 prefix
+# counts derive from the same table (no second corpus pass); both
+# frequency tables join back broadcast (heavy-tailed, t22's rule).
+# ---------------------------------------------------------------------------
+def t30_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+        .withColumn("words", F.split("text", " "))
+        .withColumn("bigrams", F.expr(BIGRAM_EXPR))
+    )
+    bg = docs.select("doc_id", F.explode("bigrams").alias("b"))
+    freq2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cnt2"))
+    freq1 = (
+        freq2.withColumn("w1", F.substring_index("b", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("cnt2").alias("cnt1"))
+    )
+    bits = lambda c: (F.length(F.regexp_replace(F.bin(c), "^0+", "")) - 1).cast("long")
+    joined = (
+        bg.join(F.broadcast(freq2), "b")
+        .withColumn("w1", F.substring_index("b", " ", 1))
+        .join(F.broadcast(freq1), "w1")
+        .withColumn("surprisal_bits", bits(F.col("cnt1")) - bits(F.col("cnt2")))
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("surprisal_bits").alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("sum_bits").cast("long").alias("sum_bits"),
+            F.round(F.col("sum_bits") / F.col("n_bigrams"), 6).alias("avg_surprisal"),
+        )
+    )
+
+
+ORACLE_T30 = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+db AS (SELECT doc_id, {SQL_BIGRAMS} AS bigrams FROM d),
+bg AS (SELECT doc_id, unnest(bigrams) AS b FROM db),
+freq2 AS (
+  SELECT b, COUNT(*) AS cnt2,
+         CAST(length(bin(COUNT(*))) - 1 AS BIGINT) AS bits2
+  FROM bg GROUP BY b
+),
+freq1 AS (
+  SELECT split_part(b, ' ', 1) AS w1, CAST(SUM(cnt2) AS BIGINT) AS cnt1
+  FROM freq2 GROUP BY 1
+),
+f1b AS (
+  SELECT w1, CAST(length(bin(cnt1)) - 1 AS BIGINT) AS bits1 FROM freq1
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(f1.bits1 - f2.bits2) AS BIGINT) AS sum_bits,
+       ROUND(SUM(f1.bits1 - f2.bits2) / COUNT(*), 6) AS avg_surprisal
+FROM bg g
+JOIN freq2 f2 USING (b)
+JOIN f1b f1 ON split_part(g.b, ' ', 1) = f1.w1
+GROUP BY g.doc_id
+"""
+
+
 QUERIES = {
     "t17_repetition_stats": t17_repetition_stats,
     "t18_pii_redaction": t18_pii_redaction,
@@ -992,6 +1070,7 @@ QUERIES = {
     "t27_tfidf_top_terms": t27_tfidf_top_terms,
     "t28_source_overlap": t28_source_overlap,
     "t29_quality_calibration": t29_quality_calibration,
+    "t30_bigram_lm": t30_bigram_lm,
 }
 
 ORACLES = {
@@ -1008,4 +1087,5 @@ ORACLES = {
     "t27_tfidf_top_terms": ORACLE_T27,
     "t28_source_overlap": ORACLE_T28,
     "t29_quality_calibration": ORACLE_T29,
+    "t30_bigram_lm": ORACLE_T30,
 }

@@ -65,6 +65,7 @@ _PRIORITY = (
     "t28_source_overlap",
     "x09_join_size_estimate",
     "t29_quality_calibration",
+    "t30_bigram_lm",
     "t05_dedup_exact_sha2",
     "t06_dedup_simhash_banded",
     "t07_dedup_cluster_cc",

@@ -205,3 +205,64 @@ def test_non_ws_request_gets_http_error(ws_stack):
     resp = s.recv(4096).decode("latin-1")
     s.close()
     assert resp.startswith("HTTP/1.1 426")
+
+
+def test_second_ws_consumer_replaces_first(ws_stack):
+    """The reference's arbitration rule: at most one live consumer per
+    stream, newest connection wins (memcached knock-out,
+    app/app.py:320-344,451-462). Spark-native form: start_consumer
+    replaces the StreamingQuery, and the first socket's delivery loop ends
+    with a normal close once its consumer's hub is sentinel-terminated."""
+    import threading
+    import time
+
+    server, registry, manager, log_root = ws_stack
+    w = EventLogWriter(log_root, "charges")
+    for i in range(3):
+        w.publish(
+            '{"message_type": "t", "message_body": {"sqn": %d}}' % i, BASE_TS + i * 1000
+        )
+    rec = registry.create("charges")
+
+    first_result: dict = {"msgs": [], "close": None}
+
+    def first_client():
+        c = WsClient(
+            "127.0.0.1",
+            server.port,
+            f"/event-stream/{rec['uuid']}?stream_from_ordinal=0&timeout_s=120",
+            timeout=120,
+        )
+        close = None
+        try:
+            while close is None:
+                text, close = c.recv_text_or_close()
+                if text is not None:
+                    first_result["msgs"].append(json.loads(text))
+        finally:
+            first_result["close"] = close
+            c.shutdown()
+
+    t1 = threading.Thread(target=first_client, daemon=True)
+    t1.start()
+    # let the first consumer deliver everything it has
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline and len(first_result["msgs"]) < 3:
+        time.sleep(0.2)
+    assert len(first_result["msgs"]) == 3
+
+    # second connection for the same stream knocks the first out
+    c2 = WsClient(
+        "127.0.0.1",
+        server.port,
+        f"/event-stream/{rec['uuid']}?stream_from_ordinal=2&max_events=1&timeout_s=60",
+    )
+    text2, close2 = c2.recv_text_or_close()
+    assert text2 is not None and json.loads(text2)["ess_ordinal"] == 3
+    c2.close()
+    c2.shutdown()
+
+    t1.join(timeout=60)
+    assert not t1.is_alive(), "first client should have been released"
+    # first client got a clean close after its consumer was replaced
+    assert first_result["close"][0] == CLOSE_NORMAL
