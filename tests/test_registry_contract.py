@@ -34,3 +34,17 @@ def test_entry_module_exports_match_registry():
 
     assert set(e.queries()) == set(QUERIES)
     assert set(e.oracle_sql()) == set(ORACLES)
+
+
+def test_cli_list_names_every_query(capsys):
+    from squonk2_fastapi_ws_event_stream_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert set(out) == set(QUERIES)
+
+
+def test_cli_rejects_unknown_query():
+    from squonk2_fastapi_ws_event_stream_spark.__main__ import main
+
+    assert main(["run", "nonesuch", "--sf-dir", "/tmp"]) == 2
