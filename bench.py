@@ -112,6 +112,8 @@ HEADLINE = [
     "x09_join_size_estimate",
     "t29_quality_calibration",
     "t30_bigram_lm",
+    "v14_ann_ivf_pq_topk",
+    "t31_minhash_estimate_eval",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -226,6 +226,101 @@ WHERE ROUND(1.0 * len(list_intersect(sa.shingles, sb.shingles))
 
 
 # ---------------------------------------------------------------------------
+# t31 — MinHash estimator accuracy: for every LSH candidate pair, compare
+# the MinHash Jaccard ESTIMATE (fraction of agreeing signature positions —
+# the Broder '97 unbiased estimator the whole LSH design rests on) with
+# the TRUE shingle Jaccard. The v10-for-text evaluation: it prices the
+# N_PERM accuracy/cost knob in-engine, so tuning the signature width is a
+# query, not a guess. Reuses t02's persisted signature staging table; the
+# only added work per candidate pair is a 16-element positional compare.
+# ---------------------------------------------------------------------------
+def t31_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _stage_cached(
+        "t02",
+        sf_dir,
+        lambda: _with_shingles(
+            table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+        ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    side = lambda suffix: sig.select(
+        F.col("doc_id").alias(f"doc_{suffix}"),
+        F.col("shingles").alias(f"sh_{suffix}"),
+        F.col("sig").alias(f"sig_{suffix}"),
+    )
+    pairs = cand.join(side("a"), "doc_a").join(side("b"), "doc_b")
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    true_j = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    est_j = F.round(matches / F.lit(H.N_PERM), 6)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        matches.cast("long").alias("sig_matches"),
+        est_j.alias("est_jaccard"),
+        true_j.alias("true_jaccard"),
+        F.round(F.abs(est_j - true_j), 6).alias("abs_err"),
+    )
+
+
+def _oracle_t31() -> str:
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, {H.sql_band_key('sig', b)} AS band_key FROM sig"
+        for b in range(H.N_BANDS)
+    )
+    matches = (
+        "list_sum(list_transform(range(1, "
+        f"{H.N_PERM} + 1), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))"
+    )
+    true_j = (
+        "ROUND(1.0 * len(list_intersect(sa.shingles, sb.shingles))"
+        " / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)"
+    )
+    return f"""
+WITH sh AS ({SQL_SHINGLES}),
+sig AS (
+  SELECT doc_id, shingles, {H.sql_minhash_signature('shingles')} AS sig FROM sh
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({matches} AS BIGINT) AS sig_matches,
+       ROUND(1.0 * {matches} / {H.N_PERM}, 6) AS est_jaccard,
+       {true_j} AS true_jaccard,
+       ROUND(ABS(ROUND(1.0 * {matches} / {H.N_PERM}, 6) - {true_j}), 6) AS abs_err
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # t03 — SimHash document signatures.
 # ---------------------------------------------------------------------------
 def t03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,6 +473,7 @@ QUERIES = {
     "t04_ngram_jaccard_pairs": t04_ngram_jaccard_pairs,
     "t05_dedup_exact_sha2": t05_dedup_exact_sha2,
     "t06_dedup_simhash_banded": t06_dedup_simhash_banded,
+    "t31_minhash_estimate_eval": t31_minhash_estimate_eval,
 }
 
 ORACLES = {
@@ -387,4 +483,5 @@ ORACLES = {
     "t04_ngram_jaccard_pairs": _oracle_t04(),
     "t05_dedup_exact_sha2": ORACLE_T05,
     "t06_dedup_simhash_banded": _oracle_t06(),
+    "t31_minhash_estimate_eval": _oracle_t31(),
 }

@@ -916,6 +916,171 @@ SELECT query_id, rank, vec_id, cos, approx_l2 FROM ranked WHERE rank <= {TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# v14 — IVF + PQ composed ANN: the full production index shape (FAISS's
+# IVFPQ): IVF routing restricts the search to N_PROBE cells, PQ codes give
+# the cheap in-cell distance, exact cosine re-ranks the small pool. The
+# composition is exactly v03's routing plan feeding v11's scoring plan —
+# both the centroid row and the codebook row are broadcast, the corpus is
+# assigned+encoded in ONE map-side pass, and the only shuffle before the
+# per-query rank is the probed-cell equi-join. Scanned fraction
+# ~N_PROBE/N_CELLS with 8-byte codes per vector — the memory x compute
+# product that makes billion-vector indexes serve online.
+# ---------------------------------------------------------------------------
+def v14_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
+    centroids = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    packed = _packed_cells(centroids)
+    assigned = _with_nearest_cell(emb, packed, "embedding").select(
+        "vec_id", "embedding", "cell_id"
+    )
+    cb = (
+        emb.filter(
+            (F.col("vec_id") % PQ_CB_STRIDE == 0)
+            & (F.col("vec_id") < PQ_CB_STRIDE * PQ_NCODES)
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+                lambda s: s["embedding"],
+            ).alias("cbs")
+        )
+    )
+
+    def code_of(m):
+        dists = F.transform(F.col("cbs"), lambda c: _pq_sub_l2(F.col("embedding"), c, m))
+        return F.array_position(dists, F.array_min(dists)).cast("int")
+
+    recon = F.flatten(
+        F.array(
+            *[
+                F.slice(
+                    F.element_at(F.col("cbs"), code_of(m)),
+                    m * PQ_SUB_DIM + 1,
+                    PQ_SUB_DIM,
+                )
+                for m in range(PQ_N_SUB)
+            ]
+        )
+    )
+    encoded = assigned.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "embedding", "cell_id", recon.alias("recon")
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = _with_probe_cells(queries, packed, N_PROBE)
+    approx_l2 = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("recon"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        encoded.join(probes, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("approx_l2", F.round(approx_l2, 6))
+    )
+    pool_w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_l2").asc(), F.col("vec_id").asc()
+    )
+    pool = scored.withColumn("qrank", F.row_number().over(pool_w)).filter(
+        F.col("qrank") <= TOP_K * RERANK_FACTOR
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        cosine(F.col("q_emb"), F.col("embedding")).desc(), F.col("vec_id").asc()
+    )
+    return (
+        pool.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "vec_id",
+            cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+            "approx_l2",
+        )
+    )
+
+
+def _oracle_v14() -> str:
+    sub_l2 = (
+        "list_sum(list_transform(range(1, {sd} + 1), j -> "
+        "(CAST({v}[m * {sd} + j] AS DOUBLE) - CAST(c[m * {sd} + j] AS DOUBLE))"
+        " * (CAST({v}[m * {sd} + j] AS DOUBLE) - CAST(c[m * {sd} + j] AS DOUBLE))))"
+    ).format(v="a.embedding", sd=PQ_SUB_DIM)
+    dists = f"list_transform(cb.cbs, c -> {sub_l2})"
+    code = f"list_position({dists}, list_min({dists}))"
+    recon = (
+        f"flatten(list_transform(range(0, {PQ_N_SUB}), m -> "
+        f"cb.cbs[{code}][m * {PQ_SUB_DIM} + 1 : (m + 1) * {PQ_SUB_DIM}]))"
+    )
+    return f"""
+WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+           WHERE vec_id % {CENTROID_STRIDE} = 0),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS c_rank
+    FROM embeddings e CROSS JOIN c
+  ) WHERE c_rank = 1
+),
+cb AS (
+  SELECT list(embedding ORDER BY vec_id) AS cbs
+  FROM embeddings
+  WHERE vec_id % {PQ_CB_STRIDE} = 0 AND vec_id < {PQ_CB_STRIDE * PQ_NCODES}
+),
+encoded AS (
+  SELECT a.vec_id, a.embedding, a.cell_id, {recon} AS recon
+  FROM assigned a, cb
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id % {QUERY_STRIDE} = 0),
+probes AS (
+  SELECT query_id, q_emb, cell_id FROM (
+    SELECT q.query_id, q.q_emb, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {sql_cosine('q.q_emb', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS p_rank
+    FROM q CROSS JOIN c
+  ) WHERE p_rank <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, en.vec_id, en.embedding, p.q_emb,
+         ROUND(list_sum(list_transform(range(1, 65), i ->
+             (CAST(p.q_emb[i] AS DOUBLE) - CAST(en.recon[i] AS DOUBLE))
+             * (CAST(p.q_emb[i] AS DOUBLE) - CAST(en.recon[i] AS DOUBLE)))), 6)
+           AS approx_l2
+  FROM encoded en JOIN probes p ON en.cell_id = p.cell_id
+  WHERE en.vec_id <> p.query_id
+),
+pool AS (
+  SELECT query_id, vec_id, embedding, q_emb, approx_l2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY approx_l2 ASC, vec_id ASC) AS qrank
+    FROM scored
+  ) WHERE qrank <= {TOP_K * RERANK_FACTOR}
+),
+ranked AS (
+  SELECT query_id, vec_id, approx_l2,
+         {sql_cosine('q_emb', 'embedding')} AS cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY {sql_cosine('q_emb', 'embedding')} DESC,
+                                          vec_id ASC) AS INTEGER) AS rank
+  FROM pool
+)
+SELECT query_id, rank, vec_id, cos, approx_l2 FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # v12 — SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
 # cluster the embedding space, then drop near-duplicates WITHIN each cluster.
 # The all-pairs comparison is confined to single cells, so total work is
@@ -1103,6 +1268,7 @@ QUERIES = {
     "v11_ann_pq_topk": v11_ann_pq_topk,
     "v12_semdedup": v12_semdedup,
     "v13_cluster_representatives": v13_cluster_representatives,
+    "v14_ann_ivf_pq_topk": v14_ann_ivf_pq_topk,
 }
 
 ORACLES = {
@@ -1118,4 +1284,5 @@ ORACLES = {
     "v11_ann_pq_topk": _oracle_v11(),
     "v12_semdedup": ORACLE_V12,
     "v13_cluster_representatives": ORACLE_V13,
+    "v14_ann_ivf_pq_topk": _oracle_v14(),
 }

@@ -66,6 +66,8 @@ _PRIORITY = (
     "x09_join_size_estimate",
     "t29_quality_calibration",
     "t30_bigram_lm",
+    "v14_ann_ivf_pq_topk",
+    "t31_minhash_estimate_eval",
     "t05_dedup_exact_sha2",
     "t06_dedup_simhash_banded",
     "t07_dedup_cluster_cc",
