@@ -114,6 +114,7 @@ HEADLINE = [
     "t30_bigram_lm",
     "v14_ann_ivf_pq_topk",
     "t31_minhash_estimate_eval",
+    "x10_hll_set_intersection",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

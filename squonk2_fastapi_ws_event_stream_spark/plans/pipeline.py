@@ -651,3 +651,75 @@ FROM truth t CROSS JOIN est e
 
 QUERIES["x09_join_size_estimate"] = x09_join_size_estimate
 ORACLES["x09_join_size_estimate"] = _oracle_x09()
+
+
+# ---------------------------------------------------------------------------
+# x10 — HLL set algebra by inclusion-exclusion: |A ∩ B| and the Jaccard of
+# two audience sets estimated from three sketches (A, B, A ∪ B merged) —
+# no rescan, no exact distinct join. HLL unions natively; intersections
+# come from |A| + |B| - |A ∪ B|. The error compounds (both operands'
+# RSE), which is exactly what the tolerance verdict prices: the
+# audience-overlap question every event platform asks, answered from
+# per-segment sketches that were already built for x05-style counting.
+# Looser 3σ bound than x05's because subtraction cancels significant
+# digits when the intersection is small relative to the union.
+# ---------------------------------------------------------------------------
+def x10_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    a = ev.filter(F.col("event_type") == "view")
+    b = ev.filter(F.col("event_type") == "purchase")
+    sk = (
+        a.agg(F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("sk_a"))
+        .crossJoin(b.agg(F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("sk_b")))
+    )
+    est = sk.select(
+        F.hll_sketch_estimate("sk_a").alias("na"),
+        F.hll_sketch_estimate("sk_b").alias("nb"),
+        F.hll_sketch_estimate(
+            F.expr("hll_union(sk_a, sk_b)")
+        ).alias("nu"),
+    ).select(
+        "na",
+        "nb",
+        "nu",
+        (F.col("na") + F.col("nb") - F.col("nu")).alias("approx_overlap"),
+    )
+    exact = (
+        a.select("user_id")
+        .intersect(b.select("user_id"))
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    exact_u = (
+        a.select("user_id")
+        .union(b.select("user_id"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+    )
+    return (
+        est.crossJoin(exact)
+        .crossJoin(exact_u)
+        .select(
+            "exact_overlap",
+            "exact_union",
+            (
+                F.abs(F.col("approx_overlap") - F.col("exact_overlap"))
+                / F.col("exact_union")
+                <= F.lit(3 * 3 * 0.016)  # 3 sketches × 3σ of lgK=12 RSE
+            ).alias("within_tol"),
+        )
+    )
+
+
+ORACLE_X10 = """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT (SELECT COUNT(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b))
+         AS exact_overlap,
+       (SELECT COUNT(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b))
+         AS exact_union,
+       TRUE AS within_tol
+"""
+
+
+QUERIES["x10_hll_set_intersection"] = x10_hll_set_intersection
+ORACLES["x10_hll_set_intersection"] = ORACLE_X10
