@@ -161,16 +161,33 @@ def _with_probe_cells(queries: DataFrame, packed: DataFrame, n_probe: int) -> Da
     )
 
 
-def v03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stride_ivf_index(spark: SparkSession, sf_dir: str):
+    """(packed centroid row, assigned corpus) for the stride-centroid IVF
+    family (v03/v12/v13/v14). The assigned table persists once per corpus
+    — the production reality: an IVF index is BUILT once and queried many
+    times; rebuilding the cell assignment per query would re-scan the
+    corpus (t02's staging-table discipline applied to the ANN index)."""
+    from .dedup import _stage_cached
+
     emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
     centroids = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
     )
     packed = _packed_cells(centroids)
-    # Cell assignment: map-side argmax, single pass over the corpus.
-    assigned = _with_nearest_cell(emb, packed, "embedding").select(
-        "vec_id", "embedding", "cell_id"
+    assigned = _stage_cached(
+        "ivf_stride_assign",
+        sf_dir,
+        lambda: _with_nearest_cell(emb, packed, "embedding").select(
+            "vec_id", "embedding", "cell_id"
+        ),
     )
+    return emb, packed, assigned
+
+
+def v03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cell assignment: map-side argmax, single pass over the corpus,
+    # persisted via the shared stride-IVF index.
+    emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
     # Queries probe their N_PROBE nearest cells.
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -927,14 +944,7 @@ SELECT query_id, rank, vec_id, cos, approx_l2 FROM ranked WHERE rank <= {TOP_K}
 # product that makes billion-vector indexes serve online.
 # ---------------------------------------------------------------------------
 def v14_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
-    centroids = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
-    )
-    packed = _packed_cells(centroids)
-    assigned = _with_nearest_cell(emb, packed, "embedding").select(
-        "vec_id", "embedding", "cell_id"
-    )
+    emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
     cb = (
         emb.filter(
             (F.col("vec_id") % PQ_CB_STRIDE == 0)
@@ -1099,13 +1109,7 @@ SEMDEDUP_THRESHOLD = 0.40
 
 
 def v12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
-    centroids = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
-    )
-    assigned = _with_nearest_cell(emb, _packed_cells(centroids), "embedding").select(
-        "vec_id", "embedding", "cell_id"
-    )
+    _, _, assigned = _stride_ivf_index(spark, sf_dir)
     a = assigned.select(
         "cell_id", F.col("vec_id").alias("keep_id"), F.col("embedding").alias("emb_a")
     )
@@ -1172,13 +1176,7 @@ SELECT vec_id, cell_id, dup_of, cos FROM (
 # mean_cos = 1.0 (degenerate but well-defined). Ties break on vec_id.
 # ---------------------------------------------------------------------------
 def v13_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
-    centroids = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
-    )
-    assigned = _with_nearest_cell(emb, _packed_cells(centroids), "embedding").select(
-        "vec_id", "embedding", "cell_id"
-    )
+    _, _, assigned = _stride_ivf_index(spark, sf_dir)
     a = assigned.select(
         "cell_id", F.col("vec_id").alias("vec_id"), F.col("embedding").alias("emb_a")
     )
