@@ -115,6 +115,7 @@ HEADLINE = [
     "v14_ann_ivf_pq_topk",
     "t31_minhash_estimate_eval",
     "x10_hll_set_intersection",
+    "t32_langid_confusion",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -261,12 +261,68 @@ FROM documents
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# t32 — language-ID confusion matrix: t08's predictions evaluated against
+# the labeled `lang` column — per-(true, predicted) counts plus per-true-
+# language accuracy. The third member of the in-engine evaluation family
+# (v10 ANN recall, t31 MinHash estimator accuracy): classifier quality is
+# a query, so threshold/marker changes are priced without leaving Spark.
+# Scale: rides t08's map-side expressions; the only shuffle is the tiny
+# (true, predicted) aggregate.
+# ---------------------------------------------------------------------------
+def t32_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = t08_lang_id(spark, sf_dir).select("doc_id", "lang", "predicted_lang")
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("predicted_lang") == F.col("lang"), 1).otherwise(0)
+        ).alias("n_correct"),
+    )
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n_docs",
+            F.col("n_correct").cast("long").alias("n_correct"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.round(F.col("n_correct") / F.col("n_total"), 6).alias("accuracy"),
+        )
+    )
+
+
+def _oracle_t32() -> str:
+    return f"""
+WITH pred AS (SELECT doc_id, lang, predicted_lang FROM ({_oracle_t08()})),
+cells AS (
+  SELECT lang, predicted_lang, COUNT(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+),
+totals AS (
+  SELECT lang, COUNT(*) AS n_total,
+         SUM(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END) AS n_correct
+  FROM pred GROUP BY lang
+)
+SELECT c.lang, c.predicted_lang, c.n_docs,
+       CAST(t.n_correct AS BIGINT) AS n_correct,
+       CAST(t.n_total AS BIGINT) AS n_total,
+       ROUND(1.0 * t.n_correct / t.n_total, 6) AS accuracy
+FROM cells c JOIN totals t USING (lang)
+"""
+
+
 QUERIES = {
     "t08_lang_id": t08_lang_id,
     "t09_quality_score": t09_quality_score,
     "t10_token_count": t10_token_count,
     "t11_doc_fingerprint": t11_doc_fingerprint,
     "t14_string_ops": t14_string_ops,
+    "t32_langid_confusion": t32_langid_confusion,
 }
 
 ORACLES = {
@@ -275,4 +331,5 @@ ORACLES = {
     "t10_token_count": ORACLE_T10,
     "t11_doc_fingerprint": _oracle_t11(),
     "t14_string_ops": ORACLE_T14,
+    "t32_langid_confusion": _oracle_t32(),
 }

@@ -69,6 +69,7 @@ _PRIORITY = (
     "v14_ann_ivf_pq_topk",
     "t31_minhash_estimate_eval",
     "x10_hll_set_intersection",
+    "t32_langid_confusion",
     "t05_dedup_exact_sha2",
     "t06_dedup_simhash_banded",
     "t07_dedup_cluster_cc",
