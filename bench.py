@@ -1,14 +1,24 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-With ``--check [baseline.json]`` (default: the newest BENCH_r*.json in the
-repo root) it additionally diffs per-query against the recorded baseline and
-exits non-zero on a >2x regression — the driver-gate threshold — so a round
-cannot silently regress. Queries absent from the baseline are reported as
-new and not gated; sub-0.3s deltas are ignored as shared-host noise.
+Output contract (two artifacts, by design):
+- ``BENCH_FULL.json`` in the repo root gets the FULL result — every
+  per-query timing, cold totals, streaming throughput.  This is the
+  machine-readable record rounds diff against.
+- stdout's FINAL line is a COMPACT summary JSON (totals + streaming +
+  slowest-10), guaranteed well under 2000 chars, because the round driver
+  records only the last 2000 chars of output and parses the final line —
+  a full per-query map outgrew that window in round 3 and the driver
+  recorded ``parsed: null`` despite a clean run.
+
+With ``--check [baseline.json]`` (default: the BENCH_FULL.json as it
+existed BEFORE this run — i.e. the committed record of the previous run —
+falling back to the newest BENCH_r*.json with a usable per-query map) it
+additionally diffs per-query against the baseline and exits non-zero on a
+>2x regression — the driver-gate threshold — so a round cannot silently
+regress. Queries absent from the baseline are reported as new and not
+gated; sub-0.3s deltas are ignored as shared-host noise.
 
 Headliners are the scale-path queries — the quadratic ground-truth baselines
 (t04 all-pairs Jaccard, v01 all-pairs cosine) are deliberately excluded: at
@@ -116,6 +126,28 @@ HEADLINE = [
     "t31_minhash_estimate_eval",
     "x10_hll_set_intersection",
     "t32_langid_confusion",
+    # Round 4: the previously-unbenched tail — every non-guarded query now
+    # falls under the --check 2x-regression gate (guarded t04/v01 stay out;
+    # they are the O(n²) ground-truth verifiers, excluded by design).
+    "e01_replay_from_ordinal",
+    "e02_replay_from_timestamp",
+    "e03_replay_from_datetime",
+    "e05_filter_control_messages",
+    "e06_enrich_prototext",
+    "e08_gap_detection",
+    "e09_tumbling_window",
+    "q09_set_ops",
+    "q10_customers_without_orders",
+    "q12_richest_per_nation",
+    "q15_cube_order_revenue",
+    "q17_revenue_share",
+    "q18_grouping_sets",
+    "t08_lang_id",
+    "t13_sentence_udtf",
+    "t14_string_ops",
+    "v06_l2_normalize",
+    "m02_multimodal_resize",
+    "m03_multimodal_frame_sample",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching
@@ -124,10 +156,21 @@ CHECK_RATIO = 2.0
 CHECK_FLOOR_SEC = 0.3
 
 
-def check_against_baseline(result: dict, baseline_path: str) -> int:
-    with open(baseline_path, encoding="utf-8") as f:
-        base = json.load(f)
-    base = base.get("parsed", base)  # driver wrapper or raw bench line
+def _usable_baseline(obj: dict | None) -> dict | None:
+    """Unwrap a driver BENCH_r*.json record or a raw/full bench result into
+    a dict with a per-query map, or None if it has none (e.g. round 3's
+    ``parsed: null`` truncation casualty, or a compact summary line that
+    only carries the slowest-10)."""
+    if not isinstance(obj, dict):
+        return None
+    if "parsed" in obj:  # driver wrapper
+        obj = obj["parsed"]
+    if isinstance(obj, dict) and isinstance(obj.get("queries"), dict) and obj["queries"]:
+        return obj
+    return None
+
+
+def check_against_baseline(result: dict, base: dict, baseline_path: str) -> int:
     base_q = base.get("queries", {})
     failures, news = [], []
     for name, sec in result["queries"].items():
@@ -153,9 +196,23 @@ def check_against_baseline(result: dict, baseline_path: str) -> int:
     return 1 if failures else 0
 
 
+FULL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Snapshot the previous run's full record BEFORE overwriting it: it is
+    # the default --check baseline (the committed record of the last run).
+    prev_full = None
+    if os.path.exists(FULL_PATH):
+        try:
+            with open(FULL_PATH, encoding="utf-8") as f:
+                prev_full = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            prev_full = None
+
     spark = get_spark("squonk2-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -200,20 +257,53 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
         "streaming": streaming,
     }
-    print(json.dumps(result))
+
+    # Full record → repo file (the durable per-query map).
+    with open(FULL_PATH, "w", encoding="utf-8") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    # Compact summary → FINAL stdout line (<2000 chars so the driver's
+    # tail window always contains — and can parse — the whole object).
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": "headline_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "cold_total_sec": result["cold_total_sec"],
+        "streaming": streaming,
+        "slowest10": slowest,
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact summary too long ({len(line)} chars)"
+    print(line)
 
     if "--check" in sys.argv:
         idx = sys.argv.index("--check")
-        if idx + 1 < len(sys.argv):
+        base = None
+        baseline = ""
+        if idx + 1 < len(sys.argv) and not sys.argv[idx + 1].startswith("-"):
             baseline = sys.argv[idx + 1]
+            if os.path.exists(baseline):
+                with open(baseline, encoding="utf-8") as f:
+                    base = _usable_baseline(json.load(f))
+        elif _usable_baseline(prev_full):
+            base, baseline = _usable_baseline(prev_full), FULL_PATH + " (previous run)"
         else:
             import glob
 
-            candidates = sorted(glob.glob("BENCH_r*.json"))
-            baseline = candidates[-1] if candidates else ""
-        if baseline and os.path.exists(baseline):
-            sys.exit(check_against_baseline(result, baseline))
-        print("bench-check: no baseline file found, skipping", file=sys.stderr)
+            for cand in sorted(glob.glob("BENCH_r*.json"), reverse=True):
+                with open(cand, encoding="utf-8") as f:
+                    base = _usable_baseline(json.load(f))
+                if base:
+                    baseline = cand
+                    break
+        if base:
+            sys.exit(check_against_baseline(result, base, baseline))
+        print("bench-check: no usable baseline found, skipping", file=sys.stderr)
 
 
 def bench_streaming_relay(spark) -> dict:

@@ -207,7 +207,11 @@ def t19_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         lines.groupBy("line")
         .agg(F.countDistinct("doc_id").alias("doc_freq"))
     )
-    tagged = lines.join(F.broadcast(freq), "line")
+    # The distinct-line frequency table grows with the corpus: NO broadcast
+    # hint (a hint is never size-checked and hard-fails at Spark's 8 GB
+    # broadcast cap at 100 TB). Plain equi-join — AQE broadcasts it at
+    # runtime when it fits under the threshold, shuffle-joins when not.
+    tagged = lines.join(freq, "line")
     return (
         tagged.groupBy("doc_id")
         .agg(
@@ -458,9 +462,11 @@ WHERE doc_id NOT IN (SELECT DISTINCT train_id FROM flagged WHERE contaminated)""
 # integer both engines compute from the binary string representation —
 # no libm, no ulp drift. avg_bits is then an exact-integer sum divided by
 # an exact count, rounded once.
-# Scale: token frequencies are heavy-tailed, so the frequency table join
-# is a broadcast for the hot vocabulary; the per-doc aggregate shuffles
-# (doc_id, bits) longs only. Two shuffles total (vocab count + doc agg).
+# Scale: the vocabulary grows with the corpus, so the frequency join is a
+# PLAIN equi-join — no broadcast hint (hints are never size-checked; at
+# 100 TB a full-vocab broadcast trips Spark's 8 GB hard cap and the job
+# fails). AQE broadcasts it at runtime when it fits, shuffle-joins when
+# not. The per-doc aggregate shuffles (doc_id, bits) longs only.
 # ---------------------------------------------------------------------------
 def t22_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
@@ -471,7 +477,7 @@ def t22_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bits", (F.length(F.regexp_replace(F.bin("cnt"), "^0+", "")) - 1).cast("long")
     )
     scored = (
-        toks.join(F.broadcast(freq.select("w", "bits")), "w")
+        toks.join(freq.select("w", "bits"), "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -802,9 +808,10 @@ FROM grouped
 #
 # Scale: tf is the wordcount shape (one shuffle on (doc_id, term),
 # map-side-combined); df aggregates the same exploded stream to |vocab|
-# rows which join back as a broadcast (vocabulary is heavy-tailed — t22's
-# rule: broadcast the hot head, shuffle-join only a rare tail at 100 TB);
-# the top-k window partitions per doc.
+# rows which join back UNHINTED (the vocabulary grows with the corpus —
+# AQE broadcasts it when it fits, shuffle-joins when not; only the 1-row
+# n_docs aggregate carries an explicit broadcast); the top-k window
+# partitions per doc.
 # ---------------------------------------------------------------------------
 TFIDF_TOP_K = 5
 
@@ -820,8 +827,8 @@ def t27_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(F.broadcast(df_tbl), "term")
-        .crossJoin(F.broadcast(n_docs))
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))  # 1-row aggregate: hint is safe
         .withColumn(
             "tfidf",
             F.round(
@@ -872,7 +879,9 @@ SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf FROM (
 # Scale: one shuffle keys distinct (digest, source) — 32-byte keys, t05's
 # discipline; the pair join runs on the digest equi-key and only digests
 # present in ≥2 sources survive the preceding HAVING, so the join input is
-# the (tiny) shared tail, not the corpus.
+# the shared tail, not the corpus. That tail is usually small but still
+# grows with the corpus (common-crawl overlap is proportional), so the
+# shared-digest joins carry NO broadcast hint — AQE decides at runtime.
 # ---------------------------------------------------------------------------
 def t28_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -897,9 +906,9 @@ def t28_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("digest")
     )
     pairs = (
-        keyed.join(F.broadcast(shared), "digest")
+        keyed.join(shared, "digest")
         .alias("a")
-        .join(keyed.join(F.broadcast(shared), "digest").alias("b"), "digest")
+        .join(keyed.join(shared, "digest").alias("b"), "digest")
         .filter(F.col("a.source") < F.col("b.source"))
         .select(
             F.col("a.source").alias("source_a"),
@@ -991,8 +1000,10 @@ FROM documents
 # is a non-negative integer — so sum/avg are exact-integer arithmetic
 # with one rounded division.
 # Scale: one bigram-frequency shuffle (map-side-combined); the w1 prefix
-# counts derive from the same table (no second corpus pass); both
-# frequency tables join back broadcast (heavy-tailed, t22's rule).
+# counts derive from the same table (no second corpus pass). The bigram
+# table grows SUPER-linearly with the corpus — the worst candidate in the
+# tree for a broadcast hint — so both frequency joins are plain equi-joins
+# and AQE picks broadcast vs shuffle at runtime.
 # ---------------------------------------------------------------------------
 def t30_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
@@ -1009,9 +1020,9 @@ def t30_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bits = lambda c: (F.length(F.regexp_replace(F.bin(c), "^0+", "")) - 1).cast("long")
     joined = (
-        bg.join(F.broadcast(freq2), "b")
+        bg.join(freq2, "b")
         .withColumn("w1", F.substring_index("b", " ", 1))
-        .join(F.broadcast(freq1), "w1")
+        .join(freq1, "w1")
         .withColumn("surprisal_bits", bits(F.col("cnt1")) - bits(F.col("cnt2")))
     )
     return (

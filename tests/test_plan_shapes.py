@@ -312,3 +312,41 @@ def test_x09_estimate_never_joins_the_fact_tables_for_the_sketch(spark):
     # CMS inner product can only overestimate
     assert row["never_underestimates"] is True
     assert row["ams_estimate"] >= row["true_join_size"]
+
+
+def _executed_plan(df) -> str:
+    """Final AQE plan: run the query, then read the executed plan (runtime
+    broadcast decisions only appear once isFinalPlan=true)."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_freq_tables_unhinted_and_aqe_broadcasts_at_test_scale(spark):
+    # t19/t22/t27/t30/t28 join frequency tables that GROW with the corpus
+    # (distinct lines, vocabulary, document frequency, bigrams, shared
+    # digests). An unconditional F.broadcast hint on those is job-fatal at
+    # 100 TB (hints are never size-checked; 8 GB broadcast hard cap), so the
+    # joins must be plain equi-joins — and at test scale AQE must still pick
+    # a runtime broadcast, keeping the small-scale plan as fast as the old
+    # hinted one. t27's two ResolvedHint occurrences are its single 1-row
+    # n_docs aggregate hint (printed in analyzed + optimized sections).
+    expected_hints = {
+        "t19_boilerplate_removal": 0,
+        "t22_unigram_logprob": 0,
+        "t27_tfidf_top_terms": 2,
+        "t30_bigram_lm": 0,
+        "t28_source_overlap": 0,
+    }
+    for name, n_hints in expected_hints.items():
+        df = QUERIES[name](spark, SF)
+        logical = explain(df, "extended")
+        assert logical.count("ResolvedHint") == n_hints, (
+            f"{name}: unexpected broadcast hint count "
+            f"{logical.count('ResolvedHint')} != {n_hints}"
+        )
+        final = _executed_plan(df)
+        assert "isFinalPlan=true" in final, name
+        assert "BroadcastHashJoin" in final, (
+            f"{name}: AQE did not broadcast the frequency side at test scale"
+        )
+        assert "SortMergeJoin" not in final, name
