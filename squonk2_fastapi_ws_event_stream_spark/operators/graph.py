@@ -51,6 +51,12 @@ def connected_components(edges: DataFrame) -> DataFrame:
     cluster_id is the minimum node id in each component. Only nodes that
     appear in ``edges`` are labeled (isolated nodes have no duplicates
     and need no cluster).
+
+    Both working tables are `localCheckpoint`ed, NOT persist()ed: the
+    rounds re-plan against them every iteration, and a checkpoint gives a
+    lineage-free leaf (a persisted table keeps its full lineage for the
+    analyzer and an InMemoryRelation boundary in every round's plan —
+    measured ~3x slower per round here).
     """
     und = (
         edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
@@ -59,7 +65,9 @@ def connected_components(edges: DataFrame) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     labels = (
-        und.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
+        und.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
     ).localCheckpoint(eager=True)
 
     def _label_sum(df: DataFrame) -> int:
@@ -67,7 +75,12 @@ def connected_components(edges: DataFrame) -> DataFrame:
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
-    prev_sum = _label_sum(labels)
+    # No probe of the INITIAL labels: round 1 always changes something on
+    # any non-empty edge set (every non-minimum node adopts a smaller
+    # label), so the first useful comparison is round 1 vs round 2 — one
+    # fewer driver round-trip per call, identical convergence detection
+    # (the monotone-sum argument needs only consecutive probes to agree).
+    prev_sum = None
     converged = False
     for _ in range(MAX_CC_ROUNDS):
         # Two propagation hops per materialization round: each hop lets
@@ -76,6 +89,8 @@ def connected_components(edges: DataFrame) -> DataFrame:
         # convergence probes for the same total join work (rounds are
         # latency-bound at low data volume, join-bound at high — both
         # profit). Plans stay shallow: 2 joins + 2 aggregates per round.
+        # (3 hops/round was measured SLOWER at sf0.1 — the deeper 6-stage
+        # round plan costs more than the barrier it saves.)
         for _hop in range(2):
             via_edges = (
                 und.join(labels, und["d"] == labels["node"])
@@ -88,7 +103,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
             )
         labels = labels.localCheckpoint(eager=True)
         cur_sum = _label_sum(labels)
-        if cur_sum == prev_sum:
+        if prev_sum is not None and cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
@@ -239,10 +254,22 @@ def _chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def t07_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pair_edges = t06_dedup_simhash_banded(spark, sf_dir).select(
-        F.col("doc_a").cast("long").alias("src"), F.col("doc_b").cast("long").alias("dst")
+    from .dedup import _stage_cached
+
+    # Stage the edge table once per corpus (t02's staging discipline): the
+    # CC loop re-reads edges every propagation round, and t06's band +
+    # verify joins would otherwise re-run on each t07 call even though its
+    # signature table is cached.
+    edges = _stage_cached(
+        "t07_edges",
+        sf_dir,
+        lambda: t06_dedup_simhash_banded(spark, sf_dir)
+        .select(
+            F.col("doc_a").cast("long").alias("src"),
+            F.col("doc_b").cast("long").alias("dst"),
+        )
+        .unionByName(_chain_edges(spark, sf_dir)),
     )
-    edges = pair_edges.unionByName(_chain_edges(spark, sf_dir))
     labels = connected_components(edges)
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

@@ -288,25 +288,46 @@ def _lloyd_step(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def v07_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_ivf_index(spark: SparkSession, sf_dir: str):
+    """(corpus, packed trained-centroid row, assigned corpus) for the
+    k-means IVF path. Both the TRAINED centroids and the cell assignment
+    persist once per corpus (the stride-IVF staging discipline): training
+    costs ITERS corpus passes and an index is built once, queried many
+    times — re-running Lloyd per query call would re-scan the corpus
+    ITERS times per consumer."""
+    from .dedup import _stage_cached
+
     emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
-    cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
-    )
-    for _ in range(KMEANS_ITERS):
-        # Materialize the k centroid rows after each Lloyd step: the loop
-        # otherwise builds one lineage chain, so iteration i re-runs every
-        # earlier iteration's corpus pass, and the search below (which
-        # consumes `cents` twice — assignment + probes) re-runs training
-        # twice more. Checkpointing k tiny rows caps training at exactly
-        # ITERS corpus passes (Spark MLlib's k-means keeps centroids on
-        # the driver for the same reason).
-        cents = _lloyd_step(emb, cents).localCheckpoint(eager=True)
-    # IVF search against the learned centroids — identical plan to v03.
+
+    def train():
+        cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+            F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+        )
+        for _ in range(KMEANS_ITERS):
+            # Materialize the k centroid rows after each Lloyd step: the
+            # loop otherwise builds one lineage chain, so iteration i
+            # re-runs every earlier iteration's corpus pass. Checkpointing
+            # k tiny rows caps training at exactly ITERS corpus passes
+            # (Spark MLlib's k-means keeps centroids on the driver for the
+            # same reason).
+            cents = _lloyd_step(emb, cents).localCheckpoint(eager=True)
+        return cents
+
+    cents = _stage_cached("v07_kmeans_cents", sf_dir, train)
     packed = _packed_cells(cents)
-    assigned = _with_nearest_cell(emb, packed, "embedding").select(
-        "vec_id", "embedding", "cell_id"
+    assigned = _stage_cached(
+        "v07_kmeans_assign",
+        sf_dir,
+        lambda: _with_nearest_cell(emb, packed, "embedding").select(
+            "vec_id", "embedding", "cell_id"
+        ),
     )
+    return emb, packed, assigned
+
+
+def v07_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF search against the learned centroids — identical plan to v03.
+    emb, packed, assigned = _kmeans_ivf_index(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -646,36 +667,90 @@ SELECT query_id, rank, vec_id, cos, qdot FROM ranked WHERE rank <= {TOP_K}
 
 
 # ---------------------------------------------------------------------------
-# v05 — pandas-UDF cosine top-k: the Arrow-vectorized twin of v02.
-# Same query shape, but the dot products run in NumPy over Arrow batches —
-# the pattern to reach for when the metric is not expressible in built-ins
-# (learned distance, quantized codes). For plain cosine the JVM expression
-# path (v02) wins; both are kept so the bench shows the tradeoff.
+# v05 — pandas-UDF cosine top-k: the Arrow-vectorized twin of v02, in the
+# shape that scales — the pattern to reach for when the metric is not
+# expressible in built-ins (learned distance, quantized codes):
+#
+#   1. The query matrix rides a SPARK BROADCAST VARIABLE (queries are the
+#      bounded side — a user query batch; the harness synthesizes one by
+#      stride-sampling). Corpus rows cross mapInPandas exactly ONCE — the
+#      old form joined queries onto the corpus first, Arrow-shipping a
+#      q_emb copy with every (corpus x query) pair, |Q|x the traffic.
+#   2. Each Arrow batch scores against all queries in one BLAS GEMM.
+#   3. Each PARTITION emits only its top-k per query (partial top-k under
+#      the global (cos desc, vec_id asc) total order — associative, so
+#      the union contains the global top-k). The final window ranks
+#      n_partitions x |Q| x k candidate rows, not n x |Q| scored rows.
+#
+# For plain cosine the JVM expression path (v02) wins at small |Q|; both
+# are kept so the bench shows the tradeoff.
 # ---------------------------------------------------------------------------
+_V05_QBC: dict = {}
+
+
 def v05_ann_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def cos6(a: pd.Series, b: pd.Series) -> pd.Series:
-        # whole-batch matrix form: one (n,dim) stack per side, one BLAS-level
-        # pass for dots and norms — no per-row Python. float32 inputs upcast
-        # to float64; round(6) absorbs summation-order noise vs the oracle.
-        A = np.stack(a.to_numpy()).astype(np.float64, copy=False)
-        B = np.stack(b.to_numpy()).astype(np.float64, copy=False)
-        dots = np.einsum("ij,ij->i", A, B)
-        out = dots / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
-        return pd.Series(np.round(out, 6))
-
     emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).withColumn(
-        "cos", cos6(F.col("q_emb"), F.col("embedding"))
+    # The query batch is collected once per corpus and reused across calls
+    # (the staging-table discipline applied to the broadcast side): at
+    # scale a query batch is user-supplied and bounded, not re-derived.
+    cache_key = (sf_dir, spark.sparkContext.applicationId)  # bc dies with the context
+    bc = _V05_QBC.get(cache_key)
+    if bc is None:
+        q_pdf = (
+            emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+            .toPandas()
+        )
+        qids = q_pdf["query_id"].to_numpy()
+        Q = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+        q_norms = np.linalg.norm(Q, axis=1)
+        bc = spark.sparkContext.broadcast((qids, Q, q_norms))
+        _V05_QBC[cache_key] = bc
+
+    def score_partial_topk(batches):
+        b_qids, b_q, b_qn = bc.value
+        nq = len(b_qids)
+        frames = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+            # same op order as the expression form: dot / (|a| * |q|),
+            # rounded once — round(6) absorbs summation-order ulp noise
+            cos = np.round(
+                (A @ b_q.T) / (np.linalg.norm(A, axis=1)[:, None] * b_qn[None, :]), 6
+            )
+            nb = A.shape[0]
+            vec = pdf["vec_id"].to_numpy()
+            f = pd.DataFrame(
+                {
+                    "query_id": np.tile(b_qids, nb),
+                    "vec_id": np.repeat(vec, nq),
+                    "cos": cos.ravel(),
+                }
+            )
+            f = f[f["vec_id"] != f["query_id"]]
+            # per-batch prune bounds partition memory at |Q| x k x batches
+            frames.append(
+                f.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
+                .groupby("query_id", sort=False)
+                .head(TOP_K)
+            )
+        if not frames:
+            return
+        cand = pd.concat(frames, ignore_index=True)
+        yield (
+            cand.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
+            .groupby("query_id", sort=False)
+            .head(TOP_K)
+        )
+
+    partial = emb.mapInPandas(
+        score_partial_topk, schema="query_id long, vec_id long, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "vec_id", "cos")
     )
