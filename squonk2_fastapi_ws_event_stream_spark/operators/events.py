@@ -529,7 +529,12 @@ def e14_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             F.col("event_id").alias("last_event_id"),
-            F.unix_millis("ts").alias("last_ts_ms"),
+            # FULL microsecond precision: the compacted state must carry
+            # the same sort key the window used, or the incremental fold
+            # (compact_incremental) would re-rank same-millisecond updates
+            # by a TRUNCATED key and could elect a different winner than
+            # this full-history pass.
+            F.unix_micros("ts").alias("last_ts_us"),
             F.round(F.col("value"), 6).alias("last_value"),
         )
     )
@@ -553,13 +558,15 @@ def compact_incremental(prev: DataFrame, new_events: DataFrame) -> DataFrame:
             "user_id",
             "event_type",
             F.col("event_id").alias("last_event_id"),
-            F.unix_millis("ts").alias("last_ts_ms"),
+            F.unix_micros("ts").alias("last_ts_us"),
             F.round(F.col("value"), 6).alias("last_value"),
         )
     )
     unioned = prev.unionByName(new_compact)
+    # Same total order as e14's window (micros, then event_id): the fold
+    # is associative only when both paths rank by an identical key.
     w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("last_ts_ms").desc(), F.col("last_event_id").desc()
+        F.col("last_ts_us").desc(), F.col("last_event_id").desc()
     )
     return (
         unioned.withColumn("rn", F.row_number().over(w))
@@ -571,7 +578,7 @@ def compact_incremental(prev: DataFrame, new_events: DataFrame) -> DataFrame:
 ORACLE_E14 = """
 SELECT user_id, event_type,
        event_id AS last_event_id,
-       epoch_ms(ts) AS last_ts_ms,
+       epoch_us(ts) AS last_ts_us,
        ROUND(value, 6) AS last_value
 FROM (
   SELECT user_id, event_type, event_id, ts, value,

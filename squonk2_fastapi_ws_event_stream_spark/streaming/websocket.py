@@ -36,6 +36,7 @@ import struct
 import threading
 import urllib.parse
 from dataclasses import dataclass
+from datetime import datetime
 
 from ..sources.eventstream import stream_exists
 
@@ -115,13 +116,19 @@ def parse_close(payload: bytes) -> tuple[int | None, str]:
 
 @dataclass
 class ConsumeParams:
-    """The C5 query params (same validation as the HTTP consume path)."""
+    """The C5 query params (same validation as the HTTP consume path).
+
+    ``timeout_s`` defaults to None — NO idle disconnect. The reference WS
+    endpoint holds a quiet stream's connection open indefinitely until
+    POISON or client close (app/app.py:496-508); a finite timeout_s is an
+    opt-in bound for test/drain clients.
+    """
 
     starting_ordinal: int | None = None
     starting_timestamp_ms: int | None = None
     starting_datetime: str | None = None
     max_events: int | None = None
-    timeout_s: float = 10.0
+    timeout_s: float | None = None
     error: str | None = None
 
     @classmethod
@@ -132,31 +139,44 @@ class ConsumeParams:
             vals = q.get(name)
             return vals[0] if vals else None
 
-        given = [
-            k
-            for k in (
-                "stream_from_ordinal",
-                "stream_from_timestamp",
-                "stream_from_datetime",
-            )
-            if one(k) is not None
-        ]
-        if len(given) > 1:
-            # app/app.py:269-278 — exact reference message
-            return cls(error="Cannot provide more than one 'stream_from_' variable")
         p = cls()
-        try:
-            if one("stream_from_ordinal") is not None:
+        n_given = 0
+        # Per-field validation mirrors app/app.py:230-266 — each bad value
+        # sets the reference's exact message; the mutual-exclusion error
+        # then REPLACES any per-field error (app/app.py:269-273), so the
+        # precedence matches too.
+        if one("stream_from_datetime") is not None:
+            n_given += 1
+            raw = one("stream_from_datetime")
+            try:
+                datetime.fromisoformat(raw)  # the engine's parser (Q4 seam)
+                p.starting_datetime = raw
+            except ValueError:
+                p.error = "Unable to parse stream_from_datetime value"
+        if one("stream_from_ordinal") is not None:
+            n_given += 1
+            try:
                 p.starting_ordinal = int(one("stream_from_ordinal"))
-            if one("stream_from_timestamp") is not None:
+            except ValueError:
+                p.error = "stream_from_ordinal must be an integer"
+        if one("stream_from_timestamp") is not None:
+            n_given += 1
+            try:
                 p.starting_timestamp_ms = int(one("stream_from_timestamp"))
-            p.starting_datetime = one("stream_from_datetime")
+            except ValueError:
+                p.error = "stream_from_timestamp must be an integer"
+        if n_given > 1:
+            # app/app.py:269-278 — exact reference message
+            p.error = "Cannot provide more than one 'stream_from_' variable"
+        if p.error:
+            return p
+        try:
             if one("max_events") is not None:
                 p.max_events = int(one("max_events"))
             if one("timeout_s") is not None:
                 p.timeout_s = float(one("timeout_s"))
         except ValueError as exc:
-            return cls(error=f"invalid parameter: {exc}")
+            p.error = f"invalid parameter: {exc}"
         return p
 
 
@@ -166,6 +186,14 @@ class _WsHandler(socketserver.StreamRequestHandler):
     connection counts here are per-stream-singleton, not C10K)."""
 
     server: "EventStreamWsServer"
+
+    def setup(self) -> None:
+        super().setup()
+        # Serializes ALL socket writes: the ping-reader thread answers
+        # PONG concurrently with the delivery loop's text/close frames,
+        # and two unlocked sendall()s can interleave bytes mid-frame,
+        # corrupting the WS stream.
+        self._wlock = threading.Lock()
 
     def handle(self) -> None:  # noqa: C901 — linear protocol walk
         try:
@@ -233,14 +261,16 @@ class _WsHandler(socketserver.StreamRequestHandler):
 
     def _close(self, code: int, reason: str = "") -> None:
         try:
-            self.wfile.write(encode_frame(OP_CLOSE, close_payload(code, reason)))
-            self.wfile.flush()
+            with self._wlock:
+                self.wfile.write(encode_frame(OP_CLOSE, close_payload(code, reason)))
+                self.wfile.flush()
         except OSError:
             pass
 
     def _send_text(self, text: str) -> None:
-        self.wfile.write(encode_frame(OP_TEXT, text.encode("utf-8")))
-        self.wfile.flush()
+        with self._wlock:
+            self.wfile.write(encode_frame(OP_TEXT, text.encode("utf-8")))
+            self.wfile.flush()
 
     # -- the consume path (C5) --------------------------------------------
     def _consume(self, es_uuid: str, query: str) -> None:
@@ -253,11 +283,12 @@ class _WsHandler(socketserver.StreamRequestHandler):
             return
         rec = server.registry.get_by_uuid(es_uuid)
         if rec is None:
-            # app/app.py:287-291 — exact reference message
-            self._close(CLOSE_NORMAL, "Connect for unknown EventStream")
+            # app/app.py:287-291 — exact reference message, uuid included
+            self._close(CLOSE_NORMAL, f"Connect for unknown EventStream {es_uuid}")
             return
         if not stream_exists(server.manager.log_root, rec["routing_key"]):
-            self._close(CLOSE_TRY_AGAIN_LATER, "EventStream backing stream not found")
+            # app/app.py:314-318 — exact reference message, uuid included
+            self._close(CLOSE_TRY_AGAIN_LATER, f"EventStream {es_uuid} cannot be found")
             return
 
         handle = server.manager.start_consumer(
@@ -278,8 +309,9 @@ class _WsHandler(socketserver.StreamRequestHandler):
                         client_closed.set()
                         return
                     if opcode == OP_PING:
-                        self.wfile.write(encode_frame(OP_PONG, payload))
-                        self.wfile.flush()
+                        with self._wlock:
+                            self.wfile.write(encode_frame(OP_PONG, payload))
+                            self.wfile.flush()
             except (ConnectionError, OSError):
                 client_closed.set()
 
@@ -292,22 +324,30 @@ class _WsHandler(socketserver.StreamRequestHandler):
         try:
             # Poll the hub in short ticks so a client close frame (observed
             # by the reader thread) interrupts delivery promptly even when
-            # the stream is idle; timeout_s bounds the total idle wait.
-            idle_deadline = _time.monotonic() + params.timeout_s
+            # the stream is idle. With no timeout_s (the default — the
+            # reference holds quiet streams open until POISON or client
+            # close) the loop waits forever; a finite timeout_s bounds the
+            # idle wait for test/drain clients.
+            idle_deadline = (
+                _time.monotonic() + params.timeout_s
+                if params.timeout_s is not None
+                else None
+            )
             while not client_closed.is_set():
                 if params.max_events is not None and delivered >= params.max_events:
                     break
                 try:
                     item = handle.hub.get(timeout=0.25)
                 except _q.Empty:
-                    if _time.monotonic() >= idle_deadline:
+                    if idle_deadline is not None and _time.monotonic() >= idle_deadline:
                         break
                     continue
                 if item is None:  # poison / consumer stop sentinel
                     break
                 self._send_text(item.out)
                 delivered += 1
-                idle_deadline = _time.monotonic() + params.timeout_s
+                if idle_deadline is not None:
+                    idle_deadline = _time.monotonic() + params.timeout_s
             self._close(CLOSE_NORMAL, "")
         except (ConnectionError, OSError):
             pass  # WebSocketDisconnect analog (app/app.py:503-508): drop

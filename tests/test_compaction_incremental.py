@@ -19,7 +19,7 @@ from squonk2_fastapi_ws_event_stream_spark.tables import table
 def _sorted_rows(df):
     return sorted(
         df.select(
-            "user_id", "event_type", "last_event_id", "last_ts_ms", "last_value"
+            "user_id", "event_type", "last_event_id", "last_ts_us", "last_value"
         ).collect()
     )
 
@@ -47,7 +47,7 @@ def test_incremental_equals_full(spark, sf_dir):
             "user_id",
             "event_type",
             F.col("event_id").alias("last_event_id"),
-            F.unix_millis("ts").alias("last_ts_ms"),
+            F.unix_micros("ts").alias("last_ts_us"),
             F.round(F.col("value"), 6).alias("last_value"),
         )
     )

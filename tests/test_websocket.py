@@ -95,7 +95,8 @@ def test_ws_unknown_uuid_closes_1000(ws_stack):
     text, close = c.recv_text_or_close()
     c.shutdown()
     assert text is None
-    assert close == (CLOSE_NORMAL, "Connect for unknown EventStream")
+    # app/app.py:287-291 — reference text includes the uuid
+    assert close == (CLOSE_NORMAL, "Connect for unknown EventStream nonesuch")
 
 
 def test_ws_mutually_exclusive_params_close_1002(ws_stack):
@@ -119,7 +120,8 @@ def test_ws_missing_backing_stream_closes_1013(ws_stack):
     c = WsClient("127.0.0.1", server.port, f"/event-stream/{rec['uuid']}")
     _, close = c.recv_text_or_close()
     c.shutdown()
-    assert close[0] == CLOSE_TRY_AGAIN_LATER
+    # app/app.py:314-318 — reference text includes the uuid
+    assert close == (CLOSE_TRY_AGAIN_LATER, f"EventStream {rec['uuid']} cannot be found")
 
 
 def test_ws_ping_pong(ws_stack):
@@ -266,3 +268,48 @@ def test_second_ws_consumer_replaces_first(ws_stack):
     assert not t1.is_alive(), "first client should have been released"
     # first client got a clean close after its consumer was replaced
     assert first_result["close"][0] == CLOSE_NORMAL
+
+
+# -- param validation parity (app/app.py:230-278) ---------------------------
+def test_ws_bad_datetime_closes_1002_with_reference_message(ws_stack):
+    server, registry, manager, log_root = ws_stack
+    EventLogWriter(log_root, "charges").publish('{"a": 1}', BASE_TS)
+    rec = registry.create("charges")
+    c = WsClient(
+        "127.0.0.1",
+        server.port,
+        f"/event-stream/{rec['uuid']}?stream_from_datetime=not-a-date",
+    )
+    text, close = c.recv_text_or_close()
+    c.shutdown()
+    assert text is None
+    # the reference's exact message (app/app.py:243-245), via a proper
+    # 1002 close — not an abrupt socket teardown from an uncaught
+    # ValueError during stream startup
+    assert close == (CLOSE_PROTOCOL_ERROR, "Unable to parse stream_from_datetime value")
+
+
+def test_consume_params_field_messages_and_precedence():
+    from squonk2_fastapi_ws_event_stream_spark.streaming.websocket import ConsumeParams
+
+    p = ConsumeParams.from_query("stream_from_ordinal=xyz")
+    assert p.error == "stream_from_ordinal must be an integer"
+    p = ConsumeParams.from_query("stream_from_timestamp=later")
+    assert p.error == "stream_from_timestamp must be an integer"
+    p = ConsumeParams.from_query("stream_from_datetime=2024-13-99")
+    assert p.error == "Unable to parse stream_from_datetime value"
+    # mutual exclusion REPLACES a per-field error (app/app.py:269-273)
+    p = ConsumeParams.from_query("stream_from_ordinal=xyz&stream_from_timestamp=1")
+    assert p.error == "Cannot provide more than one 'stream_from_' variable"
+    # valid datetime passes through unparsed (the source option parses it)
+    p = ConsumeParams.from_query("stream_from_datetime=2024-01-01T00:00:00%2B00:00")
+    assert p.error is None and p.starting_datetime == "2024-01-01T00:00:00+00:00"
+
+
+def test_consume_params_default_is_no_idle_timeout():
+    from squonk2_fastapi_ws_event_stream_spark.streaming.websocket import ConsumeParams
+
+    # reference parity: a quiet stream's consumer stays connected until
+    # POISON or client close; finite timeout_s is opt-in for tests/drains
+    assert ConsumeParams.from_query("").timeout_s is None
+    assert ConsumeParams.from_query("timeout_s=5").timeout_s == 5.0
