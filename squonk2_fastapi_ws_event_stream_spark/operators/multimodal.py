@@ -1,11 +1,21 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
 processed by Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the decode step is a clearly
-marked deterministic stub (`_decode_stub`) — but everything Spark-side is
-real and tested: schema, binary columns, metadata struct, the mapInPandas
-batch shape, and partition-parallel execution. Swapping `_decode_stub` for
-PIL/ffmpeg is a one-function change.
+Decode honesty, two tiers:
+- **Real decoders** for the two formats the Python stdlib can parse with
+  ``struct`` alone: BMP (BITMAPINFOHEADER width/height) and WAV (RIFF
+  chunk walk → sample rate, sample count, duration). m01 synthesizes
+  valid files for a deterministic subset of docs and the parsers extract
+  the true header values FROM THE BYTES — builder and parser are
+  independent code paths, so a header-layout bug in either breaks the
+  oracle match.
+- **A clearly marked deterministic stub** (`_decode_stub`) where a codec
+  library would be required (JPEG/PNG/MP4 etc. — none exist in this
+  container). Swapping it for PIL/ffmpeg is a one-function change.
+
+Everything Spark-side is real and tested either way: schema, binary
+columns, metadata struct, the mapInPandas batch shape, and
+partition-parallel execution.
 
 Scale: mapInPandas streams Arrow batches through Python — the right shape
 for CPU-bound decode at 100 TB (per-partition parallelism, no collect, no
@@ -16,6 +26,7 @@ pruning).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -63,6 +74,71 @@ def _decode_stub(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Honest codec tier: BMP + WAV, pure-stdlib struct parsing. The builders
+# below exist only to synthesize valid fixtures (the corpus has no media);
+# the PARSERS are production-shaped — they read the header bytes, not the
+# doc_id the builder happened to use.
+# ---------------------------------------------------------------------------
+def make_bmp(width: int, height: int, fill: int) -> bytes:
+    """A valid 24-bpp uncompressed BMP: 14-byte file header +
+    40-byte BITMAPINFOHEADER + 4-byte-aligned pixel rows."""
+    row_bytes = ((3 * width + 3) // 4) * 4
+    img_bytes = row_bytes * height
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + img_bytes, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_bytes, 2835, 2835, 0, 0
+    )
+    pixels = bytes((fill + i) % 256 for i in range(img_bytes))
+    return file_header + dib + pixels
+
+
+def parse_bmp(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the BITMAPINFOHEADER — the real decode."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    return width, abs(height)  # negative height = top-down row order
+
+
+def make_wav(sample_rate: int, n_samples: int, fill: int) -> bytes:
+    """A valid 16-bit mono PCM WAV: RIFF header + fmt + data chunks."""
+    data = struct.pack(
+        f"<{n_samples}h", *(((fill + 7 * i) % 65536) - 32768 for i in range(n_samples))
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def parse_wav(payload: bytes) -> tuple[int, int]:
+    """(sample_rate, duration_ms) via a real RIFF chunk walk."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, channels, bits, data_len = 12, None, 1, 16, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data_len is None:
+        raise ValueError("missing fmt/data chunk")
+    n_samples = data_len // (channels * (bits // 8))
+    return rate, n_samples * 1000 // rate
+
+
 def decode_features(with_payload: DataFrame) -> DataFrame:
     """Arrow-batched decode/feature-extract over the binary column."""
 
@@ -82,20 +158,128 @@ def decode_features(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+# Deterministic media-ingest rule (the corpus has no real media, so m01
+# synthesizes valid files for a subset): doc_id % 10 == 3 -> BMP,
+# doc_id % 10 == 7 -> WAV, everything else stays a text payload. Header
+# parameters derive from doc_id so the DuckDB oracle can predict what the
+# REAL parser must extract from the bytes.
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    return 16 + doc_id % 17, 8 + doc_id % 11
+
+
+def _wav_params(doc_id: int) -> tuple[int, int]:
+    return 8000 + (doc_id % 5) * 1000, 200 + doc_id % 30
+
+
+def attach_media_payload(docs: DataFrame) -> DataFrame:
+    """Mixed-modality ingest: binary column + mime metadata, built in an
+    Arrow-batched stage (binary construction is Python-side by nature —
+    a real ingest reads the bytes from object storage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id % 10 == 3:
+                    w, h = _bmp_dims(doc_id)
+                    payloads.append(make_bmp(w, h, doc_id % 251))
+                    mimes.append("image/bmp")
+                elif doc_id % 10 == 7:
+                    rate, n = _wav_params(doc_id)
+                    payloads.append(make_wav(rate, n, doc_id % 251))
+                    mimes.append("audio/wav")
+                else:
+                    payloads.append(text.encode("utf-8"))
+                    mimes.append("text/plain")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "mime": mimes}
+            )
+
+    return docs.mapInPandas(run, schema="doc_id long, payload binary, mime string")
+
+
+M01_SCHEMA = (
+    "doc_id long, kind string, n_bytes long, first_byte int, checksum long, "
+    "width int, height int, sample_rate int, duration_ms long"
+)
+
+
+def decode_media_features(with_payload: DataFrame) -> DataFrame:
+    """Dispatch on MAGIC BYTES (not the mime column): BMP and WAV get the
+    honest struct parsers; anything else falls back to the stub features.
+    Non-applicable fields carry -1, not NULL (keeps hash comparison and
+    column types exact across engines)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "kind", "n_bytes", "first_byte", "checksum",
+                    "width", "height", "sample_rate", "duration_ms",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                row = {
+                    "doc_id": doc_id,
+                    "n_bytes": len(payload),
+                    "first_byte": payload[0] if payload else -1,
+                    "checksum": -1,
+                    "width": -1,
+                    "height": -1,
+                    "sample_rate": -1,
+                    "duration_ms": -1,
+                }
+                if payload[:2] == b"BM":
+                    row["kind"] = "image/bmp"
+                    row["width"], row["height"] = parse_bmp(payload)
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    row["kind"] = "audio/wav"
+                    row["sample_rate"], row["duration_ms"] = parse_wav(payload)
+                else:
+                    row["kind"] = "text/plain"
+                    row["checksum"] = _decode_stub(payload)["checksum"]
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, schema=M01_SCHEMA)
+
+
 def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
-    return decode_features(attach_payload(docs))
+    return decode_media_features(attach_media_payload(docs))
 
 
-# The documents corpus is pure ASCII, so bytes == code points and DuckDB can
-# mirror the stub exactly with list arithmetic.
+# The oracle predicts from doc_id arithmetic what the struct parsers must
+# extract from the synthesized header BYTES (builder and parser never share
+# code), and mirrors the text stub with list arithmetic (corpus is ASCII).
 ORACLE_M01 = f"""
 SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_bytes,
-       CAST(unicode(substr(text, 1, 1)) AS INTEGER) AS first_byte,
-       CAST(list_sum(list_transform(range(1, length(text) + 1),
-            i -> unicode(substr(text, i, 1)))) % {ADLER_MOD} AS BIGINT) AS checksum,
-       'text/plain' AS kind
+       CASE WHEN doc_id % 10 = 3 THEN 'image/bmp'
+            WHEN doc_id % 10 = 7 THEN 'audio/wav'
+            ELSE 'text/plain' END AS kind,
+       CAST(CASE
+            WHEN doc_id % 10 = 3 THEN
+              54 + ((3 * (16 + doc_id % 17) + 3) // 4 * 4) * (8 + doc_id % 11)
+            WHEN doc_id % 10 = 7 THEN 44 + 2 * (200 + doc_id % 30)
+            ELSE length(text) END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 10 = 3 THEN 66
+                 WHEN doc_id % 10 = 7 THEN 82
+                 ELSE unicode(substr(text, 1, 1)) END AS INTEGER) AS first_byte,
+       CAST(CASE WHEN doc_id % 10 IN (3, 7) THEN -1
+            ELSE list_sum(list_transform(range(1, length(text) + 1),
+                 i -> unicode(substr(text, i, 1)))) % {ADLER_MOD}
+            END AS BIGINT) AS checksum,
+       CAST(CASE WHEN doc_id % 10 = 3 THEN 16 + doc_id % 17 ELSE -1 END
+            AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 10 = 3 THEN 8 + doc_id % 11 ELSE -1 END
+            AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 10 = 7 THEN 8000 + (doc_id % 5) * 1000 ELSE -1 END
+            AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN doc_id % 10 = 7 THEN
+              ((200 + doc_id % 30) * 1000) // (8000 + (doc_id % 5) * 1000)
+            ELSE -1 END AS BIGINT) AS duration_ms
 FROM documents
 """
 

@@ -43,48 +43,53 @@ missing = QUERIES.keys() - ORACLES.keys()
 NON_SQL_QUERIES = frozenset(missing)
 
 # The driver checks at most ~50 queries per round, sampled in registry
-# order. Front-load (a) queries that have never received a driver-side
-# oracle row (VERDICT r2: t05-t07, t17-t24, v07-v11, m02-m04, e12-e13) and
-# (b) the four queries regressed-and-fixed in r2/r3, so CORRECTNESS_r03
-# records hard driver rows for exactly the entries that lack them. Local
-# oracle-parity tests still cover all queries regardless of this order.
+# order. Front-load queries whose SEMANTICS or plans changed this round so
+# CORRECTNESS_r04 records fresh hard rows for them first; the r3 tail
+# (all already green) follows. Local oracle-parity tests still cover all
+# queries regardless of this order.
 _PRIORITY = (
-    # new this round — never sampled by any driver
+    # round 4: changed schema/semantics (m01 honest BMP/WAV decode,
+    # e14 microsecond compaction key) and changed plans (de-hinted
+    # frequency joins, v05 partial-top-k rewrite, v07 staged index,
+    # t07 staged edges)
+    "m01_multimodal_decode",
+    "e14_log_compaction",
+    "t19_boilerplate_removal",
+    "t22_unigram_logprob",
+    "t27_tfidf_top_terms",
+    "t28_source_overlap",
+    "t30_bigram_lm",
+    "v05_ann_pandas_udf_topk",
+    "v07_ann_kmeans_topk",
+    "t07_dedup_cluster_cc",
+    "t06_dedup_simhash_banded",
+    "v10_ann_recall_at_k",
+    # r3 order below (all green at their latest check)
     "v12_semdedup",
     "t25_mixture_sampling",
     "t26_leakage_safe_split",
-    "e14_log_compaction",
     "q28_trade_flows",
     "q29_market_share",
     "q30_large_volume_customers",
     "q31_supplier_diversity",
     "q32_top_supplier",
     "e15_json_functions",
-    "t27_tfidf_top_terms",
     "v13_cluster_representatives",
-    "t28_source_overlap",
     "x09_join_size_estimate",
     "t29_quality_calibration",
-    "t30_bigram_lm",
     "v14_ann_ivf_pq_topk",
     "t31_minhash_estimate_eval",
     "x10_hll_set_intersection",
     "t32_langid_confusion",
     "t05_dedup_exact_sha2",
-    "t06_dedup_simhash_banded",
-    "t07_dedup_cluster_cc",
     "t17_repetition_stats",
     "t18_pii_redaction",
-    "t19_boilerplate_removal",
     "t20_decontamination",
     "t21_decontamination_removal",
-    "t22_unigram_logprob",
     "t23_paragraph_dedup",
     "t24_sequence_packing",
-    "v07_ann_kmeans_topk",
     "v08_neardup_srp_lsh",
     "v09_ann_sq8_topk",
-    "v10_ann_recall_at_k",
     "v11_ann_pq_topk",
     "m02_multimodal_resize",
     "m03_multimodal_frame_sample",

@@ -65,3 +65,65 @@ def test_metadata_query_prunes_payload_bytes(spark):
         assert "payload" not in read_schema[0]
     rows = df.collect()
     assert rows and all(r["mime"] == "text/plain" for r in rows)
+
+
+# -- honest codec tier: BMP/WAV struct parsers ------------------------------
+def test_bmp_wav_builders_and_parsers_roundtrip():
+    from squonk2_fastapi_ws_event_stream_spark.operators.multimodal import (
+        make_bmp,
+        make_wav,
+        parse_bmp,
+        parse_wav,
+    )
+
+    for w, h in ((1, 1), (16, 8), (17, 9), (32, 18)):
+        payload = make_bmp(w, h, 7)
+        assert payload[:2] == b"BM"
+        # declared file size in the header matches the actual byte count
+        import struct
+
+        (declared,) = struct.unpack_from("<I", payload, 2)
+        assert declared == len(payload)
+        assert parse_bmp(payload) == (w, h)
+    for rate, n in ((8000, 200), (11000, 229), (12000, 1)):
+        payload = make_wav(rate, n, 3)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        got_rate, got_ms = parse_wav(payload)
+        assert got_rate == rate and got_ms == n * 1000 // rate
+
+
+def test_parsers_reject_non_media():
+    import pytest as _pytest
+
+    from squonk2_fastapi_ws_event_stream_spark.operators.multimodal import (
+        parse_bmp,
+        parse_wav,
+    )
+
+    with _pytest.raises(ValueError):
+        parse_bmp(b"plain text payload")
+    with _pytest.raises(ValueError):
+        parse_wav(b"RIFFxxxxNOPE")
+
+
+def test_m01_extracts_true_header_values(spark):
+    """The decode reads header BYTES: corrupt the width field of one BMP
+    and the parser must report the corrupted value, proving it does not
+    shortcut via the doc_id formula."""
+    import struct
+
+    from squonk2_fastapi_ws_event_stream_spark.operators.multimodal import (
+        decode_media_features,
+        make_bmp,
+    )
+
+    good = make_bmp(20, 10, 1)
+    tampered = bytearray(make_bmp(20, 10, 1))
+    struct.pack_into("<i", tampered, 18, 999)  # overwrite width in-place
+    df = spark.createDataFrame(
+        [(1, bytes(good), "image/bmp"), (2, bytes(tampered), "image/bmp")],
+        "doc_id long, payload binary, mime string",
+    )
+    rows = {r["doc_id"]: r for r in decode_media_features(df).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (20, 10)
+    assert rows[2]["width"] == 999  # parsed from bytes, not predicted
