@@ -1,0 +1,407 @@
+"""Corpus-analysis operators (round 4): duplicated-span statistics, DSIR
+importance weighting, the filter funnel, and Zipf-law vocabulary stats —
+the measurement side of an LLM-training-data pipeline (the t17–t30 family
+covers the filtering side).
+
+All hot-path logic is built-in string/array/aggregate expressions
+(JVM-side, whole-stage codegen); no Python UDFs.
+
+Scale design (100 TB):
+- t33 shuffles (digest, doc_id) pairs keyed by a 32-byte sha2 gram digest
+  (the t05 trick) and joins the per-gram document-frequency back with a
+  PLAIN equi-join — the gram table grows with the corpus, so no broadcast
+  hint (the t19/t22 lesson: hints are never size-checked and an 8 GB+
+  broadcast fails the job; AQE broadcasts at runtime when it fits).
+- t34's bucket table is FIXED SIZE by construction (DSIR_BUCKETS rows, a
+  property of the hashing trick, not of the corpus), so its broadcast
+  hint is legitimate and stays.
+- t35 is a single scan: every stage flag is one codegen expression over
+  the row, and the only shuffle is the final 4-row aggregate.
+- t36 never globally sorts the vocabulary: rank = (# terms with a higher
+  count, from a tiny count-histogram cumsum) + (row_number within the
+  term's count class, a window PARTITIONED by count) — the two-level
+  ranking that keeps the window parallel at a 1e8-term vocabulary.
+
+Reference parity: no analog in the reference relay
+(/root/reference/app/app.py — it computes no corpus statistics); these
+belong to the driver's LLM-pipeline extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..tables import fan_out, table
+
+# ---------------------------------------------------------------------------
+# t33 — duplicated n-gram span statistics (the measurement behind exact
+# substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+# Language Models Better"): for every document, the fraction of its word
+# 5-grams that also occur in at least one OTHER document. High values mark
+# documents that are mostly stitched from repeated content.
+# ---------------------------------------------------------------------------
+T33_W = 5  # words per gram
+
+
+def _wgram_slices_expr() -> str:
+    """5-gram strings via chained zip_with over aligned slices (the
+    BIGRAM_EXPR pattern generalized — indexed element_at lambdas re-resolve
+    the outer array per element and bench ~2.5x slower)."""
+    ln = f"(size(words) - {T33_W - 1})"
+    e = f"slice(words, 1, {ln})"
+    for j in range(1, T33_W):
+        e = f"zip_with({e}, slice(words, {1 + j}, {ln}), (a, b) -> concat(a, ' ', b))"
+    return e
+
+
+def t33_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+        .withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= T33_W)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.expr(_wgram_slices_expr()), lambda g: F.sha2(g, 256))
+        ).alias("digest"),
+    )
+    # Document frequency per gram: one shuffle keyed by the fixed-width
+    # digest. Grams repeated INSIDE a doc count once here (countDistinct),
+    # but every occurrence position counts toward the span fraction below.
+    freq = grams.groupBy("digest").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    flagged = grams.join(freq, "digest").withColumn(
+        "dup", (F.col("n_docs") >= 2).cast("long")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("dup").alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
+        )
+    )
+
+
+ORACLE_T33 = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= {T33_W}
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words) - {T33_W - 1} + 1),
+                i -> sha256(words[i] || ' ' || words[i + 1] || ' ' ||
+                            words[i + 2] || ' ' || words[i + 3] || ' ' ||
+                            words[i + 4]))) AS digest
+  FROM d
+),
+freq AS (
+  SELECT digest, COUNT(DISTINCT doc_id) AS n_docs FROM grams GROUP BY digest
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       ROUND(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS dup_frac
+FROM grams g JOIN freq f USING (digest)
+GROUP BY g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# t34 — DSIR importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score each raw document by
+# how target-like its hashed unigram features are —
+# sum over tokens of (log p_target(bucket) - log p_raw(bucket)).
+#
+# Engine-agnostic arithmetic: the log2 is quantized exactly as
+# floor(log2(n)) = bitlength(n) - 1 (the t22 recipe, no libm), with +1
+# Laplace smoothing so empty target buckets contribute bits(1) = 0. The
+# feature hash is the module's polynomial char hash over the token padded/
+# truncated to 8 chars (fixed width keeps the closed form evaluable in
+# both engines), mod DSIR_BUCKETS.
+#
+# Scale: the bucket-frequency tables have EXACTLY DSIR_BUCKETS rows no
+# matter the corpus size — the hashing trick's whole point — so the
+# broadcast hint is size-safe by construction (contrast t22's full-vocab
+# join, which must stay hint-free).
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 1024
+TARGET_SOURCES = ("src0", "src1", "src2", "src3")  # the "high-quality" slice
+_PAD_W = 8
+_PAD_COEF = H.coef_for(_PAD_W)
+
+
+def _bucket_col(word: F.Column) -> F.Column:
+    padded = F.rpad(word, _PAD_W, " ")  # rpad truncates beyond width
+    return H.shingle_hash_at(padded, F.lit(1), _PAD_W) % DSIR_BUCKETS
+
+
+def _sql_bucket(word_expr: str) -> str:
+    p = f"rpad({word_expr}, {_PAD_W}, ' ')"
+    terms = " + ".join(
+        f"CAST(unicode(substr({p}, {j + 1}, 1)) AS BIGINT) * {_PAD_COEF[j]}"
+        for j in range(_PAD_W)
+    )
+    return f"(({terms}) % {H.P}) % {DSIR_BUCKETS}"
+
+
+def _bits(cnt: F.Column) -> F.Column:
+    """floor(log2(cnt)) via binary-string length: exact, engine-agnostic."""
+    return (F.length(F.regexp_replace(F.bin(cnt), "^0+", "")) - 1).cast("long")
+
+
+def t34_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(
+        table(spark, sf_dir, "documents").select("doc_id", "source", "text"), spark
+    )
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", "source", _bucket_col(F.col("w")).alias("bucket"))
+    raw = toks.groupBy("bucket").agg(_bits(F.count(F.lit(1)) + 1).alias("bits_r"))
+    tgt = (
+        toks.filter(F.col("source").isin(*TARGET_SOURCES))
+        .groupBy("bucket")
+        .agg(_bits(F.count(F.lit(1)) + 1).alias("bits_t"))
+    )
+    scored = (
+        toks.join(F.broadcast(raw), "bucket")
+        .join(F.broadcast(tgt), "bucket", "left")
+        .withColumn("bits_t", F.coalesce("bits_t", F.lit(0)))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("bits_t") - F.col("bits_r")).alias("dsir_score"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("dsir_score").cast("long").alias("dsir_score"),
+            F.round(F.col("dsir_score") / F.col("n_tokens"), 6).alias("avg_bits"),
+        )
+    )
+
+
+_T34_TGT_LIST = ", ".join(f"'{s}'" for s in TARGET_SOURCES)
+
+ORACLE_T34 = f"""
+WITH words AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+toks AS (
+  SELECT doc_id, source, {_sql_bucket('w')} AS bucket FROM words
+),
+raw AS (
+  SELECT bucket, CAST(length(bin(COUNT(*) + 1)) - 1 AS BIGINT) AS bits_r
+  FROM toks GROUP BY bucket
+),
+tgt AS (
+  SELECT bucket, CAST(length(bin(COUNT(*) + 1)) - 1 AS BIGINT) AS bits_t
+  FROM toks WHERE source IN ({_T34_TGT_LIST}) GROUP BY bucket
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(g.bits_t, 0) - r.bits_r) AS BIGINT) AS dsir_score,
+       ROUND(SUM(COALESCE(g.bits_t, 0) - r.bits_r) / COUNT(*), 6) AS avg_bits
+FROM toks t
+JOIN raw r USING (bucket)
+LEFT JOIN tgt g USING (bucket)
+GROUP BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# t35 — filter funnel: per-stage retention counts for a 4-stage quality
+# cascade (the standard pipeline-debugging report: where do documents
+# die?). Stages are cumulative — a document is evaluated by stage k only
+# if it survived stages 1..k-1 — and every flag is a single codegen
+# expression (integer comparisons only, no floats), so the whole funnel
+# is one scan plus a 4-row aggregate.
+# ---------------------------------------------------------------------------
+FUNNEL_CHAR_MIN, FUNNEL_CHAR_MAX = 100, 500
+FUNNEL_TOK_MIN, FUNNEL_TOK_MAX = 20, 90
+# mean word length in [4.5, 6.5], as exact integer cross-multiplication:
+# (n_chars - (toks - 1)) * 10 between 45*toks and 65*toks
+MWL_LO10, MWL_HI10 = 45, 65
+# type-token ratio >= 0.6: distinct_tokens * 5 >= tokens * 3
+TTR_NUM, TTR_DEN = 3, 5
+
+
+def t35_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "n_chars")
+        .withColumn("words", F.split("text", " "))
+        .withColumn("toks", F.size("words").cast("long"))
+        .withColumn("dtoks", F.size(F.array_distinct("words")).cast("long"))
+    )
+    s1 = F.col("n_chars").between(FUNNEL_CHAR_MIN, FUNNEL_CHAR_MAX)
+    s2 = F.col("toks").between(FUNNEL_TOK_MIN, FUNNEL_TOK_MAX)
+    wlen10 = (F.col("n_chars") - F.col("toks") + 1) * 10
+    s3 = wlen10.between(MWL_LO10 * F.col("toks"), MWL_HI10 * F.col("toks"))
+    s4 = F.col("dtoks") * TTR_DEN >= F.col("toks") * TTR_NUM
+    flags = d.select(
+        s1.cast("long").alias("p1"),
+        (s1 & s2).cast("long").alias("p2"),
+        (s1 & s2 & s3).cast("long").alias("p3"),
+        (s1 & s2 & s3 & s4).cast("long").alias("p4"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("p1").alias("n1"),
+        F.sum("p2").alias("n2"),
+        F.sum("p3").alias("n3"),
+        F.sum("p4").alias("n4"),
+    )
+    # Unpivot the single aggregate row into (stage, n_in, n_pass) rows.
+    return agg.select(
+        F.expr(
+            "stack(4,"
+            " 1, 'chars_in_range', n0, n1,"
+            " 2, 'tokens_in_range', n1, n2,"
+            " 3, 'mean_word_len', n2, n3,"
+            " 4, 'type_token_ratio', n3, n4)"
+        ).alias("stage_idx", "stage", "n_in", "n_pass")
+    ).select(
+        "stage_idx",
+        "stage",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_pass").cast("long").alias("n_pass"),
+    )
+
+
+ORACLE_T35 = f"""
+WITH f AS (
+  SELECT n_chars, len(string_split(text, ' ')) AS toks,
+         len(list_distinct(string_split(text, ' '))) AS dtoks
+  FROM documents
+),
+flags AS (
+  SELECT
+    CASE WHEN n_chars BETWEEN {FUNNEL_CHAR_MIN} AND {FUNNEL_CHAR_MAX}
+         THEN 1 ELSE 0 END AS p1,
+    CASE WHEN toks BETWEEN {FUNNEL_TOK_MIN} AND {FUNNEL_TOK_MAX}
+         THEN 1 ELSE 0 END AS s2,
+    CASE WHEN (n_chars - toks + 1) * 10 BETWEEN {MWL_LO10} * toks
+         AND {MWL_HI10} * toks THEN 1 ELSE 0 END AS s3,
+    CASE WHEN dtoks * {TTR_DEN} >= toks * {TTR_NUM} THEN 1 ELSE 0 END AS s4
+  FROM f
+),
+cum AS (
+  SELECT COUNT(*) AS n0, SUM(p1) AS n1, SUM(p1 * s2) AS n2,
+         SUM(p1 * s2 * s3) AS n3, SUM(p1 * s2 * s3 * s4) AS n4
+  FROM flags
+)
+SELECT 1 AS stage_idx, 'chars_in_range' AS stage,
+       CAST(n0 AS BIGINT) AS n_in, CAST(n1 AS BIGINT) AS n_pass FROM cum
+UNION ALL
+SELECT 2, 'tokens_in_range', CAST(n1 AS BIGINT), CAST(n2 AS BIGINT) FROM cum
+UNION ALL
+SELECT 3, 'mean_word_len', CAST(n2 AS BIGINT), CAST(n3 AS BIGINT) FROM cum
+UNION ALL
+SELECT 4, 'type_token_ratio', CAST(n3 AS BIGINT), CAST(n4 AS BIGINT) FROM cum
+"""
+
+
+# ---------------------------------------------------------------------------
+# t36 — Zipf-law vocabulary statistics: the least-squares slope of
+# quantized (log2 rank, log2 count) over the full vocabulary, plus type/
+# token totals and top-term mass. Natural-corpus slope is ~-1; a corpus
+# whose slope collapses toward 0 is template/boilerplate soup.
+#
+# log2 is quantized exactly (bitlength - 1, the t22 recipe) so both
+# engines regress over identical integer points; the slope is the
+# closed-form (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over exact integer sums
+# with ONE final rounded division.
+# ---------------------------------------------------------------------------
+def t36_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # Two-level ranking (keeps the window parallel at 1e8-term vocabs):
+    # rank = (# terms with a strictly higher count) + row_number within
+    # the count class ordered by term. The histogram has one row per
+    # DISTINCT count value (≲ sqrt(2·total_tokens) rows — tiny), so its
+    # cumsum window is cheap despite being single-partition.
+    hist = freq.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_terms"))
+    w_hist = (
+        Window.orderBy(F.col("cnt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    higher = hist.withColumn(
+        "n_higher", F.coalesce(F.sum("n_terms").over(w_hist), F.lit(0))
+    ).select("cnt", "n_higher")
+    w_class = Window.partitionBy("cnt").orderBy(F.col("w").asc())
+    ranked = (
+        freq.join(higher, "cnt")
+        .withColumn("rank", F.col("n_higher") + F.row_number().over(w_class))
+        .select("cnt", _bits(F.col("rank")).alias("x"), _bits(F.col("cnt")).alias("y"))
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("n_tokens"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+        F.round(F.col("max_cnt") / F.col("n_tokens"), 6).alias("top1_share"),
+    )
+
+
+ORACLE_T36 = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+ranked AS (
+  SELECT cnt,
+         CAST(length(bin(ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC))) - 1
+              AS BIGINT) AS x,
+         CAST(length(bin(cnt)) - 1 AS BIGINT) AS y
+  FROM freq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1.0 /
+             (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS zipf_slope,
+       ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top1_share
+FROM ranked
+"""
+
+
+QUERIES = {
+    "t33_dup_ngram_spans": t33_dup_ngram_spans,
+    "t34_dsir_importance": t34_dsir_importance,
+    "t35_filter_funnel": t35_filter_funnel,
+    "t36_zipf_stats": t36_zipf_stats,
+}
+
+ORACLES = {
+    "t33_dup_ngram_spans": ORACLE_T33,
+    "t34_dsir_importance": ORACLE_T34,
+    "t35_filter_funnel": ORACLE_T35,
+    "t36_zipf_stats": ORACLE_T36,
+}

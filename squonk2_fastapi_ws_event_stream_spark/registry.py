@@ -10,7 +10,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, events, graph, multimodal, quality, similarity, textstats
+from .operators import (
+    corpus,
+    dedup,
+    events,
+    graph,
+    multimodal,
+    quality,
+    similarity,
+    textstats,
+)
 from .plans import extended, pipeline, relational2, tpch
 
 _MODULES = (
@@ -25,6 +34,7 @@ _MODULES = (
     textstats,
     similarity,
     multimodal,
+    corpus,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
