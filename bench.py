@@ -148,6 +148,16 @@ HEADLINE = [
     "v06_l2_normalize",
     "m02_multimodal_resize",
     "m03_multimodal_frame_sample",
+    # Round 4 additions: corpus analysis, vector evals, interval join,
+    # sampled-aggregate audit.
+    "t33_dup_ngram_spans",
+    "t34_dsir_importance",
+    "t35_filter_funnel",
+    "t36_zipf_stats",
+    "v15_matryoshka_recall",
+    "v16_nprobe_recall_curve",
+    "e16_interval_join",
+    "x11_sample_error_bounds",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

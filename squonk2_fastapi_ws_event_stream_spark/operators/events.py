@@ -624,6 +624,92 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# e16 — interval join: for every click, the count and value-sum of the
+# same user's views in the preceding 5 minutes. The naive form is an
+# inequality-only join — per-user quadratic, the classic 100-TB
+# cliff — so the plan decomposes it into an EQUI-join on
+# (user_id, 5-minute time bucket): each view is exploded to its own
+# bucket and the next one (a click's lookback window spans at most two
+# buckets), the join matches on the bucket key, and the exact interval
+# predicate filters the at-most-10-minutes of candidates. Candidates per
+# click are bounded by the user's event rate, not history length.
+# Streaming twin: stream-stream join with watermarks + time-range
+# condition (tests/test_streaming_joins.py) — Spark compiles that to the
+# same bounded-state shape.
+# ---------------------------------------------------------------------------
+E16_WINDOW_US = 300_000_000  # 5 minutes
+
+
+def e16_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.unix_micros("ts").alias("v_us"),
+        F.col("value").alias("v_value"),
+    )
+    views_exp = views.select(
+        "v_user",
+        "v_us",
+        "v_value",
+        F.explode(
+            F.array(
+                F.floor(F.col("v_us") / E16_WINDOW_US),
+                F.floor(F.col("v_us") / E16_WINDOW_US) + 1,
+            )
+        ).alias("bucket"),
+    )
+    matched = (
+        clicks.withColumn("c_bucket", F.floor(F.col("c_us") / E16_WINDOW_US))
+        .join(
+            views_exp,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("c_bucket") == F.col("bucket")),
+        )
+        .filter(
+            (F.col("v_us") >= F.col("c_us") - E16_WINDOW_US)
+            & (F.col("v_us") < F.col("c_us"))
+        )
+    )
+    agg = matched.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_views_5m"),
+        F.round(F.sum(F.col("v_value").cast("decimal(18,2)")).cast("double"), 4).alias(
+            "sum_view_value"
+        ),
+    )
+    return (
+        clicks.join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+            F.coalesce(F.col("n_views_5m"), F.lit(0)).cast("long").alias("n_views_5m"),
+            F.coalesce(F.col("sum_view_value"), F.lit(0.0)).alias("sum_view_value"),
+        )
+    )
+
+
+ORACLE_E16 = f"""
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       CAST(COUNT(v.user_id) AS BIGINT) AS n_views_5m,
+       ROUND(CAST(COALESCE(SUM(CAST(v.value AS DECIMAL(18,2))), 0)
+                  AS DOUBLE), 4) AS sum_view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = c.user_id
+ AND epoch_us(v.ts) >= epoch_us(c.ts) - {E16_WINDOW_US}
+ AND epoch_us(v.ts) < epoch_us(c.ts)
+GROUP BY c.event_id, c.user_id, c.ts
+"""
+
+
 QUERIES = {
     "e01_replay_from_ordinal": e01_replay_from_ordinal,
     "e02_replay_from_timestamp": e02_replay_from_timestamp,
@@ -640,6 +726,7 @@ QUERIES = {
     "e13_windowed_topk": e13_windowed_topk,
     "e14_log_compaction": e14_log_compaction,
     "e15_json_functions": e15_json_functions,
+    "e16_interval_join": e16_interval_join,
 }
 
 ORACLES = {
@@ -658,4 +745,5 @@ ORACLES = {
     "e13_windowed_topk": ORACLE_E13,
     "e14_log_compaction": ORACLE_E14,
     "e15_json_functions": ORACLE_E15,
+    "e16_interval_join": ORACLE_E16,
 }

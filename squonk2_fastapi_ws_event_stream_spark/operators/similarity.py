@@ -184,15 +184,17 @@ def _stride_ivf_index(spark: SparkSession, sf_dir: str):
     return emb, packed, assigned
 
 
-def v03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
+    """Stride-IVF top-k with a parameterized probe count (v03's plan;
+    v16 sweeps n_probe over the same staged index)."""
     # Cell assignment: map-side argmax, single pass over the corpus,
     # persisted via the shared stride-IVF index.
     emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
-    # Queries probe their N_PROBE nearest cells.
+    # Queries probe their n_probe nearest cells.
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    probes = _with_probe_cells(queries, packed, N_PROBE)
+    probes = _with_probe_cells(queries, packed, n_probe)
     # Search only the probed cells.
     scored = (
         assigned.join(probes, "cell_id")
@@ -207,7 +209,12 @@ def v03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_V03 = f"""
+def v03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk(spark, sf_dir, N_PROBE)
+
+
+def _oracle_v03_probe(n_probe: int) -> str:
+    return f"""
 WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
            WHERE vec_id % {CENTROID_STRIDE} = 0),
 assigned AS (
@@ -228,7 +235,7 @@ probes AS (
                               ORDER BY {sql_cosine('q.q_emb', 'c.c_emb')} DESC,
                                        c.cell_id ASC) AS p_rank
     FROM q CROSS JOIN c
-  ) WHERE p_rank <= {N_PROBE}
+  ) WHERE p_rank <= {n_probe}
 ),
 scored AS (
   SELECT p.query_id, a.vec_id,
@@ -244,6 +251,9 @@ ranked AS (
 )
 SELECT query_id, rank, vec_id, cos FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+ORACLE_V03 = _oracle_v03_probe(N_PROBE)
 
 
 # ---------------------------------------------------------------------------
@@ -1328,6 +1338,154 @@ SELECT cell_id, vec_id AS rep_vec_id, mean_cos FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# v15 — Matryoshka truncated-dimension recall (Kusupati et al. 2022, "
+# Matryoshka Representation Learning"): brute-force top-k over only the
+# FIRST MRL_DIM of the 64 dims, evaluated as recall against the full-dim
+# exact top-k. The scale story: a 4x-shorter prefix is a 4x cheaper scan
+# and a 4x smaller index — this query measures what that costs in recall.
+# Plan: same single-pass broadcast-queries shape as v02, on sliced arrays
+# (slice is a codegen array op; the parquet scan still reads the full
+# column — a production deployment would materialize the prefix).
+# ---------------------------------------------------------------------------
+MRL_DIM = 16
+
+
+def v15_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
+    )
+    emb_t = emb.select(
+        "vec_id", F.slice("embedding", 1, MRL_DIM).alias("e_t")
+    )
+    queries = emb_t.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e_t").alias("q_t")
+    )
+    scored = emb_t.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).withColumn("cos", cosine(F.col("q_t"), F.col("e_t")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    exact = v02_ann_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        approx.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_returned"))
+        .join(hits, "query_id", "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .select(
+            "query_id",
+            F.col("n_returned").cast("long").alias("n_returned"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(TOP_K) * 1.0, 6).alias("recall_mrl"),
+        )
+    )
+
+
+ORACLE_V15 = f"""
+WITH t AS (SELECT vec_id, embedding[1:{MRL_DIM}] AS e_t FROM embeddings),
+q AS (SELECT vec_id AS query_id, e_t AS q_t FROM t
+      WHERE vec_id % {QUERY_STRIDE} = 0),
+scored AS (
+  SELECT q.query_id, t.vec_id, {sql_cosine('q.q_t', 't.e_t')} AS cos
+  FROM t JOIN q ON t.vec_id <> q.query_id
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+),
+exact AS (SELECT query_id, vec_id FROM ({ORACLE_V02})),
+hits AS (
+  SELECT a.query_id, COUNT(*) AS n_hits
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY a.query_id
+)
+SELECT p.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_returned,
+       CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS BIGINT) AS n_hits,
+       ROUND(1.0 * COALESCE(ANY_VALUE(h.n_hits), 0) / {TOP_K}, 6) AS recall_mrl
+FROM approx p LEFT JOIN hits h ON p.query_id = h.query_id
+GROUP BY p.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# v16 — IVF probe-count sweep: recall@k for n_probe ∈ {{1, 2, 3}} against
+# the exact brute-force top-k — the tuning curve every IVF deployment
+# reads before picking its latency/recall point. All three probe levels
+# ride the SAME staged cell-assignment table (one corpus pass total); the
+# per-level cost is one probed-cell equi-join over a different slice of
+# the broadcast centroid array.
+# ---------------------------------------------------------------------------
+V16_PROBES = (1, 2, 3)
+
+
+def v16_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = v02_ann_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    parts = []
+    for p in V16_PROBES:
+        approx = _ivf_topk(spark, sf_dir, p).select("query_id", "vec_id")
+        hits = (
+            approx.join(exact, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        parts.append(
+            approx.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_returned"))
+            .join(hits, "query_id", "left")
+            .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+            .select(
+                F.lit(p).cast("int").alias("n_probe"),
+                "query_id",
+                F.col("n_returned").cast("long").alias("n_returned"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.round(F.col("n_hits") / F.lit(TOP_K) * 1.0, 6).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def _oracle_v16() -> str:
+    blocks = []
+    for p in V16_PROBES:
+        blocks.append(
+            f"""
+SELECT CAST({p} AS INTEGER) AS n_probe, a.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_returned,
+       CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS BIGINT) AS n_hits,
+       ROUND(1.0 * COALESCE(ANY_VALUE(h.n_hits), 0) / {TOP_K}, 6) AS recall
+FROM (SELECT query_id, vec_id FROM ({_oracle_v03_probe(p)})) a
+LEFT JOIN (
+  SELECT x.query_id, COUNT(*) AS n_hits
+  FROM (SELECT query_id, vec_id FROM ({_oracle_v03_probe(p)})) x
+  JOIN (SELECT query_id, vec_id FROM ({ORACLE_V02})) e
+    ON x.query_id = e.query_id AND x.vec_id = e.vec_id
+  GROUP BY x.query_id
+) h ON a.query_id = h.query_id
+GROUP BY a.query_id"""
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
 QUERIES = {
     "v01_neardup_cosine": v01_neardup_cosine,
     "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
@@ -1342,6 +1500,8 @@ QUERIES = {
     "v12_semdedup": v12_semdedup,
     "v13_cluster_representatives": v13_cluster_representatives,
     "v14_ann_ivf_pq_topk": v14_ann_ivf_pq_topk,
+    "v15_matryoshka_recall": v15_matryoshka_recall,
+    "v16_nprobe_recall_curve": v16_nprobe_recall_curve,
 }
 
 ORACLES = {
@@ -1358,4 +1518,6 @@ ORACLES = {
     "v12_semdedup": ORACLE_V12,
     "v13_cluster_representatives": ORACLE_V13,
     "v14_ann_ivf_pq_topk": _oracle_v14(),
+    "v15_matryoshka_recall": ORACLE_V15,
+    "v16_nprobe_recall_curve": _oracle_v16(),
 }

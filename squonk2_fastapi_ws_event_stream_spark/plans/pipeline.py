@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import davg
 from ..operators.textstats import BPE_ISH_PATTERN, _occurrences, _sql_occurrences
 from ..tables import register_views, table
 
@@ -723,3 +724,70 @@ SELECT (SELECT COUNT(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FRO
 
 QUERIES["x10_hll_set_intersection"] = x10_hll_set_intersection
 ORACLES["x10_hll_set_intersection"] = ORACLE_X10
+
+
+# ---------------------------------------------------------------------------
+# x11 — sampled-aggregate error audit: per-event-type mean(value) from the
+# 10% deterministic hash sample (x03's minstd bucketing, keyed on
+# event_id) side-by-side with the exact mean, plus the absolute error.
+# This is the eval harness for approximate query processing: it answers
+# "is the sample representative enough to serve this aggregate?" before a
+# dashboard switches to the sampled table. At 100 TB the exact branch is
+# the one full scan you run once to CERTIFY the sample; thereafter only
+# the 10% branch runs. Both branches are map-side partial aggregates on
+# the same scan shape; means use the exact-decimal-sum discipline
+# (functions/numeric.py) so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+def x11_sample_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    in_sample = ((F.col("event_id") * _MIX) % 1_000_003) % 100 < SAMPLE_PCT
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        davg("value").alias("exact_avg"),
+    )
+    sampled = (
+        ev.filter(in_sample)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            davg("value").alias("sample_avg"),
+        )
+    )
+    return (
+        exact.join(sampled, "event_type")
+        .select(
+            "event_type",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.col("n_sampled").cast("long").alias("n_sampled"),
+            "exact_avg",
+            "sample_avg",
+            F.round(F.abs(F.col("exact_avg") - F.col("sample_avg")), 6).alias(
+                "abs_err"
+            ),
+        )
+    )
+
+
+ORACLE_X11 = f"""
+WITH exact AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,10))) AS DOUBLE)
+               / COUNT(*), 6) AS exact_avg
+  FROM events GROUP BY event_type
+),
+sampled AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,10))) AS DOUBLE)
+               / COUNT(*), 6) AS sample_avg
+  FROM events
+  WHERE ((event_id * {_MIX}) % 1000003) % 100 < {SAMPLE_PCT}
+  GROUP BY event_type
+)
+SELECT e.event_type, e.n_total, s.n_sampled, e.exact_avg, s.sample_avg,
+       ROUND(ABS(e.exact_avg - s.sample_avg), 6) AS abs_err
+FROM exact e JOIN sampled s USING (event_type)
+"""
+
+
+QUERIES["x11_sample_error_bounds"] = x11_sample_error_bounds
+ORACLES["x11_sample_error_bounds"] = ORACLE_X11

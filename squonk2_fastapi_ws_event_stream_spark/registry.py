@@ -58,10 +58,19 @@ NON_SQL_QUERIES = frozenset(missing)
 # (all already green) follows. Local oracle-parity tests still cover all
 # queries regardless of this order.
 _PRIORITY = (
+    # round 4, NEW queries first (never driver-checked):
+    "t33_dup_ngram_spans",
+    "t34_dsir_importance",
+    "t35_filter_funnel",
+    "t36_zipf_stats",
+    "v15_matryoshka_recall",
+    "v16_nprobe_recall_curve",
+    "e16_interval_join",
+    "x11_sample_error_bounds",
     # round 4: changed schema/semantics (m01 honest BMP/WAV decode,
     # e14 microsecond compaction key) and changed plans (de-hinted
     # frequency joins, v05 partial-top-k rewrite, v07 staged index,
-    # t07 staged edges)
+    # t07 staged edges, v03 probe refactor)
     "m01_multimodal_decode",
     "e14_log_compaction",
     "t19_boilerplate_removal",

@@ -1,0 +1,123 @@
+"""Semantic invariants for the round-4 operators — properties the value-hash
+oracle comparison can't express (monotonicity, plan equivalence across
+physical strategies, fixed-size guarantees)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from squonk2_fastapi_ws_event_stream_spark.operators import corpus, events, similarity
+
+from .conftest import SMOKE_SF_DIR
+
+
+def test_funnel_is_monotone(spark):
+    rows = {
+        r["stage_idx"]: r
+        for r in corpus.t35_filter_funnel(spark, SMOKE_SF_DIR).collect()
+    }
+    assert sorted(rows) == [1, 2, 3, 4]
+    for i in rows:
+        assert 0 <= rows[i]["n_pass"] <= rows[i]["n_in"]
+    for i in (2, 3, 4):
+        # cumulative: stage i's population is stage i-1's survivors
+        assert rows[i]["n_in"] == rows[i - 1]["n_pass"]
+
+
+def test_dsir_bucket_table_is_fixed_size(spark):
+    """The broadcast-justifying property: bucket ids live in
+    [0, DSIR_BUCKETS) no matter the corpus."""
+    docs = spark.read.parquet(f"{SMOKE_SF_DIR}/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w")).select(
+        corpus._bucket_col(F.col("w")).alias("b")
+    )
+    mm = toks.agg(F.min("b").alias("lo"), F.max("b").alias("hi")).collect()[0]
+    assert 0 <= mm["lo"] and mm["hi"] < corpus.DSIR_BUCKETS
+
+
+def test_v16_recall_monotone_in_nprobe(spark):
+    """More probed cells can only add candidates → per-query recall is
+    non-decreasing in n_probe, and the top level equals v03's recall."""
+    curve = similarity.v16_nprobe_recall_curve(spark, SMOKE_SF_DIR).collect()
+    by_q: dict[int, dict[int, float]] = {}
+    for r in curve:
+        by_q.setdefault(r["query_id"], {})[r["n_probe"]] = r["recall"]
+    assert by_q, "empty recall curve"
+    for q, probes in by_q.items():
+        assert sorted(probes) == list(similarity.V16_PROBES)
+        vals = [probes[p] for p in sorted(probes)]
+        assert vals == sorted(vals), f"recall not monotone for query {q}: {vals}"
+
+
+def test_v16_top_level_matches_v03(spark):
+    v03 = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.v03_ann_ivf_topk(spark, SMOKE_SF_DIR).collect()
+    }
+    top = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity._ivf_topk(
+            spark, SMOKE_SF_DIR, similarity.N_PROBE
+        ).collect()
+    }
+    assert v03 == top
+
+
+def test_e16_bucketed_equals_naive_range_join(spark):
+    """The bucket-decomposed interval join must return exactly what the
+    naive inequality join returns (the plans differ, the relation can't)."""
+    got = {
+        (r["event_id"], r["n_views_5m"], r["sum_view_value"])
+        for r in events.e16_interval_join(spark, SMOKE_SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SMOKE_SF_DIR}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id").alias("c_user"), F.unix_micros("ts").alias("c_us")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.unix_micros("ts").alias("v_us"),
+        F.col("value").alias("v_value"),
+    )
+    naive = (
+        clicks.join(
+            views,
+            (F.col("c_user") == F.col("v_user"))
+            & (F.col("v_us") >= F.col("c_us") - events.E16_WINDOW_US)
+            & (F.col("v_us") < F.col("c_us")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count("v_user").alias("n"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("v_value").cast("decimal(18,2)")).cast("double"),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("s"),
+        )
+    )
+    want = {(r["event_id"], r["n"], r["s"]) for r in naive.collect()}
+    assert got == want
+
+
+def test_t33_dup_fraction_bounds(spark):
+    df = corpus.t33_dup_ngram_spans(spark, SMOKE_SF_DIR)
+    bad = df.filter(
+        (F.col("n_dup_grams") < 0)
+        | (F.col("n_dup_grams") > F.col("n_grams"))
+        | (F.col("dup_frac") < 0)
+        | (F.col("dup_frac") > 1)
+    ).count()
+    assert bad == 0
+
+
+def test_t36_zipf_slope_is_negative(spark):
+    """Natural-language corpora obey Zipf: count decays with rank, so the
+    quantized regression slope must be negative."""
+    row = corpus.t36_zipf_stats(spark, SMOKE_SF_DIR).collect()[0]
+    assert row["zipf_slope"] < 0
+    assert row["n_types"] <= row["n_tokens"]
+    assert 0 < row["top1_share"] <= 1
