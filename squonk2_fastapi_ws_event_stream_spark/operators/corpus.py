@@ -169,17 +169,17 @@ def t34_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
     ).select("doc_id", "source", _bucket_col(F.col("w")).alias("bucket"))
-    raw = toks.groupBy("bucket").agg(_bits(F.count(F.lit(1)) + 1).alias("bits_r"))
-    tgt = (
-        toks.filter(F.col("source").isin(*TARGET_SOURCES))
-        .groupBy("bucket")
-        .agg(_bits(F.count(F.lit(1)) + 1).alias("bits_t"))
+    # One aggregation pass produces BOTH distributions (the raw count and
+    # the target-slice count per bucket), so the corpus explodes once and
+    # the per-token lookup is a single broadcast join. A bucket with no
+    # target tokens gets bits(0 + 1) = 0 — identical to the left-join +
+    # coalesce form.
+    is_tgt = F.col("source").isin(*TARGET_SOURCES).cast("long")
+    freqs = toks.groupBy("bucket").agg(
+        _bits(F.count(F.lit(1)) + 1).alias("bits_r"),
+        _bits(F.sum(is_tgt) + 1).alias("bits_t"),
     )
-    scored = (
-        toks.join(F.broadcast(raw), "bucket")
-        .join(F.broadcast(tgt), "bucket", "left")
-        .withColumn("bits_t", F.coalesce("bits_t", F.lit(0)))
-    )
+    scored = toks.join(F.broadcast(freqs), "bucket")
     return (
         scored.groupBy("doc_id")
         .agg(
