@@ -158,6 +158,8 @@ HEADLINE = [
     "v16_nprobe_recall_curve",
     "e16_interval_join",
     "x11_sample_error_bounds",
+    "v17_knn_label_accuracy",
+    "m05_media_downsample",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -465,15 +465,150 @@ FROM unioned GROUP BY sha256(text) HAVING COUNT(*) > 1
 """
 
 
+# ---------------------------------------------------------------------------
+# m05 — HONEST downsampling over the mixed-modality corpus: BMP payloads
+# get a real nearest-neighbor 2x image downsample (header-parsed width/
+# height/row stride, pixel bytes selected from the actual pixel array),
+# WAV payloads a real 2x decimation (every other 16-bit sample from the
+# parsed data chunk). Text payloads pass through with -1 sentinels. The
+# parsers read BYTES — the oracle predicts the same checksums from the
+# builder's doc_id arithmetic, so parser shortcuts or layout bugs break
+# the match (and a tamper test flips a pixel byte to prove byte-reads).
+# One mapInPandas pass, magic-byte dispatch, Arrow-batched — the m01
+# plumbing with real per-format compute.
+# ---------------------------------------------------------------------------
+def downsample_bmp_half(payload: bytes) -> tuple[int, int, int]:
+    """(out_w, out_h, checksum) of a real nearest-neighbor 2x downsample:
+    output pixel (r, c) takes input pixel (2r, 2c); the checksum sums the
+    selected B/G/R bytes read from the pixel array."""
+    w, h = parse_bmp(payload)
+    row_bytes = ((3 * w + 3) // 4) * 4
+    pix = payload[54:]
+    w2, h2 = max(w // 2, 1), max(h // 2, 1)
+    total = 0
+    for r2 in range(h2):
+        base_row = 2 * r2 * row_bytes
+        for c2 in range(w2):
+            b = base_row + 6 * c2
+            total += pix[b] + pix[b + 1] + pix[b + 2]
+    return w2, h2, total % ADLER_MOD
+
+
+def downsample_wav_half(payload: bytes) -> tuple[int, int, int]:
+    """(out_rate, out_samples, checksum) of a real 2x decimation: every
+    other 16-bit sample from the parsed data chunk; the checksum sums the
+    two raw bytes of each kept sample."""
+    rate, _dur = parse_wav(payload)
+    # locate the data chunk again (chunk walk, same as parse_wav)
+    pos, data_off, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"data":
+            data_off, data_len = pos + 8, clen
+            break
+        pos += 8 + clen + (clen & 1)
+    n_samples = data_len // 2
+    total = 0
+    for i in range(0, n_samples, 2):
+        o = data_off + 2 * i
+        total += payload[o] + payload[o + 1]
+    return rate // 2, (n_samples + 1) // 2, total % ADLER_MOD
+
+
+M05_SCHEMA = (
+    "doc_id long, kind string, out_w int, out_h int, out_rate int, "
+    "out_samples int, ds_checksum long"
+)
+
+
+def downsample_media(with_payload: DataFrame) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "kind", "out_w", "out_h", "out_rate",
+                "out_samples", "ds_checksum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                row = {"doc_id": doc_id, "out_w": -1, "out_h": -1,
+                       "out_rate": -1, "out_samples": -1, "ds_checksum": -1}
+                if payload[:2] == b"BM":
+                    row["kind"] = "image/bmp"
+                    row["out_w"], row["out_h"], row["ds_checksum"] = (
+                        downsample_bmp_half(payload)
+                    )
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    row["kind"] = "audio/wav"
+                    row["out_rate"], row["out_samples"], row["ds_checksum"] = (
+                        downsample_wav_half(payload)
+                    )
+                else:
+                    row["kind"] = "text/plain"
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(run, schema=M05_SCHEMA)
+
+
+def m05_media_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return downsample_media(attach_media_payload(docs))
+
+
+# The oracle re-derives what the REAL downsamplers must read from the
+# synthesized bytes: BMP pixel (r2, c2) channel ch lives at pixel-array
+# offset 2*r2*row_bytes + 6*c2 + ch with value (fill + offset) % 256; WAV
+# sample i is the SIGNED value ((fill + 7i) % 65536) - 32768, whose
+# little-endian two's-complement storage is u = (fill + 7i + 32768) %
+# 65536, so its two bytes sum to u % 256 + u // 256. Builder and oracle
+# share only doc_id arithmetic.
+ORACLE_M05 = f"""
+WITH params AS (
+  SELECT doc_id,
+         16 + doc_id % 17 AS w, 8 + doc_id % 11 AS h,
+         8000 + (doc_id % 5) * 1000 AS rate, 200 + doc_id % 30 AS ns,
+         doc_id % 251 AS fill,
+         ((3 * (16 + doc_id % 17) + 3) // 4) * 4 AS rb
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 3 THEN 'image/bmp'
+            WHEN doc_id % 10 = 7 THEN 'audio/wav'
+            ELSE 'text/plain' END AS kind,
+       CAST(CASE WHEN doc_id % 10 = 3 THEN w // 2 ELSE -1 END AS INTEGER) AS out_w,
+       CAST(CASE WHEN doc_id % 10 = 3 THEN h // 2 ELSE -1 END AS INTEGER) AS out_h,
+       CAST(CASE WHEN doc_id % 10 = 7 THEN rate // 2 ELSE -1 END AS INTEGER)
+         AS out_rate,
+       CAST(CASE WHEN doc_id % 10 = 7 THEN (ns + 1) // 2 ELSE -1 END AS INTEGER)
+         AS out_samples,
+       CAST(CASE
+         WHEN doc_id % 10 = 3 THEN
+           list_sum(list_transform(range(0, h // 2), r ->
+             list_sum(list_transform(range(0, w // 2), c ->
+               (fill + 2 * r * rb + 6 * c) % 256
+               + (fill + 2 * r * rb + 6 * c + 1) % 256
+               + (fill + 2 * r * rb + 6 * c + 2) % 256)))) % {ADLER_MOD}
+         WHEN doc_id % 10 = 7 THEN
+           list_sum(list_transform(range(0, ns, 2), i ->
+             ((fill + 7 * i + 32768) % 65536) % 256
+             + ((fill + 7 * i + 32768) % 65536) // 256)) % {ADLER_MOD}
+         ELSE -1 END AS BIGINT) AS ds_checksum
+FROM params
+"""
+
+
 QUERIES = {
     "m01_multimodal_decode": m01_multimodal_decode,
     "m02_multimodal_resize": m02_multimodal_resize,
     "m03_multimodal_frame_sample": m03_multimodal_frame_sample,
     "m04_media_content_dedup": m04_media_content_dedup,
+    "m05_media_downsample": m05_media_downsample,
 }
 ORACLES = {
     "m01_multimodal_decode": ORACLE_M01,
     "m02_multimodal_resize": ORACLE_M02,
     "m03_multimodal_frame_sample": ORACLE_M03,
     "m04_media_content_dedup": ORACLE_M04,
+    "m05_media_downsample": ORACLE_M05,
 }

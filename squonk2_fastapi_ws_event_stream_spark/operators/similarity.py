@@ -1486,6 +1486,103 @@ GROUP BY a.query_id"""
     return "\nUNION ALL\n".join(blocks)
 
 
+# ---------------------------------------------------------------------------
+# v17 — k-NN classification accuracy: every query vector is classified by
+# the majority label of its exact top-k neighbours (ties → smaller
+# label), scored against its own label, reported per true label. The
+# standard embedding-quality probe: if k-NN can't recover labels, the
+# space won't serve retrieval either. Plan: v02's single-pass scored
+# top-k (queries broadcast, corpus streamed) + a per-(query, label) count
+# and two small windows over query-grouped rows — nothing shuffles but
+# (query_id, label) pairs.
+# ---------------------------------------------------------------------------
+def v17_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label"),
+        spark,
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+    )
+    scored = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "true_label", "label")
+    )
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    predicted = (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("label").alias("pred_label"))
+    )
+    return (
+        predicted.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            F.round(F.col("n_correct") / F.col("n_queries"), 6).alias("accuracy"),
+        )
+    )
+
+
+ORACLE_V17 = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS true_label
+           FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
+scored AS (
+  SELECT q.query_id, q.true_label, e.vec_id, e.label,
+         {sql_cosine('q.q_emb', 'e.embedding')} AS cos
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+),
+topk AS (
+  SELECT query_id, true_label, label FROM (
+    SELECT query_id, true_label, label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+),
+votes AS (
+  SELECT query_id, true_label, label, COUNT(*) AS n_votes
+  FROM topk GROUP BY query_id, true_label, label
+),
+predicted AS (
+  SELECT query_id, true_label, label AS pred_label FROM (
+    SELECT query_id, true_label, label, n_votes,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY n_votes DESC, label ASC) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS accuracy
+FROM predicted GROUP BY true_label
+"""
+
+
 QUERIES = {
     "v01_neardup_cosine": v01_neardup_cosine,
     "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
@@ -1502,6 +1599,7 @@ QUERIES = {
     "v14_ann_ivf_pq_topk": v14_ann_ivf_pq_topk,
     "v15_matryoshka_recall": v15_matryoshka_recall,
     "v16_nprobe_recall_curve": v16_nprobe_recall_curve,
+    "v17_knn_label_accuracy": v17_knn_label_accuracy,
 }
 
 ORACLES = {
@@ -1520,4 +1618,5 @@ ORACLES = {
     "v14_ann_ivf_pq_topk": _oracle_v14(),
     "v15_matryoshka_recall": ORACLE_V15,
     "v16_nprobe_recall_curve": _oracle_v16(),
+    "v17_knn_label_accuracy": ORACLE_V17,
 }

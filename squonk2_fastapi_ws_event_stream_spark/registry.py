@@ -59,6 +59,8 @@ NON_SQL_QUERIES = frozenset(missing)
 # queries regardless of this order.
 _PRIORITY = (
     # round 4, NEW queries first (never driver-checked):
+    "v17_knn_label_accuracy",
+    "m05_media_downsample",
     "t33_dup_ngram_spans",
     "t34_dsir_importance",
     "t35_filter_funnel",

@@ -127,3 +127,49 @@ def test_m01_extracts_true_header_values(spark):
     rows = {r["doc_id"]: r for r in decode_media_features(df).collect()}
     assert (rows[1]["width"], rows[1]["height"]) == (20, 10)
     assert rows[2]["width"] == 999  # parsed from bytes, not predicted
+
+
+def test_m05_downsamplers_read_pixel_and_sample_bytes(spark):
+    """Tamper one pixel byte of a BMP and one sample byte of a WAV: the
+    downsample checksums must CHANGE, proving the resize/decimation read
+    the media bytes rather than shortcutting via the builder formula."""
+    from squonk2_fastapi_ws_event_stream_spark.operators.multimodal import (
+        downsample_media,
+        make_bmp,
+        make_wav,
+    )
+
+    bmp, wav = make_bmp(20, 10, 1), make_wav(8000, 100, 1)
+    t_bmp = bytearray(bmp)
+    t_bmp[54] = (t_bmp[54] + 1) % 256  # pixel (0,0) blue channel — sampled
+    t_wav = bytearray(wav)
+    t_wav[44] = (t_wav[44] + 1) % 256  # sample 0 low byte — kept by 2x decim
+    df = spark.createDataFrame(
+        [(1, bmp), (2, bytes(t_bmp)), (3, wav), (4, bytes(t_wav))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in downsample_media(df).collect()}
+    assert rows[1]["out_w"] == 10 and rows[1]["out_h"] == 5
+    assert rows[3]["out_rate"] == 4000 and rows[3]["out_samples"] == 50
+    assert rows[1]["ds_checksum"] != rows[2]["ds_checksum"]
+    assert rows[3]["ds_checksum"] != rows[4]["ds_checksum"]
+
+
+def test_m05_skips_unsampled_bytes(spark):
+    """Tampering a pixel the 2x nearest-neighbor selection SKIPS (odd row)
+    must leave the checksum unchanged — the downsample is a real
+    selection, not a whole-payload hash."""
+    from squonk2_fastapi_ws_event_stream_spark.operators.multimodal import (
+        downsample_media,
+        make_bmp,
+    )
+
+    bmp = make_bmp(20, 10, 1)
+    row_bytes = ((3 * 20 + 3) // 4) * 4
+    t = bytearray(bmp)
+    t[54 + row_bytes] = (t[54 + row_bytes] + 1) % 256  # row 1 — never sampled
+    df = spark.createDataFrame(
+        [(1, bmp), (2, bytes(t))], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in downsample_media(df).collect()}
+    assert rows[1]["ds_checksum"] == rows[2]["ds_checksum"]

@@ -350,3 +350,29 @@ def test_freq_tables_unhinted_and_aqe_broadcasts_at_test_scale(spark):
             f"{name}: AQE did not broadcast the frequency side at test scale"
         )
         assert "SortMergeJoin" not in final, name
+
+
+def test_e16_interval_join_is_equi_join(spark):
+    # The bucket decomposition exists precisely to avoid the per-user
+    # quadratic nested-loop join a pure range predicate compiles to.
+    plan = explain(QUERIES["e16_interval_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t33_gram_frequency_join_unhinted_but_aqe_broadcasts(spark):
+    # The gram-frequency table grows with the corpus → the LOGICAL plan
+    # must carry no broadcast hint; at test scale AQE still picks a
+    # broadcast join at runtime from observed sizes.
+    df = QUERIES["t33_dup_ngram_spans"](spark, SF)
+    assert "UnresolvedHint" not in df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in df._jdf.queryExecution().optimizedPlan().toString()
+    df.write.format("noop").mode("overwrite").save()
+
+
+def test_v17_knn_topk_is_single_corpus_pass(spark):
+    # Queries broadcast; the corpus is scored map-side — no shuffle of
+    # corpus x query pairs before the per-query top-k window.
+    plan = explain(QUERIES["v17_knn_label_accuracy"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
