@@ -160,6 +160,9 @@ HEADLINE = [
     "x11_sample_error_bounds",
     "v17_knn_label_accuracy",
     "m05_media_downsample",
+    "q33_cohort_retention",
+    "e17_out_of_order_stats",
+    "t37_quality_bucket_stats",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -392,11 +392,79 @@ FROM ranked
 """
 
 
+# ---------------------------------------------------------------------------
+# t37 — per-source quality deciles (the CCNet bucketing step: Wenzek et
+# al. 2019 split each language's corpus into head/middle/tail by model
+# score; here each SOURCE is bucketed by the t22 unigram-quality score).
+# The window is PARTITIONED by source — parallel across sources, never a
+# global sort (t29's discipline) — and the tie-break (avg_bits, doc_id)
+# makes NTILE assignment a total order both engines agree on.
+# ---------------------------------------------------------------------------
+N_QUALITY_BUCKETS = 10
+
+
+def t37_quality_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality import t22_unigram_logprob
+
+    scored = t22_unigram_logprob(spark, sf_dir).select("doc_id", "avg_bits")
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_bits").asc(), F.col("doc_id").asc()
+    )
+    bucketed = (
+        scored.join(src, "doc_id")
+        .withColumn("decile", F.ntile(N_QUALITY_BUCKETS).over(w))
+    )
+    return (
+        bucketed.groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_bits").alias("min_bits"),
+            F.max("avg_bits").alias("max_bits"),
+        )
+        .select(
+            "source",
+            "decile",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "min_bits",
+            "max_bits",
+        )
+    )
+
+
+ORACLE_T37 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (
+  SELECT w, CAST(length(bin(COUNT(*))) - 1 AS BIGINT) AS bits
+  FROM toks GROUP BY w
+),
+scored AS (
+  SELECT t.doc_id, ROUND(SUM(f.bits) / COUNT(*), 6) AS avg_bits
+  FROM toks t JOIN freq f USING (w) GROUP BY t.doc_id
+),
+bucketed AS (
+  SELECT d.source, s.avg_bits,
+         NTILE({N_QUALITY_BUCKETS}) OVER (PARTITION BY d.source
+                                          ORDER BY s.avg_bits ASC,
+                                                   s.doc_id ASC) AS decile
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT source, CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(avg_bits) AS min_bits,
+       MAX(avg_bits) AS max_bits
+FROM bucketed GROUP BY source, decile
+"""
+
+
 QUERIES = {
     "t33_dup_ngram_spans": t33_dup_ngram_spans,
     "t34_dsir_importance": t34_dsir_importance,
     "t35_filter_funnel": t35_filter_funnel,
     "t36_zipf_stats": t36_zipf_stats,
+    "t37_quality_bucket_stats": t37_quality_bucket_stats,
 }
 
 ORACLES = {
@@ -404,4 +472,5 @@ ORACLES = {
     "t34_dsir_importance": ORACLE_T34,
     "t35_filter_funnel": ORACLE_T35,
     "t36_zipf_stats": ORACLE_T36,
+    "t37_quality_bucket_stats": ORACLE_T37,
 }

@@ -710,6 +710,67 @@ GROUP BY c.event_id, c.user_id, c.ts
 """
 
 
+# ---------------------------------------------------------------------------
+# e17 — out-of-order arrival statistics: within each user's stream (total
+# order = event_id, the broker ordinal), how often does event time move
+# BACKWARD, and by how much? The stream-health report that sizes
+# watermarks: max_regression_ms is the lateness bound a correct watermark
+# needs. One shuffle (user_id window partition); the final per-type
+# aggregate is map-side combinable.
+# ---------------------------------------------------------------------------
+def e17_out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").asc())
+    with_prev = ev.withColumn("prev_us", F.lag("us").over(w))
+    flagged = with_prev.withColumn(
+        "ooo", (F.col("prev_us").isNotNull() & (F.col("us") < F.col("prev_us"))).cast("long")
+    ).withColumn(
+        "regress_ms",
+        F.when(
+            F.col("ooo") == 1, ((F.col("prev_us") - F.col("us")) / 1000).cast("long")
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("ooo").alias("n_out_of_order"),
+            F.max("regress_ms").alias("max_regression_ms"),
+        )
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_out_of_order").cast("long").alias("n_out_of_order"),
+            F.round(F.col("n_out_of_order") / F.col("n_events"), 6).alias("ooo_frac"),
+            F.col("max_regression_ms").cast("long").alias("max_regression_ms"),
+        )
+    )
+
+
+ORACLE_E17 = """
+WITH seq AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT event_type,
+         CASE WHEN prev_us IS NOT NULL AND us < prev_us THEN 1 ELSE 0 END AS ooo,
+         CASE WHEN prev_us IS NOT NULL AND us < prev_us
+              THEN CAST((prev_us - us) // 1000 AS BIGINT) ELSE 0 END AS regress_ms
+  FROM seq
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(ooo) AS BIGINT) AS n_out_of_order,
+       ROUND(SUM(ooo) / COUNT(*), 6) AS ooo_frac,
+       CAST(MAX(regress_ms) AS BIGINT) AS max_regression_ms
+FROM flagged GROUP BY event_type
+"""
+
+
 QUERIES = {
     "e01_replay_from_ordinal": e01_replay_from_ordinal,
     "e02_replay_from_timestamp": e02_replay_from_timestamp,
@@ -727,6 +788,7 @@ QUERIES = {
     "e14_log_compaction": e14_log_compaction,
     "e15_json_functions": e15_json_functions,
     "e16_interval_join": e16_interval_join,
+    "e17_out_of_order_stats": e17_out_of_order_stats,
 }
 
 ORACLES = {
@@ -746,4 +808,5 @@ ORACLES = {
     "e14_log_compaction": ORACLE_E14,
     "e15_json_functions": ORACLE_E15,
     "e16_interval_join": ORACLE_E16,
+    "e17_out_of_order_stats": ORACLE_E17,
 }

@@ -423,6 +423,68 @@ GROUP BY strftime(q_start, '%Y-%m-%d')
 """
 
 
+# ---------------------------------------------------------------------------
+# q33 — customer cohort retention: customers grouped by first-order year,
+# retention = fraction of the cohort that orders again in each later
+# year. The classic subscription/engagement OLAP report. Plan: the
+# first-order table is one (custkey)-keyed aggregate; activity joins it
+# on custkey (shuffle join of two custkey-partitioned tables — the
+# aggregate and the join REUSE the same partitioning, so Catalyst plans
+# one exchange per side); cohort sizes broadcast back onto the tiny
+# (cohort_year, order_year) grid.
+# ---------------------------------------------------------------------------
+def q33_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("order_year")
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.min("order_year").alias("cohort_year")
+    )
+    sizes = first.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = (
+        orders.join(first, "o_custkey")
+        .select("cohort_year", "order_year", "o_custkey")
+        .distinct()
+        .groupBy("cohort_year", "order_year")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort_year")
+        .select(
+            "cohort_year",
+            "order_year",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )
+
+
+ORACLE_Q33 = """
+WITH o AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS order_year FROM orders
+),
+first AS (
+  SELECT o_custkey, MIN(order_year) AS cohort_year FROM o GROUP BY o_custkey
+),
+sizes AS (
+  SELECT cohort_year, COUNT(*) AS cohort_size FROM first GROUP BY cohort_year
+),
+active AS (
+  SELECT f.cohort_year, o.order_year, COUNT(DISTINCT o.o_custkey) AS n_active
+  FROM o JOIN first f USING (o_custkey)
+  GROUP BY f.cohort_year, o.order_year
+)
+SELECT a.cohort_year, a.order_year,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       ROUND(a.n_active / s.cohort_size, 6) AS retention
+FROM active a JOIN sizes s USING (cohort_year)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -435,6 +497,7 @@ QUERIES = {
     "q09_set_ops": q09_set_ops,
     "q10_customers_without_orders": q10_customers_without_orders,
     "q11_quarter_range_join": q11_quarter_range_join,
+    "q33_cohort_retention": q33_cohort_retention,
 }
 
 ORACLES = {
@@ -449,4 +512,5 @@ ORACLES = {
     "q09_set_ops": ORACLE_Q09,
     "q10_customers_without_orders": ORACLE_Q10,
     "q11_quarter_range_join": ORACLE_Q11,
+    "q33_cohort_retention": ORACLE_Q33,
 }

@@ -59,6 +59,9 @@ NON_SQL_QUERIES = frozenset(missing)
 # queries regardless of this order.
 _PRIORITY = (
     # round 4, NEW queries first (never driver-checked):
+    "q33_cohort_retention",
+    "e17_out_of_order_stats",
+    "t37_quality_bucket_stats",
     "v17_knn_label_accuracy",
     "m05_media_downsample",
     "t33_dup_ngram_spans",
