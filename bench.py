@@ -163,6 +163,7 @@ HEADLINE = [
     "q33_cohort_retention",
     "e17_out_of_order_stats",
     "t37_quality_bucket_stats",
+    "t38_shingle_containment",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -321,6 +321,83 @@ JOIN sig sb ON sb.doc_id = c.doc_b
 
 
 # ---------------------------------------------------------------------------
+# t38 — shingle containment for LSH candidate pairs: |A∩B|/|A| and
+# |A∩B|/|B| (Broder's containment, the asymmetric twin of Jaccard).
+# Jaccard misses the quote/subset case — a short document wholly embedded
+# in a long one scores low Jaccard but containment ≈ 1 — which is exactly
+# the near-dup class quote-heavy web corpora are full of. Same staged
+# signature table and band-join candidate generation as t02/t31; the only
+# added work per candidate pair is two divisions.
+# ---------------------------------------------------------------------------
+def t38_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _stage_cached(
+        "t02",
+        sf_dir,
+        lambda: _with_shingles(
+            table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+        ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = sig.select("doc_id", "shingles")
+    pairs = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+    )
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        shared.cast("long").alias("n_shared"),
+        F.round(shared / F.size("sh_a"), 6).alias("containment_a_in_b"),
+        F.round(shared / F.size("sh_b"), 6).alias("containment_b_in_a"),
+    )
+
+
+def _oracle_t38() -> str:
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, {H.sql_band_key('sig', b)} AS band_key FROM sig"
+        for b in range(H.N_BANDS)
+    )
+    shared = "len(list_intersect(sa.shingles, sb.shingles))"
+    return f"""
+WITH sh AS ({SQL_SHINGLES}),
+sig AS (
+  SELECT doc_id, shingles, {H.sql_minhash_signature('shingles')} AS sig FROM sh
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({shared} AS BIGINT) AS n_shared,
+       ROUND(1.0 * {shared} / len(sa.shingles), 6) AS containment_a_in_b,
+       ROUND(1.0 * {shared} / len(sb.shingles), 6) AS containment_b_in_a
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # t03 — SimHash document signatures.
 # ---------------------------------------------------------------------------
 def t03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,6 +551,7 @@ QUERIES = {
     "t05_dedup_exact_sha2": t05_dedup_exact_sha2,
     "t06_dedup_simhash_banded": t06_dedup_simhash_banded,
     "t31_minhash_estimate_eval": t31_minhash_estimate_eval,
+    "t38_shingle_containment": t38_shingle_containment,
 }
 
 ORACLES = {
@@ -484,4 +562,5 @@ ORACLES = {
     "t05_dedup_exact_sha2": ORACLE_T05,
     "t06_dedup_simhash_banded": _oracle_t06(),
     "t31_minhash_estimate_eval": _oracle_t31(),
+    "t38_shingle_containment": _oracle_t38(),
 }
