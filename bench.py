@@ -164,6 +164,7 @@ HEADLINE = [
     "e17_out_of_order_stats",
     "t37_quality_bucket_stats",
     "t38_shingle_containment",
+    "e18_conversion_funnel",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -771,6 +771,91 @@ FROM flagged GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# e18 — conversion funnel: signup → first click at-or-after signup →
+# first purchase at-or-after that click, per user, reported as step
+# counts and step-to-step conversion rates. The sequence-analytics
+# staple. Plan: all three step timestamps come from windows over the SAME
+# user_id partition (Catalyst plans ONE shuffle and chains the windows),
+# then a per-user collapse and a 3-row aggregate.
+# ---------------------------------------------------------------------------
+def e18_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t_s = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    staged = ev.withColumn("t_s", t_s)
+    t_c = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_s")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_c", t_c)
+    t_p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_c")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_p", t_p)
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_s").alias("t_s"), F.min("t_c").alias("t_c"), F.min("t_p").alias("t_p")
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_s").alias("n_signup"),
+        F.count("t_c").alias("n_click"),
+        F.count("t_p").alias("n_purchase"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3,"
+            " 1, 'signup', n_signup, round(n_signup / n_users, 6),"
+            " 2, 'click_after_signup', n_click, round(n_click / n_signup, 6),"
+            " 3, 'purchase_after_click', n_purchase, round(n_purchase / n_click, 6))"
+        ).alias("step_idx", "step", "n_users", "conv_from_prev")
+    ).select(
+        "step_idx",
+        "step",
+        F.col("n_users").cast("long").alias("n_users"),
+        "conv_from_prev",
+    )
+
+
+ORACLE_E18 = """
+WITH s AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_s
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_c
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s.t_s
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_p
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_c
+  GROUP BY e.user_id
+),
+agg AS (
+  SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+         (SELECT COUNT(*) FROM s WHERE t_s IS NOT NULL) AS n_signup,
+         (SELECT COUNT(*) FROM c) AS n_click,
+         (SELECT COUNT(*) FROM p) AS n_purchase
+)
+SELECT 1 AS step_idx, 'signup' AS step, CAST(n_signup AS BIGINT) AS n_users,
+       ROUND(n_signup / n_users, 6) AS conv_from_prev FROM agg
+UNION ALL
+SELECT 2, 'click_after_signup', CAST(n_click AS BIGINT),
+       ROUND(n_click / n_signup, 6) FROM agg
+UNION ALL
+SELECT 3, 'purchase_after_click', CAST(n_purchase AS BIGINT),
+       ROUND(n_purchase / n_click, 6) FROM agg
+"""
+
+
 QUERIES = {
     "e01_replay_from_ordinal": e01_replay_from_ordinal,
     "e02_replay_from_timestamp": e02_replay_from_timestamp,
@@ -789,6 +874,7 @@ QUERIES = {
     "e15_json_functions": e15_json_functions,
     "e16_interval_join": e16_interval_join,
     "e17_out_of_order_stats": e17_out_of_order_stats,
+    "e18_conversion_funnel": e18_conversion_funnel,
 }
 
 ORACLES = {
@@ -809,4 +895,5 @@ ORACLES = {
     "e15_json_functions": ORACLE_E15,
     "e16_interval_join": ORACLE_E16,
     "e17_out_of_order_stats": ORACLE_E17,
+    "e18_conversion_funnel": ORACLE_E18,
 }

