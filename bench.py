@@ -165,6 +165,7 @@ HEADLINE = [
     "t37_quality_bucket_stats",
     "t38_shingle_containment",
     "e18_conversion_funnel",
+    "e19_gap_fill",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -856,6 +856,86 @@ SELECT 3, 'purchase_after_click', CAST(n_purchase AS BIGINT),
 """
 
 
+# ---------------------------------------------------------------------------
+# e19 — time-series gap fill: hourly per-type event counts over a DENSE
+# hour grid (hours with no events appear with n_events = 0 and the
+# last-observed hourly sum carried forward) — the regularization step
+# before any rolling metric or chart. Plan: the sparse aggregate is one
+# (type, hour) shuffle; the dense grid is sequence()-exploded from the
+# 1-row global min/max (broadcast); the carry-forward is a last(
+# ignorenulls) window PARTITIONED by type — parallel across types, and
+# within a type the hour axis is bounded (hours since epoch), not
+# data-sized.
+# ---------------------------------------------------------------------------
+def e19_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 3_600_000_000).alias("hour_no"),
+        "value",
+    )
+    sparse = ev.groupBy("event_type", "hour_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    )
+    bounds = ev.agg(
+        F.min("hour_no").alias("h_lo"), F.max("hour_no").alias("h_hi")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h_lo"), F.col("h_hi"))).alias("hour_no"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hour_no").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(sparse, ["event_type", "hour_no"], "left")
+        .withColumn("is_gap", F.col("n_events").isNull().cast("int"))
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)).cast("long"))
+        .withColumn(
+            "filled_sum_value",
+            F.coalesce(F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)),
+        )
+        .select("event_type", "hour_no", "n_events", "is_gap", "filled_sum_value")
+    )
+
+
+ORACLE_E19 = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_no,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+sparse AS (
+  SELECT event_type, hour_no, COUNT(*) AS n_events,
+         ROUND(CAST(SUM(v) AS DOUBLE), 4) AS sum_value
+  FROM ev GROUP BY event_type, hour_no
+),
+grid AS (
+  SELECT t.event_type, g.hour_no
+  FROM (SELECT DISTINCT event_type FROM ev) t,
+       (SELECT unnest(generate_series((SELECT MIN(hour_no) FROM ev),
+                                      (SELECT MAX(hour_no) FROM ev))) AS hour_no) g
+)
+SELECT g.event_type, g.hour_no,
+       CAST(COALESCE(s.n_events, 0) AS BIGINT) AS n_events,
+       CAST(CASE WHEN s.n_events IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap,
+       COALESCE(LAST_VALUE(s.sum_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour_no
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+         AS filled_sum_value
+FROM grid g LEFT JOIN sparse s USING (event_type, hour_no)
+"""
+
+
 QUERIES = {
     "e01_replay_from_ordinal": e01_replay_from_ordinal,
     "e02_replay_from_timestamp": e02_replay_from_timestamp,
@@ -875,6 +955,7 @@ QUERIES = {
     "e16_interval_join": e16_interval_join,
     "e17_out_of_order_stats": e17_out_of_order_stats,
     "e18_conversion_funnel": e18_conversion_funnel,
+    "e19_gap_fill": e19_gap_fill,
 }
 
 ORACLES = {
@@ -896,4 +977,5 @@ ORACLES = {
     "e16_interval_join": ORACLE_E16,
     "e17_out_of_order_stats": ORACLE_E17,
     "e18_conversion_funnel": ORACLE_E18,
+    "e19_gap_fill": ORACLE_E19,
 }
