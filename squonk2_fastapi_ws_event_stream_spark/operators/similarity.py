@@ -1451,32 +1451,79 @@ V16_PROBES = (1, 2, 3)
 
 
 def v16_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Probe sets are NESTED (probes(1) ⊂ probes(2) ⊂ probes(3)), so the
+    # expensive work — scoring candidates in probed cells — happens ONCE
+    # at the maximum level with each cell's probe rank kept; the per-level
+    # results are then a filter (probe_rank <= p) + per-(level, query)
+    # window over the already-scored candidates. One candidate equi-join
+    # instead of |V16_PROBES| of them.
+    max_p = max(V16_PROBES)
+    emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored_cells = F.array_sort(
+        F.transform(
+            F.col("cells"),
+            lambda c: F.struct(
+                (-_cell_cos("q_emb", c)).alias("neg_cos"), c.cell_id.alias("cell_id")
+            ),
+        )
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(packed))
+        .withColumn("_row_norm", norm(F.col("q_emb")))
+        .select(
+            "query_id",
+            "q_emb",
+            F.posexplode(F.slice(scored_cells, 1, max_p)).alias("pos0", "pc"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            (F.col("pos0") + 1).alias("probe_rank"),
+            F.col("pc").cell_id.alias("cell_id"),
+        )
+    )
+    scored = (
+        assigned.join(probes, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+        .select("query_id", "probe_rank", "vec_id", "cos")
+    )
+    levels = scored.join(
+        F.broadcast(
+            spark.createDataFrame([(p,) for p in V16_PROBES], "n_probe int")
+        ),
+        F.col("probe_rank") <= F.col("n_probe"),
+    )
+    rank_w = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    approx = (
+        levels.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("n_probe", "query_id", "vec_id")
+    )
     exact = _exact_topk_truth(spark, sf_dir)
-    parts = []
-    for p in V16_PROBES:
-        approx = _ivf_topk(spark, sf_dir, p).select("query_id", "vec_id")
-        hits = (
-            approx.join(exact, ["query_id", "vec_id"])
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
+    hits = (
+        approx.join(exact, ["query_id", "vec_id"])
+        .groupBy("n_probe", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        approx.groupBy("n_probe", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_returned"))
+        .join(hits, ["n_probe", "query_id"], "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .select(
+            F.col("n_probe").cast("int").alias("n_probe"),
+            "query_id",
+            F.col("n_returned").cast("long").alias("n_returned"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(TOP_K) * 1.0, 6).alias("recall"),
         )
-        parts.append(
-            approx.groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_returned"))
-            .join(hits, "query_id", "left")
-            .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
-            .select(
-                F.lit(p).cast("int").alias("n_probe"),
-                "query_id",
-                F.col("n_returned").cast("long").alias("n_returned"),
-                F.col("n_hits").cast("long").alias("n_hits"),
-                F.round(F.col("n_hits") / F.lit(TOP_K) * 1.0, 6).alias("recall"),
-            )
-        )
-    out = parts[0]
-    for part in parts[1:]:
-        out = out.unionByName(part)
-    return out
+    )
 
 
 def _oracle_v16() -> str:
