@@ -908,12 +908,11 @@ def _pq_sub_l2(vec, cvec, m):
     return out
 
 
-def v11_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
-    # Codebook: 16 stride-sampled vectors, ordered by vec_id, as ONE row
-    # holding an array of 16 embeddings (array_sort on the struct makes the
-    # collect_list order deterministic under any partitioning).
-    cb = (
+def _pq_codebook(emb):
+    """One-row codebook: 16 stride-sampled vectors ordered by vec_id
+    (array_sort on the struct pins collect_list order under any
+    partitioning)."""
+    return (
         emb.filter(
             (F.col("vec_id") % PQ_CB_STRIDE == 0)
             & (F.col("vec_id") < PQ_CB_STRIDE * PQ_NCODES)
@@ -926,8 +925,18 @@ def v11_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+def _pq_encoded_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, cell_id, recon): the corpus with its IVF cell
+    AND its PQ reconstruction, staged once per corpus — encoding is a
+    map-side pass a production PQ index pays at BUILD time, not per
+    query. Shared by v11 (ignores cell_id) and v14."""
+    from .dedup import _stage_cached
+
+    emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
+    cb = _pq_codebook(emb)
+
     def code_of(m):
-        # index (1-based) of the nearest centroid in subspace m
         dists = F.transform(F.col("cbs"), lambda c: _pq_sub_l2(F.col("embedding"), c, m))
         return F.array_position(dists, F.array_min(dists)).cast("int")
 
@@ -943,9 +952,18 @@ def v11_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    encoded = emb.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "embedding", recon.alias("recon")
+    return _stage_cached(
+        "pq_encoded",
+        sf_dir,
+        lambda: assigned.crossJoin(F.broadcast(cb)).select(
+            "vec_id", "embedding", "cell_id", recon.alias("recon")
+        ),
     )
+
+
+def v11_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
+    encoded = _pq_encoded_index(spark, sf_dir).select("vec_id", "embedding", "recon")
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -1045,38 +1063,7 @@ SELECT query_id, rank, vec_id, cos, approx_l2 FROM ranked WHERE rank <= {TOP_K}
 # ---------------------------------------------------------------------------
 def v14_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
-    cb = (
-        emb.filter(
-            (F.col("vec_id") % PQ_CB_STRIDE == 0)
-            & (F.col("vec_id") < PQ_CB_STRIDE * PQ_NCODES)
-        )
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
-                lambda s: s["embedding"],
-            ).alias("cbs")
-        )
-    )
-
-    def code_of(m):
-        dists = F.transform(F.col("cbs"), lambda c: _pq_sub_l2(F.col("embedding"), c, m))
-        return F.array_position(dists, F.array_min(dists)).cast("int")
-
-    recon = F.flatten(
-        F.array(
-            *[
-                F.slice(
-                    F.element_at(F.col("cbs"), code_of(m)),
-                    m * PQ_SUB_DIM + 1,
-                    PQ_SUB_DIM,
-                )
-                for m in range(PQ_N_SUB)
-            ]
-        )
-    )
-    encoded = assigned.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "embedding", "cell_id", recon.alias("recon")
-    )
+    encoded = _pq_encoded_index(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
