@@ -121,3 +121,60 @@ def test_t36_zipf_slope_is_negative(spark):
     assert row["zipf_slope"] < 0
     assert row["n_types"] <= row["n_tokens"]
     assert 0 < row["top1_share"] <= 1
+
+
+def test_e16_bucket_boundaries(spark):
+    """Adversarial timestamps at exact multiples of the 5-minute bucket:
+    the bucket decomposition must agree with the naive range join on every
+    boundary case (view exactly at window edge, same-microsecond events,
+    click on a bucket line)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    W = events.E16_WINDOW_US  # 300s in micros
+    us = lambda s, micro=0: base + timedelta(seconds=s, microseconds=micro)
+    rows = [
+        # click exactly on a bucket boundary (t=600s)
+        (1, 1, "click", us(600)),
+        (2, 1, "view", us(300)),        # exactly -300s: INCLUDED (>=)
+        (3, 1, "view", us(299, 999999)),  # just beyond window: excluded
+        (4, 1, "view", us(600)),        # same instant as click: excluded (<)
+        (5, 1, "view", us(599, 999999)),  # 1 micro before click: included
+        # click mid-bucket, views straddling its two candidate buckets
+        (6, 2, "click", us(450)),
+        (7, 2, "view", us(150)),        # exactly -300s: included
+        (8, 2, "view", us(149, 999999)),  # excluded
+        (9, 2, "view", us(449)),        # included
+        # different user: never joins
+        (10, 3, "view", us(599)),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, ts, 1.0, "{}") for i, u, t, ts in rows],
+        "event_id long, user_id long, event_type string, ts timestamp, value double, props string",
+    )
+    clicks = df.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id",
+        F.col("ts").alias("c_ts"), F.unix_micros("ts").alias("c_us"),
+    )
+    views = df.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.unix_micros("ts").alias("v_us"),
+        F.col("value").alias("v_value"),
+    )
+    views_exp = views.select(
+        "v_user", "v_us", "v_value",
+        F.explode(F.array(
+            F.floor(F.col("v_us") / W), F.floor(F.col("v_us") / W) + 1,
+        )).alias("bucket"),
+    )
+    matched = (
+        clicks.withColumn("c_bucket", F.floor(F.col("c_us") / W))
+        .join(views_exp,
+              (F.col("user_id") == F.col("v_user")) & (F.col("c_bucket") == F.col("bucket")))
+        .filter((F.col("v_us") >= F.col("c_us") - W) & (F.col("v_us") < F.col("c_us")))
+    )
+    got = {
+        (r["event_id"], r["n"]) for r in
+        matched.groupBy("event_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {(1, 2), (6, 2)}  # clicks 1 and 6 each see exactly 2 views
