@@ -430,8 +430,9 @@ FROM events GROUP BY event_type
 
 # ---------------------------------------------------------------------------
 # q19 — promo revenue share (TPC-H Q14 shape): lineitem ⋈ part with a
-# conditional aggregate ratio. part is small relative to lineitem →
-# broadcast; the ratio of two exact decimal sums is deterministic.
+# conditional aggregate ratio. part is small relative to lineitem but
+# still scales with SF → hint-free join (AQE broadcasts while it fits);
+# the ratio of two exact decimal sums is deterministic.
 # ---------------------------------------------------------------------------
 def q19_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -441,7 +442,7 @@ def q19_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
-    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    ).join(part, F.col("l_partkey") == F.col("p_partkey"))
     return joined.groupBy("p_brand").agg(
         F.round(F.sum(promo_rev).cast("double"), 4).alias("promo_revenue"),
         F.round(F.sum(rev).cast("double"), 4).alias("total_revenue"),

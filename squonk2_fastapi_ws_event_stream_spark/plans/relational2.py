@@ -126,7 +126,7 @@ def x07_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     okeys = (
         table(spark, sf_dir, "orders")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey")
     )
     # Build: positions → (word, bit) → bit_or per word → ONE map row.
@@ -167,7 +167,7 @@ def x07_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = okeys.distinct().withColumn("is_match", F.lit(True))
     tagged = (
-        probe.join(F.broadcast(truth), probe["l_orderkey"] == truth["o_orderkey"], "left")
+        probe.join(truth, probe["l_orderkey"] == truth["o_orderkey"], "left")
         .withColumn("is_match", F.coalesce("is_match", F.lit(False)))
     )
     return tagged.agg(
@@ -336,8 +336,8 @@ SELECT c_mktsegment, 'max_balance' AS metric, max_balance AS value FROM wide
 # q28 — bilateral trade flows (TPC-H Q7 shape): revenue shipped between
 # supplier-nation and customer-nation pairs, by year. The two biggest
 # tables (lineitem, orders) meet in ONE shuffled equi-join on l_orderkey;
-# both nation-resolution joins are broadcasts (supplier and customer are
-# dims here, nation is 25 rows). The nation-pair filter prunes before the
+# supplier/customer attach hint-free (they scale with SF; AQE broadcasts
+# while they fit) and nation (25 rows) by hint. The nation-pair filter prunes before the
 # aggregate, so the final shuffle carries |pairs × years| rows.
 # ---------------------------------------------------------------------------
 Q28_PAIRS = (("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))
@@ -360,8 +360,8 @@ def q28_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     flows = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(nat.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
             F.col("s_nationkey") == F.col("sk"),
@@ -445,8 +445,8 @@ def q29_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "supp_name")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_region), orders.o_custkey == cust_region.c_custkey)
-        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .join(cust_region, orders.o_custkey == cust_region.c_custkey)
+        .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
     )
     return (
         joined.groupBy("o_year")
@@ -492,7 +492,8 @@ GROUP BY 1
 # quantity exceeds a threshold, with customer attribution. The HAVING
 # aggregate reduces lineitem to qualifying orderkeys FIRST (one shuffle on
 # l_orderkey, map-side partial sums); the qualifying set is tiny, so the
-# joins back to orders and customer broadcast it — the classic
+# joins back to orders and customer stay hint-free (AQE broadcasts the
+# qualifying set at runtime — size-checked, unlike a hint) — the classic
 # "aggregate-then-join" ordering that keeps the big table from being
 # joined at full width.
 # ---------------------------------------------------------------------------
@@ -511,7 +512,7 @@ def q30_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
@@ -545,8 +546,8 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 # deadbeat suppliers. The supplier-part relationship derives from lineitem
 # (the fact table is the only place it exists in this schema): distinct
 # (partkey, suppkey) pairs reduce the fact FIRST — map-side-combinable —
-# then the part join attaches attributes and the exclusion is a broadcast
-# anti-join of a provably-small set.
+# then the part join attaches attributes and the exclusion is an
+# anti-join of a provably-small set (hint-free; AQE broadcasts it).
 # ---------------------------------------------------------------------------
 def q31_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
@@ -563,7 +564,7 @@ def q31_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_brand", "p_type", "p_size"
     )
     return (
-        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        pairs.join(bad, pairs.l_suppkey == bad.s_suppkey, "left_anti")
         .join(part, pairs.l_partkey == part.p_partkey)
         .filter(F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
         .groupBy("p_brand", "p_type", "p_size")
@@ -613,7 +614,7 @@ def q32_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

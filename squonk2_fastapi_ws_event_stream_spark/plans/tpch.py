@@ -6,7 +6,10 @@ projections, hash/broadcast joins, aggregation, windows, set ops, subqueries,
 rollup, top-k, range joins and as-of joins.
 
 Scale notes per query are inline; the common rules:
-- dims (region/nation/supplier at TPC-H proportions) are broadcast,
+- FIXED-SIZE dims (region 5 rows, nation 25) carry broadcast hints;
+  SF-scaled tables (customer/supplier/part) join hint-free — AQE
+  broadcasts them at runtime while they fit (a hint is never
+  size-checked and job-fatal past the 8 GB broadcast cap),
 - aggregates are decimal-summed (exact + map-side combinable; see
   functions/numeric.py),
 - every ORDER BY used under a LIMIT has a unique tie-break key.
@@ -186,8 +189,10 @@ GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
-# q05 — regional supplier revenue (TPC-H Q5): 6-way join, dims broadcast.
-# Scale: region/nation/supplier broadcast; only orders⋈lineitem shuffles.
+# q05 — regional supplier revenue (TPC-H Q5): 6-way join.
+# Scale: region/nation broadcast-hinted (fixed size); customer/supplier
+# join hint-free (they scale with SF — AQE broadcasts while they fit);
+# orders⋈lineitem is the one unavoidable big shuffle.
 # ---------------------------------------------------------------------------
 def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -203,7 +208,7 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))

@@ -376,3 +376,25 @@ def test_v17_knn_topk_is_single_corpus_pass(spark):
     plan = explain(QUERIES["v17_knn_label_accuracy"](spark, SF))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sf_scaled_tables_unhinted_and_aqe_broadcasts(spark):
+    # customer/supplier/part GROW with SF — like the frequency tables, a
+    # broadcast hint on them is job-fatal at 100 TB. The joins are
+    # hint-free; at test scale AQE still broadcasts them at runtime, and
+    # the only sort-merge join q05 may keep is the genuinely big
+    # orders ⋈ lineitem one.
+    df = QUERIES["q05_regional_revenue"](spark, SF)
+    logical = explain(df, "extended")
+    # only nation + region keep hints (fixed 25/5 rows); extended mode
+    # prints analyzed + optimized, so each hint appears twice
+    assert logical.count("ResolvedHint") == 4, logical.count("ResolvedHint")
+    final = _executed_plan(df)
+    assert "isFinalPlan=true" in final
+    assert final.count("SortMergeJoin") <= 1, "customer/supplier not broadcast"
+
+    df = QUERIES["q19_promo_revenue"](spark, SF)
+    assert "ResolvedHint" not in explain(df, "extended")
+    final = _executed_plan(df)
+    assert "isFinalPlan=true" in final
+    assert "SortMergeJoin" not in final, "part join not AQE-broadcast"
