@@ -166,6 +166,7 @@ HEADLINE = [
     "t38_shingle_containment",
     "e18_conversion_funnel",
     "e19_gap_fill",
+    "v18_ann_hamming_topk",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -1632,6 +1632,114 @@ FROM predicted GROUP BY true_label
 """
 
 
+
+# ---------------------------------------------------------------------------
+# v18 — binary-hash ANN (the third quantization tier after SQ8 and PQ):
+# each vector is packed into a 48-bit SRP sign signature; candidate
+# scoring is ONE xor + popcount per pair (Hamming distance approximates
+# angular distance, Charikar 2002), and a 4x candidate pool is re-ranked
+# with exact float cosine. 48 bits = 6 bytes/vector — a ~170x memory cut
+# vs float32x64, THE tier that lets an index live in RAM when even PQ
+# codes don't fit. The signature table stages once per corpus (build-time
+# cost); queries broadcast; the corpus is never shuffled before the
+# per-query top-k window.
+# ---------------------------------------------------------------------------
+V18_BITS = 48  # keeps the packed signature clear of the sign bit
+_V18_H = [
+    [((1103515245 * (p * 64 + d) + 12345) >> 16) % 97 - 48 for d in range(64)]
+    for p in range(V18_BITS)
+]
+
+
+def _srp_sig48(emb_col: "F.Column") -> "F.Column":
+    val = None
+    for p in range(V18_BITS):
+        term = (
+            F.when(_srp_dot(emb_col, _V18_H[p]) >= 0, F.lit(1 << p).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        val = term if val is None else val + term
+    return val
+
+
+def v18_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _stage_cached
+
+    sigs = _stage_cached(
+        "v18_sigs",
+        sf_dir,
+        lambda: fan_out(
+            table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
+        ).select("vec_id", "embedding", _srp_sig48(F.col("embedding")).alias("sig")),
+    )
+    queries = sigs.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sig").alias("q_sig"),
+    )
+    scored = sigs.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).withColumn(
+        "hamming", F.bit_count(F.col("sig").bitwiseXOR(F.col("q_sig"))).cast("int")
+    )
+    pool_w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    )
+    pool = scored.withColumn("qrank", F.row_number().over(pool_w)).filter(
+        F.col("qrank") <= TOP_K * RERANK_FACTOR
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pool.withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cos", "hamming")
+    )
+
+
+def _oracle_v18() -> str:
+    def sql_dot(plane: list[int]) -> str:
+        coeffs = ", ".join(str(c) for c in plane)
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{coeffs}]::DOUBLE[])[i]))"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {sql_dot(_V18_H[p])} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(V18_BITS)
+    )
+    return f"""
+WITH sk AS (
+  SELECT vec_id, embedding, CAST({sig} AS BIGINT) AS sig FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, sig AS q_sig FROM sk
+      WHERE vec_id % {QUERY_STRIDE} = 0),
+scored AS (
+  SELECT q.query_id, s.vec_id, s.embedding, q.q_emb,
+         CAST(bit_count(xor(s.sig, q.q_sig)) AS INTEGER) AS hamming
+  FROM sk s JOIN q ON s.vec_id <> q.query_id
+),
+pool AS (
+  SELECT query_id, vec_id, embedding, q_emb, hamming FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY hamming ASC, vec_id ASC) AS qrank
+    FROM scored
+  ) WHERE qrank <= {TOP_K} * {RERANK_FACTOR}
+)
+SELECT query_id, rank, vec_id, cos, hamming FROM (
+  SELECT query_id, vec_id, hamming,
+         {sql_cosine('q_emb', 'embedding')} AS cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY {sql_cosine('q_emb', 'embedding')} DESC,
+                                          vec_id ASC) AS INTEGER) AS rank
+  FROM pool
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "v01_neardup_cosine": v01_neardup_cosine,
     "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
@@ -1649,6 +1757,7 @@ QUERIES = {
     "v15_matryoshka_recall": v15_matryoshka_recall,
     "v16_nprobe_recall_curve": v16_nprobe_recall_curve,
     "v17_knn_label_accuracy": v17_knn_label_accuracy,
+    "v18_ann_hamming_topk": v18_ann_hamming_topk,
 }
 
 ORACLES = {
@@ -1668,4 +1777,5 @@ ORACLES = {
     "v15_matryoshka_recall": ORACLE_V15,
     "v16_nprobe_recall_curve": _oracle_v16(),
     "v17_knn_label_accuracy": ORACLE_V17,
+    "v18_ann_hamming_topk": _oracle_v18(),
 }
