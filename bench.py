@@ -167,6 +167,7 @@ HEADLINE = [
     "e18_conversion_funnel",
     "e19_gap_fill",
     "v18_ann_hamming_topk",
+    "q34_order_count_distribution",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -490,6 +490,38 @@ FROM active a JOIN sizes s USING (cohort_year)
 """
 
 
+# ---------------------------------------------------------------------------
+# q34 — customer order-count distribution (TPC-H Q13 shape): how many
+# customers placed exactly N orders, INCLUDING the zero-order customers a
+# plain join would drop. Two aggregates: orders reduce to per-customer
+# counts (map-side combinable), the left join attaches zeros, and the
+# second groupBy is over ≤ max(N) distinct values — tiny. The left join
+# shuffles on custkey, the natural key both sides already reduce on.
+# ---------------------------------------------------------------------------
+def q34_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select("n_orders", F.col("n_customers").cast("long").alias("n_customers"))
+    )
+
+
+ORACLE_Q34 = """
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT CAST(COALESCE(p.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+GROUP BY COALESCE(p.n_orders, 0)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -503,6 +535,7 @@ QUERIES = {
     "q10_customers_without_orders": q10_customers_without_orders,
     "q11_quarter_range_join": q11_quarter_range_join,
     "q33_cohort_retention": q33_cohort_retention,
+    "q34_order_count_distribution": q34_order_count_distribution,
 }
 
 ORACLES = {
@@ -518,4 +551,5 @@ ORACLES = {
     "q10_customers_without_orders": ORACLE_Q10,
     "q11_quarter_range_join": ORACLE_Q11,
     "q33_cohort_retention": ORACLE_Q33,
+    "q34_order_count_distribution": ORACLE_Q34,
 }

@@ -59,6 +59,7 @@ NON_SQL_QUERIES = frozenset(missing)
 # queries regardless of this order.
 _PRIORITY = (
     # round 4, NEW queries first (never driver-checked):
+    "q34_order_count_distribution",
     "v18_ann_hamming_topk",
     "e19_gap_fill",
     "e18_conversion_funnel",
