@@ -168,6 +168,8 @@ HEADLINE = [
     "e19_gap_fill",
     "v18_ann_hamming_topk",
     "q34_order_count_distribution",
+    "x12_hll_precision_sweep",
+    "m06_media_manifest",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

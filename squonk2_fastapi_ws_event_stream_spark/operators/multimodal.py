@@ -612,3 +612,51 @@ ORACLES = {
     "m04_media_content_dedup": ORACLE_M04,
     "m05_media_downsample": ORACLE_M05,
 }
+
+
+# ---------------------------------------------------------------------------
+# m06 — media manifest: the per-kind governance rollup over the decoded
+# metadata (counts, byte totals, dimension ranges). Composes m01's decode
+# stage with a plain aggregate — the report a mixed-modality corpus needs
+# before any budgeting/sharding decision. The decode is the m01 pass; the
+# rollup shuffles ≤ |kinds| rows.
+# ---------------------------------------------------------------------------
+def m06_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = m01_multimodal_decode(spark, sf_dir)
+    return (
+        decoded.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+            F.max("sample_rate").alias("max_sample_rate"),
+            F.max("duration_ms").alias("max_duration_ms"),
+        )
+        .select(
+            "kind",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_bytes").cast("long").alias("total_bytes"),
+            F.col("max_width").cast("int").alias("max_width"),
+            F.col("max_height").cast("int").alias("max_height"),
+            F.col("max_sample_rate").cast("int").alias("max_sample_rate"),
+            F.col("max_duration_ms").cast("long").alias("max_duration_ms"),
+        )
+    )
+
+
+ORACLE_M06 = f"""
+WITH decoded AS ({ORACLE_M01})
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MAX(width) AS INTEGER) AS max_width,
+       CAST(MAX(height) AS INTEGER) AS max_height,
+       CAST(MAX(sample_rate) AS INTEGER) AS max_sample_rate,
+       CAST(MAX(duration_ms) AS BIGINT) AS max_duration_ms
+FROM decoded GROUP BY kind
+"""
+
+
+QUERIES["m06_media_manifest"] = m06_media_manifest
+ORACLES["m06_media_manifest"] = ORACLE_M06

@@ -791,3 +791,51 @@ FROM exact e JOIN sampled s USING (event_type)
 
 QUERIES["x11_sample_error_bounds"] = x11_sample_error_bounds
 ORACLES["x11_sample_error_bounds"] = ORACLE_X11
+
+
+# ---------------------------------------------------------------------------
+# x12 — HLL precision sweep (v16's eval pattern applied to sketches): one
+# scan builds sketches at lgK ∈ {4, 8, 12} side by side; each estimate is
+# verdict-checked against the exact count at its own 3σ bound
+# (RSE ≈ 1.04/√2^lgK). This is the memory/accuracy tuning curve a
+# 100-TB pipeline reads before fixing its per-partition sketch size —
+# lgK=4 is 16 buckets, lgK=12 is 4096; the scan cost is identical.
+# ---------------------------------------------------------------------------
+X12_LGKS = (4, 8, 12)
+
+
+def x12_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id")
+    aggs = [
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(k))).alias(f"e{k}")
+        for k in X12_LGKS
+    ] + [F.countDistinct("user_id").alias("exact_users")]
+    one = ev.agg(*aggs)
+    rows = []
+    for k in X12_LGKS:
+        rse = 1.04 / (2 ** (k / 2))
+        rows.append(
+            f"{k}, exact_users, "
+            f"abs(e{k} - exact_users) / exact_users <= {3 * rse:.6f}"
+        )
+    return one.select(
+        F.expr(f"stack({len(X12_LGKS)}, " + ", ".join(rows) + ")").alias(
+            "lg_k", "exact_users", "within_tol"
+        )
+    ).select(
+        F.col("lg_k").cast("int").alias("lg_k"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        "within_tol",
+    )
+
+
+ORACLE_X12 = f"""
+SELECT CAST(k AS INTEGER) AS lg_k,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_users,
+       TRUE AS within_tol
+FROM (SELECT unnest([{", ".join(str(k) for k in X12_LGKS)}]) AS k)
+"""
+
+
+QUERIES["x12_hll_precision_sweep"] = x12_hll_precision_sweep
+ORACLES["x12_hll_precision_sweep"] = ORACLE_X12

@@ -59,6 +59,8 @@ NON_SQL_QUERIES = frozenset(missing)
 # queries regardless of this order.
 _PRIORITY = (
     # round 4, NEW queries first (never driver-checked):
+    "x12_hll_precision_sweep",
+    "m06_media_manifest",
     "q34_order_count_distribution",
     "v18_ann_hamming_topk",
     "e19_gap_fill",
