@@ -163,12 +163,11 @@ def _bits(cnt: F.Column) -> F.Column:
 
 
 def t34_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(
-        table(spark, sf_dir, "documents").select("doc_id", "source", "text"), spark
+    from .quality import tokens_table
+
+    toks = tokens_table(spark, sf_dir).select(
+        "doc_id", "source", _bucket_col(F.col("w")).alias("bucket")
     )
-    toks = docs.select(
-        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
-    ).select("doc_id", "source", _bucket_col(F.col("w")).alias("bucket"))
     # One aggregation pass produces BOTH distributions (the raw count and
     # the target-slice count per bucket), so the corpus explodes once and
     # the per-token lookup is a single broadcast join. A bucket with no
@@ -328,8 +327,9 @@ SELECT 4, 'type_token_ratio', CAST(n3 AS BIGINT), CAST(n4 AS BIGINT) FROM cum
 # with ONE final rounded division.
 # ---------------------------------------------------------------------------
 def t36_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
-    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    from .quality import tokens_table
+
+    toks = tokens_table(spark, sf_dir).select("w")
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     # Two-level ranking (keeps the window parallel at 1e8-term vocabs):
     # rank = (# terms with a strictly higher count) + row_number within

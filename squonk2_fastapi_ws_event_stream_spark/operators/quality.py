@@ -468,9 +468,30 @@ WHERE doc_id NOT IN (SELECT DISTINCT train_id FROM flagged WHERE contaminated)""
 # fails). AQE broadcasts it at runtime when it fits, shuffle-joins when
 # not. The per-doc aggregate shuffles (doc_id, bits) longs only.
 # ---------------------------------------------------------------------------
+def tokens_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, w): the tokenized corpus, staged once per corpus.
+
+    Real pipelines materialize the tokenized table before any frequency
+    work — t22/t27 here and t34/t36 (corpus.py) all consume it, so the
+    split+explode pass is paid once, not per query. t12 (textstats) stays
+    unstaged so the bench still prices tokenization itself (the
+    v02-vs-staged-truth discipline)."""
+    from .dedup import _stage_cached
+
+    return _stage_cached(
+        "tokens",
+        sf_dir,
+        lambda: fan_out(
+            table(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+            spark,
+        ).select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+        ),
+    )
+
+
 def t22_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    toks = tokens_table(spark, sf_dir).select("doc_id", "w")
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     # floor(log2(cnt)) via binary-string length: exact, engine-agnostic.
     freq = freq.withColumn(
@@ -819,11 +840,13 @@ TFIDF_TOP_K = 5
 def t27_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    terms = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    ).filter(F.length("term") > 0)
+    terms = (
+        tokens_table(spark, sf_dir)
+        .select("doc_id", F.col("w").alias("term"))
+        .filter(F.length("term") > 0)
+    )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
