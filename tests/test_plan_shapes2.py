@@ -1,0 +1,64 @@
+"""Plan guards for the round-4 additions (second file; test_plan_shapes.py
+holds the earlier families)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from squonk2_fastapi_ws_event_stream_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def explain(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_v18_hamming_search_is_single_corpus_pass(spark):
+    # Query signatures broadcast; the corpus streams through xor+popcount
+    # map-side — no shuffle before the per-query pool window, and no
+    # cartesian anywhere.
+    plan = explain(QUERIES["v18_ann_hamming_topk"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_e18_funnel_windows_share_one_shuffle(spark):
+    # The three chained step-timestamp windows all ride the user_id
+    # partition: one hashpartitioning exchange plus the final 1-row agg.
+    plan = explain(QUERIES["e18_conversion_funnel"](spark, SF), mode="simple")
+    assert plan.count("Exchange") <= 2
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_e19_grid_is_broadcast_built(spark):
+    # The dense grid comes from the broadcast 1-row bounds; the only
+    # non-broadcast exchanges are the sparse aggregate and the
+    # carry-forward window partition.
+    plan = explain(QUERIES["e19_gap_fill"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t36_vocabulary_never_globally_sorted(spark):
+    # Two-level ranking: the per-term window partitions by cnt, so no
+    # single-partition exchange carries vocabulary-sized data. (The
+    # count-HISTOGRAM cumsum is single-partition by design but holds one
+    # row per distinct count value — tiny.)
+    plan = explain(QUERIES["t36_zipf_stats"](spark, SF))
+    assert "hashpartitioning(cnt" in plan
+
+
+def test_q34_aggregates_before_join(spark):
+    # The Q13 shape: orders reduce to per-customer counts BEFORE the left
+    # join (aggregate-then-join, never row-multiplying).
+    plan = explain(QUERIES["q34_order_count_distribution"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    # the per-customer aggregate appears below the join in the plan tree
+    join_pos = plan.find("Join")
+    agg_pos = plan.rfind("HashAggregate")
+    assert join_pos != -1 and agg_pos > join_pos
