@@ -170,6 +170,9 @@ HEADLINE = [
     "q34_order_count_distribution",
     "x12_hll_precision_sweep",
     "m06_media_manifest",
+    "v19_ann_filtered_topk",
+    "t39_removal_priority",
+    "e20_dau_mau_stickiness",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -467,12 +467,69 @@ FROM bucketed GROUP BY source, decile
 """
 
 
+
+# ---------------------------------------------------------------------------
+# t39 — removal-priority ranking: the composition step that turns the
+# measurement queries into an actionable dedup worklist. Documents rank
+# by duplicated-span fraction (t33) with unigram quality (t22) as the
+# tie-axis — highly-duplicated, low-quality docs surface first. Both
+# inputs are staged tables, so this is a join + global top-50
+# (TakeOrderedAndProject — per-partition partial top-k, no global sort).
+# ---------------------------------------------------------------------------
+T39_TOP = 50
+
+
+def t39_removal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _stage_cached
+    from .quality import t22_unigram_logprob
+
+    dup = t33_dup_ngram_spans(spark, sf_dir).select("doc_id", "dup_frac")
+    scored = _stage_cached(
+        "t22_scores",
+        sf_dir,
+        lambda: t22_unigram_logprob(spark, sf_dir).select("doc_id", "avg_bits"),
+    )
+    order_cols = [
+        F.col("dup_frac").desc(),
+        F.col("avg_bits").asc(),
+        F.col("doc_id").asc(),
+    ]
+    top = dup.join(scored, "doc_id").orderBy(*order_cols).limit(T39_TOP)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "dup_frac", "avg_bits"
+    )
+
+
+ORACLE_T39 = f"""
+WITH dup AS (SELECT doc_id, dup_frac FROM ({ORACLE_T33})),
+scored AS (
+  WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ),
+  freq AS (
+    SELECT w, CAST(length(bin(COUNT(*))) - 1 AS BIGINT) AS bits
+    FROM toks GROUP BY w
+  )
+  SELECT t.doc_id, ROUND(SUM(f.bits) / COUNT(*), 6) AS avg_bits
+  FROM toks t JOIN freq f USING (w) GROUP BY t.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY dup_frac DESC, avg_bits ASC, doc_id ASC)
+            AS INTEGER) AS rank,
+       doc_id, dup_frac, avg_bits
+FROM dup JOIN scored USING (doc_id)
+ORDER BY dup_frac DESC, avg_bits ASC, doc_id ASC
+LIMIT {T39_TOP}
+"""
+
+
 QUERIES = {
     "t33_dup_ngram_spans": t33_dup_ngram_spans,
     "t34_dsir_importance": t34_dsir_importance,
     "t35_filter_funnel": t35_filter_funnel,
     "t36_zipf_stats": t36_zipf_stats,
     "t37_quality_bucket_stats": t37_quality_bucket_stats,
+    "t39_removal_priority": t39_removal_priority,
 }
 
 ORACLES = {
@@ -481,4 +538,5 @@ ORACLES = {
     "t35_filter_funnel": ORACLE_T35,
     "t36_zipf_stats": ORACLE_T36,
     "t37_quality_bucket_stats": ORACLE_T37,
+    "t39_removal_priority": ORACLE_T39,
 }

@@ -936,6 +936,49 @@ FROM grid g LEFT JOIN sparse s USING (event_type, hour_no)
 """
 
 
+
+# ---------------------------------------------------------------------------
+# e20 — DAU/MAU stickiness: distinct active users per day over distinct
+# active users in that day's calendar month — the product-analytics
+# engagement staple. Two distinct aggregates (day-keyed and month-keyed,
+# both map-side partial) joined on the month; at 100 TB both reduce to
+# |days| and |months| rows before the join, and the month side is tiny →
+# broadcast-safe by construction (bounded by calendar time, not data).
+# ---------------------------------------------------------------------------
+def e20_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        "user_id",
+    )
+    dau = ev.groupBy("day", "month").agg(F.count_distinct("user_id").alias("dau"))
+    mau = ev.groupBy("month").agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )
+
+
+ORACLE_E20 = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, strftime(ts, '%Y-%m') AS month, user_id
+  FROM events
+),
+dau AS (SELECT day, month, COUNT(DISTINCT user_id) AS dau FROM d GROUP BY day, month),
+mau AS (SELECT month, COUNT(DISTINCT user_id) AS mau FROM d GROUP BY month)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(mau.mau AS BIGINT) AS mau,
+       ROUND(dau.dau / mau.mau, 6) AS stickiness
+FROM dau JOIN mau USING (month)
+"""
+
+
 QUERIES = {
     "e01_replay_from_ordinal": e01_replay_from_ordinal,
     "e02_replay_from_timestamp": e02_replay_from_timestamp,
@@ -956,6 +999,7 @@ QUERIES = {
     "e17_out_of_order_stats": e17_out_of_order_stats,
     "e18_conversion_funnel": e18_conversion_funnel,
     "e19_gap_fill": e19_gap_fill,
+    "e20_dau_mau_stickiness": e20_dau_mau_stickiness,
 }
 
 ORACLES = {
@@ -978,4 +1022,5 @@ ORACLES = {
     "e17_out_of_order_stats": ORACLE_E17,
     "e18_conversion_funnel": ORACLE_E18,
     "e19_gap_fill": ORACLE_E19,
+    "e20_dau_mau_stickiness": ORACLE_E20,
 }

@@ -1740,6 +1740,62 @@ SELECT query_id, rank, vec_id, cos, hamming FROM (
 """
 
 
+
+# ---------------------------------------------------------------------------
+# v19 — filtered ANN: top-k restricted to corpus vectors sharing the
+# query's label (the metadata-filtered search every production vector
+# store exposes — "nearest items in MY category"). The filter composes
+# BEFORE the ranking window, so k results are guaranteed from the
+# filtered set (post-filtering an unfiltered top-k under-returns — the
+# classic filtered-ANN bug). Same single-pass broadcast-queries plan as
+# v02; the label predicate evaluates map-side next to the cosine.
+# ---------------------------------------------------------------------------
+def v19_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label"),
+        spark,
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") == F.col("q_label")),
+        )
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("q_label").alias("label"), "rank", "vec_id", "cos")
+    )
+
+
+ORACLE_V19 = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+           FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
+scored AS (
+  SELECT q.query_id, q.q_label, e.vec_id,
+         {sql_cosine('q.q_emb', 'e.embedding')} AS cos
+  FROM embeddings e JOIN q
+    ON e.vec_id <> q.query_id AND e.label = q.q_label
+)
+SELECT query_id, q_label AS label, rank, vec_id, cos FROM (
+  SELECT query_id, q_label, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "v01_neardup_cosine": v01_neardup_cosine,
     "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
@@ -1758,6 +1814,7 @@ QUERIES = {
     "v16_nprobe_recall_curve": v16_nprobe_recall_curve,
     "v17_knn_label_accuracy": v17_knn_label_accuracy,
     "v18_ann_hamming_topk": v18_ann_hamming_topk,
+    "v19_ann_filtered_topk": v19_ann_filtered_topk,
 }
 
 ORACLES = {
@@ -1778,4 +1835,5 @@ ORACLES = {
     "v16_nprobe_recall_curve": _oracle_v16(),
     "v17_knn_label_accuracy": ORACLE_V17,
     "v18_ann_hamming_topk": _oracle_v18(),
+    "v19_ann_filtered_topk": ORACLE_V19,
 }

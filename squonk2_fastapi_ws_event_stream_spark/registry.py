@@ -59,6 +59,9 @@ NON_SQL_QUERIES = frozenset(missing)
 # queries regardless of this order.
 _PRIORITY = (
     # round 4, NEW queries first (never driver-checked):
+    "v19_ann_filtered_topk",
+    "t39_removal_priority",
+    "e20_dau_mau_stickiness",
     "x12_hll_precision_sweep",
     "m06_media_manifest",
     "q34_order_count_distribution",
