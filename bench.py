@@ -173,6 +173,9 @@ HEADLINE = [
     "v19_ann_filtered_topk",
     "t39_removal_priority",
     "e20_dau_mau_stickiness",
+    "q35_part_affinity",
+    "e21_hourly_anomalies",
+    "v20_quantization_recall",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

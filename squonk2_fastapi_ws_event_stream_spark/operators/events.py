@@ -979,6 +979,69 @@ FROM dau JOIN mau USING (month)
 """
 
 
+
+# ---------------------------------------------------------------------------
+# e21 — hourly volume anomalies: hours whose event count exceeds 1.5x the
+# mean of the preceding 6 hours (per event type). Pure integer counts and
+# one cross-multiplied comparison (count * 6 * 10 >= 15 * trailing_sum) —
+# no floats until the reported ratio, so both engines flag identical
+# hours. One (type, hour) aggregate plus one type-partitioned window.
+# ---------------------------------------------------------------------------
+E21_NUM, E21_DEN = 15, 10  # threshold ratio 1.5 as a rational
+
+
+def e21_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / 3_600_000_000).alias("hour_no"),
+    )
+    hourly = ev.groupBy("event_type", "hour_no").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hour_no").asc())
+        .rowsBetween(-6, -1)
+    )
+    flagged = (
+        hourly.withColumn("trail_sum", F.sum("n_events").over(w))
+        .withColumn("trail_n", F.count("n_events").over(w))
+        .filter(F.col("trail_n") == 6)  # full trailing window only
+        .filter(
+            F.col("n_events") * 6 * E21_DEN >= F.col("trail_sum") * E21_NUM
+        )
+    )
+    return flagged.select(
+        "event_type",
+        F.col("hour_no").cast("long").alias("hour_no"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("n_events") * 6 / F.col("trail_sum"), 6).alias("ratio"),
+    )
+
+
+ORACLE_E21 = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_no, COUNT(*) AS n_events
+  FROM events GROUP BY event_type, hour_no
+),
+trailed AS (
+  SELECT event_type, hour_no, n_events,
+         SUM(n_events) OVER (PARTITION BY event_type ORDER BY hour_no
+                             ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+           AS trail_sum,
+         COUNT(n_events) OVER (PARTITION BY event_type ORDER BY hour_no
+                               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+           AS trail_n
+  FROM hourly
+)
+SELECT event_type, CAST(hour_no AS BIGINT) AS hour_no,
+       CAST(n_events AS BIGINT) AS n_events,
+       ROUND(n_events * 6 / trail_sum, 6) AS ratio
+FROM trailed
+WHERE trail_n = 6 AND n_events * 6 * {E21_DEN} >= trail_sum * {E21_NUM}
+"""
+
+
 QUERIES = {
     "e01_replay_from_ordinal": e01_replay_from_ordinal,
     "e02_replay_from_timestamp": e02_replay_from_timestamp,
@@ -1000,6 +1063,7 @@ QUERIES = {
     "e18_conversion_funnel": e18_conversion_funnel,
     "e19_gap_fill": e19_gap_fill,
     "e20_dau_mau_stickiness": e20_dau_mau_stickiness,
+    "e21_hourly_anomalies": e21_hourly_anomalies,
 }
 
 ORACLES = {
@@ -1023,4 +1087,5 @@ ORACLES = {
     "e18_conversion_funnel": ORACLE_E18,
     "e19_gap_fill": ORACLE_E19,
     "e20_dau_mau_stickiness": ORACLE_E20,
+    "e21_hourly_anomalies": ORACLE_E21,
 }

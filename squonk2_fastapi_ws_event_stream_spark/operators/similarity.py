@@ -1796,6 +1796,68 @@ SELECT query_id, q_label AS label, rank, vec_id, cos FROM (
 """
 
 
+
+# ---------------------------------------------------------------------------
+# v20 — quantization-tier recall table: macro recall@10 of the three
+# compression tiers (SQ8 → PQ → binary Hamming) against the staged
+# brute-force truth, in one query. This is the table a deployment reads
+# to pick its memory/recall point: v09 keeps 64 bytes/vector, v11 keeps
+# 8, v18 keeps 6 — and this query prices what each gives up. All three
+# approx sides ride their staged index tables; the truth set is staged
+# too, so the comparison never rescans the corpus.
+# ---------------------------------------------------------------------------
+def v20_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = _exact_topk_truth(spark, sf_dir)
+    methods = (
+        ("binary", v18_ann_hamming_topk),
+        ("pq", v11_ann_pq_topk),
+        ("sq8", v09_ann_sq8_topk),
+    )
+    parts = []
+    for mname, fn in methods:
+        approx = fn(spark, sf_dir).select("query_id", "vec_id")
+        nq = approx.agg(F.count_distinct("query_id").alias("n_queries"))
+        hits = approx.join(exact, ["query_id", "vec_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("total_hits")
+        )
+        parts.append(
+            nq.crossJoin(hits).select(
+                F.lit(mname).alias("method"),
+                F.col("n_queries").cast("long").alias("n_queries"),
+                F.col("total_hits").cast("long").alias("total_hits"),
+                F.round(
+                    F.col("total_hits") / (F.col("n_queries") * TOP_K) * 1.0, 6
+                ).alias("macro_recall"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def _oracle_v20() -> str:
+    blocks = []
+    for mname, oracle in (
+        ("binary", _oracle_v18()),
+        ("pq", _oracle_v11()),
+        ("sq8", ORACLE_V09),
+    ):
+        blocks.append(
+            f"""
+SELECT '{mname}' AS method,
+       CAST(COUNT(DISTINCT a.query_id) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS total_hits,
+       ROUND(1.0 * SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / (COUNT(DISTINCT a.query_id) * {TOP_K}), 6) AS macro_recall
+FROM (SELECT query_id, vec_id FROM ({oracle})) a
+LEFT JOIN (SELECT query_id, vec_id FROM ({ORACLE_V02})) e
+  ON a.query_id = e.query_id AND a.vec_id = e.vec_id"""
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
 QUERIES = {
     "v01_neardup_cosine": v01_neardup_cosine,
     "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
@@ -1815,6 +1877,7 @@ QUERIES = {
     "v17_knn_label_accuracy": v17_knn_label_accuracy,
     "v18_ann_hamming_topk": v18_ann_hamming_topk,
     "v19_ann_filtered_topk": v19_ann_filtered_topk,
+    "v20_quantization_recall": v20_quantization_recall,
 }
 
 ORACLES = {
@@ -1836,4 +1899,5 @@ ORACLES = {
     "v17_knn_label_accuracy": ORACLE_V17,
     "v18_ann_hamming_topk": _oracle_v18(),
     "v19_ann_filtered_topk": ORACLE_V19,
+    "v20_quantization_recall": _oracle_v20(),
 }

@@ -522,6 +522,57 @@ GROUP BY COALESCE(p.n_orders, 0)
 """
 
 
+
+# ---------------------------------------------------------------------------
+# q35 — part affinity (market-basket pairs): which parts are ordered
+# together? The canonical fact-fact SELF-join: lineitem joins itself on
+# l_orderkey (both sides shuffle on the SAME key → co-partitioned, one
+# exchange each), p1 < p2 halves the pair space, and the per-order pair
+# fan-out is bounded by order width (~7 items), never corpus size. Top-20
+# by TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+Q35_TOP = 20
+
+
+def q35_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("p1") < F.col("p2"))
+    order_cols = [
+        F.col("n_orders").desc(), F.col("p1").asc(), F.col("p2").asc()
+    ]
+    top = (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count_distinct("l_orderkey").alias("n_orders"))
+        .orderBy(*order_cols)
+        .limit(Q35_TOP)
+    )
+    w = Window.orderBy(*order_cols)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "p1", "p2", F.col("n_orders").cast("long").alias("n_orders")
+    )
+
+
+ORACLE_Q35 = f"""
+WITH pairs AS (
+  SELECT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+counted AS (
+  SELECT p1, p2, COUNT(DISTINCT l_orderkey) AS n_orders
+  FROM pairs GROUP BY p1, p2
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_orders DESC, p1 ASC, p2 ASC)
+            AS INTEGER) AS rank,
+       p1, p2, CAST(n_orders AS BIGINT) AS n_orders
+FROM counted
+ORDER BY n_orders DESC, p1 ASC, p2 ASC
+LIMIT {Q35_TOP}
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -536,6 +587,7 @@ QUERIES = {
     "q11_quarter_range_join": q11_quarter_range_join,
     "q33_cohort_retention": q33_cohort_retention,
     "q34_order_count_distribution": q34_order_count_distribution,
+    "q35_part_affinity": q35_part_affinity,
 }
 
 ORACLES = {
@@ -552,4 +604,5 @@ ORACLES = {
     "q11_quarter_range_join": ORACLE_Q11,
     "q33_cohort_retention": ORACLE_Q33,
     "q34_order_count_distribution": ORACLE_Q34,
+    "q35_part_affinity": ORACLE_Q35,
 }

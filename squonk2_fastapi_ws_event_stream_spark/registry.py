@@ -59,6 +59,9 @@ NON_SQL_QUERIES = frozenset(missing)
 # queries regardless of this order.
 _PRIORITY = (
     # round 4, NEW queries first (never driver-checked):
+    "q35_part_affinity",
+    "e21_hourly_anomalies",
+    "v20_quantization_recall",
     "v19_ann_filtered_topk",
     "t39_removal_priority",
     "e20_dau_mau_stickiness",
