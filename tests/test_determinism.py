@@ -37,6 +37,16 @@ REPRESENTATIVES = [
     "t17_repetition_stats",
     "t19_boilerplate_removal",
     "q25_window_frames",  # frame evaluation under different sort partitioning
+    # round-4 representatives:
+    "t33_dup_ngram_spans",  # gram-frequency join under different bucketing
+    "t34_dsir_importance",  # fixed-size bucket table merge order
+    "t36_zipf_stats",  # two-level rank must equal the global ROW_NUMBER
+    "t37_quality_bucket_stats",  # NTILE assignment under repartitioning
+    "v16_nprobe_recall_curve",  # per-level windows over one scored pass
+    "v18_ann_hamming_topk",  # popcount pool + re-rank tie-breaks
+    "e16_interval_join",  # bucket-exploded equi-join merge order
+    "q33_cohort_retention",  # distinct-activity count under partitioning
+    "q35_part_affinity",  # fact-fact self-join pair counting
 ]
 
 
