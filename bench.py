@@ -176,6 +176,8 @@ HEADLINE = [
     "q35_part_affinity",
     "e21_hourly_anomalies",
     "v20_quantization_recall",
+    "t40_triangle_count",
+    "t41_dedup_normalized",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -398,6 +398,62 @@ JOIN sig sb ON sb.doc_id = c.doc_b
 
 
 # ---------------------------------------------------------------------------
+# t41 — normalize-then-dedup: exact dedup AFTER casefolding, punctuation
+# stripping, and whitespace collapse — the cheap tier between byte-exact
+# (t01/t05) and near-dup (t02/t03) that catches trivially-reformatted
+# copies (case changes, punctuation edits, double spaces). Synthetic
+# variants re-enter every 60th doc (ids +50000) as UPPERCASED text with
+# doubled spaces, so normalization provably matters: t05 would MISS these
+# (different bytes), t41 must catch every one. Same sha2-keyed single
+# shuffle as t05 — normalization is a per-row codegen expression chain.
+# ---------------------------------------------------------------------------
+def _normalized(col: "F.Column") -> "F.Column":
+    no_punct = F.regexp_replace(F.lower(col), "[.,;:!?'\"()\\[\\]{}-]", "")
+    return F.trim(F.regexp_replace(no_punct, " +", " "))
+
+
+def t41_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 60 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.regexp_replace(F.upper("text"), " ", "  ").alias("text"),
+    )
+    keyed = (
+        docs.unionByName(variants)
+        .withColumn("digest", F.sha2(_normalized(F.col("text")), 256))
+    )
+    return (
+        keyed.groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("kept_doc_id", F.col("n_copies").cast("long").alias("n_copies"))
+    )
+
+
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), "
+    "'[.,;:!?''\"()\\[\\]{{}}-]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+ORACLE_T41 = f"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 50000 AS doc_id, replace(upper(text), ' ', '  ') AS text
+  FROM documents WHERE doc_id % 60 = 0
+),
+keyed AS (
+  SELECT doc_id, sha256({_SQL_NORM.format(c='text')}) AS digest FROM unioned
+)
+SELECT MIN(doc_id) AS kept_doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM keyed GROUP BY digest HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # t03 — SimHash document signatures.
 # ---------------------------------------------------------------------------
 def t03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,6 +608,7 @@ QUERIES = {
     "t06_dedup_simhash_banded": t06_dedup_simhash_banded,
     "t31_minhash_estimate_eval": t31_minhash_estimate_eval,
     "t38_shingle_containment": t38_shingle_containment,
+    "t41_dedup_normalized": t41_dedup_normalized,
 }
 
 ORACLES = {
@@ -563,4 +620,5 @@ ORACLES = {
     "t06_dedup_simhash_banded": _oracle_t06(),
     "t31_minhash_estimate_eval": _oracle_t31(),
     "t38_shingle_containment": _oracle_t38(),
+    "t41_dedup_normalized": ORACLE_T41,
 }

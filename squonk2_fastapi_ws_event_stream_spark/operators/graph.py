@@ -318,3 +318,102 @@ QUERIES = {
 ORACLES = {
     "t07_dedup_cluster_cc": _oracle_t07(),
 }
+
+
+# ---------------------------------------------------------------------------
+# t40 — triangle counting over the near-dup graph (t07's staged edge
+# table): triangles measure how CLIQUE-LIKE duplicate neighborhoods are —
+# high triangle density around a node means its near-dup cluster is a
+# true clique (safe to collapse to one representative); low density means
+# chained borderline matches (review before collapsing).
+#
+# Plan (the standard distributed algorithm): canonicalize edges as
+# lo < hi, build wedges by joining edges on the shared middle vertex
+# (e1.hi = e2.lo gives a < b < c exactly once per wedge), then close each
+# wedge with one more equi-join against the edge set. Two equi-joins on
+# node keys, no enumeration of neighborhoods in memory — wedge count per
+# node is bounded by its degree², and degree-skew lands in AQE's lap.
+# Output: per-vertex triangle membership (top rows by count) plus the
+# exact global count — each triangle (a,b,c) is found exactly once.
+# ---------------------------------------------------------------------------
+def t40_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _stage_cached
+    from .dedup import t06_dedup_simhash_banded
+
+    edges = _stage_cached(
+        "t07_edges",
+        sf_dir,
+        lambda: t06_dedup_simhash_banded(spark, sf_dir)
+        .select(
+            F.col("doc_a").cast("long").alias("src"),
+            F.col("doc_b").cast("long").alias("dst"),
+        )
+        .unionByName(_chain_edges(spark, sf_dir)),
+    )
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    # wedges a < b < c: (a,b) joined to (b,c) on the middle vertex
+    wedges = (
+        e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        .join(
+            e.select(F.col("lo").alias("b"), F.col("hi").alias("c")), "b"
+        )
+    )
+    # close the wedge: does (a, c) exist?
+    tri = wedges.join(
+        e.select(F.col("lo").alias("a"), F.col("hi").alias("c")), ["a", "c"]
+    )
+    per_vertex = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    total = tri.agg(F.count(F.lit(1)).alias("total_triangles"))
+    return (
+        per_vertex.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.col("total_triangles").cast("long").alias("total_triangles"),
+        )
+    )
+
+
+def _oracle_t40() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT CAST(doc_a AS BIGINT) AS src, CAST(doc_b AS BIGINT) AS dst
+  FROM ({_oracle_t06()})
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 1 AS BIGINT)
+  FROM documents
+  WHERE doc_id % 10 < 3 AND doc_id + 1 <= (SELECT MAX(doc_id) FROM documents)
+),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi
+  FROM pairs WHERE src <> dst
+),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM e e1
+  JOIN e e2 ON e2.lo = e1.hi
+  JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+pv AS (
+  SELECT v AS doc_id, COUNT(*) AS n_triangles
+  FROM (SELECT unnest([a, b, c]) AS v FROM tri)
+  GROUP BY v
+)
+SELECT doc_id, CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS total_triangles
+FROM pv
+"""
+
+
+QUERIES["t40_triangle_count"] = t40_triangle_count
+ORACLES["t40_triangle_count"] = _oracle_t40()
