@@ -1,7 +1,9 @@
-"""Corpus-analysis operators (round 4): duplicated-span statistics, DSIR
-importance weighting, the filter funnel, and Zipf-law vocabulary stats —
-the measurement side of an LLM-training-data pipeline (the t17–t30 family
-covers the filtering side).
+"""Corpus-analysis operators (round 4): duplicated-span statistics (t33),
+DSIR importance weighting (t34), the filter funnel (t35), Zipf-law
+vocabulary stats (t36), per-source quality deciles (t37), and the
+removal-priority worklist (t39) — the measurement side of an
+LLM-training-data pipeline (the t17–t30 family covers the filtering
+side).
 
 All hot-path logic is built-in string/array/aggregate expressions
 (JVM-side, whole-stage codegen); no Python UDFs.

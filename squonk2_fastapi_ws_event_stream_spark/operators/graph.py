@@ -253,14 +253,13 @@ def _chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def t07_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _staged_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) near-dup edges (t06 banded pairs + deterministic chain
+    edges), staged once per corpus — consumed by t07's CC loop (which
+    re-reads edges every propagation round) and t40's wedge joins."""
     from .dedup import _stage_cached
 
-    # Stage the edge table once per corpus (t02's staging discipline): the
-    # CC loop re-reads edges every propagation round, and t06's band +
-    # verify joins would otherwise re-run on each t07 call even though its
-    # signature table is cached.
-    edges = _stage_cached(
+    return _stage_cached(
         "t07_edges",
         sf_dir,
         lambda: t06_dedup_simhash_banded(spark, sf_dir)
@@ -270,6 +269,10 @@ def t07_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(_chain_edges(spark, sf_dir)),
     )
+
+
+def t07_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _staged_edge_table(spark, sf_dir)
     labels = connected_components(edges)
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -337,19 +340,7 @@ ORACLES = {
 # exact global count — each triangle (a,b,c) is found exactly once.
 # ---------------------------------------------------------------------------
 def t40_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import _stage_cached
-    from .dedup import t06_dedup_simhash_banded
-
-    edges = _stage_cached(
-        "t07_edges",
-        sf_dir,
-        lambda: t06_dedup_simhash_banded(spark, sf_dir)
-        .select(
-            F.col("doc_a").cast("long").alias("src"),
-            F.col("doc_b").cast("long").alias("dst"),
-        )
-        .unionByName(_chain_edges(spark, sf_dir)),
-    )
+    edges = _staged_edge_table(spark, sf_dir)
     e = (
         edges.select(
             F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
