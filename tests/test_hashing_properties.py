@@ -136,3 +136,77 @@ def test_t06_banded_plan_equals_allpairs_ground_truth(spark):
         ).collect()
     }
     assert banded == brute and len(brute) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-4 hash paths: the DSIR bucket hash and the 48-bit SRP signature
+# must agree with plain-Python references (same invariant the dedup
+# family rests on), and t41's normalization must be idempotent.
+# ---------------------------------------------------------------------------
+def py_dsir_bucket(word: str) -> int:
+    from squonk2_fastapi_ws_event_stream_spark.operators import corpus
+
+    padded = (word + " " * corpus._PAD_W)[: corpus._PAD_W]
+    h = sum(ord(c) * corpus._PAD_COEF[j] for j, c in enumerate(padded)) % H.P
+    return h % corpus.DSIR_BUCKETS
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+               min_size=1, max_size=20))
+@settings(max_examples=30, deadline=None)
+def test_dsir_bucket_matches_python_reference(word):
+    import duckdb
+
+    from squonk2_fastapi_ws_event_stream_spark.operators import corpus
+
+    got = duckdb.sql(
+        f"SELECT {corpus._sql_bucket('w')} AS b FROM (SELECT ? AS w)",
+        params=[word],
+    ).fetchone()[0]
+    assert got == py_dsir_bucket(word)
+    assert 0 <= got < corpus.DSIR_BUCKETS
+
+
+def py_srp_sig48(vec) -> int:
+    from squonk2_fastapi_ws_event_stream_spark.operators import similarity as S
+
+    sig = 0
+    for p in range(S.V18_BITS):
+        dot = 0.0
+        for x, c in zip(vec, S._V18_H[p]):
+            dot += float(x) * float(c)
+        if dot >= 0:
+            sig |= 1 << p
+    return sig
+
+
+@given(st.lists(st.floats(min_value=-1, max_value=1, allow_nan=False,
+                          width=32),
+                min_size=64, max_size=64))
+@settings(max_examples=10, deadline=None)
+def test_srp_sig48_spark_matches_python(spark, vec):
+    from pyspark.sql import functions as F
+
+    from squonk2_fastapi_ws_event_stream_spark.operators import similarity as S
+
+    df = spark.createDataFrame([(vec,)], "embedding array<float>")
+    got = df.select(S._srp_sig48(F.col("embedding")).alias("s")).collect()[0]["s"]
+    # Spark evaluates the same left-fold sum over float32-widened terms;
+    # tiny dot products can straddle 0 differently only if the fold order
+    # differed — it doesn't (aggregate = sequential left fold).
+    assert got == py_srp_sig48([__import__("struct").unpack("f", __import__("struct").pack("f", x))[0] for x in vec])
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               min_size=0, max_size=80))
+@settings(max_examples=30, deadline=None)
+def test_t41_normalization_idempotent(spark, text):
+    from pyspark.sql import functions as F
+
+    from squonk2_fastapi_ws_event_stream_spark.operators.dedup import _normalized
+
+    df = spark.createDataFrame([(text,)], "t string")
+    once, twice = df.select(
+        _normalized(F.col("t")).alias("n1"),
+    ).select("n1", _normalized(F.col("n1")).alias("n2")).collect()[0]
+    assert once == twice
