@@ -178,6 +178,7 @@ HEADLINE = [
     "v20_quantization_recall",
     "t40_triangle_count",
     "t41_dedup_normalized",
+    "q36_supplier_concentration",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

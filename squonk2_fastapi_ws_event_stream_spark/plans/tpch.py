@@ -573,6 +573,67 @@ LIMIT {Q35_TOP}
 """
 
 
+
+# ---------------------------------------------------------------------------
+# q36 — supplier concentration (Herfindahl–Hirschman index) per nation:
+# HHI = Σ share_i² over each nation's suppliers, the antitrust/market-
+# structure staple. Cross-engine float discipline: revenues become exact
+# integer CENTS, the squared sum runs in decimal(38,0) (1e10-cent
+# suppliers square to 1e20 — wide but exact in both engines), and the
+# single ratio is rounded once. Two shuffles: (nation, supplier) partial
+# sums, then the per-nation combine.
+# ---------------------------------------------------------------------------
+def q36_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    per_supp = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    per_nation = per_supp.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev_cents").alias("total_cents"),
+        F.sum(F.col("rev_cents") * F.col("rev_cents")).alias("sq_cents"),
+    )
+    return (
+        per_nation.join(F.broadcast(nation), per_nation.s_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            F.round(
+                F.col("sq_cents").cast("double")
+                / (F.col("total_cents").cast("double") * F.col("total_cents").cast("double")),
+                6,
+            ).alias("hhi"),
+        )
+    )
+
+
+ORACLE_Q36 = """
+WITH per_supp AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         SUM(CAST(ROUND(l.l_extendedprice * 100) AS HUGEINT)) AS rev_cents
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+),
+per_nation AS (
+  SELECT s_nationkey, COUNT(*) AS n_suppliers,
+         SUM(rev_cents) AS total_cents,
+         SUM(rev_cents * rev_cents) AS sq_cents
+  FROM per_supp GROUP BY s_nationkey
+)
+SELECT n.n_name,
+       CAST(p.n_suppliers AS BIGINT) AS n_suppliers,
+       ROUND(CAST(p.sq_cents AS DOUBLE)
+             / (CAST(p.total_cents AS DOUBLE) * CAST(p.total_cents AS DOUBLE)),
+             6) AS hhi
+FROM per_nation p JOIN nation n ON p.s_nationkey = n.n_nationkey
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -588,6 +649,7 @@ QUERIES = {
     "q33_cohort_retention": q33_cohort_retention,
     "q34_order_count_distribution": q34_order_count_distribution,
     "q35_part_affinity": q35_part_affinity,
+    "q36_supplier_concentration": q36_supplier_concentration,
 }
 
 ORACLES = {
@@ -605,4 +667,5 @@ ORACLES = {
     "q33_cohort_retention": ORACLE_Q33,
     "q34_order_count_distribution": ORACLE_Q34,
     "q35_part_affinity": ORACLE_Q35,
+    "q36_supplier_concentration": ORACLE_Q36,
 }

@@ -59,6 +59,7 @@ NON_SQL_QUERIES = frozenset(missing)
 # queries regardless of this order.
 _PRIORITY = (
     # round 4, NEW queries first (never driver-checked):
+    "q36_supplier_concentration",
     "t40_triangle_count",
     "t41_dedup_normalized",
     "q35_part_affinity",
