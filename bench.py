@@ -179,6 +179,21 @@ HEADLINE = [
     "t40_triangle_count",
     "t41_dedup_normalized",
     "q36_supplier_concentration",
+    # Round 4 late additions: relational trio, event profiling, vector
+    # evals, KMV/linear-counting sketches, media validation, canonical
+    # selection, length histogram.
+    "q37_profit_by_nation_year",
+    "q38_returned_items",
+    "q39_ship_lag_priority",
+    "e22_event_type_markov",
+    "e23_interarrival_stats",
+    "v21_ann_mrr_eval",
+    "v22_ivf_cell_quality",
+    "x13_kmv_distinct",
+    "x14_linear_counting",
+    "m07_media_magic_validation",
+    "t42_canonical_selection",
+    "t43_length_histogram",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -525,6 +525,129 @@ LIMIT {T39_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# t42 — quality-aware canonical selection: the step that turns t07's
+# duplicate CLUSTERS into a dedup DECISION. Per cluster, keep the most
+# informative member (highest t22 unigram surprisal — low-avg_bits docs
+# are common-word boilerplate; doc_id breaks ties) and count what gets
+# removed. The production near-dedup endgame: cluster → pick canonical →
+# drop the rest.
+#
+# Scale: both inputs are staged tables (the CC label table rides t07's
+# staged edges; the score table is the shared t22 staging); selection is
+# ONE per-cluster max_by aggregate — no window sort, no self-join.
+# ---------------------------------------------------------------------------
+def t42_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import t07_dedup_cluster_cc
+    from .dedup import _stage_cached
+    from .quality import t22_unigram_logprob
+
+    clusters = t07_dedup_cluster_cc(spark, sf_dir)
+    scored = _stage_cached(
+        "t22_scores",
+        sf_dir,
+        lambda: t22_unigram_logprob(spark, sf_dir).select("doc_id", "avg_bits"),
+    )
+    # max_by on a (avg_bits, -doc_id) struct: highest quality, then the
+    # LOWEST doc_id on exact ties — a single map-side-combinable aggregate.
+    pick = F.struct(F.col("avg_bits"), (-F.col("doc_id")).alias("neg_id"))
+    return (
+        clusters.join(scored, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(pick).alias("best"),
+        )
+        .select(
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (-F.col("best.neg_id")).cast("long").alias("kept_doc_id"),
+            F.col("best.avg_bits").alias("kept_avg_bits"),
+            (F.col("cluster_size") - 1).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def _oracle_t42() -> str:
+    from .graph import _oracle_t07
+
+    return f"""
+WITH clusters AS (SELECT doc_id, cluster_id FROM ({_oracle_t07()})),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (
+  SELECT w, CAST(length(bin(COUNT(*))) - 1 AS BIGINT) AS bits
+  FROM toks GROUP BY w
+),
+scored AS (
+  SELECT t.doc_id, ROUND(SUM(f.bits) / COUNT(*), 6) AS avg_bits
+  FROM toks t JOIN freq f USING (w) GROUP BY t.doc_id
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, s.avg_bits,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY s.avg_bits DESC, c.doc_id ASC) AS r,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+  FROM clusters c JOIN scored s USING (doc_id)
+)
+SELECT cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(doc_id AS BIGINT) AS kept_doc_id,
+       avg_bits AS kept_avg_bits,
+       CAST(cluster_size - 1 AS BIGINT) AS n_removed
+FROM ranked WHERE r = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# t43 — document-length histogram per source (log₂ buckets): the
+# size-profile diagnostic behind sequence-packing (t24) and truncation
+# budgets. The bucket is length(bin(n_chars))−1 = floor(log₂) — integer
+# arithmetic both engines share (the t22/t36 bit-length trick). One scan,
+# one |sources × ~12 buckets| aggregate, plus a source-partitioned share.
+# ---------------------------------------------------------------------------
+def t43_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "n_chars")
+    bucket = (F.length(F.bin(F.col("n_chars"))) - 1).cast("long")
+    hist = (
+        docs.withColumn("log2_bucket", bucket)
+        .groupBy("source", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+    w = Window.partitionBy("source")
+    return hist.select(
+        "source",
+        "log2_bucket",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("min_chars").cast("long").alias("min_chars"),
+        F.col("max_chars").cast("long").alias("max_chars"),
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
+    )
+
+
+ORACLE_T43 = """
+WITH hist AS (
+  SELECT source,
+         CAST(length(bin(n_chars)) - 1 AS BIGINT) AS log2_bucket,
+         COUNT(*) AS n_docs,
+         MIN(n_chars) AS min_chars,
+         MAX(n_chars) AS max_chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, log2_bucket,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(min_chars AS BIGINT) AS min_chars,
+       CAST(max_chars AS BIGINT) AS max_chars,
+       ROUND(n_docs * 1.0 / SUM(n_docs) OVER (PARTITION BY source), 6) AS share
+FROM hist
+"""
+
+
 QUERIES = {
     "t33_dup_ngram_spans": t33_dup_ngram_spans,
     "t34_dsir_importance": t34_dsir_importance,
@@ -532,6 +655,8 @@ QUERIES = {
     "t36_zipf_stats": t36_zipf_stats,
     "t37_quality_bucket_stats": t37_quality_bucket_stats,
     "t39_removal_priority": t39_removal_priority,
+    "t42_canonical_selection": t42_canonical_selection,
+    "t43_length_histogram": t43_length_histogram,
 }
 
 ORACLES = {
@@ -541,4 +666,6 @@ ORACLES = {
     "t36_zipf_stats": ORACLE_T36,
     "t37_quality_bucket_stats": ORACLE_T37,
     "t39_removal_priority": ORACLE_T39,
+    "t42_canonical_selection": _oracle_t42(),
+    "t43_length_histogram": ORACLE_T43,
 }

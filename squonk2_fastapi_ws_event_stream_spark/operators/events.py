@@ -1042,6 +1042,122 @@ WHERE trail_n = 6 AND n_events * 6 * {E21_DEN} >= trail_sum * {E21_NUM}
 """
 
 
+# ---------------------------------------------------------------------------
+# e22 — event-type transition matrix (first-order Markov model of user
+# behavior): per user, pair each event with its successor in event_id
+# order (a user-partitioned lead window — parallel across users, never a
+# global sort), then count transitions and normalize per source type.
+# The probability is one ratio of two counts, rounded once — both
+# engines agree exactly. Two shuffles: the per-user window and the
+# |types|² aggregate.
+# ---------------------------------------------------------------------------
+def e22_event_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").asc())
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counted = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_src = Window.partitionBy("event_type")
+    return (
+        counted.withColumn("src_total", F.sum("n_transitions").over(w_src))
+        .select(
+            "event_type",
+            "next_type",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.round(F.col("n_transitions") / F.col("src_total"), 6).alias("p_next"),
+        )
+    )
+
+
+ORACLE_E22 = """
+WITH pairs AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id ASC)
+           AS next_type
+  FROM events
+),
+counted AS (
+  SELECT event_type, next_type, COUNT(*) AS n_transitions
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type,
+       CAST(n_transitions AS BIGINT) AS n_transitions,
+       ROUND(n_transitions * 1.0 /
+             SUM(n_transitions) OVER (PARTITION BY event_type), 6) AS p_next
+FROM counted
+"""
+
+
+# ---------------------------------------------------------------------------
+# e23 — inter-arrival-time percentiles per event type: the latency-
+# distribution profile a stream operator needs to pick watermark delays
+# and session gaps. Per-type lag window (parallel across types) gives the
+# gap to the previous event of the SAME type in ts order (event_id as the
+# unique tie-break — equal timestamps exist); exact `percentile`
+# (linear-interpolated, same definition as DuckDB's quantile_cont) over
+# integer microsecond gaps, rounded once.
+#
+# Scale: exact percentile needs the per-type gap multiset on one
+# reducer — fine for a bounded type alphabet (the group count is |types|,
+# not SF-scaled); for high-cardinality keys x02's approx_percentile is
+# the scale path.
+# ---------------------------------------------------------------------------
+def e23_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        ev.withColumn("prev_us", F.lag("us").over(w))
+        .filter(F.col("prev_us").isNotNull())
+        .withColumn("gap_us", F.col("us") - F.col("prev_us"))
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.expr("percentile(gap_us, 0.5)").alias("p50"),
+            F.expr("percentile(gap_us, 0.95)").alias("p95"),
+            F.expr("percentile(gap_us, 0.99)").alias("p99"),
+            F.max("gap_us").alias("max_gap"),
+        )
+        .select(
+            "event_type",
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            F.round(F.col("p50") / 1000, 3).alias("p50_ms"),
+            F.round(F.col("p95") / 1000, 3).alias("p95_ms"),
+            F.round(F.col("p99") / 1000, 3).alias("p99_ms"),
+            F.col("max_gap").cast("long").alias("max_gap_us"),
+        )
+    )
+
+
+ORACLE_E23 = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY epoch_us(ts) ASC, event_id ASC
+         ) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(gap_us, 0.5) / 1000, 3) AS p50_ms,
+       ROUND(quantile_cont(gap_us, 0.95) / 1000, 3) AS p95_ms,
+       ROUND(quantile_cont(gap_us, 0.99) / 1000, 3) AS p99_ms,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "e01_replay_from_ordinal": e01_replay_from_ordinal,
     "e02_replay_from_timestamp": e02_replay_from_timestamp,
@@ -1064,6 +1180,8 @@ QUERIES = {
     "e19_gap_fill": e19_gap_fill,
     "e20_dau_mau_stickiness": e20_dau_mau_stickiness,
     "e21_hourly_anomalies": e21_hourly_anomalies,
+    "e22_event_type_markov": e22_event_type_markov,
+    "e23_interarrival_stats": e23_interarrival_stats,
 }
 
 ORACLES = {
@@ -1088,4 +1206,6 @@ ORACLES = {
     "e19_gap_fill": ORACLE_E19,
     "e20_dau_mau_stickiness": ORACLE_E20,
     "e21_hourly_anomalies": ORACLE_E21,
+    "e22_event_type_markov": ORACLE_E22,
+    "e23_interarrival_stats": ORACLE_E23,
 }

@@ -660,3 +660,85 @@ FROM decoded GROUP BY kind
 
 QUERIES["m06_media_manifest"] = m06_media_manifest
 ORACLES["m06_media_manifest"] = ORACLE_M06
+
+
+# ---------------------------------------------------------------------------
+# m07 — ingest validation by magic bytes: the corrupt-file triage every
+# media pipeline runs BEFORE spending decode CPU. A deterministic fault
+# injector (JVM-side substring/relabel — no second Arrow pass) truncates
+# one BMP slice (doc_id % 40 == 13 → first 10 bytes) and mislabels
+# another (doc_id % 40 == 3 → claimed audio/wav); validation then checks
+# the claimed mime against header length and SNIFFED magic bytes.
+#
+# The whole check is binary column expressions (substring on binary +
+# byte-literal equality) inside one codegen projection — the payload
+# never crosses into Python, so at 100 TB the triage runs at scan speed.
+# Only the per-(mime, status) aggregate shuffles.
+# ---------------------------------------------------------------------------
+def m07_media_magic_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    media = attach_media_payload(docs)
+    faulted = media.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 40 == 13, F.expr("substring(payload, 1, 10)"))
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+        F.when(F.col("doc_id") % 40 == 3, F.lit("audio/wav"))
+        .otherwise(F.col("mime"))
+        .alias("mime_claimed"),
+    )
+    n_bytes = F.length("payload")
+    is_bmp = F.expr("substring(payload, 1, 2)") == F.lit(b"BM")
+    is_wav = (F.expr("substring(payload, 1, 4)") == F.lit(b"RIFF")) & (
+        F.expr("substring(payload, 9, 4)") == F.lit(b"WAVE")
+    )
+    status = (
+        F.when(
+            (F.col("mime_claimed") == "image/bmp") & (n_bytes < 54), "truncated"
+        )
+        .when((F.col("mime_claimed") == "audio/wav") & (n_bytes < 44), "truncated")
+        .when((F.col("mime_claimed") == "image/bmp") & ~is_bmp, "mismatch")
+        .when((F.col("mime_claimed") == "audio/wav") & ~is_wav, "mismatch")
+        .otherwise("ok")
+    )
+    return (
+        faulted.withColumn("status", status)
+        .groupBy("mime_claimed", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("sample_doc_id"),
+        )
+        .select(
+            "mime_claimed",
+            "status",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sample_doc_id").cast("long").alias("sample_doc_id"),
+        )
+    )
+
+
+# The oracle predicts every status from doc_id arithmetic: the injector's
+# rules and the synthesized headers are both doc_id-deterministic, so the
+# sniff outcome is computable without the bytes (builder and validator
+# never share code — same discipline as ORACLE_M01).
+ORACLE_M07 = """
+WITH claimed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 40 = 3 THEN 'audio/wav'
+              WHEN doc_id % 10 = 3 THEN 'image/bmp'
+              WHEN doc_id % 10 = 7 THEN 'audio/wav'
+              ELSE 'text/plain' END AS mime_claimed,
+         CASE WHEN doc_id % 40 = 13 THEN 'truncated'
+              WHEN doc_id % 40 = 3 THEN 'mismatch'
+              ELSE 'ok' END AS status
+  FROM documents
+)
+SELECT mime_claimed, status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS sample_doc_id
+FROM claimed GROUP BY mime_claimed, status
+"""
+
+
+QUERIES["m07_media_magic_validation"] = m07_media_magic_validation
+ORACLES["m07_media_magic_validation"] = ORACLE_M07

@@ -823,7 +823,9 @@ def _exact_topk_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stage_cached(
         "v02_truth",
         sf_dir,
-        lambda: v02_ann_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id"),
+        lambda: v02_ann_bruteforce_topk(spark, sf_dir).select(
+            "query_id", "rank", "vec_id"
+        ),
     )
 
 
@@ -1858,6 +1860,147 @@ LEFT JOIN (SELECT query_id, vec_id FROM ({ORACLE_V02})) e
     return "\nUNION ALL\n".join(blocks)
 
 
+# ---------------------------------------------------------------------------
+# v21 — mean-reciprocal-rank evaluation of the IVF path: where does each
+# query's TRUE nearest neighbor (brute-force rank 1) land in v03's
+# ranked list? Recall@k (v10) treats all k slots equally; MRR prices the
+# ORDER — an index that buries the true neighbor at rank 9 scores 0.11,
+# not 1.0. Both sides are already |queries|×k tables (the staged truth
+# set and the staged IVF index), so the eval never rescans the corpus.
+# ---------------------------------------------------------------------------
+def v21_ann_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth1 = (
+        _exact_topk_truth(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("vec_id").alias("true_vec_id"))
+    )
+    approx = v03_ann_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("rank").alias("a_rank"),
+        "vec_id",
+    )
+    joined = truth1.join(
+        approx,
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("true_vec_id") == F.col("vec_id")),
+        "left",
+    )
+    return joined.select(
+        "query_id",
+        "true_vec_id",
+        F.coalesce(F.col("a_rank"), F.lit(0)).cast("int").alias("found_rank"),
+        F.round(
+            F.when(F.col("a_rank").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / F.col("a_rank")
+            ),
+            6,
+        ).alias("reciprocal_rank"),
+    )
+
+
+ORACLE_V21 = f"""
+WITH truth1 AS (
+  SELECT query_id, vec_id AS true_vec_id FROM ({ORACLE_V02}) WHERE rank = 1
+),
+approx AS (SELECT query_id, rank, vec_id FROM ({ORACLE_V03}))
+SELECT t.query_id, t.true_vec_id,
+       CAST(COALESCE(a.rank, 0) AS INTEGER) AS found_rank,
+       ROUND(CASE WHEN a.rank IS NULL THEN 0.0 ELSE 1.0 / a.rank END, 6)
+         AS reciprocal_rank
+FROM truth1 t
+LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.vec_id = t.true_vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# v22 — IVF cell quality (simplified silhouette): per cell, the mean
+# cosine of members to their OWN centroid vs the best cosine to any OTHER
+# centroid; separation = mean(own − best-other). Negative separation
+# marks cells whose members mostly belong elsewhere — the diagnostic that
+# says "retrain the codebook" before recall quietly degrades at scale.
+#
+# Plan: the staged assigned-corpus table crossed with the ONE broadcast
+# packed-centroid row; own/other scores are array expressions inside a
+# single projection (map-side, corpus never reshuffled); the only shuffle
+# is the k-group aggregate. Decimal-exact means (the davg recipe).
+# ---------------------------------------------------------------------------
+def v22_ivf_cell_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
+    cos_arr = F.transform(
+        F.col("cells"),
+        lambda c: F.struct(
+            _cell_cos("embedding", c).alias("cos"), c.cell_id.alias("cell_id")
+        ),
+    )
+    scored = (
+        assigned.crossJoin(F.broadcast(packed))
+        .withColumn("_row_norm", norm(F.col("embedding")))
+        .withColumn("arr", cos_arr)
+        .select(
+            "cell_id",
+            F.element_at(
+                F.filter(F.col("arr"), lambda s: s.cell_id == F.col("cell_id")), 1
+            ).cos.alias("own_cos"),
+            F.array_max(
+                F.transform(
+                    F.filter(F.col("arr"), lambda s: s.cell_id != F.col("cell_id")),
+                    lambda s: s.cos,
+                )
+            ).alias("other_cos"),
+        )
+    )
+    dec = "decimal(18,10)"
+    return scored.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(
+            F.sum(F.col("own_cos").cast(dec)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_own_cos"),
+        F.round(
+            F.sum(F.col("other_cos").cast(dec)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_other_cos"),
+        F.round(
+            F.sum((F.col("own_cos") - F.col("other_cos")).cast(dec)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("separation"),
+    )
+
+
+ORACLE_V22 = f"""
+WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+           WHERE vec_id % {CENTROID_STRIDE} = 0),
+scored AS (
+  SELECT e.vec_id, c.cell_id, {sql_cosine('e.embedding', 'c.c_emb')} AS cos
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, cell_id AS own_cell, cos AS own_cos FROM (
+    SELECT vec_id, cell_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cell_id ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+other AS (
+  SELECT s.vec_id, MAX(s.cos) AS other_cos
+  FROM scored s JOIN assigned a
+    ON s.vec_id = a.vec_id AND s.cell_id <> a.own_cell
+  GROUP BY s.vec_id
+)
+SELECT a.own_cell AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(CAST(a.own_cos AS DECIMAL(18,10))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_own_cos,
+       ROUND(CAST(SUM(CAST(o.other_cos AS DECIMAL(18,10))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_other_cos,
+       ROUND(CAST(SUM(CAST(a.own_cos - o.other_cos AS DECIMAL(18,10)))
+                  AS DOUBLE) / COUNT(*), 6) AS separation
+FROM assigned a JOIN other o ON a.vec_id = o.vec_id
+GROUP BY a.own_cell
+"""
+
+
 QUERIES = {
     "v01_neardup_cosine": v01_neardup_cosine,
     "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
@@ -1878,6 +2021,8 @@ QUERIES = {
     "v18_ann_hamming_topk": v18_ann_hamming_topk,
     "v19_ann_filtered_topk": v19_ann_filtered_topk,
     "v20_quantization_recall": v20_quantization_recall,
+    "v21_ann_mrr_eval": v21_ann_mrr_eval,
+    "v22_ivf_cell_quality": v22_ivf_cell_quality,
 }
 
 ORACLES = {
@@ -1900,4 +2045,6 @@ ORACLES = {
     "v18_ann_hamming_topk": _oracle_v18(),
     "v19_ann_filtered_topk": ORACLE_V19,
     "v20_quantization_recall": _oracle_v20(),
+    "v21_ann_mrr_eval": ORACLE_V21,
+    "v22_ivf_cell_quality": ORACLE_V22,
 }

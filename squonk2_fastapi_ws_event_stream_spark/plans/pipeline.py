@@ -839,3 +839,130 @@ FROM (SELECT unnest([{", ".join(str(k) for k in X12_LGKS)}]) AS k)
 
 QUERIES["x12_hll_precision_sweep"] = x12_hll_precision_sweep
 ORACLES["x12_hll_precision_sweep"] = ORACLE_X12
+
+
+# ---------------------------------------------------------------------------
+# x13 — KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+# 2002): hash every key with the engine's closed-form affine hash
+# (cross-engine deterministic, uniform over [0, P)), keep the K smallest
+# DISTINCT hash values, estimate n ≈ (K−1)·P / h_(K). The per-group
+# alternative to one global HLL when you also need the sketch to support
+# set operations by hash-merge.
+#
+# Scale: distinct-hash reduction is one shuffle of 8-byte hashes with
+# map-side combine; "K smallest" is orderBy+limit =
+# TakeOrderedAndProject (per-partition partial top-k, never a global
+# sort). The exact side exists only to grade the estimate.
+# ---------------------------------------------------------------------------
+X13_K = 64
+# Knuth multiplicative hash: the multiplier must be LARGE relative to P so
+# consecutive integer keys wrap mod P every couple of steps (a small
+# MINHASH-family prime leaves small ids unwrapped → the k-th min hash sits
+# ~4000x below uniform and the estimate overshoots ~1000x — measured).
+X13_A, X13_B = 2654435761, 1723
+_X13_P = 1_000_000_007
+
+
+def x13_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id")
+    hashed = ev.select(
+        ((F.col("user_id") * X13_A + X13_B) % _X13_P).alias("h")
+    ).distinct()
+    kmin = hashed.orderBy(F.col("h").asc()).limit(X13_K)
+    sketch = kmin.agg(
+        F.count(F.lit(1)).alias("k_kept"),
+        F.max("h").alias("kth_min_hash"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return sketch.crossJoin(exact).select(
+        F.col("k_kept").cast("long").alias("k_kept"),
+        F.col("kth_min_hash").cast("long").alias("kth_min_hash"),
+        # Standard KMV estimator with the small-n branch: fewer than K
+        # distinct hashes means the sketch holds the WHOLE hash set — the
+        # count is exact, and (K−1)·P/h_(K) would wildly overshoot.
+        F.when(F.col("k_kept") < X13_K, F.col("k_kept").cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("k_kept") - 1) * F.lit(float(_X13_P)) / F.col("kth_min_hash"),
+                4,
+            )
+        )
+        .alias("kmv_estimate"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+    )
+
+
+ORACLE_X13 = f"""
+WITH hashed AS (
+  SELECT DISTINCT (user_id * {X13_A} + {X13_B}) % {_X13_P} AS h FROM events
+),
+kmin AS (SELECT h FROM hashed ORDER BY h ASC LIMIT {X13_K}),
+sketch AS (SELECT COUNT(*) AS k_kept, MAX(h) AS kth_min_hash FROM kmin)
+SELECT CAST(k_kept AS BIGINT) AS k_kept,
+       CAST(kth_min_hash AS BIGINT) AS kth_min_hash,
+       CASE WHEN k_kept < {X13_K} THEN CAST(k_kept AS DOUBLE)
+            ELSE ROUND((k_kept - 1) * CAST({_X13_P} AS DOUBLE) / kth_min_hash, 4)
+       END AS kmv_estimate,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_users
+FROM sketch
+"""
+
+
+QUERIES["x13_kmv_distinct"] = x13_kmv_distinct
+ORACLES["x13_kmv_distinct"] = ORACLE_X13
+
+
+# ---------------------------------------------------------------------------
+# x14 — linear-counting distinct estimate (Whang et al. 1990): hash keys
+# into M buckets, count occupied buckets z, estimate n ≈ M·ln(M/(M−z)).
+# The low-cardinality regime's sketch (beats HLL when n ≲ M); the
+# occupied-bucket count is ONE shuffle of ≤ M bucket ids with map-side
+# combine — the bitmap never materializes as M rows per executor.
+# Cross-engine float note: ln runs on the same IEEE double ratio in both
+# engines; the estimate is rounded to 2 decimals, absorbing any last-ulp
+# libm difference (the counts themselves are exact integers).
+# ---------------------------------------------------------------------------
+X14_M = 4096
+
+
+def x14_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id")
+    occupied = (
+        ev.select(
+            (((F.col("user_id") * X13_A + X13_B) % _X13_P) % X14_M).alias("bucket")
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("occupied"))
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    m = F.lit(float(X14_M))
+    return occupied.crossJoin(exact).select(
+        F.lit(X14_M).alias("m_buckets"),
+        F.col("occupied").cast("long").alias("occupied"),
+        # greatest(1, m−z) guards the saturated regime (z = m → ln ∞): the
+        # sketch then reports its ceiling m·ln(m) instead of dividing by 0.
+        F.round(
+            m * F.log(m / F.greatest(F.lit(1.0), m - F.col("occupied"))), 2
+        ).alias("lc_estimate"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+    )
+
+
+ORACLE_X14 = f"""
+WITH occ AS (
+  SELECT COUNT(*) AS occupied FROM (
+    SELECT DISTINCT ((user_id * {X13_A} + {X13_B}) % {_X13_P}) % {X14_M}
+      AS bucket
+    FROM events)
+)
+SELECT {X14_M} AS m_buckets,
+       CAST(occupied AS BIGINT) AS occupied,
+       ROUND({X14_M}.0 * ln({X14_M}.0 /
+             GREATEST(1.0, {X14_M}.0 - occupied)), 2) AS lc_estimate,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_users
+FROM occ
+"""
+
+
+QUERIES["x14_linear_counting"] = x14_linear_counting
+ORACLES["x14_linear_counting"] = ORACLE_X14

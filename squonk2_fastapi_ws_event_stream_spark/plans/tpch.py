@@ -634,6 +634,196 @@ FROM per_nation p JOIN nation n ON p.s_nationkey = n.n_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q37 — product-line profit by supplier nation and order year (TPC-H Q9
+# shape, minus partsupp — the test corpus has no supply-cost table, so
+# profit is the discounted revenue): filter parts by a name token, join
+# lineitem→part (SF-scaled: hint-free, AQE decides), lineitem→supplier→
+# nation (nation fixed-size: broadcast hint), lineitem→orders for the
+# year. One aggregate shuffle of |nation × year| groups, decimal-exact.
+# ---------------------------------------------------------------------------
+def q37_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", "o_year")
+        .agg(
+            dsum(profit).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_year").cast("int").alias("o_year"),
+            "sum_profit",
+            F.col("n_lines").cast("long").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_Q37 = """
+SELECT n.n_name AS nation,
+       CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,10))) AS DOUBLE), 4) AS sum_profit,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, YEAR(o.o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q38 — returned-item reporting (TPC-H Q10 shape): revenue lost to
+# returns (l_returnflag = 'R') over one order-date quarter, per customer,
+# top 20. customer/orders/lineitem all SF-scaled → hint-free joins;
+# nation broadcast. Top-20 via orderBy+limit = TakeOrderedAndProject
+# (per-partition partial top-k, no global sort).
+# ---------------------------------------------------------------------------
+Q38_TOP = 20
+
+
+def q38_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+    order_cols = [F.col("revenue").desc(), F.col("c_custkey").asc()]
+    top = agg.orderBy(*order_cols).limit(Q38_TOP)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        "revenue",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.col("n_name").alias("nation"),
+    )
+
+
+ORACLE_Q38 = f"""
+WITH agg AS (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+         ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,10))) AS DOUBLE), 4) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey ASC)
+            AS INTEGER) AS rank,
+       CAST(c_custkey AS BIGINT) AS c_custkey, c_name, revenue,
+       ROUND(c_acctbal, 2) AS c_acctbal, n_name AS nation
+FROM agg
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {Q38_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q39 — shipping-lag service levels (TPC-H Q12 spirit — the corpus has no
+# l_shipmode/l_receiptdate, so the lag is l_shipdate − o_orderdate and
+# the mode axis becomes lag bands): per band, how many lines carried
+# urgent-or-high priority orders vs the rest. One join (both sides
+# SF-scaled, hint-free) + a 4-group aggregate; the band expression is a
+# single codegen CASE chain.
+# ---------------------------------------------------------------------------
+def q39_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(lag < 0, "early")
+        .when(lag <= 30, "on-time")
+        .when(lag <= 90, "late")
+        .otherwise("very-late")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(band.alias("lag_band"))
+        .agg(
+            F.sum(urgent.cast("long")).alias("high_priority_lines"),
+            F.sum((~urgent).cast("long")).alias("low_priority_lines"),
+            davg(lag, "decimal(18,2)", 4).alias("avg_lag_days"),
+        )
+        .select(
+            "lag_band",
+            F.col("high_priority_lines").cast("long").alias("high_priority_lines"),
+            F.col("low_priority_lines").cast("long").alias("low_priority_lines"),
+            "avg_lag_days",
+        )
+    )
+
+
+ORACLE_Q39 = """
+WITH lagged AS (
+  SELECT datediff('day', o.o_orderdate, l.l_shipdate) AS lag,
+         o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS urgent
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT CASE WHEN lag < 0 THEN 'early'
+            WHEN lag <= 30 THEN 'on-time'
+            WHEN lag <= 90 THEN 'late'
+            ELSE 'very-late' END AS lag_band,
+       CAST(SUM(CASE WHEN urgent THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_priority_lines,
+       CAST(SUM(CASE WHEN urgent THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_priority_lines,
+       ROUND(CAST(SUM(CAST(lag AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4)
+         AS avg_lag_days
+FROM lagged
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -650,6 +840,9 @@ QUERIES = {
     "q34_order_count_distribution": q34_order_count_distribution,
     "q35_part_affinity": q35_part_affinity,
     "q36_supplier_concentration": q36_supplier_concentration,
+    "q37_profit_by_nation_year": q37_profit_by_nation_year,
+    "q38_returned_items": q38_returned_items,
+    "q39_ship_lag_priority": q39_ship_lag_priority,
 }
 
 ORACLES = {
@@ -668,4 +861,7 @@ ORACLES = {
     "q34_order_count_distribution": ORACLE_Q34,
     "q35_part_affinity": ORACLE_Q35,
     "q36_supplier_concentration": ORACLE_Q36,
+    "q37_profit_by_nation_year": ORACLE_Q37,
+    "q38_returned_items": ORACLE_Q38,
+    "q39_ship_lag_priority": ORACLE_Q39,
 }

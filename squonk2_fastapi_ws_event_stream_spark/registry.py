@@ -58,6 +58,19 @@ NON_SQL_QUERIES = frozenset(missing)
 # (all already green) follows. Local oracle-parity tests still cover all
 # queries regardless of this order.
 _PRIORITY = (
+    # round 4 late additions (never driver-checked, newest first):
+    "q37_profit_by_nation_year",
+    "q38_returned_items",
+    "q39_ship_lag_priority",
+    "e22_event_type_markov",
+    "e23_interarrival_stats",
+    "v21_ann_mrr_eval",
+    "v22_ivf_cell_quality",
+    "x13_kmv_distinct",
+    "x14_linear_counting",
+    "m07_media_magic_validation",
+    "t42_canonical_selection",
+    "t43_length_histogram",
     # round 4, NEW queries first (never driver-checked):
     "q36_supplier_concentration",
     "t40_triangle_count",

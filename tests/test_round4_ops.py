@@ -178,3 +178,117 @@ def test_e16_bucket_boundaries(spark):
         matched.groupBy("event_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == {(1, 2), (6, 2)}  # clicks 1 and 6 each see exactly 2 views
+
+
+# --- round-4 late additions -------------------------------------------------
+
+def test_markov_rows_are_probabilities(spark):
+    """e22: per source type the transition probabilities partition the
+    outgoing mass — they sum to ~1 (6-decimal rounding per cell)."""
+    rows = events.e22_event_type_markov(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    by_src: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 < r["p_next"] <= 1.0
+        by_src[r["event_type"]] = by_src.get(r["event_type"], 0.0) + r["p_next"]
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-4, f"{src}: Σp = {total}"
+
+
+def test_mrr_rank_consistency(spark):
+    """v21: rr == 1/found_rank when found, 0 when absent; ranks ≤ TOP_K."""
+    for r in similarity.v21_ann_mrr_eval(spark, SMOKE_SF_DIR).collect():
+        if r["found_rank"] == 0:
+            assert r["reciprocal_rank"] == 0.0
+        else:
+            assert 1 <= r["found_rank"] <= similarity.TOP_K
+            assert abs(r["reciprocal_rank"] - round(1 / r["found_rank"], 6)) < 1e-9
+
+
+def test_ivf_cell_quality_separation(spark):
+    """v22: separation ≈ avg_own − avg_other (per-cell rounding only) and
+    cosine means stay in [−1, 1]."""
+    rows = similarity.v22_ivf_cell_quality(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["avg_own_cos"] <= 1.0
+        assert -1.0 <= r["avg_other_cos"] <= 1.0
+        assert abs(r["separation"] - (r["avg_own_cos"] - r["avg_other_cos"])) < 1e-4
+        assert r["n_vectors"] >= 1
+
+
+def test_sketch_estimates_bracket_exact(spark):
+    """x13/x14: both estimators land within 50% of the exact count at
+    smoke scale (KMV with k=64 ≈ exact when n ≲ k; LC with m=4096 ≫ n)."""
+    from squonk2_fastapi_ws_event_stream_spark.plans import pipeline as pl
+
+    kmv = pl.x13_kmv_distinct(spark, SMOKE_SF_DIR).collect()[0]
+    assert kmv["k_kept"] <= pl.X13_K
+    assert 0.5 * kmv["exact_users"] <= kmv["kmv_estimate"] <= 1.5 * kmv["exact_users"]
+    lc = pl.x14_linear_counting(spark, SMOKE_SF_DIR).collect()[0]
+    assert lc["occupied"] <= pl.X14_M
+    assert 0.5 * lc["exact_users"] <= lc["lc_estimate"] <= 1.5 * lc["exact_users"]
+
+
+def test_canonical_selection_picks_cluster_best(spark):
+    """t42: the kept doc is a member of its cluster with the maximal
+    (avg_bits, −doc_id) key, and n_removed is cluster_size − 1."""
+    from squonk2_fastapi_ws_event_stream_spark.operators import graph, quality
+
+    kept = {
+        r["cluster_id"]: r
+        for r in corpus.t42_canonical_selection(spark, SMOKE_SF_DIR).collect()
+    }
+    scores = {
+        r["doc_id"]: r["avg_bits"]
+        for r in quality.t22_unigram_logprob(spark, SMOKE_SF_DIR).collect()
+    }
+    # Selection runs over SCORED members only: t07's synthetic duplicate
+    # ids (doc_id+10000, no documents row) carry no quality score.
+    members: dict[int, list[int]] = {}
+    for r in graph.t07_dedup_cluster_cc(spark, SMOKE_SF_DIR).collect():
+        if r["doc_id"] in scores:
+            members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    assert set(kept) == set(members)
+    for cid, row in kept.items():
+        docs = members[cid]
+        assert row["kept_doc_id"] in docs
+        assert row["cluster_size"] == len(docs)
+        assert row["n_removed"] == len(docs) - 1
+        best = max(docs, key=lambda d: (scores[d], -d))
+        assert row["kept_doc_id"] == best
+
+
+def test_length_histogram_shares(spark):
+    """t43: per-source shares sum to 1 and buckets bound their members."""
+    rows = corpus.t43_length_histogram(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    by_src: dict[str, float] = {}
+    for r in rows:
+        assert 2 ** r["log2_bucket"] <= r["min_chars"] <= r["max_chars"]
+        assert r["max_chars"] < 2 ** (r["log2_bucket"] + 1)
+        by_src[r["source"]] = by_src.get(r["source"], 0.0) + r["share"]
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-4
+
+
+def test_magic_validation_flags_injected_faults(spark):
+    """m07: only the three statuses appear; the injector's truncated and
+    mislabeled slices are detected (nonzero counts at smoke scale)."""
+    from squonk2_fastapi_ws_event_stream_spark.operators import multimodal
+
+    rows = multimodal.m07_media_magic_validation(spark, SMOKE_SF_DIR).collect()
+    statuses = {(r["mime_claimed"], r["status"]): r["n_docs"] for r in rows}
+    assert set(s for _, s in statuses) <= {"ok", "mismatch", "truncated"}
+    assert statuses.get(("image/bmp", "truncated"), 0) >= 1
+    assert statuses.get(("audio/wav", "mismatch"), 0) >= 1
+
+
+def test_ship_lag_bands_partition_lineitem(spark):
+    """q39: the four bands partition the joined lineitem rows exactly."""
+    from squonk2_fastapi_ws_event_stream_spark.plans import tpch
+
+    rows = tpch.q39_ship_lag_priority(spark, SMOKE_SF_DIR).collect()
+    total = sum(r["high_priority_lines"] + r["low_priority_lines"] for r in rows)
+    li = spark.read.parquet(f"{SMOKE_SF_DIR}/lineitem.parquet").count()
+    assert total == li
