@@ -194,6 +194,7 @@ HEADLINE = [
     "m07_media_magic_validation",
     "t42_canonical_selection",
     "t43_length_histogram",
+    "t44_temperature_mixture",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

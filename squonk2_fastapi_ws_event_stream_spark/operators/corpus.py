@@ -648,6 +648,54 @@ FROM hist
 """
 
 
+# ---------------------------------------------------------------------------
+# t44 — temperature-scaled mixture weights (the multilingual/multi-source
+# sampling rule from Conneau & Lample 2019, α-smoothed): per source,
+# weight ∝ tokens^α with α = 0.5, normalized over sources. Where t25
+# APPLIES externally-given rates, t44 DERIVES them from corpus counts —
+# upweighting small sources so they aren't drowned, with expected token
+# draw and effective epochs (draw/size; >1 means the source repeats) per
+# source under a fixed token budget.
+#
+# Scale: one token-count aggregate (map-side combinable, |sources| rows
+# out) and window math over the already-tiny source table. sqrt of an
+# exact integer count is the same IEEE double in both engines.
+# ---------------------------------------------------------------------------
+T44_BUDGET = 1_000_000  # sampled-token budget
+
+
+def t44_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    weight = F.sqrt(F.col("n_tokens")) / F.sum(F.sqrt(F.col("n_tokens"))).over(w)
+    return counts.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(weight, 6).alias("mix_weight"),
+        F.round(weight * T44_BUDGET, 2).alias("expected_tokens"),
+        F.round(weight * T44_BUDGET / F.col("n_tokens"), 6).alias("effective_epochs"),
+    )
+
+
+ORACLE_T44 = f"""
+WITH counts AS (
+  SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(sqrt(n_tokens) / SUM(sqrt(n_tokens)) OVER (), 6) AS mix_weight,
+       ROUND(sqrt(n_tokens) / SUM(sqrt(n_tokens)) OVER () * {T44_BUDGET}, 2)
+         AS expected_tokens,
+       ROUND(sqrt(n_tokens) / SUM(sqrt(n_tokens)) OVER () * {T44_BUDGET}
+             / n_tokens, 6) AS effective_epochs
+FROM counts
+"""
+
+
 QUERIES = {
     "t33_dup_ngram_spans": t33_dup_ngram_spans,
     "t34_dsir_importance": t34_dsir_importance,
@@ -657,6 +705,7 @@ QUERIES = {
     "t39_removal_priority": t39_removal_priority,
     "t42_canonical_selection": t42_canonical_selection,
     "t43_length_histogram": t43_length_histogram,
+    "t44_temperature_mixture": t44_temperature_mixture,
 }
 
 ORACLES = {
@@ -668,4 +717,5 @@ ORACLES = {
     "t39_removal_priority": ORACLE_T39,
     "t42_canonical_selection": _oracle_t42(),
     "t43_length_histogram": ORACLE_T43,
+    "t44_temperature_mixture": ORACLE_T44,
 }

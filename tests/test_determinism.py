@@ -47,6 +47,12 @@ REPRESENTATIVES = [
     "e16_interval_join",  # bucket-exploded equi-join merge order
     "q33_cohort_retention",  # distinct-activity count under partitioning
     "q35_part_affinity",  # fact-fact self-join pair counting
+    # round-4 late additions:
+    "q38_returned_items",  # top-20 tie-breaks under partial top-k merge
+    "e22_event_type_markov",  # per-user lead window under repartitioning
+    "v22_ivf_cell_quality",  # decimal cosine means, partial-agg merge order
+    "x13_kmv_distinct",  # k-min hash selection across partition layouts
+    "t42_canonical_selection",  # max_by struct merge order on exact ties
 ]
 
 

@@ -62,3 +62,44 @@ def test_q34_aggregates_before_join(spark):
     join_pos = plan.find("Join")
     agg_pos = plan.rfind("HashAggregate")
     assert join_pos != -1 and agg_pos > join_pos
+
+
+def test_q38_filters_reach_the_scans(spark):
+    # returnflag and the order-date quarter prune at the parquet scans —
+    # PushedFilters must carry both before any join multiplies rows.
+    plan = explain(QUERIES["q38_returned_items"](spark, SF))
+    assert "IsNotNull(l_returnflag)" in plan or "EqualTo(l_returnflag,R)" in plan
+    assert "o_orderdate" in plan.split("PushedFilters", 2)[-1] or \
+        "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_m07_validation_stays_jvm_side(spark):
+    # One Arrow stage (the payload ingest); the fault injector and the
+    # magic sniff are codegen binary expressions — no second Python pass.
+    plan = explain(QUERIES["m07_media_magic_validation"](spark, SF), mode="simple")
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_t42_selection_is_one_aggregate_no_window(spark):
+    # Canonical selection is a max_by struct aggregate — no per-cluster
+    # window sort anywhere in the plan.
+    plan = explain(QUERIES["t42_canonical_selection"](spark, SF), mode="simple")
+    assert "Window" not in plan
+
+
+def test_v22_corpus_is_not_reshuffled(spark):
+    # The packed-centroid row arrives by broadcast; scoring is map-side.
+    # The only hashpartitioning exchange on corpus-derived rows is the
+    # k-group cell aggregate.
+    plan = explain(QUERIES["v22_ivf_cell_quality"](spark, SF), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("hashpartitioning(cell_id") <= 1
+
+
+def test_x13_kmin_is_take_ordered(spark):
+    # "K smallest hashes" compiles to TakeOrderedAndProject — partial
+    # per-partition top-k, never a global sort of the hash table.
+    plan = explain(QUERIES["x13_kmv_distinct"](spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan

@@ -292,3 +292,17 @@ def test_ship_lag_bands_partition_lineitem(spark):
     total = sum(r["high_priority_lines"] + r["low_priority_lines"] for r in rows)
     li = spark.read.parquet(f"{SMOKE_SF_DIR}/lineitem.parquet").count()
     assert total == li
+
+
+def test_temperature_mixture_weights(spark):
+    """t44: weights are a distribution; α=0.5 upweights smaller sources
+    (weight/size-share ratio decreases with source size)."""
+    rows = corpus.t44_temperature_mixture(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-4
+    total = sum(r["n_tokens"] for r in rows)
+    boosts = [
+        (r["n_tokens"], r["mix_weight"] / (r["n_tokens"] / total)) for r in rows
+    ]
+    boosts.sort()
+    assert all(a >= b - 1e-9 for (_, a), (_, b) in zip(boosts, boosts[1:]))
