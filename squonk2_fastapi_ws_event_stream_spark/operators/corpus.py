@@ -485,7 +485,14 @@ def t39_removal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _stage_cached
     from .quality import t22_unigram_logprob
 
-    dup = t33_dup_ngram_spans(spark, sf_dir).select("doc_id", "dup_frac")
+    # The per-doc dup-span table stages once per corpus (the worklist
+    # reads the MATERIALIZED measurement, it doesn't re-shingle the
+    # corpus); t33 itself stays unstaged so the bench prices the pass.
+    dup = _stage_cached(
+        "t33_stats",
+        sf_dir,
+        lambda: t33_dup_ngram_spans(spark, sf_dir).select("doc_id", "dup_frac"),
+    )
     scored = _stage_cached(
         "t22_scores",
         sf_dir,

