@@ -195,6 +195,7 @@ HEADLINE = [
     "t42_canonical_selection",
     "t43_length_histogram",
     "t44_temperature_mixture",
+    "v23_dim_stats",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -2011,6 +2011,77 @@ GROUP BY a.own_cell
 """
 
 
+# ---------------------------------------------------------------------------
+# v23 — per-dimension embedding statistics: mean, variance (exact decimal
+# sums of x and x², the davg recipe), min/max, and the share of total
+# variance each dimension carries. The index-design profile read before
+# choosing PQ subspace splits or Matryoshka truncation points (a
+# dimension with ~0 variance is free to drop; v15 prices the recall cost
+# of the cut this table suggests).
+#
+# Scale: posexplode fans each vector into (dim, val) rows — heavier rows
+# than the corpus scan but still one pass; the aggregate reduces to
+# exactly 64 groups map-side, and the variance-share window runs over
+# the 64-row result.
+# ---------------------------------------------------------------------------
+def v23_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(table(spark, sf_dir, "embeddings").select("embedding"), spark)
+    dec = "decimal(28,12)"
+    by_dim = (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .withColumn("val", F.col("val").cast("double"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast(dec)).alias("s1"),
+            F.sum((F.col("val") * F.col("val")).cast(dec)).alias("s2"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    stats = by_dim.select(
+        "dim",
+        F.round(mean, 6).alias("mean_val"),
+        F.round(var, 6).alias("variance"),
+        "min_val",
+        "max_val",
+    )
+    w = Window.partitionBy()
+    return stats.withColumn(
+        "var_share", F.round(F.col("variance") / F.sum("variance").over(w), 6)
+    )
+
+
+ORACLE_V23 = """
+WITH vals AS (
+  SELECT d.i - 1 AS dim, CAST(embedding[d.i] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS d(i)
+),
+by_dim AS (
+  SELECT dim, COUNT(*) AS n,
+         SUM(CAST(val AS DECIMAL(28,12))) AS s1,
+         SUM(CAST(val * val AS DECIMAL(28,12))) AS s2,
+         ROUND(MIN(val), 6) AS min_val,
+         ROUND(MAX(val), 6) AS max_val
+  FROM vals GROUP BY dim
+),
+stats AS (
+  SELECT CAST(dim AS INTEGER) AS dim,
+         ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_val,
+         ROUND(CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 6)
+           AS variance,
+         min_val, max_val
+  FROM by_dim
+)
+SELECT dim, mean_val, variance, min_val, max_val,
+       ROUND(variance / SUM(variance) OVER (), 6) AS var_share
+FROM stats
+"""
+
+
 QUERIES = {
     "v01_neardup_cosine": v01_neardup_cosine,
     "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
@@ -2033,6 +2104,7 @@ QUERIES = {
     "v20_quantization_recall": v20_quantization_recall,
     "v21_ann_mrr_eval": v21_ann_mrr_eval,
     "v22_ivf_cell_quality": v22_ivf_cell_quality,
+    "v23_dim_stats": v23_dim_stats,
 }
 
 ORACLES = {
@@ -2057,4 +2129,5 @@ ORACLES = {
     "v20_quantization_recall": _oracle_v20(),
     "v21_ann_mrr_eval": ORACLE_V21,
     "v22_ivf_cell_quality": ORACLE_V22,
+    "v23_dim_stats": ORACLE_V23,
 }

@@ -59,6 +59,7 @@ NON_SQL_QUERIES = frozenset(missing)
 # queries regardless of this order.
 _PRIORITY = (
     # round 4 late additions (never driver-checked, newest first):
+    "v23_dim_stats",
     "t44_temperature_mixture",
     "q37_profit_by_nation_year",
     "q38_returned_items",

@@ -306,3 +306,14 @@ def test_temperature_mixture_weights(spark):
     ]
     boosts.sort()
     assert all(a >= b - 1e-9 for (_, a), (_, b) in zip(boosts, boosts[1:]))
+
+
+def test_dim_stats_variance_shares(spark):
+    """v23: 64 dims, non-negative variances whose shares sum to 1, and
+    min ≤ mean ≤ max per dimension."""
+    rows = similarity.v23_dim_stats(spark, SMOKE_SF_DIR).collect()
+    assert len(rows) == 64
+    assert abs(sum(r["var_share"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r["variance"] >= 0
+        assert r["min_val"] <= r["mean_val"] <= r["max_val"]
