@@ -252,7 +252,13 @@ HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) >
 def t13_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, sent_idx int, sentence string, n_chars int")
+    # useArrow: the UDTF runs as an Arrow-batched stage
+    # (ArrowEvalPythonUDTF), not row-at-a-time BatchEvalPython — the same
+    # hot-path rule every other Python stage in the engine follows.
+    @udtf(
+        returnType="doc_id bigint, sent_idx int, sentence string, n_chars int",
+        useArrow=True,
+    )
     class SplitSentences:
         def eval(self, doc_id: int, text: str):
             for i, frag in enumerate(text.split(". ")):

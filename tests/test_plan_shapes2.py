@@ -103,3 +103,16 @@ def test_x13_kmin_is_take_ordered(spark):
     # per-partition top-k, never a global sort of the hash table.
     plan = explain(QUERIES["x13_kmv_distinct"](spark, SF), mode="simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_row_at_a_time_python_anywhere(spark):
+    """Global hot-path hygiene: no registered query may contain a
+    row-at-a-time Python eval (BatchEvalPython). Python is allowed only
+    as Arrow-batched stages (ArrowEvalPython / MapInPandas — the
+    multimodal ingest and the v05 NumPy scorer)."""
+    offenders = []
+    for name, fn in QUERIES.items():
+        plan = explain(fn(spark, SF), mode="simple")
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python in: {offenders}"
