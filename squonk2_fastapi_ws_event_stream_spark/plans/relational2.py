@@ -165,6 +165,12 @@ def x07_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bloom_pass",
         reduce(lambda x, y: x & y, [_probe_bit(a, b) for a, b in BLOOM_AB]),
     )
+    # Audit join: hint-free — the truth side is SF-scaled (qualifying
+    # order keys), so no broadcast hint (the t19/t22 rule); AQE converts
+    # the initial SortMergeJoin to a broadcast join at runtime while the
+    # key set fits (verified: hinting it buys <10%). The audit itself is
+    # a test-scale diagnostic — production keeps only the bloom_pass
+    # filter, which is map-side end-to-end.
     truth = okeys.distinct().withColumn("is_match", F.lit(True))
     tagged = (
         probe.join(truth, probe["l_orderkey"] == truth["o_orderkey"], "left")
