@@ -73,6 +73,7 @@ _PRIORITY = (
     "m07_media_magic_validation",
     "t42_canonical_selection",
     "t43_length_histogram",
+    "t13_sentence_udtf",  # plan changed: Arrow-optimized UDTF stage
     # round 4, NEW queries first (never driver-checked):
     "q36_supplier_concentration",
     "t40_triangle_count",

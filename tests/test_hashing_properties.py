@@ -210,3 +210,75 @@ def test_t41_normalization_idempotent(spark, text):
         _normalized(F.col("t")).alias("n1"),
     ).select("n1", _normalized(F.col("n1")).alias("n2")).collect()[0]
     assert once == twice
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=10_000_000), min_size=1, max_size=300)
+)
+def test_kmv_sketch_matches_python_reference(ids):
+    """x13's DuckDB oracle fragment computes exactly the pure-Python KMV:
+    k smallest distinct Knuth-multiplicative hashes, estimate with the
+    small-n branch."""
+    from squonk2_fastapi_ws_event_stream_spark.plans.pipeline import (
+        X13_A, X13_B, X13_K, _X13_P,
+    )
+
+    hs = sorted({(X13_A * u + X13_B) % _X13_P for u in ids})
+    kmin = hs[:X13_K]
+    want_kept, want_kth = len(kmin), kmin[-1]
+    want_est = (
+        float(want_kept)
+        if want_kept < X13_K
+        else round((want_kept - 1) * float(_X13_P) / want_kth, 4)
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ids (user_id BIGINT)")
+    con.executemany("INSERT INTO ids VALUES (?)", [(u,) for u in ids])
+    got = con.execute(
+        f"""
+        WITH hashed AS (
+          SELECT DISTINCT (user_id * {X13_A} + {X13_B}) % {_X13_P} AS h FROM ids
+        ),
+        kmin AS (SELECT h FROM hashed ORDER BY h ASC LIMIT {X13_K}),
+        sketch AS (SELECT COUNT(*) AS k_kept, MAX(h) AS kth FROM kmin)
+        SELECT k_kept, kth,
+               CASE WHEN k_kept < {X13_K} THEN CAST(k_kept AS DOUBLE)
+                    ELSE ROUND((k_kept - 1) * CAST({_X13_P} AS DOUBLE) / kth, 4)
+               END
+        FROM sketch
+        """
+    ).fetchone()
+    assert got == (want_kept, want_kth, want_est)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=10_000_000), min_size=1, max_size=300)
+)
+def test_linear_counting_matches_python_reference(ids):
+    """x14's occupied-bucket count equals the pure-Python bitmap model."""
+    import math
+
+    from squonk2_fastapi_ws_event_stream_spark.plans.pipeline import (
+        X13_A, X13_B, X14_M, _X13_P,
+    )
+
+    occ = len({((X13_A * u + X13_B) % _X13_P) % X14_M for u in ids})
+    want_est = round(X14_M * math.log(X14_M / max(1.0, X14_M - occ)), 2)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ids (user_id BIGINT)")
+    con.executemany("INSERT INTO ids VALUES (?)", [(u,) for u in ids])
+    got = con.execute(
+        f"""
+        WITH occ AS (
+          SELECT COUNT(*) AS occupied FROM (
+            SELECT DISTINCT ((user_id * {X13_A} + {X13_B}) % {_X13_P}) % {X14_M} AS b
+            FROM ids)
+        )
+        SELECT occupied,
+               ROUND({X14_M}.0 * ln({X14_M}.0 / GREATEST(1.0, {X14_M}.0 - occupied)), 2)
+        FROM occ
+        """
+    ).fetchone()
+    assert got == (occ, want_est)
