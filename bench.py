@@ -196,6 +196,7 @@ HEADLINE = [
     "t43_length_histogram",
     "t44_temperature_mixture",
     "v23_dim_stats",
+    "t45_pagerank",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

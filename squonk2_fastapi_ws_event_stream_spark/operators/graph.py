@@ -422,3 +422,104 @@ FROM pv
 
 QUERIES["t40_triangle_count"] = t40_triangle_count
 ORACLES["t40_triangle_count"] = _oracle_t40()
+
+
+# ---------------------------------------------------------------------------
+# t45 — PageRank over the near-dup graph (fixed-iteration power method,
+# damping 0.85): centrality ranks the documents whose near-duplicate
+# neighborhoods are largest/most connected — the "hub documents" a
+# curation pass reviews first (a high-rank node is a template many
+# variants orbit).
+#
+# Plan per iteration: ONE equi-join (out-edges ⋈ current ranks on the
+# source) and ONE groupBy on the destination — both shuffle on node
+# keys, map-side combinable, no driver-side adjacency (the CC loop's
+# shape with a numeric payload). The edge+degree table localCheckpoints
+# once; 5 fixed iterations.
+#
+# Cross-engine determinism: each iteration's incoming mass is an exact
+# decimal(28,14) sum of r/deg contributions (order-independent), and the
+# new rank is ROUNDed to 8 decimals — both engines iterate from
+# bit-identical state, so a fixed-depth unrolled-CTE oracle reproduces
+# the exact ranks (no recursive CTE needed at fixed depth).
+# ---------------------------------------------------------------------------
+PR_ITERS = 5
+PR_DAMP = 0.85
+_PR_DEC = "decimal(28,14)"
+
+
+def t45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _staged_edge_table(spark, sf_dir)
+    und = (
+        edges.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+        .unionByName(edges.select(F.col("dst").alias("s"), F.col("src").alias("d")))
+        .distinct()
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    out_edges = und.join(deg, "s").localCheckpoint(eager=True)
+    ranks = (
+        out_edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("r", F.lit(1.0))
+    )
+    for _ in range(PR_ITERS):
+        ranks = (
+            out_edges.join(ranks, out_edges.s == ranks.node)
+            .groupBy("d")
+            .agg(
+                F.round(
+                    (1 - PR_DAMP)
+                    + PR_DAMP
+                    * F.sum((F.col("r") / F.col("deg")).cast(_PR_DEC)).cast("double"),
+                    8,
+                ).alias("r")
+            )
+            .select(F.col("d").alias("node"), "r")
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.round("r", 6).alias("pagerank"),
+    )
+
+
+def _oracle_t45() -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT e.d AS node,
+         ROUND({1 - PR_DAMP} + {PR_DAMP} * CAST(SUM(
+             CAST(p.r / e.deg AS DECIMAL(28,14))) AS DOUBLE), 8) AS r
+  FROM out_edges e JOIN {prev} p ON e.s = p.node
+  GROUP BY e.d
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH pairs AS (
+  SELECT CAST(doc_a AS BIGINT) AS src, CAST(doc_b AS BIGINT) AS dst
+  FROM ({_oracle_t06()})
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 1 AS BIGINT)
+  FROM documents
+  WHERE doc_id % 10 < 3 AND doc_id + 1 <= (SELECT MAX(doc_id) FROM documents)
+),
+und AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT src AS s, dst AS d FROM pairs
+    UNION ALL
+    SELECT dst AS s, src AS d FROM pairs
+  )
+),
+deg AS (SELECT s, COUNT(*) AS deg FROM und GROUP BY s),
+out_edges AS (SELECT u.s, u.d, dg.deg FROM und u JOIN deg dg ON u.s = dg.s),
+r0 AS (SELECT DISTINCT s AS node, 1.0 AS r FROM und),
+{",".join(iters)}
+SELECT node AS doc_id, ROUND(r, 6) AS pagerank FROM {prev}
+"""
+
+
+QUERIES["t45_pagerank"] = t45_pagerank
+ORACLES["t45_pagerank"] = _oracle_t45()

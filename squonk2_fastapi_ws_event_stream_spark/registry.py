@@ -59,6 +59,7 @@ NON_SQL_QUERIES = frozenset(missing)
 # queries regardless of this order.
 _PRIORITY = (
     # round 4 late additions (never driver-checked, newest first):
+    "t45_pagerank",
     "v23_dim_stats",
     "t44_temperature_mixture",
     "q37_profit_by_nation_year",

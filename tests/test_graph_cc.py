@@ -87,3 +87,20 @@ def test_star_multiple_components_and_isolated_pairs(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = _label_map(connected_components_star(df))
     assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30, 33: 30}
+
+
+def test_pagerank_mass_conservation(spark):
+    """t45: every rank ≥ 0.15 (the teleport floor), and total mass stays
+    at N — each iteration maps Σr to 0.15·N + 0.85·Σr, whose fixed point
+    is N and which starts AT N (r₀ = 1), so only the 8-decimal rounding
+    can perturb it."""
+    from squonk2_fastapi_ws_event_stream_spark.operators import graph
+
+    rows = {
+        r["doc_id"]: r["pagerank"]
+        for r in graph.t45_pagerank(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows
+    assert all(r >= 0.15 - 1e-9 for r in rows.values())
+    n = len(rows)
+    assert abs(sum(rows.values()) - n) < 1e-3 * n
