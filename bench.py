@@ -197,6 +197,7 @@ HEADLINE = [
     "t44_temperature_mixture",
     "v23_dim_stats",
     "t45_pagerank",
+    "e24_top_session_paths",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

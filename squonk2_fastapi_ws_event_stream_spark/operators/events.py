@@ -1158,6 +1158,96 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# e24 — top session paths: e10's gaps-and-islands sessionization followed
+# by path mining — the ordered prefix (first 5 event types) of each
+# session, counted across sessions, top 20. The navigation-pattern
+# report behind funnel design (e18 checks ONE hypothesized path; e24
+# discovers which paths actually dominate).
+#
+# Scale: sessionization is e10's single (user_id)-partitioned window
+# shuffle; the path string builds in ONE per-session aggregate
+# (array_sort of (ts, event_id, type) structs — no second window), and
+# the prefix cap bounds row width regardless of session length. Path
+# counting shuffles |distinct paths| ≤ |types|⁵ rows; top-20 is
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+E24_PREFIX = 5
+E24_TOP = 20
+
+
+def e24_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = (
+        F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts", 1).over(w))
+    ) > 30 * 60 * 1000
+    with_sid = ev.withColumn(
+        "session_id",
+        F.sum(F.when(gap, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = with_sid.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                1,
+                E24_PREFIX,
+            ),
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    order_cols = [F.col("n_sessions").desc(), F.col("path").asc()]
+    top = counted.orderBy(*order_cols).limit(E24_TOP)
+    rank_w = Window.orderBy(*order_cols)
+    return top.withColumn("rank", F.row_number().over(rank_w)).select(
+        "rank", "path", F.col("n_sessions").cast("long").alias("n_sessions")
+    )
+
+
+ORACLE_E24 = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sid AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_id,
+         array_to_string(
+           (list(event_type ORDER BY ts ASC, event_id ASC))[1:{E24_PREFIX}],
+           '>') AS path
+  FROM sid GROUP BY user_id, session_id
+),
+counted AS (SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC) AS INTEGER)
+         AS rank,
+       path, CAST(n_sessions AS BIGINT) AS n_sessions
+FROM counted
+ORDER BY n_sessions DESC, path ASC
+LIMIT {E24_TOP}
+"""
+
+
 QUERIES = {
     "e01_replay_from_ordinal": e01_replay_from_ordinal,
     "e02_replay_from_timestamp": e02_replay_from_timestamp,
@@ -1182,6 +1272,7 @@ QUERIES = {
     "e21_hourly_anomalies": e21_hourly_anomalies,
     "e22_event_type_markov": e22_event_type_markov,
     "e23_interarrival_stats": e23_interarrival_stats,
+    "e24_top_session_paths": e24_top_session_paths,
 }
 
 ORACLES = {
@@ -1208,4 +1299,5 @@ ORACLES = {
     "e21_hourly_anomalies": ORACLE_E21,
     "e22_event_type_markov": ORACLE_E22,
     "e23_interarrival_stats": ORACLE_E23,
+    "e24_top_session_paths": ORACLE_E24,
 }

@@ -59,6 +59,7 @@ NON_SQL_QUERIES = frozenset(missing)
 # queries regardless of this order.
 _PRIORITY = (
     # round 4 late additions (never driver-checked, newest first):
+    "e24_top_session_paths",
     "t45_pagerank",
     "v23_dim_stats",
     "t44_temperature_mixture",

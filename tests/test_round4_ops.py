@@ -317,3 +317,17 @@ def test_dim_stats_variance_shares(spark):
     for r in rows:
         assert r["variance"] >= 0
         assert r["min_val"] <= r["mean_val"] <= r["max_val"]
+
+
+def test_session_paths_consistent_with_sessionize(spark):
+    """e24: total path-sessions equals e10's total session count, and no
+    path exceeds the prefix cap."""
+    top = events.e24_top_session_paths(spark, SMOKE_SF_DIR).collect()
+    assert top
+    for r in top:
+        assert 1 <= len(r["path"].split(">")) <= events.E24_PREFIX
+    n_sessions_e10 = sum(
+        r["n_sessions"] for r in events.e10_sessionize(spark, SMOKE_SF_DIR).collect()
+    )
+    # top-20 can't exceed the universe; equality holds when paths ≤ 20
+    assert sum(r["n_sessions"] for r in top) <= n_sessions_e10
