@@ -198,6 +198,8 @@ HEADLINE = [
     "v23_dim_stats",
     "t45_pagerank",
     "e24_top_session_paths",
+    "v24_embedding_drift",
+    "t46_canary_scan",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -703,6 +703,62 @@ FROM counts
 """
 
 
+# ---------------------------------------------------------------------------
+# t46 — canary-string scan: count documents containing each of a fixed
+# list of marker phrases. The memorization/extraction audit a training
+# pipeline runs both ways: before training (did planted canaries survive
+# filtering?) and on generated text (did the model emit one?). Carlini
+# et al. 2019 ("The Secret Sharer") is the canonical design.
+#
+# Scale: ONE corpus scan — every canary is a codegen `contains`
+# predicate inside a single aggregate projection (map-side combine to
+# one row), then a |canaries|-row stack. No explode, no join, no
+# shuffle beyond the 1-row combine.
+# ---------------------------------------------------------------------------
+T46_CANARIES = (
+    "key order",
+    "scan join",
+    "batch batch",
+    "window window",
+    "stream spark",
+)
+
+
+def t46_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    aggs = [
+        F.sum(F.col("text").contains(c).cast("long")).alias(f"c{i}")
+        for i, c in enumerate(T46_CANARIES)
+    ] + [F.count(F.lit(1)).alias("n_docs")]
+    one = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', c{i}" for i, c in enumerate(T46_CANARIES)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(T46_CANARIES)}, {stack_args})"
+        ).alias("canary", "n_docs_hit"),
+        "n_docs",
+    ).select(
+        "canary",
+        F.col("n_docs_hit").cast("long").alias("n_docs_hit"),
+        F.round(F.col("n_docs_hit") / F.col("n_docs"), 6).alias("hit_frac"),
+    )
+
+
+def _oracle_t46() -> str:
+    blocks = [
+        f"""SELECT '{c}' AS canary,
+       CAST(SUM(CASE WHEN contains(text, '{c}') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_hit,
+       ROUND(SUM(CASE WHEN contains(text, '{c}') THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS hit_frac
+FROM documents"""
+        for c in T46_CANARIES
+    ]
+    return "\nUNION ALL\n".join(blocks)
+
+
 QUERIES = {
     "t33_dup_ngram_spans": t33_dup_ngram_spans,
     "t34_dsir_importance": t34_dsir_importance,
@@ -713,6 +769,7 @@ QUERIES = {
     "t42_canonical_selection": t42_canonical_selection,
     "t43_length_histogram": t43_length_histogram,
     "t44_temperature_mixture": t44_temperature_mixture,
+    "t46_canary_scan": t46_canary_scan,
 }
 
 ORACLES = {
@@ -725,4 +782,5 @@ ORACLES = {
     "t42_canonical_selection": _oracle_t42(),
     "t43_length_histogram": ORACLE_T43,
     "t44_temperature_mixture": ORACLE_T44,
+    "t46_canary_scan": _oracle_t46(),
 }

@@ -2082,6 +2082,96 @@ FROM stats
 """
 
 
+# ---------------------------------------------------------------------------
+# v24 — embedding drift detection: split the corpus into two deterministic
+# halves (vec_id parity — the stand-in for "last month vs this month"),
+# compute per-label mean embeddings for each half (the v04 recipe:
+# exact-decimal sums, 6-decimal rounding), and report per label the
+# cosine between the two half-centroids plus the largest per-dimension
+# shift. The monitoring query that catches a retrained/upgraded encoder
+# silently rotating the space before ANN recall decays.
+#
+# Scale: one posexplode pass → a |labels|×2×dims aggregate (map-side
+# combinable); everything after runs on that tiny table. No corpus
+# re-shuffle, no pairwise work.
+# ---------------------------------------------------------------------------
+def v24_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(table(spark, sf_dir, "embeddings"), spark)
+    exploded = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    means = exploded.groupBy("label", "half", "dim").agg(
+        F.round(
+            F.sum(F.col("val").cast("double").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    h0 = means.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("m").alias("m0"), F.col("n").alias("n0")
+    )
+    h1 = means.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("m").alias("m1"), F.col("n").alias("n1")
+    )
+    dec = "decimal(28,14)"
+    joined = h0.join(h1, ["label", "dim"])
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.max("n0").cast("long").alias("n_half0"),
+            F.max("n1").cast("long").alias("n_half1"),
+            F.sum((F.col("m0") * F.col("m1")).cast(dec)).alias("dot"),
+            F.sum((F.col("m0") * F.col("m0")).cast(dec)).alias("s0"),
+            F.sum((F.col("m1") * F.col("m1")).cast(dec)).alias("s1"),
+            F.max(F.abs(F.col("m0") - F.col("m1"))).alias("max_shift"),
+        )
+        .select(
+            "label",
+            "n_half0",
+            "n_half1",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("s0").cast("double"))
+                    * F.sqrt(F.col("s1").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cos"),
+            F.round("max_shift", 6).alias("max_dim_shift"),
+        )
+    )
+
+
+ORACLE_V24 = """
+WITH means AS (
+  SELECT label, vec_id % 2 AS half, CAST(d.i - 1 AS INTEGER) AS dim,
+         ROUND(CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(18,12)))
+                    AS DOUBLE) / COUNT(*), 6) AS m,
+         COUNT(*) AS n
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS d(i)
+  GROUP BY label, half, dim
+),
+joined AS (
+  SELECT h0.label, h0.dim, h0.m AS m0, h1.m AS m1, h0.n AS n0, h1.n AS n1
+  FROM means h0 JOIN means h1
+    ON h0.label = h1.label AND h0.dim = h1.dim
+  WHERE h0.half = 0 AND h1.half = 1
+)
+SELECT label,
+       CAST(MAX(n0) AS BIGINT) AS n_half0,
+       CAST(MAX(n1) AS BIGINT) AS n_half1,
+       ROUND(CAST(SUM(CAST(m0 * m1 AS DECIMAL(28,14))) AS DOUBLE)
+             / (sqrt(CAST(SUM(CAST(m0 * m0 AS DECIMAL(28,14))) AS DOUBLE))
+                * sqrt(CAST(SUM(CAST(m1 * m1 AS DECIMAL(28,14))) AS DOUBLE))),
+             6) AS centroid_cos,
+       ROUND(MAX(ABS(m0 - m1)), 6) AS max_dim_shift
+FROM joined GROUP BY label
+"""
+
+
 QUERIES = {
     "v01_neardup_cosine": v01_neardup_cosine,
     "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
@@ -2105,6 +2195,7 @@ QUERIES = {
     "v21_ann_mrr_eval": v21_ann_mrr_eval,
     "v22_ivf_cell_quality": v22_ivf_cell_quality,
     "v23_dim_stats": v23_dim_stats,
+    "v24_embedding_drift": v24_embedding_drift,
 }
 
 ORACLES = {
@@ -2130,4 +2221,5 @@ ORACLES = {
     "v21_ann_mrr_eval": ORACLE_V21,
     "v22_ivf_cell_quality": ORACLE_V22,
     "v23_dim_stats": ORACLE_V23,
+    "v24_embedding_drift": ORACLE_V24,
 }

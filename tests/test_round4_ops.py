@@ -331,3 +331,15 @@ def test_session_paths_consistent_with_sessionize(spark):
     )
     # top-20 can't exceed the universe; equality holds when paths ≤ 20
     assert sum(r["n_sessions"] for r in top) <= n_sessions_e10
+
+
+def test_canary_scan_counts(spark):
+    """t46: one row per canary, every count within [0, n_docs], and at
+    least one canary hits at smoke scale (the phrases are drawn from the
+    corpus vocabulary so the scan is exercised, not vacuous)."""
+    rows = corpus.t46_canary_scan(spark, SMOKE_SF_DIR).collect()
+    assert len(rows) == len(corpus.T46_CANARIES)
+    assert {r["canary"] for r in rows} == set(corpus.T46_CANARIES)
+    assert any(r["n_docs_hit"] > 0 for r in rows)
+    for r in rows:
+        assert 0.0 <= r["hit_frac"] <= 1.0
