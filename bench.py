@@ -200,6 +200,8 @@ HEADLINE = [
     "e24_top_session_paths",
     "v24_embedding_drift",
     "t46_canary_scan",
+    "q40_weighted_median",
+    "e25_session_cooccurrence",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -1248,6 +1248,124 @@ LIMIT {E24_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# e25 — session co-occurrence lift (market-basket over sessions): for
+# every pair of event types, how much more often they share a session
+# than independence predicts — lift = P(a,b) / (P(a)·P(b)) over e10's
+# sessions. Lift > 1 marks behaviorally-coupled features; the
+# association signal behind "users who X also Y".
+#
+# Scale: sessionization is the one user-partitioned window shuffle;
+# each session reduces to its sorted DISTINCT type set in one aggregate
+# and pairs expand IN-ROW (the q35 trick — bounded by |types|², never
+# session length). Everything after runs on ≤ |types|² rows; the
+# session total and single-type counts broadcast. Lift is one rational
+# expression rounded once — identical in both engines.
+# ---------------------------------------------------------------------------
+def e25_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = (
+        F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts", 1).over(w))
+    ) > 30 * 60 * 1000
+    with_sid = ev.withColumn(
+        "session_id",
+        F.sum(F.when(gap, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sets = with_sid.groupBy("user_id", "session_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(types, (a, i) -> transform("
+                    "slice(types, i + 2, size(types) - i - 1), "
+                    "b -> struct(a AS a, b AS b)))"
+                )
+            )
+        ).alias("pr")
+    ).select("pr.a", "pr.b")
+    both = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_both"))
+    singles = (
+        sets.select(F.explode("types").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    total = sets.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        both.join(
+            F.broadcast(singles.select(F.col("t").alias("a"), F.col("n_t").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("t").alias("b"), F.col("n_t").alias("n_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("a").alias("type_a"),
+            F.col("b").alias("type_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both") * F.col("n_sessions")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+            F.round(F.col("n_both") / F.col("n_sessions"), 6).alias("support"),
+        )
+    )
+
+
+ORACLE_E25 = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sid AS (
+  SELECT user_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+),
+sess_types AS (
+  SELECT DISTINCT user_id, session_id, event_type FROM sid
+),
+pair_counts AS (
+  SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS n_both
+  FROM sess_types x JOIN sess_types y
+    ON x.user_id = y.user_id AND x.session_id = y.session_id
+   AND x.event_type < y.event_type
+  GROUP BY 1, 2
+),
+singles AS (
+  SELECT event_type AS t, COUNT(*) AS n_t FROM sess_types GROUP BY 1
+),
+total AS (
+  SELECT COUNT(*) AS n_sessions
+  FROM (SELECT DISTINCT user_id, session_id FROM sess_types)
+)
+SELECT b.a AS type_a, b.b AS type_b,
+       CAST(b.n_both AS BIGINT) AS n_both,
+       ROUND(b.n_both * t.n_sessions * 1.0 / (sa.n_t * sb.n_t), 6) AS lift,
+       ROUND(b.n_both * 1.0 / t.n_sessions, 6) AS support
+FROM pair_counts b
+JOIN singles sa ON sa.t = b.a
+JOIN singles sb ON sb.t = b.b
+CROSS JOIN total t
+"""
+
+
 QUERIES = {
     "e01_replay_from_ordinal": e01_replay_from_ordinal,
     "e02_replay_from_timestamp": e02_replay_from_timestamp,
@@ -1273,6 +1391,7 @@ QUERIES = {
     "e22_event_type_markov": e22_event_type_markov,
     "e23_interarrival_stats": e23_interarrival_stats,
     "e24_top_session_paths": e24_top_session_paths,
+    "e25_session_cooccurrence": e25_session_cooccurrence,
 }
 
 ORACLES = {
@@ -1300,4 +1419,5 @@ ORACLES = {
     "e22_event_type_markov": ORACLE_E22,
     "e23_interarrival_stats": ORACLE_E23,
     "e24_top_session_paths": ORACLE_E24,
+    "e25_session_cooccurrence": ORACLE_E25,
 }

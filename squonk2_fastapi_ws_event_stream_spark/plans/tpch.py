@@ -842,6 +842,84 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q40 — revenue-weighted median order price per market segment: the order
+# price at which half the segment's REVENUE sits below (not half the
+# orders — the robust "typical big order" statistic dashboards want when
+# whales skew the mean). Weighted median = first order, in price order,
+# whose cumulative revenue share crosses 50%.
+#
+# Scale: one (segment)-partitioned window over orders sorted by price —
+# parallel across segments, never a global sort; cumulative sums are
+# exact decimal cents, and the 2×cum ≥ total comparison is pure integer
+# arithmetic, so both engines pick the identical crossing row.
+# ---------------------------------------------------------------------------
+def q40_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    base = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_orderkey", cents.alias("cents")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cents").asc(), F.col("o_orderkey").asc()
+    )
+    wtot = Window.partitionBy("c_mktsegment")
+    cum = (
+        base.withColumn("cum", F.sum("cents").over(w))
+        .withColumn("total", F.sum("cents").over(wtot))
+        .withColumn("n_orders", F.count(F.lit(1)).over(wtot))
+    )
+    crossed = cum.filter(F.col("cum") * 2 >= F.col("total"))
+    pick_w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cents").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        crossed.withColumn("rn", F.row_number().over(pick_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("cents").cast("double") / 100, 2).alias(
+                "weighted_median_price"
+            ),
+            F.round(
+                F.col("cum").cast("double") / F.col("total").cast("double"), 6
+            ).alias("cum_share_at_median"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_Q40 = """
+WITH base AS (
+  SELECT c.c_mktsegment, o.o_orderkey,
+         CAST(ROUND(o.o_totalprice * 100) AS HUGEINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cum AS (
+  SELECT c_mktsegment, o_orderkey, cents,
+         SUM(cents) OVER (PARTITION BY c_mktsegment
+                          ORDER BY cents ASC, o_orderkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(cents) OVER (PARTITION BY c_mktsegment) AS total,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n_orders
+  FROM base
+),
+crossed AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                               ORDER BY cents ASC, o_orderkey ASC) AS rn
+  FROM cum WHERE cum * 2 >= total
+)
+SELECT c_mktsegment AS segment,
+       ROUND(CAST(cents AS DOUBLE) / 100, 2) AS weighted_median_price,
+       ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS cum_share_at_median,
+       CAST(n_orders AS BIGINT) AS n_orders
+FROM crossed WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -861,6 +939,7 @@ QUERIES = {
     "q37_profit_by_nation_year": q37_profit_by_nation_year,
     "q38_returned_items": q38_returned_items,
     "q39_ship_lag_priority": q39_ship_lag_priority,
+    "q40_weighted_median": q40_weighted_median,
 }
 
 ORACLES = {
@@ -882,4 +961,5 @@ ORACLES = {
     "q37_profit_by_nation_year": ORACLE_Q37,
     "q38_returned_items": ORACLE_Q38,
     "q39_ship_lag_priority": ORACLE_Q39,
+    "q40_weighted_median": ORACLE_Q40,
 }

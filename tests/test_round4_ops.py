@@ -343,3 +343,27 @@ def test_canary_scan_counts(spark):
     assert any(r["n_docs_hit"] > 0 for r in rows)
     for r in rows:
         assert 0.0 <= r["hit_frac"] <= 1.0
+
+
+def test_weighted_median_crossing(spark):
+    """q40: the reported price's cumulative share is the FIRST ≥ 0.5 per
+    segment, and every segment appears exactly once."""
+    from squonk2_fastapi_ws_event_stream_spark.plans import tpch
+
+    rows = tpch.q40_weighted_median(spark, SMOKE_SF_DIR).collect()
+    segs = [r["segment"] for r in rows]
+    assert len(segs) == len(set(segs)) and segs
+    for r in rows:
+        assert r["cum_share_at_median"] >= 0.5
+        assert r["weighted_median_price"] > 0
+
+
+def test_session_cooccurrence_bounds(spark):
+    """e25: support ∈ (0, 1]; lift > 0; n_both never exceeds either
+    single count's session total; pairs are canonical (a < b)."""
+    rows = events.e25_session_cooccurrence(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 0 < r["support"] <= 1
+        assert r["lift"] > 0
