@@ -202,6 +202,8 @@ HEADLINE = [
     "t46_canary_scan",
     "q40_weighted_median",
     "e25_session_cooccurrence",
+    "t47_source_similarity",
+    "x15_quantile_accuracy_sweep",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -759,6 +759,101 @@ FROM documents"""
     return "\nUNION ALL\n".join(blocks)
 
 
+# ---------------------------------------------------------------------------
+# t47 — source similarity matrix: cosine between per-source token
+# frequency profiles, every source pair. The corpus-governance view that
+# says which ingest sources are textually near-redundant (merge or
+# deduplicate across them) vs genuinely distinct (keep both for
+# diversity) — the source-level complement of t28's digest overlap.
+#
+# Scale: rides the staged tokenized corpus; profiles reduce to
+# (source, w, cnt) with map-side combine, the dot product is a PLAIN
+# vocabulary equi-join (hint-free, grows with corpus — the t22 rule),
+# and only |sources|² rows survive. Exact integer products in
+# decimal(38,0); one rounded division at the end.
+# ---------------------------------------------------------------------------
+def t47_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality import tokens_table
+
+    counts = (
+        tokens_table(spark, sf_dir)
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dec = "decimal(38,0)"
+    a = counts.select(
+        F.col("source").alias("s1"), "w", F.col("cnt").alias("c1")
+    )
+    b = counts.select(
+        F.col("source").alias("s2"), "w", F.col("cnt").alias("c2")
+    )
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.sum((F.col("c1") * F.col("c2")).cast(dec)).alias("dot"))
+    )
+    norms = counts.groupBy("source").agg(
+        F.sum((F.col("cnt") * F.col("cnt")).cast(dec)).alias("sq"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    n1 = norms.select(
+        F.col("source").alias("s1"), F.col("sq").alias("sq1"),
+        F.col("n_terms").alias("terms1"),
+    )
+    n2 = norms.select(
+        F.col("source").alias("s2"), F.col("sq").alias("sq2"),
+        F.col("n_terms").alias("terms2"),
+    )
+    return (
+        dots.join(F.broadcast(n1), "s1")
+        .join(F.broadcast(n2), "s2")
+        .select(
+            F.col("s1").alias("source_a"),
+            F.col("s2").alias("source_b"),
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("sq1").cast("double"))
+                    * F.sqrt(F.col("sq2").cast("double"))
+                ),
+                6,
+            ).alias("profile_cos"),
+            F.col("terms1").cast("long").alias("n_terms_a"),
+            F.col("terms2").cast("long").alias("n_terms_b"),
+        )
+    )
+
+
+ORACLE_T47 = """
+WITH counts AS (
+  SELECT source, w, COUNT(*) AS cnt FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+  ) GROUP BY source, w
+),
+dots AS (
+  SELECT a.source AS s1, b.source AS s2,
+         SUM(CAST(a.cnt * b.cnt AS HUGEINT)) AS dot
+  FROM counts a JOIN counts b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT source, SUM(CAST(cnt * cnt AS HUGEINT)) AS sq,
+         COUNT(*) AS n_terms
+  FROM counts GROUP BY source
+)
+SELECT d.s1 AS source_a, d.s2 AS source_b,
+       ROUND(CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))),
+             6) AS profile_cos,
+       CAST(na.n_terms AS BIGINT) AS n_terms_a,
+       CAST(nb.n_terms AS BIGINT) AS n_terms_b
+FROM dots d
+JOIN norms na ON na.source = d.s1
+JOIN norms nb ON nb.source = d.s2
+"""
+
+
 QUERIES = {
     "t33_dup_ngram_spans": t33_dup_ngram_spans,
     "t34_dsir_importance": t34_dsir_importance,
@@ -770,6 +865,7 @@ QUERIES = {
     "t43_length_histogram": t43_length_histogram,
     "t44_temperature_mixture": t44_temperature_mixture,
     "t46_canary_scan": t46_canary_scan,
+    "t47_source_similarity": t47_source_similarity,
 }
 
 ORACLES = {
@@ -783,4 +879,5 @@ ORACLES = {
     "t43_length_histogram": ORACLE_T43,
     "t44_temperature_mixture": ORACLE_T44,
     "t46_canary_scan": _oracle_t46(),
+    "t47_source_similarity": ORACLE_T47,
 }

@@ -966,3 +966,90 @@ FROM occ
 
 QUERIES["x14_linear_counting"] = x14_linear_counting
 ORACLES["x14_linear_counting"] = ORACLE_X14
+
+
+# ---------------------------------------------------------------------------
+# x15 — percentile-sketch accuracy sweep (x12's tuning curve for
+# quantiles): percentile_approx at accuracy ∈ {100, 1000, 10000} on
+# lineitem prices, each verdict-checked against its published RANK-error
+# bound (≤ n/accuracy; we allow 10x slack — rank, not value, because
+# heavy tails make adjacent order statistics arbitrarily far apart in
+# value, the x02 rationale). The curve read before fixing sketch memory:
+# accuracy is the GK-sketch size knob.
+#
+# Scale: all six sketches build in ONE scan (single aggregate); the rank
+# audit is one more scan with the 1-row answer broadcast. Hash-checked
+# columns are the exact percentiles + boolean verdicts — the approx
+# VALUES are engine-specific and stay out of the comparison.
+# ---------------------------------------------------------------------------
+X15_ACCS = (100, 1000, 10_000)
+X15_PCTS = (0.5, 0.95)
+
+
+def x15_quantile_accuracy_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    agg = li.agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(
+                f"p{int(p * 100)}_exact"
+            )
+            for p in X15_PCTS
+        ],
+        *[
+            F.percentile_approx("l_extendedprice", p, acc).alias(f"a{int(p*100)}_{acc}")
+            for p in X15_PCTS
+            for acc in X15_ACCS
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranks = li.crossJoin(F.broadcast(agg)).agg(
+        *[
+            F.sum(
+                (F.col("l_extendedprice") <= F.col(f"a{int(p*100)}_{acc}")).cast("long")
+            ).alias(f"r{int(p*100)}_{acc}")
+            for p in X15_PCTS
+            for acc in X15_ACCS
+        ]
+    )
+    rows = []
+    for acc in X15_ACCS:
+        checks = []
+        for p in X15_PCTS:
+            tag = f"{int(p * 100)}"
+            checks.append(
+                f"abs(r{tag}_{acc} - {p} * n) <= greatest(2.0, 10.0 * n / {acc})"
+            )
+        rows.append(f"{acc}, n, p50_exact, p95_exact, {checks[0]}, {checks[1]}")
+    return (
+        agg.crossJoin(F.broadcast(ranks))
+        .select(
+            F.expr(f"stack({len(X15_ACCS)}, " + ", ".join(rows) + ")").alias(
+                "accuracy", "n", "p50_exact", "p95_exact", "p50_ok", "p95_ok"
+            )
+        )
+        .select(
+            F.col("accuracy").cast("int").alias("accuracy"),
+            F.col("n").cast("long").alias("n"),
+            "p50_exact",
+            "p95_exact",
+            "p50_ok",
+            "p95_ok",
+        )
+    )
+
+
+ORACLE_X15 = f"""
+SELECT CAST(a AS INTEGER) AS accuracy,
+       (SELECT COUNT(*) FROM lineitem) AS n,
+       (SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 6) FROM lineitem)
+         AS p50_exact,
+       (SELECT ROUND(quantile_cont(l_extendedprice, 0.95), 6) FROM lineitem)
+         AS p95_exact,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM (SELECT unnest([{", ".join(str(a) for a in X15_ACCS)}]) AS a)
+"""
+
+
+QUERIES["x15_quantile_accuracy_sweep"] = x15_quantile_accuracy_sweep
+ORACLES["x15_quantile_accuracy_sweep"] = ORACLE_X15

@@ -367,3 +367,29 @@ def test_session_cooccurrence_bounds(spark):
         assert r["type_a"] < r["type_b"]
         assert 0 < r["support"] <= 1
         assert r["lift"] > 0
+
+
+def test_source_similarity_matrix_shape(spark):
+    """t47: one row per unordered source pair, cosine in [0, 1] (counts
+    are non-negative)."""
+    rows = corpus.t47_source_similarity(spark, SMOKE_SF_DIR).collect()
+    n_sources = len(
+        {r["source_a"] for r in rows} | {r["source_b"] for r in rows}
+    )
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0.0 <= r["profile_cos"] <= 1.0
+
+
+def test_quantile_sweep_monotone_exactness(spark):
+    """x15: one row per accuracy level; exact percentiles identical
+    across rows; p50 ≤ p95; all verdicts true at smoke scale."""
+    from squonk2_fastapi_ws_event_stream_spark.plans import pipeline as pl
+
+    rows = pl.x15_quantile_accuracy_sweep(spark, SMOKE_SF_DIR).collect()
+    assert {r["accuracy"] for r in rows} == set(pl.X15_ACCS)
+    assert len({(r["p50_exact"], r["p95_exact"]) for r in rows}) == 1
+    for r in rows:
+        assert r["p50_exact"] <= r["p95_exact"]
+        assert r["p50_ok"] and r["p95_ok"]
