@@ -204,6 +204,7 @@ HEADLINE = [
     "e25_session_cooccurrence",
     "t47_source_similarity",
     "x15_quantile_accuracy_sweep",
+    "t48_dedup_savings",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -881,3 +881,125 @@ ORACLES = {
     "t46_canary_scan": _oracle_t46(),
     "t47_source_similarity": ORACLE_T47,
 }
+
+
+# ---------------------------------------------------------------------------
+# t48 — dedup savings report: for each dedup tier (byte-exact,
+# normalized-exact, near-dup clusters) the documents and characters a
+# collapse-to-canonical pass would remove from the REAL corpus — the
+# executive cost/benefit table that decides which tier a pipeline runs.
+# Canonical = lowest doc_id per group (t01/t07's convention); savings =
+# everything else in the group.
+#
+# Scale: the two exact tiers are sha2 single-shuffle aggregates (32-byte
+# keys); the near-dup tier reads the STAGED CC label table. Each tier
+# reduces to one summary row map-side; the report is a 3-row stack.
+# ---------------------------------------------------------------------------
+def t48_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _normalized
+    from .graph import _staged_cc_labels
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    total = docs.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+    def tier_summary(grouped: DataFrame, tier: str) -> DataFrame:
+        per_group = grouped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.min_by("n_chars", "doc_id").alias("kept_chars"),
+        ).filter(F.col("n") > 1)
+        return per_group.agg(
+            F.lit(tier).alias("tier"),
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_dup_groups"),
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("docs_removed"),
+            F.coalesce(
+                F.sum(F.col("chars") - F.col("kept_chars")), F.lit(0)
+            ).alias("chars_removed"),
+        )
+
+    exact = tier_summary(
+        docs.withColumn("digest", F.sha2("text", 256)).groupBy("digest"), "exact"
+    )
+    norm = tier_summary(
+        docs.withColumn("digest", F.sha2(_normalized(F.col("text")), 256)).groupBy(
+            "digest"
+        ),
+        "normalized",
+    )
+    near = tier_summary(
+        _staged_cc_labels(spark, sf_dir)
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+        .join(docs, "doc_id")
+        .groupBy("cluster_id"),
+        "near_dup",
+    )
+    return (
+        exact.unionByName(norm)
+        .unionByName(near)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tier",
+            F.col("n_dup_groups").cast("long").alias("n_dup_groups"),
+            F.col("docs_removed").cast("long").alias("docs_removed"),
+            F.col("chars_removed").cast("long").alias("chars_removed"),
+            F.round(F.col("docs_removed") / F.col("total_docs"), 6).alias(
+                "docs_removed_frac"
+            ),
+            F.round(F.col("chars_removed") / F.col("total_chars"), 6).alias(
+                "chars_removed_frac"
+            ),
+        )
+    )
+
+
+def _oracle_t48() -> str:
+    from .dedup import _SQL_NORM
+    from .graph import _oracle_t07
+
+    def tier_sql(digest_expr: str, tier: str) -> str:
+        return f"""
+SELECT '{tier}' AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS docs_removed,
+       CAST(COALESCE(SUM(chars - kept_chars), 0) AS BIGINT) AS chars_removed
+FROM (
+  SELECT COUNT(*) AS n, SUM(n_chars) AS chars,
+         arg_min(n_chars, doc_id) AS kept_chars
+  FROM (SELECT doc_id, n_chars, {digest_expr} AS digest FROM documents)
+  GROUP BY digest HAVING COUNT(*) > 1
+)"""
+
+    near = f"""
+SELECT 'near_dup' AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS docs_removed,
+       CAST(COALESCE(SUM(chars - kept_chars), 0) AS BIGINT) AS chars_removed
+FROM (
+  SELECT COUNT(*) AS n, SUM(d.n_chars) AS chars,
+         arg_min(d.n_chars, c.doc_id) AS kept_chars
+  FROM ({_oracle_t07()}) c JOIN documents d USING (doc_id)
+  GROUP BY c.cluster_id HAVING COUNT(*) > 1
+)"""
+    tiers = " UNION ALL ".join(
+        [
+            tier_sql("sha256(text)", "exact"),
+            tier_sql(f"sha256({_SQL_NORM.format(c='text')})", "normalized"),
+            near,
+        ]
+    )
+    return f"""
+WITH tiers AS ({tiers}),
+total AS (SELECT COUNT(*) AS total_docs, SUM(n_chars) AS total_chars
+          FROM documents)
+SELECT tier, n_dup_groups, docs_removed, chars_removed,
+       ROUND(docs_removed * 1.0 / total_docs, 6) AS docs_removed_frac,
+       ROUND(chars_removed * 1.0 / total_chars, 6) AS chars_removed_frac
+FROM tiers CROSS JOIN total
+"""
+
+
+QUERIES["t48_dedup_savings"] = t48_dedup_savings
+ORACLES["t48_dedup_savings"] = _oracle_t48()

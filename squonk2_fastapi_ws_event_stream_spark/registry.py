@@ -59,6 +59,7 @@ NON_SQL_QUERIES = frozenset(missing)
 # queries regardless of this order.
 _PRIORITY = (
     # round 4 late additions (never driver-checked, newest first):
+    "t48_dedup_savings",
     "t47_source_similarity",
     "x15_quantile_accuracy_sweep",
     "q40_weighted_median",

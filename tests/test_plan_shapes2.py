@@ -116,3 +116,34 @@ def test_no_row_at_a_time_python_anywhere(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python in: {offenders}"
+
+
+def test_t45_pagerank_no_cartesian(spark):
+    # Every iteration is an equi-join + groupBy; nothing may plan as a
+    # cartesian/nested-loop over the node set.
+    plan = explain(QUERIES["t45_pagerank"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_q40_window_is_segment_partitioned(spark):
+    # The cumulative window partitions by segment — never a global sort
+    # of orders.
+    plan = explain(QUERIES["q40_weighted_median"](spark, SF), mode="simple")
+    assert "hashpartitioning(c_mktsegment" in plan
+
+
+def test_e25_pairs_expand_in_row(spark):
+    # Session sets expand to pairs with array expressions — no session
+    # self-join anywhere (one window shuffle + aggregates only).
+    plan = explain(QUERIES["e25_session_cooccurrence"](spark, SF), mode="simple")
+    assert "SortMergeJoin" not in plan  # lift joins all broadcast
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_t47_norms_broadcast(spark):
+    # The per-source norm tables ride broadcast joins; the vocabulary
+    # dot-product join stays hint-free.
+    plan = explain(QUERIES["t47_source_similarity"](spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -393,3 +393,15 @@ def test_quantile_sweep_monotone_exactness(spark):
     for r in rows:
         assert r["p50_exact"] <= r["p95_exact"]
         assert r["p50_ok"] and r["p95_ok"]
+
+
+def test_dedup_savings_tier_ordering(spark):
+    """t48: three tiers; normalized catches at least what byte-exact
+    catches (normalization is a many-to-one key map), and fractions stay
+    in [0, 1]."""
+    rows = {r["tier"]: r for r in corpus.t48_dedup_savings(spark, SMOKE_SF_DIR).collect()}
+    assert set(rows) == {"exact", "normalized", "near_dup"}
+    assert rows["normalized"]["docs_removed"] >= rows["exact"]["docs_removed"]
+    for r in rows.values():
+        assert 0.0 <= r["docs_removed_frac"] <= 1.0
+        assert 0.0 <= r["chars_removed_frac"] <= 1.0
