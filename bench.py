@@ -205,6 +205,8 @@ HEADLINE = [
     "t47_source_similarity",
     "x15_quantile_accuracy_sweep",
     "t48_dedup_savings",
+    "v25_label_affinity",
+    "e26_mad_anomalies",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -1366,6 +1366,77 @@ CROSS JOIN total t
 """
 
 
+# ---------------------------------------------------------------------------
+# e26 — robust hourly anomalies via median absolute deviation: e21 flags
+# against a trailing MEAN, which an earlier anomaly inflates (masking);
+# the MAD baseline is outlier-proof — median hourly count per type, MAD
+# of the deviations, flag hours beyond 5·MAD. Exact medians are valid
+# here because the group is hours-per-type (bounded by calendar time,
+# not event volume). Determinism: counts are integers, so medians and
+# MADs are exact .0/.5 binary fractions and the 5·MAD comparison cannot
+# ulp-flip between engines.
+# ---------------------------------------------------------------------------
+E26_K = 5  # MAD multiplier
+
+
+def e26_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.unix_micros("ts") / 3_600_000_000).alias("hour_no"),
+        )
+        .groupBy("event_type", "hour_no")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(cnt, 0.5)").alias("med")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "is_anom", (F.col("adev") > E26_K * F.col("mad")).cast("long")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.round(F.max("med"), 1).alias("median_count"),
+        F.round(F.max("mad"), 1).alias("mad"),
+        F.sum("is_anom").cast("long").alias("n_anomalous_hours"),
+        F.max("cnt").cast("long").alias("max_count"),
+    )
+
+
+ORACLE_E26 = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_no, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(cnt, 0.5) AS med FROM hourly GROUP BY 1
+),
+dev AS (
+  SELECT h.event_type, h.cnt, m.med, ABS(h.cnt - m.med) AS adev
+  FROM hourly h JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       ROUND(MAX(d.med), 1) AS median_count,
+       ROUND(MAX(m.mad), 1) AS mad,
+       CAST(SUM(CASE WHEN d.adev > {E26_K} * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalous_hours,
+       CAST(MAX(d.cnt) AS BIGINT) AS max_count
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 QUERIES = {
     "e01_replay_from_ordinal": e01_replay_from_ordinal,
     "e02_replay_from_timestamp": e02_replay_from_timestamp,
@@ -1392,6 +1463,7 @@ QUERIES = {
     "e23_interarrival_stats": e23_interarrival_stats,
     "e24_top_session_paths": e24_top_session_paths,
     "e25_session_cooccurrence": e25_session_cooccurrence,
+    "e26_mad_anomalies": e26_mad_anomalies,
 }
 
 ORACLES = {
@@ -1420,4 +1492,5 @@ ORACLES = {
     "e23_interarrival_stats": ORACLE_E23,
     "e24_top_session_paths": ORACLE_E24,
     "e25_session_cooccurrence": ORACLE_E25,
+    "e26_mad_anomalies": ORACLE_E26,
 }

@@ -2172,6 +2172,69 @@ FROM joined GROUP BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# v25 — label affinity matrix: cosine between every pair of label
+# centroids (the v04 means) — the class-geometry table read before
+# trusting v17's k-NN accuracy or choosing which labels can share an IVF
+# cell. High off-diagonal affinity = labels the ANN index will confuse.
+#
+# Scale: centroids are a |labels|×dims aggregate (one corpus pass,
+# map-side combinable); the pairwise step runs entirely on that tiny
+# table. Decimal-exact dot/norm sums, one rounded division.
+# ---------------------------------------------------------------------------
+def v25_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.extended import v04_label_centroids
+
+    cents = v04_label_centroids(spark, sf_dir).select("label", "dim", "mean_val")
+    a = cents.select(
+        F.col("label").alias("label_a"), "dim", F.col("mean_val").alias("ma")
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"), "dim", F.col("mean_val").alias("mb")
+    )
+    dec = "decimal(28,14)"
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("ma") * F.col("mb")).cast(dec)).alias("dot"),
+            F.sum((F.col("ma") * F.col("ma")).cast(dec)).alias("sa"),
+            F.sum((F.col("mb") * F.col("mb")).cast(dec)).alias("sb"),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("sa").cast("double"))
+                    * F.sqrt(F.col("sb").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
+    )
+
+
+ORACLE_V25 = """
+WITH cents AS (
+  SELECT label, CAST(d.i - 1 AS INTEGER) AS dim,
+         ROUND(CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(18,12)))
+                    AS DOUBLE) / COUNT(*), 6) AS m
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS d(i)
+  GROUP BY label, d.i
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       ROUND(CAST(SUM(CAST(a.m * b.m AS DECIMAL(28,14))) AS DOUBLE)
+             / (sqrt(CAST(SUM(CAST(a.m * a.m AS DECIMAL(28,14))) AS DOUBLE))
+                * sqrt(CAST(SUM(CAST(b.m * b.m AS DECIMAL(28,14))) AS DOUBLE))),
+             6) AS centroid_cos
+FROM cents a JOIN cents b ON a.dim = b.dim AND a.label < b.label
+GROUP BY a.label, b.label
+"""
+
+
 QUERIES = {
     "v01_neardup_cosine": v01_neardup_cosine,
     "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
@@ -2196,6 +2259,7 @@ QUERIES = {
     "v22_ivf_cell_quality": v22_ivf_cell_quality,
     "v23_dim_stats": v23_dim_stats,
     "v24_embedding_drift": v24_embedding_drift,
+    "v25_label_affinity": v25_label_affinity,
 }
 
 ORACLES = {
@@ -2222,4 +2286,5 @@ ORACLES = {
     "v22_ivf_cell_quality": ORACLE_V22,
     "v23_dim_stats": ORACLE_V23,
     "v24_embedding_drift": ORACLE_V24,
+    "v25_label_affinity": ORACLE_V25,
 }

@@ -59,6 +59,8 @@ NON_SQL_QUERIES = frozenset(missing)
 # queries regardless of this order.
 _PRIORITY = (
     # round 4 late additions (never driver-checked, newest first):
+    "v25_label_affinity",
+    "e26_mad_anomalies",
     "t48_dedup_savings",
     "t47_source_similarity",
     "x15_quantile_accuracy_sweep",

@@ -405,3 +405,25 @@ def test_dedup_savings_tier_ordering(spark):
     for r in rows.values():
         assert 0.0 <= r["docs_removed_frac"] <= 1.0
         assert 0.0 <= r["chars_removed_frac"] <= 1.0
+
+
+def test_label_affinity_pairs(spark):
+    """v25: one row per unordered label pair, cosine within [-1, 1]."""
+    rows = similarity.v25_label_affinity(spark, SMOKE_SF_DIR).collect()
+    labels = {r["label_a"] for r in rows} | {r["label_b"] for r in rows}
+    assert len(rows) == len(labels) * (len(labels) - 1) // 2
+    for r in rows:
+        assert r["label_a"] < r["label_b"]
+        assert -1.0 <= r["centroid_cos"] <= 1.0
+
+
+def test_mad_anomalies_robustness(spark):
+    """e26: MAD ≥ 0; anomalous hours never exceed total hours; the max
+    count of a flagged type must exceed the median."""
+    rows = events.e26_mad_anomalies(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["mad"] >= 0
+        assert 0 <= r["n_anomalous_hours"] <= r["n_hours"]
+        if r["n_anomalous_hours"] > 0:
+            assert r["max_count"] > r["median_count"]
