@@ -207,6 +207,7 @@ HEADLINE = [
     "t48_dedup_savings",
     "v25_label_affinity",
     "e26_mad_anomalies",
+    "x16_kmv_set_algebra",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

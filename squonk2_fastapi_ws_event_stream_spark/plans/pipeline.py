@@ -1053,3 +1053,135 @@ FROM (SELECT unnest([{", ".join(str(a) for a in X15_ACCS)}]) AS a)
 
 QUERIES["x15_quantile_accuracy_sweep"] = x15_quantile_accuracy_sweep
 ORACLES["x15_quantile_accuracy_sweep"] = ORACLE_X15
+
+
+# ---------------------------------------------------------------------------
+# x16 — KMV set algebra (the x13 sketch doing what it was chosen for):
+# union, Jaccard, and intersection estimates for two user populations
+# (first vs second half of the month) from their k-minimum-values
+# sketches ALONE — the audience-overlap question x10 answers with HLL,
+# answered here with the mergeable-by-hash-concat sketch family
+# (Beyer et al. 2007). Union sketch = k smallest of the two sketches'
+# hash union; Jaccard ≈ (shared hashes among those k) / k;
+# intersection ≈ Jaccard × union.
+#
+# Scale: each side reduces to k 8-byte hashes via TakeOrderedAndProject
+# (map-side partial k-min, one tiny shuffle); the set algebra runs on
+# ≤ 2k rows. Exact counts appear only as verdict columns.
+# ---------------------------------------------------------------------------
+X16_SPLIT = "2024-01-15"
+
+
+def x16_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("ts", "user_id")
+    h = (F.col("user_id") * X13_A + X13_B) % _X13_P
+
+    def kmin(side_filter):
+        return (
+            ev.filter(side_filter)
+            .select(h.alias("h"))
+            .distinct()
+            .orderBy(F.col("h").asc())
+            .limit(X13_K)
+        )
+    split = F.lit(X16_SPLIT).cast("timestamp")
+    ka = kmin(F.col("ts") < split).withColumn("in_a", F.lit(1))
+    kb = kmin(F.col("ts") >= split).withColumn("in_b", F.lit(1))
+    merged = (
+        ka.select("h", "in_a")
+        .unionByName(kb.select("h", F.col("in_b").alias("in_a")), allowMissingColumns=False)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("sides"))
+        .orderBy(F.col("h").asc())
+        .limit(X13_K)
+    )
+    sk = merged.agg(
+        F.count(F.lit(1)).alias("k_kept"),
+        F.max("h").alias("kth"),
+        F.sum((F.col("sides") == 2).cast("long")).alias("shared"),
+    )
+    est_union = F.when(
+        F.col("k_kept") < X13_K, F.col("k_kept").cast("double")
+    ).otherwise(
+        F.round((F.col("k_kept") - 1) * F.lit(float(_X13_P)) / F.col("kth"), 4)
+    )
+    exact = ev.agg(
+        F.count_distinct(F.when(F.col("ts") < split, F.col("user_id"))).alias(
+            "exact_a"
+        ),
+        F.count_distinct(F.when(F.col("ts") >= split, F.col("user_id"))).alias(
+            "exact_b"
+        ),
+        F.count_distinct("user_id").alias("exact_union"),
+    )
+    return (
+        sk.crossJoin(F.broadcast(exact))
+        .withColumn("est_union", est_union)
+        .withColumn("est_jaccard", F.round(F.col("shared") / F.col("k_kept"), 6))
+        .select(
+            F.col("k_kept").cast("long").alias("k_kept"),
+            F.col("shared").cast("long").alias("shared_hashes"),
+            "est_union",
+            "est_jaccard",
+            F.round(F.col("est_jaccard") * F.col("est_union"), 2).alias(
+                "est_intersection"
+            ),
+            F.col("exact_a").cast("long").alias("exact_a"),
+            F.col("exact_b").cast("long").alias("exact_b"),
+            F.col("exact_union").cast("long").alias("exact_union"),
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+            .cast("long")
+            .alias("exact_intersection"),
+        )
+    )
+
+
+ORACLE_X16 = f"""
+WITH ka AS (
+  SELECT DISTINCT (user_id * {X13_A} + {X13_B}) % {_X13_P} AS h
+  FROM events WHERE ts < TIMESTAMP '{X16_SPLIT}'
+  ORDER BY h ASC LIMIT {X13_K}
+),
+kb AS (
+  SELECT DISTINCT (user_id * {X13_A} + {X13_B}) % {_X13_P} AS h
+  FROM events WHERE ts >= TIMESTAMP '{X16_SPLIT}'
+  ORDER BY h ASC LIMIT {X13_K}
+),
+merged AS (
+  SELECT h, COUNT(*) AS sides FROM (
+    SELECT h FROM ka UNION ALL SELECT h FROM kb
+  ) GROUP BY h ORDER BY h ASC LIMIT {X13_K}
+),
+sk AS (
+  SELECT COUNT(*) AS k_kept, MAX(h) AS kth,
+         SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS shared
+  FROM merged
+),
+exact AS (
+  SELECT COUNT(DISTINCT CASE WHEN ts < TIMESTAMP '{X16_SPLIT}'
+                             THEN user_id END) AS exact_a,
+         COUNT(DISTINCT CASE WHEN ts >= TIMESTAMP '{X16_SPLIT}'
+                             THEN user_id END) AS exact_b,
+         COUNT(DISTINCT user_id) AS exact_union
+  FROM events
+)
+SELECT CAST(k_kept AS BIGINT) AS k_kept,
+       CAST(shared AS BIGINT) AS shared_hashes,
+       CASE WHEN k_kept < {X13_K} THEN CAST(k_kept AS DOUBLE)
+            ELSE ROUND((k_kept - 1) * CAST({_X13_P} AS DOUBLE) / kth, 4)
+       END AS est_union,
+       ROUND(shared * 1.0 / k_kept, 6) AS est_jaccard,
+       ROUND(ROUND(shared * 1.0 / k_kept, 6) *
+             CASE WHEN k_kept < {X13_K} THEN CAST(k_kept AS DOUBLE)
+                  ELSE ROUND((k_kept - 1) * CAST({_X13_P} AS DOUBLE) / kth, 4)
+             END, 2) AS est_intersection,
+       CAST(exact_a AS BIGINT) AS exact_a,
+       CAST(exact_b AS BIGINT) AS exact_b,
+       CAST(exact_union AS BIGINT) AS exact_union,
+       CAST(exact_a + exact_b - exact_union AS BIGINT) AS exact_intersection
+FROM sk CROSS JOIN exact
+"""
+
+
+QUERIES["x16_kmv_set_algebra"] = x16_kmv_set_algebra
+ORACLES["x16_kmv_set_algebra"] = ORACLE_X16

@@ -427,3 +427,16 @@ def test_mad_anomalies_robustness(spark):
         assert 0 <= r["n_anomalous_hours"] <= r["n_hours"]
         if r["n_anomalous_hours"] > 0:
             assert r["max_count"] > r["median_count"]
+
+
+def test_kmv_set_algebra_identities(spark):
+    """x16: estimates obey set identities — Jaccard ∈ [0,1], union ≥
+    both exact sides' sketch floor, intersection = jaccard·union, and
+    exact columns satisfy inclusion-exclusion."""
+    from squonk2_fastapi_ws_event_stream_spark.plans import pipeline as pl
+
+    r = pl.x16_kmv_set_algebra(spark, SMOKE_SF_DIR).collect()[0]
+    assert 0.0 <= r["est_jaccard"] <= 1.0
+    assert r["shared_hashes"] <= r["k_kept"] <= pl.X13_K
+    assert abs(r["est_intersection"] - round(r["est_jaccard"] * r["est_union"], 2)) < 0.02
+    assert r["exact_intersection"] == r["exact_a"] + r["exact_b"] - r["exact_union"]
