@@ -208,6 +208,7 @@ HEADLINE = [
     "v25_label_affinity",
     "e26_mad_anomalies",
     "x16_kmv_set_algebra",
+    "v26_ivf_cell_balance",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

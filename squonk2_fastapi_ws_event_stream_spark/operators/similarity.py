@@ -2235,6 +2235,54 @@ GROUP BY a.label, b.label
 """
 
 
+# ---------------------------------------------------------------------------
+# v26 — IVF cell balance: occupancy per cell plus the imbalance factor
+# (max/mean occupancy). v22 grades cell QUALITY (cohesion); v26 grades
+# cell BALANCE — a skewed cell re-quadratizes SemDeDup (v12's documented
+# caveat) and makes probe latency unpredictable, so this is the
+# retrain-trigger metric an index operator watches alongside recall.
+#
+# Scale: one count aggregate over the staged assigned-corpus table
+# (k rows out); the summary stats are a second aggregate over those k
+# rows. Imbalance is a ratio of exact integers, rounded once.
+# ---------------------------------------------------------------------------
+def v26_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _emb, _packed, assigned = _stride_ivf_index(spark, sf_dir)
+    occ = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return occ.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n_vectors").cast("long").alias("n_vectors_total"),
+        F.min("n_vectors").cast("long").alias("min_occupancy"),
+        F.max("n_vectors").cast("long").alias("max_occupancy"),
+        F.round(
+            F.max("n_vectors") * F.count(F.lit(1)) / F.sum("n_vectors"), 6
+        ).alias("imbalance_factor"),
+    )
+
+
+ORACLE_V26 = f"""
+WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+           WHERE vec_id % {CENTROID_STRIDE} = 0),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS r
+    FROM embeddings e CROSS JOIN c
+  ) WHERE r = 1
+),
+occ AS (SELECT cell_id, COUNT(*) AS n_vectors FROM assigned GROUP BY cell_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n_vectors) AS BIGINT) AS n_vectors_total,
+       CAST(MIN(n_vectors) AS BIGINT) AS min_occupancy,
+       CAST(MAX(n_vectors) AS BIGINT) AS max_occupancy,
+       ROUND(MAX(n_vectors) * COUNT(*) * 1.0 / SUM(n_vectors), 6)
+         AS imbalance_factor
+FROM occ
+"""
+
+
 QUERIES = {
     "v01_neardup_cosine": v01_neardup_cosine,
     "v02_ann_bruteforce_topk": v02_ann_bruteforce_topk,
@@ -2260,6 +2308,7 @@ QUERIES = {
     "v23_dim_stats": v23_dim_stats,
     "v24_embedding_drift": v24_embedding_drift,
     "v25_label_affinity": v25_label_affinity,
+    "v26_ivf_cell_balance": v26_ivf_cell_balance,
 }
 
 ORACLES = {
@@ -2287,4 +2336,5 @@ ORACLES = {
     "v23_dim_stats": ORACLE_V23,
     "v24_embedding_drift": ORACLE_V24,
     "v25_label_affinity": ORACLE_V25,
+    "v26_ivf_cell_balance": ORACLE_V26,
 }

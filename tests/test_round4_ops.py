@@ -440,3 +440,12 @@ def test_kmv_set_algebra_identities(spark):
     assert r["shared_hashes"] <= r["k_kept"] <= pl.X13_K
     assert abs(r["est_intersection"] - round(r["est_jaccard"] * r["est_union"], 2)) < 0.02
     assert r["exact_intersection"] == r["exact_a"] + r["exact_b"] - r["exact_union"]
+
+
+def test_ivf_cell_balance_invariants(spark):
+    """v26: occupancies partition the corpus; imbalance ≥ 1 by
+    construction (max ≥ mean)."""
+    r = similarity.v26_ivf_cell_balance(spark, SMOKE_SF_DIR).collect()[0]
+    assert r["min_occupancy"] <= r["max_occupancy"]
+    assert r["imbalance_factor"] >= 1.0
+    assert r["n_vectors_total"] >= r["n_cells"] * r["min_occupancy"]
