@@ -209,6 +209,7 @@ HEADLINE = [
     "e26_mad_anomalies",
     "x16_kmv_set_algebra",
     "v26_ivf_cell_balance",
+    "t49_lsh_band_sweep",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -622,3 +622,105 @@ ORACLES = {
     "t38_shingle_containment": _oracle_t38(),
     "t41_dedup_normalized": ORACLE_T41,
 }
+
+
+# ---------------------------------------------------------------------------
+# t49 — LSH band/row tuning sweep: candidate-pair counts for three
+# groupings of the same 16-perm MinHash signature — (2 bands × 8 rows),
+# (4 × 4, t02's production setting), (8 × 2) — each with its S-curve
+# midpoint s50 = (1/b)^(1/r), the Jaccard level at which detection
+# probability crosses 50%. More bands/shorter rows → lower threshold →
+# more candidates; the sweep prices that recall/verify-cost tradeoff
+# before fixing b×r (the LSH analog of x12's lgK and v16's n_probe
+# sweeps).
+#
+# Scale: all three configs ride the ONE staged signature table; each
+# config's candidate generation is the same band equi-join as t02
+# (keys only, linear in corpus). s50 is injected as the SAME Python
+# float literal into both engines — no pow() drift.
+# ---------------------------------------------------------------------------
+T49_CONFIGS = ((2, 8), (4, 4), (8, 2))
+
+
+def t49_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _stage_cached(
+        "t02",
+        sf_dir,
+        lambda: _with_shingles(
+            table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+        ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
+    )
+    parts = []
+    for b, r in T49_CONFIGS:
+        keys = [
+            F.concat_ws(
+                "-",
+                *[
+                    F.element_at(F.col("sig"), band * r + j + 1).cast("string")
+                    for j in range(r)
+                ],
+            )
+            for band in range(b)
+        ]
+        bands = sig.select(
+            "doc_id", F.posexplode(F.array(*keys)).alias("band_id", "band_key")
+        )
+        pairs = (
+            bands.alias("x")
+            .join(bands.alias("y"), ["band_id", "band_key"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        s50 = round((1.0 / b) ** (1.0 / r), 4)
+        parts.append(
+            pairs.agg(
+                F.lit(b).alias("n_bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+                F.lit(s50).alias("s50_threshold"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _oracle_t49() -> str:
+    blocks = []
+    for b, r in T49_CONFIGS:
+        band_selects = " UNION ALL ".join(
+            "SELECT doc_id, {band} AS band_id, {key} AS band_key FROM sig".format(
+                band=band,
+                key=" || '-' || ".join(
+                    f"CAST(sig[{band * r + j + 1}] AS VARCHAR)" for j in range(r)
+                ),
+            )
+            for band in range(b)
+        )
+        s50 = round((1.0 / b) ** (1.0 / r), 4)
+        blocks.append(
+            f"""
+SELECT {b} AS n_bands, {r} AS rows_per_band,
+       CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+       {s50} AS s50_threshold
+FROM (
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+  FROM ({band_selects}) x JOIN ({band_selects}) y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+)"""
+        )
+    body = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH sh AS ({SQL_SHINGLES}),
+sig AS (SELECT doc_id, {H.sql_minhash_signature('shingles')} AS sig FROM sh)
+{body}
+"""
+
+
+QUERIES["t49_lsh_band_sweep"] = t49_lsh_band_sweep
+ORACLES["t49_lsh_band_sweep"] = _oracle_t49()

@@ -449,3 +449,20 @@ def test_ivf_cell_balance_invariants(spark):
     assert r["min_occupancy"] <= r["max_occupancy"]
     assert r["imbalance_factor"] >= 1.0
     assert r["n_vectors_total"] >= r["n_cells"] * r["min_occupancy"]
+
+
+def test_lsh_sweep_monotone_in_bands(spark):
+    """t49: more bands (shorter rows) lowers the detection threshold, so
+    candidate counts are non-decreasing as n_bands grows and thresholds
+    strictly decrease."""
+    from squonk2_fastapi_ws_event_stream_spark.operators import dedup
+
+    rows = sorted(
+        dedup.t49_lsh_band_sweep(spark, SMOKE_SF_DIR).collect(),
+        key=lambda r: r["n_bands"],
+    )
+    assert [(r["n_bands"], r["rows_per_band"]) for r in rows] == list(dedup.T49_CONFIGS)
+    cands = [r["n_candidate_pairs"] for r in rows]
+    assert cands == sorted(cands)
+    thresholds = [r["s50_threshold"] for r in rows]
+    assert thresholds == sorted(thresholds, reverse=True)
