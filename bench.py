@@ -210,6 +210,7 @@ HEADLINE = [
     "x16_kmv_set_algebra",
     "v26_ivf_cell_balance",
     "t49_lsh_band_sweep",
+    "q41_yoy_revenue_growth",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

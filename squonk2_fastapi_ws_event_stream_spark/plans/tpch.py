@@ -920,6 +920,70 @@ FROM crossed WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# q41 — year-over-year revenue growth per nation: the trend report layered
+# on q37's star join. One |nation × year| aggregate (decimal-exact), then
+# a lag window over that tiny table — the window never touches fact rows.
+# Growth is a ratio of two already-rounded decimals, rounded once more.
+# ---------------------------------------------------------------------------
+def q41_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.year("o_orderdate").alias("o_year")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "o_year")
+        .agg(dsum2("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("o_year").asc())
+    return (
+        yearly.withColumn("prev_revenue", F.lag("revenue").over(w))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_year").cast("int").alias("o_year"),
+            "revenue",
+            F.coalesce(F.col("prev_revenue"), F.lit(0.0)).alias("prev_revenue"),
+            F.when(F.col("prev_revenue").isNull(), F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (F.col("revenue") - F.col("prev_revenue"))
+                    / F.col("prev_revenue"),
+                    6,
+                )
+            )
+            .alias("yoy_growth"),
+        )
+    )
+
+
+ORACLE_Q41 = """
+WITH yearly AS (
+  SELECT n.n_name, YEAR(o.o_orderdate) AS o_year,
+         ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+           AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, YEAR(o.o_orderdate)
+),
+lagged AS (
+  SELECT n_name, o_year, revenue,
+         LAG(revenue) OVER (PARTITION BY n_name ORDER BY o_year ASC)
+           AS prev_revenue
+  FROM yearly
+)
+SELECT n_name AS nation, CAST(o_year AS INTEGER) AS o_year, revenue,
+       COALESCE(prev_revenue, 0.0) AS prev_revenue,
+       CASE WHEN prev_revenue IS NULL THEN 0.0
+            ELSE ROUND((revenue - prev_revenue) / prev_revenue, 6)
+       END AS yoy_growth
+FROM lagged
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_customers": q02_top_customers,
@@ -940,6 +1004,7 @@ QUERIES = {
     "q38_returned_items": q38_returned_items,
     "q39_ship_lag_priority": q39_ship_lag_priority,
     "q40_weighted_median": q40_weighted_median,
+    "q41_yoy_revenue_growth": q41_yoy_revenue_growth,
 }
 
 ORACLES = {
@@ -962,4 +1027,5 @@ ORACLES = {
     "q38_returned_items": ORACLE_Q38,
     "q39_ship_lag_priority": ORACLE_Q39,
     "q40_weighted_median": ORACLE_Q40,
+    "q41_yoy_revenue_growth": ORACLE_Q41,
 }
