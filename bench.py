@@ -211,6 +211,7 @@ HEADLINE = [
     "v26_ivf_cell_balance",
     "t49_lsh_band_sweep",
     "q41_yoy_revenue_growth",
+    "e27_funnel_latency",
 ]
 
 # Regression gate (--check): >2x the recorded baseline per query, matching

@@ -1437,6 +1437,61 @@ GROUP BY d.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# e27 — funnel conversion latency: for each user whose first purchase
+# follows their first signup, the signup→purchase delay — e18 reports
+# WHO converts, e27 reports HOW LONG conversion takes (the number that
+# sizes re-engagement windows). Per-user firsts are one min-aggregate
+# (map-side combinable, |users| rows out); the latency distribution is
+# exact percentiles over the reduced per-user table (the x02 tradeoff:
+# exact for the oracle, sketch at extreme user counts — noted).
+# ---------------------------------------------------------------------------
+def e27_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias("s_us"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias("p_us"),
+    )
+    lat = firsts.filter(
+        F.col("s_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") > F.col("s_us"))
+    ).withColumn("lat_us", F.col("p_us") - F.col("s_us"))
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converting_users"),
+        F.round(F.expr("percentile(lat_us, 0.5)") / 60_000_000, 3).alias(
+            "p50_minutes"
+        ),
+        F.round(F.expr("percentile(lat_us, 0.9)") / 60_000_000, 3).alias(
+            "p90_minutes"
+        ),
+        F.round(F.min("lat_us") / 60_000_000, 3).alias("min_minutes"),
+        F.round(F.max("lat_us") / 60_000_000, 3).alias("max_minutes"),
+    )
+
+
+ORACLE_E27 = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+  FROM events GROUP BY user_id
+),
+lat AS (
+  SELECT p_us - s_us AS lat_us FROM firsts
+  WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us > s_us
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converting_users,
+       ROUND(quantile_cont(lat_us, 0.5) / 60000000, 3) AS p50_minutes,
+       ROUND(quantile_cont(lat_us, 0.9) / 60000000, 3) AS p90_minutes,
+       ROUND(MIN(lat_us) / 60000000, 3) AS min_minutes,
+       ROUND(MAX(lat_us) / 60000000, 3) AS max_minutes
+FROM lat
+"""
+
+
 QUERIES = {
     "e01_replay_from_ordinal": e01_replay_from_ordinal,
     "e02_replay_from_timestamp": e02_replay_from_timestamp,
@@ -1464,6 +1519,7 @@ QUERIES = {
     "e24_top_session_paths": e24_top_session_paths,
     "e25_session_cooccurrence": e25_session_cooccurrence,
     "e26_mad_anomalies": e26_mad_anomalies,
+    "e27_funnel_latency": e27_funnel_latency,
 }
 
 ORACLES = {
@@ -1493,4 +1549,5 @@ ORACLES = {
     "e24_top_session_paths": ORACLE_E24,
     "e25_session_cooccurrence": ORACLE_E25,
     "e26_mad_anomalies": ORACLE_E26,
+    "e27_funnel_latency": ORACLE_E27,
 }

