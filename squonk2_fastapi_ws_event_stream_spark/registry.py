@@ -54,26 +54,51 @@ NON_SQL_QUERIES = frozenset(missing)
 
 # The driver checks at most ~50 queries per round, sampled in registry
 # order. Front-load queries whose SEMANTICS or plans changed this round so
-# CORRECTNESS_r04 records fresh hard rows for them first; the r3 tail
+# CORRECTNESS_r05 records fresh hard rows for them first; the r4 tail
 # (all already green) follows. Local oracle-parity tests still cover all
 # queries regardless of this order.
 _PRIORITY = (
-    # round 4 late additions (never driver-checked, newest first):
+    # round 5 head: the 10 queries that have NEVER had a driver row
+    # (displaced by round-4 additions; VERDICT r4 "What's missing" #3).
+    "e16_interval_join",
+    "m05_media_downsample",
+    "t33_dup_ngram_spans",
+    "t34_dsir_importance",
+    "t35_filter_funnel",
+    "t36_zipf_stats",
+    "v15_matryoshka_recall",
+    "v16_nprobe_recall_curve",
+    "v17_knn_label_accuracy",
+    "x11_sample_error_bounds",
+    # round 5: plans/semantics changed this round (head/tail frequency
+    # joins, staged percentile table, KMV hash overflow fix, shared
+    # sessionizer, m05 NumPy vectorization, t47 common-token prune).
+    "t30_bigram_lm",
+    "t28_source_overlap",
+    "x09_join_size_estimate",
+    "t22_unigram_logprob",
+    "t27_tfidf_top_terms",
+    "x02_approx_percentiles",
+    "x15_quantile_accuracy_sweep",
+    "x13_kmv_distinct",
+    "x14_linear_counting",
+    "x16_kmv_set_algebra",
+    "e24_top_session_paths",
+    "e25_session_cooccurrence",
+    "e10_sessionize",
+    "t47_source_similarity",
+    "m01_multimodal_decode",
+    # round 4 late additions:
     "e27_funnel_latency",
     "q41_yoy_revenue_growth",
     "t49_lsh_band_sweep",
     "v26_ivf_cell_balance",
-    "x16_kmv_set_algebra",
     "v25_label_affinity",
     "e26_mad_anomalies",
     "t48_dedup_savings",
-    "t47_source_similarity",
-    "x15_quantile_accuracy_sweep",
     "q40_weighted_median",
-    "e25_session_cooccurrence",
     "v24_embedding_drift",
     "t46_canary_scan",
-    "e24_top_session_paths",
     "t45_pagerank",
     "v23_dim_stats",
     "t44_temperature_mixture",
@@ -84,8 +109,6 @@ _PRIORITY = (
     "e23_interarrival_stats",
     "v21_ann_mrr_eval",
     "v22_ivf_cell_quality",
-    "x13_kmv_distinct",
-    "x14_linear_counting",
     "m07_media_magic_validation",
     "t42_canonical_selection",
     "t43_length_histogram",
@@ -110,27 +133,9 @@ _PRIORITY = (
     "q33_cohort_retention",
     "e17_out_of_order_stats",
     "t37_quality_bucket_stats",
-    "v17_knn_label_accuracy",
-    "m05_media_downsample",
-    "t33_dup_ngram_spans",
-    "t34_dsir_importance",
-    "t35_filter_funnel",
-    "t36_zipf_stats",
-    "v15_matryoshka_recall",
-    "v16_nprobe_recall_curve",
-    "e16_interval_join",
-    "x11_sample_error_bounds",
-    # round 4: changed schema/semantics (m01 honest BMP/WAV decode,
-    # e14 microsecond compaction key) and changed plans (de-hinted
-    # frequency joins, v05 partial-top-k rewrite, v07 staged index,
-    # t07 staged edges, v03 probe refactor)
-    "m01_multimodal_decode",
+    # round 4: changed schema/semantics and changed plans
     "e14_log_compaction",
     "t19_boilerplate_removal",
-    "t22_unigram_logprob",
-    "t27_tfidf_top_terms",
-    "t28_source_overlap",
-    "t30_bigram_lm",
     "v05_ann_pandas_udf_topk",
     "v07_ann_kmeans_topk",
     "t07_dedup_cluster_cc",
@@ -147,7 +152,6 @@ _PRIORITY = (
     "q32_top_supplier",
     "e15_json_functions",
     "v13_cluster_representatives",
-    "x09_join_size_estimate",
     "t29_quality_calibration",
     "v14_ann_ivf_pq_topk",
     "t31_minhash_estimate_eval",
@@ -171,7 +175,6 @@ _PRIORITY = (
     "e02_replay_from_timestamp",
     "e04_enrich_json",
     "e06_enrich_prototext",
-    "e10_sessionize",
 )
 _unknown = set(_PRIORITY) - QUERIES.keys()
 if _unknown:
