@@ -70,3 +70,53 @@ def two_phase_agg(
         for name, (_, merge_fn) in aggs.items()
     ]
     return partial.groupBy(*keys).agg(*finals)
+
+
+# Fixed head size for `head_tail_freq_join`. 1024 keys × a few numeric
+# columns is a few tens of KB — broadcast-safe BY CONSTRUCTION at any
+# corpus size (the t34 fixed-bucket discipline), unlike a full-vocabulary
+# broadcast, which grows with the corpus and trips Spark's 8 GB hard cap
+# long before 100 TB.
+FREQ_HEAD_K = 1024
+
+
+def head_tail_freq_join(
+    probe: DataFrame,
+    lut: DataFrame,
+    on: str,
+    order_col: str,
+    head_k: int = FREQ_HEAD_K,
+) -> DataFrame:
+    """Split-frequency equi-join for Zipfian lookup tables.
+
+    Token/bigram frequency tables are power-law: a plain shuffle join
+    keys the ENTIRE probe side by the token, and the hottest keys (stop
+    words) concentrate on a handful of reducers — the classic skew
+    straggler. A full-table broadcast is the other failure mode (the
+    vocabulary grows with the corpus; unbounded broadcasts are job-fatal
+    at scale — see SCALING.md "broadcast hint rule").
+
+    The split takes both escapes at once:
+
+    - HEAD = the `head_k` hottest keys by `order_col` (deterministic
+      tie-break on the key). Fixed size by construction → broadcast-safe
+      forever. Under Zipf, these cover the overwhelming majority of probe
+      ROWS, which therefore never shuffle: they join broadcast-hash and
+      keep the probe's upstream partitioning.
+    - TAIL = everything else, shuffle-joined. Skew-free by construction:
+      the tail's hottest key is at most as frequent as the head's
+      coldest, so no reducer hot-spots remain for AQE to split.
+
+    The output is the same multiset of rows as ``probe JOIN lut USING
+    (on)`` — head/tail membership never changes a joined value, so
+    oracles are unaffected. Callers should persist/stage `lut` (it is
+    referenced three times: head top-k, head anti for the probe split,
+    head anti for the tail) — see `tokens_table` / `_stage_cached`.
+    """
+    head = lut.orderBy(F.col(order_col).desc(), F.col(on)).limit(head_k)
+    head_keys = F.broadcast(head.select(on))
+    hit = probe.join(F.broadcast(head), on)
+    miss = probe.join(head_keys, on, "left_anti").join(
+        lut.join(head_keys, on, "left_anti"), on
+    )
+    return hit.unionByName(miss)

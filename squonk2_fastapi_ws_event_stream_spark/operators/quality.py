@@ -462,11 +462,14 @@ WHERE doc_id NOT IN (SELECT DISTINCT train_id FROM flagged WHERE contaminated)""
 # integer both engines compute from the binary string representation —
 # no libm, no ulp drift. avg_bits is then an exact-integer sum divided by
 # an exact count, rounded once.
-# Scale: the vocabulary grows with the corpus, so the frequency join is a
-# PLAIN equi-join — no broadcast hint (hints are never size-checked; at
-# 100 TB a full-vocab broadcast trips Spark's 8 GB hard cap and the job
-# fails). AQE broadcasts it at runtime when it fits, shuffle-joins when
-# not. The per-doc aggregate shuffles (doc_id, bits) longs only.
+# Scale: the vocabulary grows with the corpus, so a full-table broadcast
+# hint is forbidden (job-fatal at 100 TB — SCALING.md) and a plain
+# shuffle join hot-spots on stop words. The frequency join is therefore
+# the HEAD/TAIL SPLIT (functions/skew.head_tail_freq_join): the 1024
+# hottest tokens — fixed size by construction, covering most probe ROWS
+# under Zipf — broadcast; only the rare tail shuffle-joins, and the tail
+# is skew-free by construction. The staged frequency table is persisted
+# once per corpus (the vocabulary artifact a real pipeline materializes).
 # ---------------------------------------------------------------------------
 def tokens_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, w): the tokenized corpus, staged once per corpus.
@@ -491,14 +494,23 @@ def tokens_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def t22_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import head_tail_freq_join
+    from .dedup import _stage_cached
+
     toks = tokens_table(spark, sf_dir).select("doc_id", "w")
-    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     # floor(log2(cnt)) via binary-string length: exact, engine-agnostic.
-    freq = freq.withColumn(
-        "bits", (F.length(F.regexp_replace(F.bin("cnt"), "^0+", "")) - 1).cast("long")
+    freq = _stage_cached(
+        "t22_freq",
+        sf_dir,
+        lambda: toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "bits",
+            (F.length(F.regexp_replace(F.bin("cnt"), "^0+", "")) - 1).cast("long"),
+        ),
     )
     scored = (
-        toks.join(freq.select("w", "bits"), "w")
+        head_tail_freq_join(toks, freq, "w", "cnt")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -829,10 +841,11 @@ FROM grouped
 #
 # Scale: tf is the wordcount shape (one shuffle on (doc_id, term),
 # map-side-combined); df aggregates the same exploded stream to |vocab|
-# rows which join back UNHINTED (the vocabulary grows with the corpus —
-# AQE broadcasts it when it fits, shuffle-joins when not; only the 1-row
-# n_docs aggregate carries an explicit broadcast); the top-k window
-# partitions per doc.
+# rows which join back via the HEAD/TAIL SPLIT (functions/skew
+# .head_tail_freq_join — hottest 1024 terms broadcast, rare tail
+# shuffle-joined skew-free; a full-vocab broadcast hint would be
+# job-fatal at 100 TB). Only the 1-row n_docs aggregate carries an
+# explicit broadcast. The top-k window partitions per doc.
 # ---------------------------------------------------------------------------
 TFIDF_TOP_K = 5
 
@@ -847,10 +860,17 @@ def t27_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("w").alias("term"))
         .filter(F.length("term") > 0)
     )
+    from ..functions.skew import head_tail_freq_join
+    from .dedup import _stage_cached
+
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_tbl = _stage_cached(
+        "t27_df",
+        sf_dir,
+        lambda: tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")),
+    )
     scored = (
-        tf.join(df_tbl, "term")
+        head_tail_freq_join(tf, df_tbl, "term", "df")
         .crossJoin(F.broadcast(n_docs))  # 1-row aggregate: hint is safe
         .withColumn(
             "tfidf",
@@ -1023,31 +1043,47 @@ FROM documents
 # is a non-negative integer — so sum/avg are exact-integer arithmetic
 # with one rounded division.
 # Scale: one bigram-frequency shuffle (map-side-combined); the w1 prefix
-# counts derive from the same table (no second corpus pass). The bigram
-# table grows SUPER-linearly with the corpus — the worst candidate in the
-# tree for a broadcast hint — so both frequency joins are plain equi-joins
-# and AQE picks broadcast vs shuffle at runtime.
+# counts derive from the same table (no second corpus pass), and the
+# freq1 lookup joins freq2 at VOCABULARY size (never probe size) to form
+# one per-bigram surprisal LUT. The bigram table grows SUPER-linearly
+# with the corpus — the worst candidate in the tree for a broadcast
+# hint — so the probe join is the HEAD/TAIL SPLIT (functions/skew
+# .head_tail_freq_join): the 1024 hottest bigrams broadcast (fixed size
+# by construction, most probe rows under Zipf), the rare tail
+# shuffle-joins skew-free. The LUT persists once per corpus (the
+# language-model artifact a real pipeline materializes).
 # ---------------------------------------------------------------------------
 def t30_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import head_tail_freq_join
+    from .dedup import _stage_cached
+
     docs = (
         fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
         .withColumn("words", F.split("text", " "))
         .withColumn("bigrams", F.expr(BIGRAM_EXPR))
     )
     bg = docs.select("doc_id", F.explode("bigrams").alias("b"))
-    freq2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cnt2"))
-    freq1 = (
-        freq2.withColumn("w1", F.substring_index("b", " ", 1))
-        .groupBy("w1")
-        .agg(F.sum("cnt2").alias("cnt1"))
-    )
     bits = lambda c: (F.length(F.regexp_replace(F.bin(c), "^0+", "")) - 1).cast("long")
-    joined = (
-        bg.join(freq2, "b")
-        .withColumn("w1", F.substring_index("b", " ", 1))
-        .join(freq1, "w1")
-        .withColumn("surprisal_bits", bits(F.col("cnt1")) - bits(F.col("cnt2")))
-    )
+
+    def build_lut() -> DataFrame:
+        freq2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cnt2"))
+        freq1 = (
+            freq2.withColumn("w1", F.substring_index("b", " ", 1))
+            .groupBy("w1")
+            .agg(F.sum("cnt2").alias("cnt1"))
+        )
+        return (
+            freq2.withColumn("w1", F.substring_index("b", " ", 1))
+            .join(freq1, "w1")
+            .select(
+                "b",
+                "cnt2",
+                (bits(F.col("cnt1")) - bits(F.col("cnt2"))).alias("surprisal_bits"),
+            )
+        )
+
+    lut = _stage_cached("t30_lut", sf_dir, build_lut)
+    joined = head_tail_freq_join(bg, lut, "b", "cnt2")
     return (
         joined.groupBy("doc_id")
         .agg(

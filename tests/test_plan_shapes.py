@@ -324,17 +324,22 @@ def _executed_plan(df) -> str:
 def test_freq_tables_unhinted_and_aqe_broadcasts_at_test_scale(spark):
     # t19/t22/t27/t30/t28 join frequency tables that GROW with the corpus
     # (distinct lines, vocabulary, document frequency, bigrams, shared
-    # digests). An unconditional F.broadcast hint on those is job-fatal at
-    # 100 TB (hints are never size-checked; 8 GB broadcast hard cap), so the
-    # joins must be plain equi-joins — and at test scale AQE must still pick
-    # a runtime broadcast, keeping the small-scale plan as fast as the old
-    # hinted one. t27's two ResolvedHint occurrences are its single 1-row
-    # n_docs aggregate hint (printed in analyzed + optimized sections).
+    # digests). An unconditional F.broadcast hint on the FULL table is
+    # job-fatal at 100 TB (hints are never size-checked; 8 GB broadcast
+    # hard cap). Since round 5, t22/t27/t30 use the head/tail split
+    # (functions/skew.head_tail_freq_join): every hint they carry is on a
+    # limit(1024) top-k slice — fixed size by construction, permitted by
+    # the SCALING.md hint rule. Each split contributes 3 hint SITES (head
+    # build, probe anti, tail anti), printed in both the analyzed and
+    # optimized sections of "extended" → 6 occurrences; t27 adds its
+    # 1-row n_docs aggregate hint (2 more). The companion test in
+    # test_plan_shapes2.py proves the tail join itself stays unhinted
+    # (SortMergeJoin once auto-broadcast is disabled).
     expected_hints = {
         "t19_boilerplate_removal": 0,
-        "t22_unigram_logprob": 0,
-        "t27_tfidf_top_terms": 2,
-        "t30_bigram_lm": 0,
+        "t22_unigram_logprob": 6,
+        "t27_tfidf_top_terms": 8,
+        "t30_bigram_lm": 6,
         "t28_source_overlap": 0,
     }
     for name, n_hints in expected_hints.items():

@@ -147,3 +147,44 @@ def test_t47_norms_broadcast(spark):
     plan = explain(QUERIES["t47_source_similarity"](spark, SF), mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_head_tail_split_joins_head_broadcast_tail_shuffle(spark):
+    # t22/t27/t30 frequency joins use the head/tail split
+    # (functions/skew.head_tail_freq_join): the fixed-1024 hot head MUST
+    # appear as a BroadcastHashJoin (probe rows for hot keys never
+    # shuffle) and the rare tail MUST carry no broadcast HINT. With
+    # autoBroadcastJoinThreshold disabled, only HINTED joins may
+    # broadcast — so the 100 TB shape becomes visible at test scale:
+    # hinted fixed-size head = BroadcastHashJoin, unhinted growing tail =
+    # SortMergeJoin.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("t22_unigram_logprob", "t27_tfidf_top_terms", "t30_bigram_lm"):
+            plan = explain(QUERIES[name](spark, SF), mode="simple")
+            assert "BroadcastHashJoin" in plan, name
+            assert "SortMergeJoin" in plan, name
+            assert "CartesianProduct" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_head_tail_split_is_join_invariant(spark):
+    # The split never changes the joined multiset: compare against the
+    # plain equi-join on a synthetic Zipfian corpus, with head_k smaller
+    # than the vocabulary so both branches are exercised.
+    from pyspark.sql import functions as F
+
+    from squonk2_fastapi_ws_event_stream_spark.functions.skew import (
+        head_tail_freq_join,
+    )
+
+    probe = spark.range(2000).select(
+        F.col("id").alias("row_id"),
+        F.concat(F.lit("w"), (F.col("id") % 37)).alias("w"),
+    )
+    lut = probe.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    split = head_tail_freq_join(probe, lut, "w", "cnt", head_k=5)
+    plain = probe.join(lut, "w")
+    assert sorted(map(tuple, split.collect())) == sorted(map(tuple, plain.collect()))
