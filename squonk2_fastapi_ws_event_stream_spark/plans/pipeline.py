@@ -977,30 +977,32 @@ ORACLES["x14_linear_counting"] = ORACLE_X14
 # value, the x02 rationale). The curve read before fixing sketch memory:
 # accuracy is the GK-sketch size knob.
 #
-# Scale: all six sketches build in ONE scan (single aggregate); the rank
-# audit is one more scan with the 1-row answer broadcast. Hash-checked
-# columns are the exact percentiles + boolean verdicts — the approx
-# VALUES are engine-specific and stay out of the comparison.
+# Scale: the EXACT reference percentiles come from the staged
+# histogram-pruned selection (functions/quantiles.py — Spark's own
+# percentile() buffers every value in one aggregation buffer, job-fatal
+# at 100 TB), memoized once per corpus. The six GK sketches build in ONE
+# scan (small mergeable buffers); the rank audit is one more scan with
+# the 1-row answer broadcast. Hash-checked columns are the exact
+# percentiles + boolean verdicts — the approx VALUES are
+# engine-specific and stay out of the comparison.
 # ---------------------------------------------------------------------------
 X15_ACCS = (100, 1000, 10_000)
 X15_PCTS = (0.5, 0.95)
 
 
 def x15_quantile_accuracy_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantiles import staged_exact_percentiles
+
     li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    n, exact = staged_exact_percentiles(
+        spark, sf_dir, "lineitem", "l_extendedprice", X15_PCTS
+    )
     agg = li.agg(
-        *[
-            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(
-                f"p{int(p * 100)}_exact"
-            )
-            for p in X15_PCTS
-        ],
         *[
             F.percentile_approx("l_extendedprice", p, acc).alias(f"a{int(p*100)}_{acc}")
             for p in X15_PCTS
             for acc in X15_ACCS
-        ],
-        F.count(F.lit(1)).alias("n"),
+        ]
     )
     ranks = li.crossJoin(F.broadcast(agg)).agg(
         *[
@@ -1011,30 +1013,29 @@ def x15_quantile_accuracy_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for acc in X15_ACCS
         ]
     )
+    # Stack rows and aliases iterate X15_PCTS — any percentile list works.
     rows = []
     for acc in X15_ACCS:
-        checks = []
-        for p in X15_PCTS:
-            tag = f"{int(p * 100)}"
-            checks.append(
-                f"abs(r{tag}_{acc} - {p} * n) <= greatest(2.0, 10.0 * n / {acc})"
-            )
-        rows.append(f"{acc}, n, p50_exact, p95_exact, {checks[0]}, {checks[1]}")
-    return (
-        agg.crossJoin(F.broadcast(ranks))
-        .select(
-            F.expr(f"stack({len(X15_ACCS)}, " + ", ".join(rows) + ")").alias(
-                "accuracy", "n", "p50_exact", "p95_exact", "p50_ok", "p95_ok"
-            )
+        checks = [
+            f"abs(r{int(p * 100)}_{acc} - {p!r} * {n}) "
+            f"<= greatest(2.0, 10.0 * {n} / {acc})"
+            for p in X15_PCTS
+        ]
+        rows.append(f"{acc}, " + ", ".join(checks))
+    ok_aliases = [f"p{int(p * 100)}_ok" for p in X15_PCTS]
+    stacked = ranks.select(
+        F.expr(f"stack({len(X15_ACCS)}, " + ", ".join(rows) + ")").alias(
+            "accuracy", *ok_aliases
         )
-        .select(
-            F.col("accuracy").cast("int").alias("accuracy"),
-            F.col("n").cast("long").alias("n"),
-            "p50_exact",
-            "p95_exact",
-            "p50_ok",
-            "p95_ok",
-        )
+    )
+    return stacked.select(
+        F.col("accuracy").cast("int").alias("accuracy"),
+        F.lit(n).cast("long").alias("n"),
+        *[
+            F.round(F.lit(exact[p]), 6).alias(f"p{int(p * 100)}_exact")
+            for p in X15_PCTS
+        ],
+        *ok_aliases,
     )
 
 
