@@ -861,12 +861,29 @@ X13_K = 64
 # ~4000x below uniform and the estimate overshoots ~1000x — measured).
 X13_A, X13_B = 2654435761, 1723
 _X13_P = 1_000_000_007
+# Reduce BOTH factors mod P before multiplying: a raw user_id * X13_A
+# overflows int64 once user_id exceeds ~3.47e9 — Spark silently wraps to
+# negative hashes (breaking the k-min ordering and the (K-1)*P/h_K
+# estimator) while DuckDB raises, a latent cross-engine divergence at the
+# design scale. (u % P) * (A % P) stays below ~6.6e17 for ANY BIGINT key,
+# and is congruent mod P, so hash values are unchanged for all keys the
+# unreduced form could handle. The reduced multiplier (~6.5e8) is still
+# large relative to P, so consecutive ids keep wrapping (the comment
+# above).
+X13_A_MOD = X13_A % _X13_P
+
+
+def _kmv_hash(col):
+    return ((col % _X13_P) * X13_A_MOD + X13_B) % _X13_P
+
+
+_SQL_KMV_HASH = f"((user_id % {_X13_P}) * {X13_A_MOD} + {X13_B}) % {_X13_P}"
 
 
 def x13_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id")
     hashed = ev.select(
-        ((F.col("user_id") * X13_A + X13_B) % _X13_P).alias("h")
+        _kmv_hash(F.col("user_id")).alias("h")
     ).distinct()
     kmin = hashed.orderBy(F.col("h").asc()).limit(X13_K)
     sketch = kmin.agg(
@@ -894,7 +911,7 @@ def x13_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_X13 = f"""
 WITH hashed AS (
-  SELECT DISTINCT (user_id * {X13_A} + {X13_B}) % {_X13_P} AS h FROM events
+  SELECT DISTINCT {_SQL_KMV_HASH} AS h FROM events
 ),
 kmin AS (SELECT h FROM hashed ORDER BY h ASC LIMIT {X13_K}),
 sketch AS (SELECT COUNT(*) AS k_kept, MAX(h) AS kth_min_hash FROM kmin)
@@ -929,7 +946,7 @@ def x14_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id")
     occupied = (
         ev.select(
-            (((F.col("user_id") * X13_A + X13_B) % _X13_P) % X14_M).alias("bucket")
+            (_kmv_hash(F.col("user_id")) % X14_M).alias("bucket")
         )
         .distinct()
         .agg(F.count(F.lit(1)).alias("occupied"))
@@ -951,7 +968,7 @@ def x14_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_X14 = f"""
 WITH occ AS (
   SELECT COUNT(*) AS occupied FROM (
-    SELECT DISTINCT ((user_id * {X13_A} + {X13_B}) % {_X13_P}) % {X14_M}
+    SELECT DISTINCT ({_SQL_KMV_HASH}) % {X14_M}
       AS bucket
     FROM events)
 )
@@ -1075,7 +1092,7 @@ X16_SPLIT = "2024-01-15"
 
 def x16_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("ts", "user_id")
-    h = (F.col("user_id") * X13_A + X13_B) % _X13_P
+    h = _kmv_hash(F.col("user_id"))
 
     def kmin(side_filter):
         return (
@@ -1139,12 +1156,12 @@ def x16_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_X16 = f"""
 WITH ka AS (
-  SELECT DISTINCT (user_id * {X13_A} + {X13_B}) % {_X13_P} AS h
+  SELECT DISTINCT {_SQL_KMV_HASH} AS h
   FROM events WHERE ts < TIMESTAMP '{X16_SPLIT}'
   ORDER BY h ASC LIMIT {X13_K}
 ),
 kb AS (
-  SELECT DISTINCT (user_id * {X13_A} + {X13_B}) % {_X13_P} AS h
+  SELECT DISTINCT {_SQL_KMV_HASH} AS h
   FROM events WHERE ts >= TIMESTAMP '{X16_SPLIT}'
   ORDER BY h ASC LIMIT {X13_K}
 ),

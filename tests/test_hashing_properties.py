@@ -282,3 +282,27 @@ def test_linear_counting_matches_python_reference(ids):
         """
     ).fetchone()
     assert got == (occ, want_est)
+
+
+def test_kmv_hash_is_overflow_safe_for_any_bigint_key(spark):
+    # The reduced form (u % P) * (A % P) + B stays inside int64 for ANY
+    # BIGINT key, and is congruent mod P with the textbook u*A + B — so
+    # hashes match exact big-int arithmetic even where the unreduced
+    # product would exceed 2^63 (user_id > ~3.47e9) and silently wrap.
+    from pyspark.sql import functions as F
+
+    from squonk2_fastapi_ws_event_stream_spark.plans.pipeline import (
+        X13_A,
+        X13_B,
+        _X13_P,
+        _kmv_hash,
+    )
+
+    big_ids = [3_500_000_000, 2**62, 2**63 - 1, 987_654_321_987_654_321]
+    df = spark.createDataFrame([(u,) for u in big_ids], "user_id long")
+    got = {
+        r["user_id"]: r["h"]
+        for r in df.select("user_id", _kmv_hash(F.col("user_id")).alias("h")).collect()
+    }
+    for u in big_ids:
+        assert got[u] == (u * X13_A + X13_B) % _X13_P, u
