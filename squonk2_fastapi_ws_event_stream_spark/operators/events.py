@@ -327,21 +327,55 @@ FROM events GROUP BY 1, 2
 """
 
 
-def e10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session assignment via gaps-and-islands: a >30-minute silence starts a
-    new session. (Streaming twin: session_window in streaming/pipeline.py.)
+# A silence longer than this starts a new session — the ONE session rule
+# shared by e10/e24/e25 (batch) and their oracles; the streaming twin is
+# session_window in streaming/pipeline.py.
+SESSION_GAP_MS = 30 * 60 * 1000
 
-    Scale: two window passes over the same (user_id, ts) partitioning — Spark
-    reuses the exchange, so it is one shuffle.
-    """
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = (F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts", 1).over(w))) > 30 * 60 * 1000
-    flagged = ev.withColumn("new_session", F.when(gap, 1).otherwise(0))
-    with_sid = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+
+def _with_session_ids(ev: DataFrame) -> DataFrame:
+    """Gaps-and-islands sessionization shared by e10/e24/e25: flag rows
+    whose silence since the previous event exceeds SESSION_GAP_MS, then a
+    running sum of flags numbers the sessions. Two window passes over the
+    same (user_id, ts) partitioning — Spark reuses the exchange, so it is
+    one shuffle."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
     )
+    gap = (
+        F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts", 1).over(w))
+    ) > SESSION_GAP_MS
+    return ev.withColumn(
+        "session_id",
+        F.sum(F.when(gap, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def _sql_session_sid(extra_cols: str = "") -> str:
+    """The DuckDB twin of `_with_session_ids` as `flagged`+`sid` CTE text
+    (no leading WITH); `extra_cols` are carried through both CTEs."""
+    cols = "user_id, event_id, ts" + (f", {extra_cols}" if extra_cols else "")
+    return f"""flagged AS (
+  SELECT {cols},
+         CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sid AS (
+  SELECT {cols},
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)"""
+
+
+def e10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats over `_with_session_ids` sessions."""
+    with_sid = _with_session_ids(table(spark, sf_dir, "events"))
     per_session = with_sid.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
@@ -352,21 +386,8 @@ def e10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_E10 = """
-WITH flagged AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-),
-sid AS (
-  SELECT user_id,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
-  FROM flagged
-),
+ORACLE_E10 = f"""
+WITH {_sql_session_sid()},
 per_session AS (
   SELECT user_id, session_id, COUNT(*) AS n_events
   FROM sid GROUP BY user_id, session_id
@@ -1180,18 +1201,7 @@ def e24_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    gap = (
-        F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts", 1).over(w))
-    ) > 30 * 60 * 1000
-    with_sid = ev.withColumn(
-        "session_id",
-        F.sum(F.when(gap, 1).otherwise(0)).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    with_sid = _with_session_ids(ev)
     paths = with_sid.groupBy("user_id", "session_id").agg(
         F.concat_ws(
             ">",
@@ -1217,20 +1227,7 @@ def e24_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_E24 = f"""
-WITH flagged AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-),
-sid AS (
-  SELECT user_id, event_id, ts, event_type,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
-  FROM flagged
-),
+WITH {_sql_session_sid("event_type")},
 paths AS (
   SELECT user_id, session_id,
          array_to_string(
@@ -1266,18 +1263,7 @@ def e25_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    gap = (
-        F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts", 1).over(w))
-    ) > 30 * 60 * 1000
-    with_sid = ev.withColumn(
-        "session_id",
-        F.sum(F.when(gap, 1).otherwise(0)).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    with_sid = _with_session_ids(ev)
     sets = with_sid.groupBy("user_id", "session_id").agg(
         F.array_sort(F.collect_set("event_type")).alias("types")
     )
@@ -1323,21 +1309,8 @@ def e25_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_E25 = """
-WITH flagged AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-),
-sid AS (
-  SELECT user_id, event_type,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
-  FROM flagged
-),
+ORACLE_E25 = f"""
+WITH {_sql_session_sid("event_type")},
 sess_types AS (
   SELECT DISTINCT user_id, session_id, event_type FROM sid
 ),

@@ -712,8 +712,9 @@ GROUP BY n.n_name, YEAR(o.o_orderdate)
 
 # ---------------------------------------------------------------------------
 # q38 — returned-item reporting (TPC-H Q10 shape): revenue lost to
-# returns (l_returnflag = 'R') over one order-date quarter, per customer,
-# top 20. customer/orders/lineitem all SF-scaled → hint-free joins;
+# returns (l_returnflag = 'R') over a half-year order-date window
+# (1996-01-01 to 1996-07-01 — wider than Q10's single quarter so the
+# small-SF fixtures keep enough matching rows), per customer, top 20. customer/orders/lineitem all SF-scaled → hint-free joins;
 # nation broadcast. Top-20 via orderBy+limit = TakeOrderedAndProject
 # (per-partition partial top-k, no global sort).
 # ---------------------------------------------------------------------------
