@@ -767,12 +767,21 @@ FROM documents"""
 # diversity) — the source-level complement of t28's digest overlap.
 #
 # Scale: rides the staged tokenized corpus; profiles reduce to
-# (source, w, cnt) with map-side combine, the dot product is a PLAIN
-# vocabulary equi-join (hint-free, grows with corpus — the t22 rule),
-# and only |sources|² rows survive. Exact integer products in
-# decimal(38,0); one rounded division at the end.
+# (source, w, cnt) with map-side combine, and the dot product is a
+# SALTED vocabulary equi-join (functions/skew.salted_join, hint-free).
+# Every token key carries ≤ |sources| rows per side, so the only skew
+# risk is many-sources: a stop word present in every source lands
+# |sources|² products on ONE reducer. The salt splits each key's probe
+# rows across T47_SALTS reducers (build side replicated ×T47_SALTS —
+# bounded, vocab-linear), flattening the hot keys without changing the
+# joined multiset. Only |sources|² rows survive the aggregate. Exact
+# integer products in decimal(38,0); one rounded division at the end.
 # ---------------------------------------------------------------------------
+T47_SALTS = 8
+
+
 def t47_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_join
     from .quality import tokens_table
 
     counts = (
@@ -788,7 +797,7 @@ def t47_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("s2"), "w", F.col("cnt").alias("c2")
     )
     dots = (
-        a.join(b, "w")
+        salted_join(a, b, "w", n_salts=T47_SALTS)
         .filter(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
         .agg(F.sum((F.col("c1") * F.col("c2")).cast(dec)).alias("dot"))

@@ -143,10 +143,13 @@ def test_e25_pairs_expand_in_row(spark):
 
 def test_t47_norms_broadcast(spark):
     # The per-source norm tables ride broadcast joins; the vocabulary
-    # dot-product join stays hint-free.
+    # dot-product join stays hint-free AND salted (stop-word keys would
+    # otherwise land |sources|^2 products on one reducer at many-sources
+    # scale) — the salt column must be part of the join key.
     plan = explain(QUERIES["t47_source_similarity"](spark, SF), mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "__salt" in plan
 
 
 def test_head_tail_split_joins_head_broadcast_tail_shuffle(spark):
