@@ -100,3 +100,50 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r["l_offset"], r["r_offset"]) for r in spark.sql("SELECT * FROM joined_streams").collect()}
     assert rows == {(1, 1), (2, 2)}  # c1⋈p1 and c2⋈p2 only — bound enforced
+
+
+def test_interval_join_state_stays_bounded(spark, tmp_path):
+    """State-store rows must track the interval+watermark HORIZON, not the
+    stream's full history — the unbounded-state trap is the classic 100-TB
+    streaming failure. Four chunks arrive 2 h apart (far beyond the 10 min
+    interval + 30 min watermark); each availableNow run advances the
+    checkpointed watermark, and the no-data micro-batch applies it, so by
+    the last run the state must hold at most ~one chunk per side."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "log")
+    clicks = EventLogWriter(root, "clicks_l")
+    purchases = EventLogWriter(root, "purch_l")
+    spark.dataSource.register(EventStreamDataSource)
+    ckpt = str(tmp_path / "ckpt_bound")
+
+    chunk_rows = 50
+    n_chunks = 4
+    last_total = None
+    for chunk in range(n_chunks):
+        t0 = BASE_TS + chunk * 120 * MIN
+        for i in range(chunk_rows):
+            clicks.publish(f"c{chunk}_{i}", t0 + i * 1000)
+            purchases.publish(f"p{chunk}_{i}", t0 + i * 1000 + 500)
+        left = _stream(spark, root, "clicks_l").withColumn("key", F.lit("u"))
+        right = _stream(spark, root, "purch_l").withColumn("key", F.lit("u"))
+        out = interval_join(left, right, max_delay="10 minutes")
+        # noop sink: the memory sink refuses checkpoint recovery, and this
+        # test only reads the state-store counters from query progress.
+        q = (
+            out.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progress = [p for p in q.recentProgress if p["stateOperators"]]
+        if progress:
+            last_total = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    assert last_total is not None
+    # 8 * chunk_rows rows flowed in total. Eviction lags one micro-batch
+    # (batch N evicts with the watermark derived from batch N-1's max
+    # event time), so the surviving state is at most the newest TWO
+    # chunks on each side — O(interval + watermark + one batch), never
+    # O(history).
+    assert last_total <= 4 * chunk_rows + 10, last_total
