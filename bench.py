@@ -17,8 +17,11 @@ existed BEFORE this run — i.e. the committed record of the previous run —
 falling back to the newest BENCH_r*.json with a usable per-query map) it
 additionally diffs per-query against the baseline and exits non-zero on a
 >2x regression — the driver-gate threshold — so a round cannot silently
-regress. Queries absent from the baseline are reported as new and not
-gated; sub-0.3s deltas are ignored as shared-host noise.
+regress. Queries absent from the baseline are gated on their FIRST run
+against the new-query ceiling (2x the baseline's slowest query) — a
+brand-new operator cannot silently ship slower than anything already
+shipped would be allowed to get. Sub-0.3s deltas are ignored as
+shared-host noise.
 
 Headliners are the scale-path queries — the quadratic ground-truth baselines
 (t04 all-pairs Jaccard, v01 all-pairs cosine) are deliberately excluded: at
@@ -214,6 +217,15 @@ HEADLINE = [
     "e27_funnel_latency",
 ]
 
+# Every registered query is benched automatically the moment it exists —
+# new operators can never sit in an unbenched (and therefore ungated)
+# tail. Only the structurally-guarded O(n²) ground-truth verifiers stay
+# out, by design.
+_GUARDED = {"t04_ngram_jaccard_pairs", "v01_neardup_cosine"}
+HEADLINE += sorted(set(QUERIES) - set(HEADLINE) - _GUARDED)
+_missing = set(HEADLINE) - set(QUERIES)
+assert not _missing, f"HEADLINE names unknown queries: {_missing}"
+
 # Regression gate (--check): >2x the recorded baseline per query, matching
 # BASELINE.md's qualitative bound; deltas under the floor are host noise.
 CHECK_RATIO = 2.0
@@ -236,15 +248,28 @@ def _usable_baseline(obj: dict | None) -> dict | None:
 
 def check_against_baseline(result: dict, base: dict, baseline_path: str) -> int:
     base_q = base.get("queries", {})
+    # New queries (absent from the baseline) are gated immediately against
+    # the new-query ceiling: CHECK_RATIO x the slowest query the baseline
+    # already accepts. Every query is therefore gated on every run.
+    ceiling = max(base_q.values()) * CHECK_RATIO if base_q else None
     failures, news = [], []
     for name, sec in result["queries"].items():
         if name not in base_q:
             news.append(name)
+            if ceiling is not None and sec > ceiling:
+                failures.append(
+                    f"{name} (new): {sec:.3f}s > new-query ceiling {ceiling:.3f}s"
+                )
             continue
         if sec > base_q[name] * CHECK_RATIO and sec - base_q[name] > CHECK_FLOOR_SEC:
             failures.append(f"{name}: {sec:.3f}s vs baseline {base_q[name]:.3f}s")
     for name in news:
-        print(f"bench-check: NEW (not gated): {name}", file=sys.stderr)
+        print(
+            f"bench-check: NEW (gated at {ceiling:.3f}s ceiling): {name}"
+            if ceiling is not None
+            else f"bench-check: NEW (no baseline, not gated): {name}",
+            file=sys.stderr,
+        )
     for line in failures:
         print(f"bench-check: REGRESSION >{CHECK_RATIO}x: {line}", file=sys.stderr)
     base_stream = base.get("streaming", {}).get("relay_msgs_per_sec")
@@ -337,7 +362,9 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(timings),
         "cold_total_sec": result["cold_total_sec"],
-        "streaming": streaming,
+        # scaling_curve lives in BENCH_FULL.json only — the compact line
+        # must stay under the driver's 2000-char tail window.
+        "streaming": {k: v for k, v in streaming.items() if k != "scaling_curve"},
         "slowest10": slowest,
         "full": "BENCH_FULL.json",
     }
@@ -370,65 +397,91 @@ def main() -> None:
         print("bench-check: no usable baseline found, skipping", file=sys.stderr)
 
 
+def _publish_streams(root: str, n_streams: int, per_stream: int) -> None:
+    from squonk2_fastapi_ws_event_stream_spark.sources.eventstream import (
+        EventLogWriter,
+    )
+
+    for s in range(n_streams):
+        w = EventLogWriter(root, f"s{s}")
+        with open(w.path, "a", encoding="utf-8") as f:  # bulk append
+            for i in range(per_stream):
+                f.write(
+                    '{"offset": %d, "timestamp": %d, "value": "{\\"message_type\\": \\"bench\\", \\"message_body\\": {\\"sqn\\": %d}}"}\n'
+                    % (i + 1, 1_700_000_000_000 + i, i)
+                )
+
+
+def _relay_pass(spark, root: str, n_streams: int, per_stream: int, tag: str) -> float:
+    """One concurrent-relay pass: n_streams StreamingQueries, availableNow,
+    full relay transform, counted via foreachBatch. Returns elapsed sec."""
+    from squonk2_fastapi_ws_event_stream_spark.streaming.pipeline import relay_transform
+
+    t0 = time.perf_counter()
+    counts: list[int] = []
+    queries = []
+    for s in range(n_streams):
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", f"s{s}")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        q = (
+            relay_transform(env)
+            .writeStream.foreachBatch(lambda df, _id: counts.append(df.count()))
+            .option("checkpointLocation", f"{root}/ckpt-{tag}-{s}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        queries.append(q)
+    for q in queries:
+        q.awaitTermination(300)
+    elapsed = time.perf_counter() - t0
+    total = n_streams * per_stream
+    assert sum(counts) == total, (sum(counts), total)
+    return elapsed
+
+
 def bench_streaming_relay(spark) -> dict:
     """Relay throughput: messages/sec through source → enrichment → sink —
     the reference's own measurement design (A1/A2 counters, BASELINE.md).
-    8 streams × 20k messages, one partition per stream (total order),
-    8 concurrent StreamingQueries, availableNow trigger."""
+
+    Headline point: 8 streams × 20k messages, one partition per stream
+    (total order), 8 concurrent StreamingQueries, availableNow trigger,
+    best of two passes.
+
+    Scaling curve: aggregate throughput at 1/8/32/64 concurrent streams
+    with PER-STREAM volume held at 20k messages — the many-consumers
+    shape of the reference's deployment, with enough volume per stream
+    to amortize each StreamingQuery's startup. The local[32] hub shares
+    one scheduler, so the honest pass criterion is flat aggregate msgs/s
+    as streams multiply (per-stream rate scales down ~1/n); on a real
+    cluster each query's partitions land on separate executors and the
+    aggregate rises instead (SCALING.md "local-vs-cluster deltas").
+    """
     import shutil
     import tempfile
 
     from squonk2_fastapi_ws_event_stream_spark.sources.eventstream import (
-        EventLogWriter,
         EventStreamDataSource,
     )
-    from squonk2_fastapi_ws_event_stream_spark.streaming.pipeline import relay_transform
 
+    spark.dataSource.register(EventStreamDataSource)
     n_streams, per_stream = 8, 20_000
     root = tempfile.mkdtemp(prefix="es-bench-")
     try:
-        for s in range(n_streams):
-            w = EventLogWriter(root, f"s{s}")
-            with open(w.path, "a", encoding="utf-8") as f:  # bulk append
-                for i in range(per_stream):
-                    f.write(
-                        '{"offset": %d, "timestamp": %d, "value": "{\\"message_type\\": \\"bench\\", \\"message_body\\": {\\"sqn\\": %d}}"}\n'
-                        % (i + 1, 1_700_000_000_000 + i, i)
-                    )
-        spark.dataSource.register(EventStreamDataSource)
+        _publish_streams(root, n_streams, per_stream)
         total_msgs = n_streams * per_stream
-
-        def one_pass(tag: str) -> float:
-            t0 = time.perf_counter()
-            counts = []
-            queries = []
-            for s in range(n_streams):
-                env = (
-                    spark.readStream.format("eventstream")
-                    .option("path", root)
-                    .option("stream", f"s{s}")
-                    .option("startingOrdinal", 0)
-                    .load()
-                )
-                q = (
-                    relay_transform(env)
-                    .writeStream.foreachBatch(lambda df, _id: counts.append(df.count()))
-                    .option("checkpointLocation", f"{root}/ckpt-{tag}-{s}")
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                queries.append(q)
-            for q in queries:
-                q.awaitTermination(300)
-            elapsed = time.perf_counter() - t0
-            assert sum(counts) == total_msgs, (sum(counts), total_msgs)
-            return elapsed
-
         # Best of two passes — the min-of-warm discipline applied to the
         # relay, damping shared-host interference (pass 1 also warms the
         # streaming machinery the way long-lived relays run warm).
-        elapsed = min(one_pass("a"), one_pass("b"))
-        return {
+        elapsed = min(
+            _relay_pass(spark, root, n_streams, per_stream, "a"),
+            _relay_pass(spark, root, n_streams, per_stream, "b"),
+        )
+        result = {
             "relay_messages": total_msgs,
             "relay_sec": round(elapsed, 3),
             "relay_msgs_per_sec": round(total_msgs / elapsed),
@@ -436,6 +489,30 @@ def bench_streaming_relay(spark) -> dict:
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+    curve = []
+    for n in (1, 8, 32, 64):
+        per = 20_000
+        root = tempfile.mkdtemp(prefix=f"es-bench-{n}-")
+        try:
+            _publish_streams(root, n, per)
+            sec = _relay_pass(spark, root, n, per, "c")
+            curve.append(
+                {
+                    "n_streams": n,
+                    "messages": n * per,
+                    "sec": round(sec, 3),
+                    "msgs_per_sec": round(n * per / sec),
+                }
+            )
+            print(
+                f"  relay scaling: {n} streams -> {curve[-1]['msgs_per_sec']} msg/s",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    result["scaling_curve"] = curve
+    return result
 
 
 if __name__ == "__main__":

@@ -724,3 +724,114 @@ sig AS (SELECT doc_id, {H.sql_minhash_signature('shingles')} AS sig FROM sh)
 
 QUERIES["t49_lsh_band_sweep"] = t49_lsh_band_sweep
 ORACLES["t49_lsh_band_sweep"] = _oracle_t49()
+
+
+# ---------------------------------------------------------------------------
+# t50 — fuzzy record linkage via multi-pass blocking + edit-distance
+# verify: the entity-resolution primitive (Fellegi-Sunter / dedupe-style
+# pipelines) a training-data ingest needs when near-identical titles/
+# names differ by a typo rather than whole shingles. Candidates come from
+# TWO blocking passes — (length, 8-char prefix) and (length, 8-char
+# suffix) — so one corruption anywhere except both ends is caught;
+# candidates are verified with exact Levenshtein and kept at distance
+# 1..T50_MAX_DIST (distance 0 is t01/t05's exact-dedup job). Synthetic
+# near-dups re-enter every 25th doc (ids +40000) with character 15
+# replaced, so every variant shares both block keys with its original.
+#
+# Scale: blocking is the LSH-band discipline — two equi-joins on compact
+# fixed-width keys, never all-pairs; the per-key fan-out is bounded by
+# block size, the pair set is DISTINCT'd before the Levenshtein so the
+# O(len²) verify runs once per candidate pair, map-side.
+# Reference: the dedup surface (SURVEY §2) — the reference has no fuzzy
+# linkage; this is the LLM-pipeline extension family.
+# ---------------------------------------------------------------------------
+T50_MAX_DIST = 2
+T50_TITLE_LEN = 30
+T50_BLOCK = 8
+
+
+def t50_fuzzy_blocking_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, T50_TITLE_LEN).alias("title")
+    )
+    variants = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 40_000).alias("doc_id"),
+        F.concat(
+            F.substring("title", 1, 14), F.lit("#"), F.substring("title", 16, T50_TITLE_LEN)
+        ).alias("title"),
+    )
+    entities = fan_out(docs.unionByName(variants), spark)
+
+    def keyed(tag: str, key_expr) -> DataFrame:
+        return entities.select(
+            "doc_id",
+            "title",
+            F.concat_ws(
+                "|", F.lit(tag), F.length("title").cast("string"), key_expr
+            ).alias("bkey"),
+        )
+
+    blocks = keyed("p", F.substring("title", 1, T50_BLOCK)).unionByName(
+        keyed("s", F.substring("title", -T50_BLOCK, T50_BLOCK))
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("id_a"), F.col("title").alias("t_a"), "bkey"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("id_b"), F.col("title").alias("t_b"), "bkey"
+    )
+    pairs = (
+        a.join(b, "bkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "t_a", "t_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("edit_distance", F.levenshtein("t_a", "t_b"))
+        .filter(
+            (F.col("edit_distance") >= 1) & (F.col("edit_distance") <= T50_MAX_DIST)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("edit_distance").cast("long").alias("edit_distance"),
+        )
+    )
+
+
+ORACLE_T50 = f"""
+WITH docs AS (
+  SELECT doc_id, substr(text, 1, {T50_TITLE_LEN}) AS title FROM documents
+),
+entities AS (
+  SELECT doc_id, title FROM docs
+  UNION ALL
+  SELECT doc_id + 40000 AS doc_id,
+         substr(title, 1, 14) || '#' || substr(title, 16, {T50_TITLE_LEN}) AS title
+  FROM docs WHERE doc_id % 25 = 0
+),
+blocks AS (
+  SELECT doc_id, title,
+         'p' || '|' || CAST(length(title) AS VARCHAR) || '|'
+             || substr(title, 1, {T50_BLOCK}) AS bkey
+  FROM entities
+  UNION ALL
+  SELECT doc_id, title,
+         's' || '|' || CAST(length(title) AS VARCHAR) || '|'
+             || substr(title, -{T50_BLOCK}, {T50_BLOCK}) AS bkey
+  FROM entities
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.title AS t_a, b.title AS t_b
+  FROM blocks a JOIN blocks b
+    ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(levenshtein(t_a, t_b) AS BIGINT) AS edit_distance
+FROM pairs
+WHERE levenshtein(t_a, t_b) BETWEEN 1 AND {T50_MAX_DIST}
+"""
+
+
+QUERIES["t50_fuzzy_blocking_match"] = t50_fuzzy_blocking_match
+ORACLES["t50_fuzzy_blocking_match"] = ORACLE_T50

@@ -1524,3 +1524,88 @@ ORACLES = {
     "e26_mad_anomalies": ORACLE_E26,
     "e27_funnel_latency": ORACLE_E27,
 }
+
+
+# ---------------------------------------------------------------------------
+# e28 — FORWARD as-of join with tolerance: for each click, the FIRST
+# purchase at-or-after it by the same user, matched only within
+# E28_TOLERANCE_MS (attribution windows, SLA "time to next action"). The
+# mirror of e11's backward as-of; the tolerance bound is what the naive
+# inequality join cannot express without a quadratic range explosion.
+#
+# Spark-first composition: union clicks+purchases, one (user_id)-
+# partitioned window ordered (ts, type_order, event_id) with a
+# 1-FOLLOWING..UNBOUNDED frame, first(ignorenulls) pulls the next
+# purchase's id and ts from the same row; the tolerance is a map-side
+# filter afterwards (the first following purchase is the only candidate —
+# if it is beyond tolerance, none qualify). One shuffle, no range join.
+# Tie rule: purchases sort AFTER clicks at equal ts, so a same-timestamp
+# purchase matches (at-or-after), deterministically by event_id.
+# ---------------------------------------------------------------------------
+E28_TOLERANCE_MS = 10 * 60 * 1000
+
+
+def e28_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cp = ev.filter(F.col("event_type").isin("click", "purchase"))
+    tagged = (
+        cp.withColumn(
+            "type_order", F.when(F.col("event_type") == "click", 0).otherwise(1)
+        )
+        .withColumn(
+            "pid", F.when(F.col("event_type") == "purchase", F.col("event_id"))
+        )
+        .withColumn("pts", F.when(F.col("event_type") == "purchase", F.col("ts")))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("type_order").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = tagged.withColumn(
+        "next_pid", F.first("pid", ignorenulls=True).over(w)
+    ).withColumn("next_pts", F.first("pts", ignorenulls=True).over(w))
+    lag_ms = F.unix_millis("next_pts") - F.unix_millis("ts")
+    within = F.col("next_pid").isNotNull() & (lag_ms <= E28_TOLERANCE_MS)
+    return nxt.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.when(within, F.col("next_pid")).otherwise(F.lit(-1)).cast("long").alias(
+            "purchase_id"
+        ),
+        F.when(within, lag_ms).otherwise(F.lit(-1)).cast("long").alias("lag_ms"),
+    )
+
+
+ORACLE_E28 = f"""
+WITH cp AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS type_order,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS pid,
+         CASE WHEN event_type = 'purchase' THEN ts END AS pts
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+nxt AS (
+  SELECT *,
+         first_value(pid IGNORE NULLS) OVER w AS next_pid,
+         first_value(pts IGNORE NULLS) OVER w AS next_pts
+  FROM cp
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts ASC, type_order ASC, event_id ASC
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id AS click_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       CASE WHEN next_pid IS NOT NULL
+             AND epoch_ms(next_pts) - epoch_ms(ts) <= {E28_TOLERANCE_MS}
+            THEN next_pid ELSE -1 END AS purchase_id,
+       CASE WHEN next_pid IS NOT NULL
+             AND epoch_ms(next_pts) - epoch_ms(ts) <= {E28_TOLERANCE_MS}
+            THEN epoch_ms(next_pts) - epoch_ms(ts) ELSE -1 END AS lag_ms
+FROM nxt WHERE event_type = 'click'
+"""
+
+
+QUERIES["e28_asof_forward"] = e28_asof_forward
+ORACLES["e28_asof_forward"] = ORACLE_E28

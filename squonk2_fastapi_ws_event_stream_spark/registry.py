@@ -70,6 +70,9 @@ _PRIORITY = (
     "v16_nprobe_recall_curve",
     "v17_knn_label_accuracy",
     "x11_sample_error_bounds",
+    # round 5 NEW operators (never driver-checked):
+    "t50_fuzzy_blocking_match",
+    "e28_asof_forward",
     # round 5: plans/semantics changed this round (head/tail frequency
     # joins, staged percentile table, KMV hash overflow fix, shared
     # sessionizer, m05 NumPy vectorization, t47 common-token prune).

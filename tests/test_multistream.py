@@ -42,3 +42,59 @@ def test_fifty_streams_one_partition_each(spark, tmp_path):
 
     per = df.groupBy("key").agg(F.max("offset").alias("m"), F.count("*").alias("n"))
     assert all(r["m"] == 20 and r["n"] == 20 for r in per.collect())
+
+
+def test_sixty_four_concurrent_relay_consumers_preserve_order(spark, tmp_path):
+    """64 concurrent StreamingQueries (one per stream) through the full
+    relay transform: every consumer must see ITS stream's messages, all of
+    them, in ordinal order — concurrency never mixes or reorders streams.
+    This is the correctness half of the bench's streams×throughput
+    scaling curve (bench.py bench_streaming_relay)."""
+    from squonk2_fastapi_ws_event_stream_spark.streaming.pipeline import (
+        relay_transform,
+    )
+
+    root = str(tmp_path / "log")
+    n_streams, per_stream = 64, 30
+    for s in range(n_streams):
+        w = EventLogWriter(root, f"s{s:02d}")
+        for i in range(per_stream):
+            w.publish(
+                '{"message_type": "bench", "message_body": {"sqn": %d}}' % i,
+                BASE_TS + i * 1000,
+            )
+    spark.dataSource.register(EventStreamDataSource)
+
+    seen: dict[str, list[int]] = {f"s{s:02d}": [] for s in range(n_streams)}
+
+    def sink_for(name):
+        def sink(df, _batch_id):
+            for r in df.select("offset").orderBy("offset").collect():
+                seen[name].append(r["offset"])
+
+        return sink
+
+    queries = []
+    for s in range(n_streams):
+        name = f"s{s:02d}"
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", name)
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        q = (
+            relay_transform(env)
+            .writeStream.foreachBatch(sink_for(name))
+            .option("checkpointLocation", str(tmp_path / f"ckpt-{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        queries.append(q)
+    for q in queries:
+        q.awaitTermination(300)
+
+    want = list(range(1, per_stream + 1))
+    for name, offs in seen.items():
+        assert offs == want, f"{name}: {offs[:5]}..."
