@@ -2338,3 +2338,99 @@ ORACLES = {
     "v25_label_affinity": ORACLE_V25,
     "v26_ivf_cell_balance": ORACLE_V26,
 }
+
+
+# ---------------------------------------------------------------------------
+# v27 — incremental IVF index maintenance: assign a NEW batch of vectors
+# to the EXISTING staged index (centroids unchanged — the production
+# incremental-add path; re-clustering is a separate, rarer event) and
+# verify the invariant that makes incremental adds safe: merged per-cell
+# counts must equal a from-scratch rebuild over base ∪ batch with the
+# same centroids. The batch re-enters every 7th≡3 vector under new ids,
+# so every cell's delta is deterministic.
+#
+# Scale: the new batch is assigned map-side against the broadcast packed
+# centroid row (the v03 argmax — the batch is never shuffled, the BASE
+# CORPUS is never rescanned: that is the point of incremental add); only
+# per-cell count aggregates shuffle (≤ |cells| rows). The rebuild side
+# exists as the verdict column — a real pipeline skips it.
+# ---------------------------------------------------------------------------
+V27_BATCH_MOD, V27_BATCH_REM, V27_ID_OFFSET = 7, 3, 100_000
+
+
+def v27_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
+    base = emb.select("vec_id", "embedding")
+    batch = base.filter(F.col("vec_id") % V27_BATCH_MOD == V27_BATCH_REM).select(
+        (F.col("vec_id") + V27_ID_OFFSET).alias("vec_id"), "embedding"
+    )
+    new_assigned = _with_nearest_cell(batch, packed, "embedding").select(
+        "vec_id", "cell_id"
+    )
+    before = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_before"))
+    added = new_assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_added"))
+    merged = (
+        before.join(added, "cell_id", "full_outer")
+        .select(
+            "cell_id",
+            F.coalesce("n_before", F.lit(0)).alias("n_before"),
+            F.coalesce("n_added", F.lit(0)).alias("n_added"),
+        )
+        .withColumn("n_after", F.col("n_before") + F.col("n_added"))
+    )
+    rebuilt = (
+        _with_nearest_cell(base.unionByName(batch), packed, "embedding")
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_rebuild"))
+    )
+    return merged.join(rebuilt, "cell_id", "full_outer").select(
+        F.col("cell_id").cast("long").alias("cell_id"),
+        F.col("n_before").cast("long").alias("n_before"),
+        F.col("n_added").cast("long").alias("n_added"),
+        F.col("n_after").cast("long").alias("n_after"),
+        (F.col("n_after") == F.coalesce("n_rebuild", F.lit(0))).alias("rebuild_match"),
+    )
+
+
+def _oracle_v27() -> str:
+    def assign(src: str) -> str:
+        return f"""
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS c_rank
+    FROM {src} e CROSS JOIN c
+  ) WHERE c_rank = 1"""
+
+    return f"""
+WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+           WHERE vec_id % {CENTROID_STRIDE} = 0),
+base AS (SELECT vec_id, embedding FROM embeddings),
+batch AS (SELECT vec_id + {V27_ID_OFFSET} AS vec_id, embedding FROM embeddings
+          WHERE vec_id % {V27_BATCH_MOD} = {V27_BATCH_REM}),
+unioned AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+assign_base AS ({assign('base')}),
+assign_batch AS ({assign('batch')}),
+assign_all AS ({assign('unioned')}),
+before AS (SELECT cell_id, COUNT(*) AS n_before FROM assign_base GROUP BY cell_id),
+added AS (SELECT cell_id, COUNT(*) AS n_added FROM assign_batch GROUP BY cell_id),
+merged AS (
+  SELECT COALESCE(b.cell_id, a.cell_id) AS cell_id,
+         COALESCE(b.n_before, 0) AS n_before,
+         COALESCE(a.n_added, 0) AS n_added,
+         COALESCE(b.n_before, 0) + COALESCE(a.n_added, 0) AS n_after
+  FROM before b FULL OUTER JOIN added a ON b.cell_id = a.cell_id
+),
+rebuilt AS (SELECT cell_id, COUNT(*) AS n_rebuild FROM assign_all GROUP BY cell_id)
+SELECT CAST(COALESCE(m.cell_id, r.cell_id) AS BIGINT) AS cell_id,
+       CAST(COALESCE(m.n_before, 0) AS BIGINT) AS n_before,
+       CAST(COALESCE(m.n_added, 0) AS BIGINT) AS n_added,
+       CAST(COALESCE(m.n_after, 0) AS BIGINT) AS n_after,
+       COALESCE(m.n_after, 0) = COALESCE(r.n_rebuild, 0) AS rebuild_match
+FROM merged m FULL OUTER JOIN rebuilt r ON m.cell_id = r.cell_id
+"""
+
+
+QUERIES["v27_ivf_incremental_add"] = v27_ivf_incremental_add
+ORACLES["v27_ivf_incremental_add"] = _oracle_v27()

@@ -73,6 +73,7 @@ _PRIORITY = (
     # round 5 NEW operators (never driver-checked):
     "t50_fuzzy_blocking_match",
     "e28_asof_forward",
+    "v27_ivf_incremental_add",
     # round 5: plans/semantics changed this round (head/tail frequency
     # joins, staged percentile table, KMV hash overflow fix, shared
     # sessionizer, m05 NumPy vectorization, t47 common-token prune).
