@@ -835,3 +835,114 @@ WHERE levenshtein(t_a, t_b) BETWEEN 1 AND {T50_MAX_DIST}
 
 QUERIES["t50_fuzzy_blocking_match"] = t50_fuzzy_blocking_match
 ORACLES["t50_fuzzy_blocking_match"] = ORACLE_T50
+
+
+# ---------------------------------------------------------------------------
+# t52 — FUZZY decontamination: flag training documents that NEAR-match an
+# eval/benchmark document (t20/t21 catch only exact n-gram overlap; the
+# leakage that actually survives pipelines is lightly-edited copies).
+# The eval set re-enters every 50th doc (ids +60000) with its last two
+# words dropped — a high-but-below-1 Jaccard variant — and a train doc is
+# contaminated when LSH banding pairs it with an eval doc AND the true
+# shingle Jaccard clears T52_THRESHOLD.
+#
+# Scale: the t02 LSH discipline end-to-end — signatures staged once per
+# corpus, band keys equi-join train×eval (never all-pairs; the eval side
+# is benchmark-sized, so its band table is small), exact Jaccard verify
+# only on candidates.
+# ---------------------------------------------------------------------------
+T52_THRESHOLD = 0.5
+T52_ID_OFFSET = 60_000
+
+
+def t52_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    evals = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + T52_ID_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1))), " "
+        ).alias("text"),
+    )
+    sig = _stage_cached(
+        "t52",
+        sf_dir,
+        lambda: _with_shingles(docs.unionByName(evals), spark).withColumn(
+            "sig", H.minhash_signature(F.col("shingles"))
+        ),
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key")
+    )
+    train_b = bands.filter(F.col("doc_id") < T52_ID_OFFSET).select(
+        F.col("doc_id").alias("train_id"), "band_id", "band_key"
+    )
+    eval_b = bands.filter(F.col("doc_id") >= T52_ID_OFFSET).select(
+        F.col("doc_id").alias("eval_id"), "band_id", "band_key"
+    )
+    cand = train_b.join(eval_b, ["band_id", "band_key"]).select(
+        "train_id", "eval_id"
+    ).distinct()
+    sh = sig.select("doc_id", "shingles")
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("train_id"), F.col("shingles").alias("sh_t")),
+        "train_id",
+    ).join(
+        sh.select(F.col("doc_id").alias("eval_id"), F.col("shingles").alias("sh_e")),
+        "eval_id",
+    )
+    jac = F.size(F.array_intersect("sh_t", "sh_e")) / F.size(
+        F.array_union("sh_t", "sh_e")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= T52_THRESHOLD)
+        .select("train_id", "eval_id", "jaccard")
+    )
+
+
+def _oracle_t52() -> str:
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, {H.sql_band_key('sig', b)} AS band_key FROM sig"
+        for b in range(H.N_BANDS)
+    )
+    words = "string_split(text, ' ')"
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {T52_ID_OFFSET} AS doc_id,
+         array_to_string(
+           ({words})[1:GREATEST(len({words}) - 2, 1)], ' ') AS text
+  FROM documents WHERE doc_id % 50 = 0
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct({H.sql_shingle_hashes('codes', 'text')}) AS shingles
+  FROM (SELECT doc_id, text, {H.sql_char_codes('text')} AS codes
+        FROM corpus WHERE length(text) >= {H.K})
+),
+sig AS (SELECT doc_id, shingles, {H.sql_minhash_signature('shingles')} AS sig FROM sh),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+  FROM bands t JOIN bands e
+    ON t.band_id = e.band_id AND t.band_key = e.band_key
+   AND t.doc_id < {T52_ID_OFFSET} AND e.doc_id >= {T52_ID_OFFSET}
+)
+SELECT c.train_id, c.eval_id,
+       ROUND(1.0 * len(list_intersect(st.shingles, se.shingles))
+             / len(list_distinct(list_concat(st.shingles, se.shingles))), 6) AS jaccard
+FROM cand c
+JOIN sh st ON st.doc_id = c.train_id
+JOIN sh se ON se.doc_id = c.eval_id
+WHERE ROUND(1.0 * len(list_intersect(st.shingles, se.shingles))
+            / len(list_distinct(list_concat(st.shingles, se.shingles))), 6)
+      >= {T52_THRESHOLD}
+"""
+
+
+QUERIES["t52_fuzzy_decontamination"] = t52_fuzzy_decontamination
+ORACLES["t52_fuzzy_decontamination"] = _oracle_t52()

@@ -1203,3 +1203,92 @@ FROM sk CROSS JOIN exact
 
 QUERIES["x16_kmv_set_algebra"] = x16_kmv_set_algebra
 ORACLES["x16_kmv_set_algebra"] = ORACLE_X16
+
+
+# ---------------------------------------------------------------------------
+# x17 — sliding-window distinct users from MERGED DAILY SKETCHES: 7-day
+# rolling unique users per day, built by unioning the per-day HLL
+# sketches instead of rescanning a week of raw events per window — the
+# pre-aggregation pattern that makes rolling distinct counts affordable
+# at 100 TB (a day's sketch is ~4 KB; seven sketch merges replace a
+# 7-day shuffle of raw user_ids).
+#
+# Scale: one pass builds |days| sketches; each contributes to its 7
+# window days via an in-row explode (the e12 window-explode trick — an
+# equi-groupBy, never a range join); the merge aggregate handles ≤ 7
+# sketch rows per window. The EXACT rolling distinct exists only as the
+# verdict column and uses the same explode shape. Sketch binaries are
+# engine-specific (the x01/x05 recipe), so the hashed columns are the
+# exact counts + tolerance verdicts.
+# ---------------------------------------------------------------------------
+X17_WINDOW_DAYS = 7
+
+
+def x17_sliding_hll_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    days = ev.select("day").distinct()
+    span = F.explode(F.sequence(F.lit(0), F.lit(X17_WINDOW_DAYS - 1))).alias("i")
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LG_K)).alias("sk")
+    )
+    approx = (
+        daily.select("day", "sk", span)
+        .select(F.date_add("day", F.col("i")).alias("wday"), "sk")
+        .join(days.withColumnRenamed("day", "wday"), "wday", "left_semi")
+        .groupBy("wday")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days_merged"),
+        )
+    )
+    exact = (
+        ev.select("day", "user_id", span)
+        .select(F.date_add("day", F.col("i")).alias("wday"), "user_id")
+        .join(days.withColumnRenamed("day", "wday"), "wday", "left_semi")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    return (
+        approx.join(exact, "wday")
+        .select(
+            F.date_format("wday", "yyyy-MM-dd").alias("window_end_day"),
+            F.col("n_days_merged").cast("long").alias("n_days_merged"),
+            F.col("exact_users_7d").cast("long").alias("exact_users_7d"),
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users_7d"))
+                / F.col("exact_users_7d")
+                <= F.lit(3 * 0.016)  # 3σ of lgK=12's ~1.6% RSE
+            ).alias("within_tol"),
+        )
+    )
+
+
+ORACLE_X17 = f"""
+WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM ev),
+contrib AS (
+  SELECT ev.day + CAST(t.i AS INTEGER) AS wday, ev.user_id
+  FROM ev, unnest(generate_series(0, {X17_WINDOW_DAYS - 1})) AS t(i)
+),
+filtered AS (
+  SELECT c.wday, c.user_id FROM contrib c JOIN days d ON c.wday = d.day
+),
+daycount AS (
+  SELECT d.day + CAST(t.i AS INTEGER) AS wday, COUNT(*) AS n_days_merged
+  FROM days d, unnest(generate_series(0, {X17_WINDOW_DAYS - 1})) AS t(i)
+  WHERE d.day + CAST(t.i AS INTEGER) IN (SELECT day FROM days)
+  GROUP BY 1
+)
+SELECT strftime(f.wday, '%Y-%m-%d') AS window_end_day,
+       CAST(dc.n_days_merged AS BIGINT) AS n_days_merged,
+       COUNT(DISTINCT f.user_id) AS exact_users_7d,
+       TRUE AS within_tol
+FROM filtered f JOIN daycount dc ON f.wday = dc.wday
+GROUP BY f.wday, dc.n_days_merged
+"""
+
+
+QUERIES["x17_sliding_hll_window"] = x17_sliding_hll_window
+ORACLES["x17_sliding_hll_window"] = ORACLE_X17

@@ -74,6 +74,8 @@ _PRIORITY = (
     "t50_fuzzy_blocking_match",
     "e28_asof_forward",
     "v27_ivf_incremental_add",
+    "x17_sliding_hll_window",
+    "t52_fuzzy_decontamination",
     # round 5: plans/semantics changed this round (head/tail frequency
     # joins, staged percentile table, KMV hash overflow fix, shared
     # sessionizer, m05 NumPy vectorization, t47 common-token prune).
