@@ -1159,3 +1159,83 @@ ORACLES = {
     "t29_quality_calibration": ORACLE_T29,
     "t30_bigram_lm": ORACLE_T30,
 }
+
+
+# ---------------------------------------------------------------------------
+# t53 — n-gram novelty score: the fraction of a document's DISTINCT word
+# trigrams that appear in no other document — the inverse of t33's
+# duplicated-span view and the standard "how much genuinely new text does
+# this source add" signal used when pricing an ingest source (a corpus
+# whose new documents score near 0 is already covered).
+#
+# Scale: one trigram shuffle builds the document-frequency table
+# (doc-distinct grams, map-side combined); the join back rides the
+# HEAD/TAIL SPLIT (functions/skew.head_tail_freq_join — hot grams
+# broadcast, rare tail shuffle-joined skew-free). Per-doc aggregate
+# shuffles (doc_id, flag) pairs only. Exact integer ratio, rounded once.
+# ---------------------------------------------------------------------------
+TRIGRAM_EXPR = (
+    "zip_with(zip_with(slice(words, 1, size(words) - 2),"
+    " slice(words, 2, size(words) - 2), (a, b) -> concat(a, ' ', b)),"
+    " slice(words, 3, size(words) - 2), (ab, c) -> concat(ab, ' ', c))"
+)
+
+SQL_TRIGRAMS = (
+    "list_transform(generate_series(1, len(words) - 2),"
+    " i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])"
+)
+
+
+def t53_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import head_tail_freq_join
+    from .dedup import _stage_cached
+
+    docs = (
+        fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+        .withColumn("words", F.split("text", " "))
+        .withColumn("grams", F.array_distinct(F.expr(TRIGRAM_EXPR)))
+    )
+    tg = docs.select("doc_id", F.explode("grams").alias("g"))
+    freq = _stage_cached(
+        "t53_df",
+        sf_dir,
+        lambda: tg.groupBy("g").agg(F.count(F.lit(1)).alias("df")),
+    )
+    return (
+        head_tail_freq_join(tg, freq, "g", "df")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_trigrams").cast("long").alias("n_trigrams"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_trigrams"), 6).alias("novelty"),
+        )
+    )
+
+
+ORACLE_T53 = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+dg AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(words) - 2),
+           i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS grams
+  FROM d
+),
+tg AS (SELECT doc_id, unnest(grams) AS g FROM dg),
+freq AS (SELECT g, COUNT(*) AS df FROM tg GROUP BY g)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS novelty
+FROM tg t JOIN freq f USING (g)
+GROUP BY t.doc_id
+"""
+
+
+QUERIES["t53_ngram_novelty"] = t53_ngram_novelty
+ORACLES["t53_ngram_novelty"] = ORACLE_T53

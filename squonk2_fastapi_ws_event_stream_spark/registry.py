@@ -76,6 +76,7 @@ _PRIORITY = (
     "v27_ivf_incremental_add",
     "x17_sliding_hll_window",
     "t52_fuzzy_decontamination",
+    "t53_ngram_novelty",
     # round 5: plans/semantics changed this round (head/tail frequency
     # joins, staged percentile table, KMV hash overflow fix, shared
     # sessionizer, m05 NumPy vectorization, t47 common-token prune).
