@@ -755,3 +755,101 @@ FROM claimed GROUP BY mime_claimed, status
 
 QUERIES["m07_media_magic_validation"] = m07_media_magic_validation
 ORACLES["m07_media_magic_validation"] = ORACLE_M07
+
+
+# ---------------------------------------------------------------------------
+# m08 — perceptual average-hash (aHash) near-dedup over the BMP corpus:
+# sample the image on an 8x8 nearest-neighbor grid, gray = B+G+R (integer
+# sum, no division), bit k = 1 iff 64*gray_k > sum(grays) — the classic
+# aHash with the mean comparison kept INTEGER-EXACT (64*g > total avoids
+# the mean's float division), emitted as a 64-char bit string. Images
+# sharing a hash are perceptual near-duplicates. This is the image-side
+# analog of t02's MinHash: content-derived signature → signature-equality
+# blocking, never pixel-level all-pairs.
+#
+# HONESTY: the hash reads the REAL pixel bytes via the m05 zero-copy
+# NumPy path (header-parsed stride, fancy-indexed gather); the oracle
+# re-derives every sampled gray from the builder's doc_id arithmetic, so
+# a parser shortcut or a wrong stride breaks the match.
+# Scale: one Arrow-batched mapInPandas pass; the only shuffle is the
+# hash-equality window (64-byte keys).
+# ---------------------------------------------------------------------------
+AHASH_GRID = 8
+
+
+def ahash_bmp(payload: bytes) -> str:
+    """64-bit perceptual average-hash of a BMP as a bit string."""
+    w, h = parse_bmp(payload)
+    rb = ((3 * w + 3) // 4) * 4
+    pix = np.frombuffer(payload, dtype=np.uint8, count=h * rb, offset=54).reshape(
+        h, rb
+    )
+    rows_idx = (np.arange(AHASH_GRID) * h) // AHASH_GRID
+    cols_idx = 3 * ((np.arange(AHASH_GRID) * w) // AHASH_GRID)
+    chan_cols = (cols_idx[:, None] + np.arange(3)).ravel()
+    grays = (
+        pix[rows_idx][:, chan_cols]
+        .reshape(AHASH_GRID, AHASH_GRID, 3)
+        .sum(axis=2, dtype=np.int64)
+        .ravel()
+    )
+    total = int(grays.sum())
+    return "".join("1" if 64 * int(g) > total else "0" for g in grays)
+
+
+M08_SCHEMA = "doc_id long, ahash string"
+
+
+def m08_perceptual_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload[:2] == b"BM":  # magic-byte dispatch, not doc_id
+                    ids.append(doc_id)
+                    hashes.append(ahash_bmp(payload))
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    hashed = attach_media_payload(docs).mapInPandas(run, schema=M08_SCHEMA)
+    w = Window.partitionBy("ahash")
+    return hashed.select(
+        "doc_id", "ahash", F.count(F.lit(1)).over(w).cast("long").alias("n_same_hash")
+    )
+
+
+ORACLE_M08 = """
+WITH params AS (
+  SELECT doc_id,
+         16 + doc_id % 17 AS w, 8 + doc_id % 11 AS h,
+         doc_id % 251 AS fill,
+         ((3 * (16 + doc_id % 17) + 3) // 4) * 4 AS rb
+  FROM documents WHERE doc_id % 10 = 3
+),
+grays AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), k ->
+             (fill + ((k // 8) * h // 8) * rb + 3 * ((k % 8) * w // 8)) % 256
+           + (fill + ((k // 8) * h // 8) * rb + 3 * ((k % 8) * w // 8) + 1) % 256
+           + (fill + ((k // 8) * h // 8) * rb + 3 * ((k % 8) * w // 8) + 2) % 256
+         ) AS g
+  FROM params
+),
+hashed AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(g, x -> CASE WHEN 64 * x > list_sum(g)
+                                       THEN '1' ELSE '0' END), '') AS ahash
+  FROM grays
+)
+SELECT doc_id, ahash,
+       COUNT(*) OVER (PARTITION BY ahash) AS n_same_hash
+FROM hashed
+"""
+
+
+QUERIES["m08_perceptual_ahash"] = m08_perceptual_ahash
+ORACLES["m08_perceptual_ahash"] = ORACLE_M08

@@ -77,6 +77,7 @@ _PRIORITY = (
     "x17_sliding_hll_window",
     "t52_fuzzy_decontamination",
     "t53_ngram_novelty",
+    "m08_perceptual_ahash",
     # round 5: plans/semantics changed this round (head/tail frequency
     # joins, staged percentile table, KMV hash overflow fix, shared
     # sessionizer, m05 NumPy vectorization, t47 common-token prune).

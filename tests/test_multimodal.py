@@ -173,3 +173,33 @@ def test_m05_skips_unsampled_bytes(spark):
     )
     rows = {r["doc_id"]: r for r in downsample_media(df).collect()}
     assert rows[1]["ds_checksum"] == rows[2]["ds_checksum"]
+
+
+def test_m08_ahash_reads_sampled_pixels():
+    """Tampering a SAMPLED pixel hard enough to cross the mean must flip
+    an aHash bit; tampering an unsampled pixel must not — the perceptual
+    hash is a real 8x8 nearest-neighbor read of the pixel array."""
+    from squonk2_fastapi_ws_event_stream_spark.operators.multimodal import (
+        ahash_bmp,
+        make_bmp,
+    )
+
+    bmp = make_bmp(20, 10, 1)
+    base = ahash_bmp(bmp)
+    assert len(base) == 64 and set(base) <= {"0", "1"}
+
+    # pixel (0,0) is on the sample grid ((0*10)//8, (0*20)//8): saturate
+    # all three channel bytes so its gray leaps across the mean.
+    hot = bytearray(bmp)
+    for ch in range(3):
+        hot[54 + ch] = 255
+    assert ahash_bmp(bytes(hot)) != base
+
+    # row 3 is NOT on the 8x8 grid for h=10 (sampled rows: 0,1,2,5,6,7,8):
+    # rows idx = (i*10)//8 for i in 0..7 → 0,1,2,3,5,6,7,8 — row 4 is
+    # skipped; saturate a row-4 pixel and the hash must not move.
+    cold = bytearray(bmp)
+    rb = ((3 * 20 + 3) // 4) * 4
+    for ch in range(3):
+        cold[54 + 4 * rb + ch] = 255
+    assert ahash_bmp(bytes(cold)) == base
