@@ -2434,3 +2434,94 @@ FROM merged m FULL OUTER JOIN rebuilt r ON m.cell_id = r.cell_id
 
 QUERIES["v27_ivf_incremental_add"] = v27_ivf_incremental_add
 ORACLES["v27_ivf_incremental_add"] = _oracle_v27()
+
+
+# ---------------------------------------------------------------------------
+# v28 — one distributed Lloyd iteration over the staged IVF index: the
+# per-cell EXACT mean of member vectors (decimal-summed per dimension —
+# the davg recipe, so Spark's and DuckDB's float addition order cannot
+# diverge) and each centroid's drift to its recomputed mean. This is the
+# k-means TRAINING step as a declarative plan — the update half of the
+# assign/update loop (v03 owns assign), with drift as the convergence
+# signal a re-clustering scheduler reads.
+#
+# Scale: posexplode fans members into (cell, dim, val) rows — one corpus
+# pass; the aggregate reduces to |cells|×64 groups with map-side decimal
+# partial sums; the drift sum runs over 64 rows per cell. No collect, no
+# iteration here — a driver loop would chain this plan with localCheckpoint
+# per round (the t45 PageRank discipline).
+# ---------------------------------------------------------------------------
+def v28_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
+    dims = assigned.select(
+        "cell_id", F.posexplode("embedding").alias("dim", "val")
+    )
+    means = dims.groupBy("cell_id", "dim").agg(
+        (F.sum(F.col("val").cast("decimal(18,10)")).cast("double") / F.count(F.lit(1))).alias(
+            "new_val"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    old = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cell_id"),
+        F.posexplode("embedding").alias("dim", "old_val"),
+    )
+    per_dim = means.join(old, ["cell_id", "dim"]).select(
+        "cell_id",
+        "n",
+        ((F.col("new_val") - F.col("old_val")) * (F.col("new_val") - F.col("old_val")))
+        .cast("decimal(30,15)")
+        .alias("sq"),
+    )
+    return (
+        per_dim.groupBy("cell_id")
+        .agg(
+            F.max("n").alias("n_members"),
+            F.round(F.sqrt(F.sum("sq").cast("double")), 6).alias("centroid_drift"),
+        )
+        .select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            "centroid_drift",
+        )
+    )
+
+
+def _oracle_v28() -> str:
+    return f"""
+WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+           WHERE vec_id % {CENTROID_STRIDE} = 0),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS c_rank
+    FROM embeddings e CROSS JOIN c
+  ) WHERE c_rank = 1
+),
+dims AS (
+  SELECT a.cell_id, CAST(d.i - 1 AS INTEGER) AS dim, a.embedding[d.i] AS val
+  FROM assigned a, unnest(generate_series(1, len(a.embedding))) AS d(i)
+),
+means AS (
+  SELECT cell_id, dim,
+         CAST(SUM(CAST(val AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*) AS new_val,
+         COUNT(*) AS n
+  FROM dims GROUP BY cell_id, dim
+),
+old AS (
+  SELECT cell_id, CAST(d.i - 1 AS INTEGER) AS dim, c_emb[d.i] AS old_val
+  FROM c, unnest(generate_series(1, len(c_emb))) AS d(i)
+)
+SELECT CAST(m.cell_id AS BIGINT) AS cell_id,
+       CAST(MAX(m.n) AS BIGINT) AS n_members,
+       ROUND(SQRT(CAST(SUM(CAST((m.new_val - o.old_val) * (m.new_val - o.old_val)
+                               AS DECIMAL(30,15))) AS DOUBLE)), 6) AS centroid_drift
+FROM means m JOIN old o ON m.cell_id = o.cell_id AND m.dim = o.dim
+GROUP BY m.cell_id
+"""
+
+
+QUERIES["v28_kmeans_iteration"] = v28_kmeans_iteration
+ORACLES["v28_kmeans_iteration"] = _oracle_v28()
