@@ -1609,3 +1609,74 @@ FROM nxt WHERE event_type = 'click'
 
 QUERIES["e28_asof_forward"] = e28_asof_forward
 ORACLES["e28_asof_forward"] = ORACLE_E28
+
+
+# ---------------------------------------------------------------------------
+# e29 — decayed trending scores: per event type, a half-life-per-day
+# exponentially decayed event count as of the newest day in the stream —
+# the "trending now" ranking where yesterday counts half of today. The
+# decay weight 2^-age is kept INTEGER-EXACT: each event contributes the
+# integer 1 << (SHIFT - age_days) and the final score divides the exact
+# integer sum by 2^SHIFT once — no pow(), no float accumulation order,
+# both engines agree bit-for-bit (events older than SHIFT days weigh 0,
+# the documented cutoff ~1e-12 of an event).
+#
+# Scale: map-side weight computation + one (event_type) aggregate with
+# map-side combine; the 1-row max-day aggregate broadcasts.
+# ---------------------------------------------------------------------------
+E29_SHIFT = 40
+
+
+def e29_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    latest = ev.agg(F.max("day").alias("max_day"))
+    weighted = ev.crossJoin(F.broadcast(latest)).withColumn(
+        "w",
+        F.expr(
+            f"CASE WHEN datediff(max_day, day) <= {E29_SHIFT} THEN "
+            f"shiftleft(CAST(1 AS BIGINT), {E29_SHIFT} - datediff(max_day, day)) "
+            "ELSE CAST(0 AS BIGINT) END"
+        ),
+    )
+    scored = weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("w").alias("w_sum"),
+    )
+    rank_w = Window.orderBy(F.col("w_sum").desc(), F.col("event_type").asc())
+    return scored.withColumn("rank", F.row_number().over(rank_w)).select(
+        F.col("rank").cast("int").alias("rank"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("w_sum") / F.pow(F.lit(2.0), F.lit(E29_SHIFT)), 6).alias(
+            "decayed_score"
+        ),
+    )
+
+
+ORACLE_E29 = f"""
+WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+latest AS (SELECT MAX(day) AS max_day FROM ev),
+weighted AS (
+  SELECT event_type,
+         CASE WHEN date_diff('day', day, max_day) <= {E29_SHIFT}
+              THEN CAST(1 AS BIGINT) << ({E29_SHIFT} - date_diff('day', day, max_day))
+              ELSE CAST(0 AS BIGINT) END AS w
+  FROM ev CROSS JOIN latest
+),
+scored AS (
+  SELECT event_type, COUNT(*) AS n_events, SUM(w) AS w_sum
+  FROM weighted GROUP BY event_type
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY w_sum DESC, event_type ASC) AS INTEGER)
+         AS rank,
+       event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       ROUND(w_sum / POWER(2.0, {E29_SHIFT}), 6) AS decayed_score
+FROM scored
+"""
+
+
+QUERIES["e29_decayed_trending"] = e29_decayed_trending
+ORACLES["e29_decayed_trending"] = ORACLE_E29

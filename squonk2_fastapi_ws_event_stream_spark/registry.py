@@ -79,6 +79,7 @@ _PRIORITY = (
     "t53_ngram_novelty",
     "m08_perceptual_ahash",
     "v28_kmeans_iteration",
+    "e29_decayed_trending",
     # round 5: plans/semantics changed this round (head/tail frequency
     # joins, staged percentile table, KMV hash overflow fix, shared
     # sessionizer, m05 NumPy vectorization, t47 common-token prune).
