@@ -1680,3 +1680,72 @@ FROM scored
 
 QUERIES["e29_decayed_trending"] = e29_decayed_trending
 ORACLES["e29_decayed_trending"] = ORACLE_E29
+
+
+# ---------------------------------------------------------------------------
+# e30 — SCD2 interval reconstruction: turn the append-only event log into
+# a slowly-changing-dimension table — per user, contiguous [valid_from,
+# valid_to) intervals during which the user's "status" (their latest
+# event type) was constant, newest interval flagged current. The
+# changelog→dimension transform every warehouse ingest needs; e14's
+# latest-state compaction is the degenerate (current-row-only) case.
+#
+# Scale: one (user_id)-partitioned window shuffle does everything —
+# change detection (lag), interval close (lead on the CHANGE rows rides
+# the same partitioning, Spark reuses the exchange). No self-join, no
+# range join.
+# ---------------------------------------------------------------------------
+def e30_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    changed = ev.withColumn("prev_type", F.lag("event_type", 1).over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    out = changed.withColumn("valid_to", F.lead("ts", 1).over(w2))
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            F.lit("9999-12-31 00:00:00.000000"),
+        ).alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+ORACLE_E30 = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev_type
+  FROM events
+),
+changed AS (
+  SELECT user_id, event_id, ts, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+intervals AS (
+  SELECT user_id, event_type, ts,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS valid_to
+  FROM changed
+)
+SELECT user_id,
+       event_type AS status,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       COALESCE(strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f'),
+                '9999-12-31 00:00:00.000000') AS valid_to,
+       valid_to IS NULL AS is_current
+FROM intervals
+"""
+
+
+QUERIES["e30_scd2_intervals"] = e30_scd2_intervals
+ORACLES["e30_scd2_intervals"] = ORACLE_E30

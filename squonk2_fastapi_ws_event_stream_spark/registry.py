@@ -80,6 +80,7 @@ _PRIORITY = (
     "m08_perceptual_ahash",
     "v28_kmeans_iteration",
     "e29_decayed_trending",
+    "e30_scd2_intervals",
     # round 5: plans/semantics changed this round (head/tail frequency
     # joins, staged percentile table, KMV hash overflow fix, shared
     # sessionizer, m05 NumPy vectorization, t47 common-token prune).
