@@ -191,3 +191,36 @@ def test_head_tail_split_is_join_invariant(spark):
     split = head_tail_freq_join(probe, lut, "w", "cnt", head_k=5)
     plain = probe.join(lut, "w")
     assert sorted(map(tuple, split.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_t50_blocking_never_cartesian(spark):
+    # Fuzzy linkage candidates come from block-key equi-joins (the LSH
+    # discipline); the Levenshtein verify is map-side on candidates.
+    plan = explain(QUERIES["t50_fuzzy_blocking_match"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_v27_incremental_add_is_broadcast_assignment(spark):
+    # Batch assignment rides the broadcast packed-centroid row — the base
+    # corpus is never rescanned for the merge (only the verdict rebuild
+    # touches it), and nothing is cartesian.
+    plan = explain(QUERIES["v27_ivf_incremental_add"](spark, SF), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_e29_weights_are_integer_shifts(spark):
+    # The decay weight is an integer bit-shift (no pow in the hot path);
+    # the max-day aggregate broadcasts.
+    plan = explain(QUERIES["e29_decayed_trending"](spark, SF), mode="simple")
+    assert "shiftleft" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_e30_scd2_single_user_shuffle(spark):
+    # Change detection and interval close ride the same (user_id, ts)
+    # window partitioning — one hash exchange, no join.
+    plan = explain(QUERIES["e30_scd2_intervals"](spark, SF), mode="simple")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
