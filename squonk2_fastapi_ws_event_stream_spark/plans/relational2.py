@@ -666,3 +666,172 @@ ORACLES = {
     "q31_supplier_diversity": ORACLE_Q31,
     "q32_top_supplier": ORACLE_Q32,
 }
+
+
+# ---------------------------------------------------------------------------
+# x18 — Bloom-filter FPR sweep: x07's runtime filter measured at
+# M ∈ {2^12, 2^15, 2^18} bits — the memory/selectivity tuning curve read
+# before sizing a runtime filter, completing the knob-pricing family
+# (x12 prices HLL lgK, x15 percentile accuracy, t49 LSH b×r, v16
+# n_probe). Each tier builds the REAL packed bitmap (bit_or-folded
+# 64-bit words, one broadcast row — 2^18 bits is 32 KB however large the
+# build side), probes map-side, and reports measured false positives
+# against the audit join; the no-false-negative invariant rides along as
+# a verdict per tier.
+#
+# Scale: identical to x07 per tier — build side reduces to ≤ M/64 words,
+# probe never shuffles; the audit join exists only to grade the filter.
+# The ORACLE expresses bloom membership as position-set semi-joins
+# (mathematically identical to the bitmap, per hash function), so both
+# engines agree on every false positive.
+# ---------------------------------------------------------------------------
+X18_SIZES = (1 << 12, 1 << 15, 1 << 18)
+
+
+def x18_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+    )
+    okeys = (
+        table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey")
+    )
+    n_build = okeys.agg(F.countDistinct("o_orderkey").alias("n_build_keys"))
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    truth = okeys.distinct().withColumn("is_match", F.lit(True))
+    tagged = (
+        li.join(truth, li["l_orderkey"] == truth["o_orderkey"], "left")
+        .withColumn("is_match", F.coalesce("is_match", F.lit(False)))
+        .select("l_orderkey", "is_match")
+    )
+
+    def tier(m_bits: int) -> DataFrame:
+        words = okeys.select(
+            F.explode(
+                F.array(
+                    *[
+                        (((F.col("o_orderkey") * a + b) % _P) % m_bits)
+                        for a, b in BLOOM_AB
+                    ]
+                )
+            ).alias("p")
+        ).select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
+        )
+        bitmap = (
+            words.groupBy("w")
+            .agg(F.expr("bit_or(m)").alias("bits"))
+            .agg(
+                F.map_from_arrays(
+                    F.collect_list("w"), F.collect_list("bits")
+                ).alias("bm")
+            )
+            .select(
+                F.expr(
+                    f"transform(sequence(0, {m_bits // 64 - 1}),"
+                    " w -> coalesce(element_at(bm, CAST(w AS BIGINT)),"
+                    " CAST(0 AS BIGINT)))"
+                ).alias("bloom")
+            )
+        )
+
+        def probe_bit(a: int, b: int) -> "F.Column":
+            p = f"((l_orderkey * {a} + {b}) % {_P}) % {m_bits}"
+            return F.expr(
+                f"bloom[CAST(({p}) / 64 AS INT)]"
+                f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT)) != 0"
+            )
+
+        probe = tagged.crossJoin(F.broadcast(bitmap)).withColumn(
+            "bloom_pass",
+            reduce(lambda x, y: x & y, [probe_bit(a, b) for a, b in BLOOM_AB]),
+        )
+        return (
+            probe.agg(
+                F.count(F.lit(1)).cast("long").alias("n_probe_rows"),
+                F.sum(F.col("is_match").cast("long")).cast("long").alias("n_true_match"),
+                F.sum((F.col("bloom_pass") & ~F.col("is_match")).cast("long"))
+                .cast("long")
+                .alias("n_false_pos"),
+                F.sum((~F.col("bloom_pass") & F.col("is_match")).cast("long"))
+                .cast("long")
+                .alias("n_false_neg"),
+            )
+            .crossJoin(F.broadcast(n_build))
+            .select(
+                F.lit(m_bits).cast("long").alias("m_bits"),
+                F.col("n_build_keys").cast("long").alias("n_build_keys"),
+                "n_probe_rows",
+                "n_false_pos",
+                F.round(
+                    F.col("n_false_pos")
+                    / (F.col("n_probe_rows") - F.col("n_true_match")),
+                    6,
+                ).alias("fp_rate"),
+                (F.col("n_false_neg") == 0).alias("zero_false_neg"),
+            )
+        )
+
+    return reduce(lambda x, y: x.unionByName(y), [tier(m) for m in X18_SIZES])
+
+
+def _oracle_x18() -> str:
+    tiers = []
+    for m_bits in X18_SIZES:
+        # ONE shared position set per tier — a Bloom filter has a single
+        # bit array, so a probe bit may be satisfied by a bit any hash
+        # function set (cross-hash collisions are part of the FPR).
+        union = "\n    UNION\n    ".join(
+            f"SELECT ((o_orderkey * {a} + {b}) % {_P}) % {m_bits} AS p FROM okeys"
+            for a, b in BLOOM_AB
+        )
+        pos_ctes = f"""pos_{m_bits} AS (
+    {union}
+)"""
+        passes = " AND ".join(
+            f"((l_orderkey * {a} + {b}) % {_P}) % {m_bits} IN"
+            f" (SELECT p FROM pos_{m_bits})"
+            for a, b in BLOOM_AB
+        )
+        tiers.append(
+            (
+                pos_ctes,
+                f"""
+SELECT {m_bits} AS m_bits,
+       (SELECT COUNT(DISTINCT o_orderkey) FROM okeys) AS n_build_keys,
+       CAST(COUNT(*) AS BIGINT) AS n_probe_rows,
+       CAST(SUM(CASE WHEN {passes}
+                      AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       ROUND(SUM(CASE WHEN {passes}
+                       AND NOT is_match THEN 1 ELSE 0 END) * 1.0
+             / SUM(CASE WHEN is_match THEN 0 ELSE 1 END), 6) AS fp_rate,
+       SUM(CASE WHEN NOT ({passes}) AND is_match THEN 1 ELSE 0 END) = 0
+         AS zero_false_neg
+FROM tagged""",
+            )
+        )
+    all_pos = ",\n".join(t[0] for t in tiers)
+    body = "\nUNION ALL\n".join(t[1] for t in tiers)
+    return f"""
+WITH cust AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+okeys AS (
+  SELECT o_orderkey FROM orders JOIN cust ON o_custkey = c_custkey
+),
+tagged AS (
+  SELECT l.l_orderkey,
+         EXISTS (SELECT 1 FROM okeys o WHERE o.o_orderkey = l.l_orderkey)
+           AS is_match
+  FROM lineitem l
+),
+{all_pos}
+{body}
+"""
+
+
+QUERIES["x18_bloom_fpr_sweep"] = x18_bloom_fpr_sweep
+ORACLES["x18_bloom_fpr_sweep"] = _oracle_x18()
