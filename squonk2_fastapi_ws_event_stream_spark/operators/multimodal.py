@@ -853,3 +853,100 @@ FROM hashed
 
 QUERIES["m08_perceptual_ahash"] = m08_perceptual_ahash
 ORACLES["m08_perceptual_ahash"] = ORACLE_M08
+
+
+# ---------------------------------------------------------------------------
+# m09 — HONEST audio feature extraction: RMS energy, peak amplitude, and
+# zero-crossing count per WAV payload, computed from the REAL 16-bit PCM
+# samples (np.frombuffer over the parsed data chunk — the m05 zero-copy
+# discipline). These are the loudness/activity features an audio-corpus
+# quality filter thresholds on (silence, clipping, noise). The sums are
+# INTEGER-exact (sum of squares in int64: 230 samples × 32768² ≈ 2.5e11,
+# far inside int64), so the oracle re-derives them bit-for-bit from the
+# builder arithmetic; RMS's one sqrt is correctly-rounded IEEE in both
+# engines, rounded once.
+#
+# Scale: one Arrow-batched mapInPandas pass, magic-byte dispatch; no
+# shuffle at all (per-payload features).
+# ---------------------------------------------------------------------------
+M09_SCHEMA = (
+    "doc_id long, n_samples long, sum_sq long, peak_abs int, zero_crossings long"
+)
+
+
+def wav_features(payload: bytes) -> tuple[int, int, int, int]:
+    """(n_samples, sum_sq, peak_abs, zero_crossings) from the data chunk."""
+    pos, data_off, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"data":
+            data_off, data_len = pos + 8, clen
+            break
+        pos += 8 + clen + (clen & 1)
+    n = data_len // 2
+    s = np.frombuffer(payload, dtype="<i2", count=n, offset=data_off).astype(
+        np.int64
+    )
+    sum_sq = int((s * s).sum())
+    peak = int(np.abs(s).max()) if n else 0
+    # zero crossing: consecutive samples with strictly opposite signs
+    zc = int(((s[:-1] * s[1:]) < 0).sum()) if n > 1 else 0
+    return n, sum_sq, peak, zc
+
+
+def m09_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "sum_sq", "peak_abs", "zero_crossings"
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    n, sum_sq, peak, zc = wav_features(payload)
+                    out["doc_id"].append(doc_id)
+                    out["n_samples"].append(n)
+                    out["sum_sq"].append(sum_sq)
+                    out["peak_abs"].append(peak)
+                    out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    feats = attach_media_payload(docs).mapInPandas(run, schema=M09_SCHEMA)
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        F.round(F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6).alias("rms"),
+        "peak_abs",
+        "zero_crossings",
+    )
+
+
+# Oracle: sample i of doc d is ((fill + 7i) % 65536) - 32768 with
+# fill = d % 251 — re-derived arithmetically, so a stride/offset bug in
+# the real parser breaks every column.
+ORACLE_M09 = """
+WITH params AS (
+  SELECT doc_id, 200 + doc_id % 30 AS ns, doc_id % 251 AS fill
+  FROM documents WHERE doc_id % 10 = 7
+),
+samples AS (
+  SELECT doc_id, ns,
+         list_transform(range(0, ns),
+                        i -> ((fill + 7 * i) % 65536) - 32768) AS s
+  FROM params
+)
+SELECT doc_id,
+       CAST(ns AS BIGINT) AS n_samples,
+       ROUND(SQRT(list_sum(list_transform(s, x -> x * x)) * 1.0 / ns), 6) AS rms,
+       CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS peak_abs,
+       CAST(list_sum(list_transform(range(0, ns - 1),
+              i -> CASE WHEN s[i + 1] * s[i + 2] < 0 THEN 1 ELSE 0 END))
+            AS BIGINT) AS zero_crossings
+FROM samples
+"""
+
+
+QUERIES["m09_audio_features"] = m09_audio_features
+ORACLES["m09_audio_features"] = ORACLE_M09

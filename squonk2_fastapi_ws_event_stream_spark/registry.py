@@ -82,6 +82,7 @@ _PRIORITY = (
     "e29_decayed_trending",
     "e30_scd2_intervals",
     "x18_bloom_fpr_sweep",
+    "m09_audio_features",
     # round 5: plans/semantics changed this round (head/tail frequency
     # joins, staged percentile table, KMV hash overflow fix, shared
     # sessionizer, m05 NumPy vectorization, t47 common-token prune).
