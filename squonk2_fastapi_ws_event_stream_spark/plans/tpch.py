@@ -17,6 +17,8 @@ Scale notes per query are inline; the common rules:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1030,3 +1032,60 @@ ORACLES = {
     "q40_weighted_median": ORACLE_Q40,
     "q41_yoy_revenue_growth": ORACLE_Q41,
 }
+
+
+# ---------------------------------------------------------------------------
+# q42 — disjunctive-predicate revenue (TPC-H Q19 shape): three OR'd
+# brand/size/quantity conjunctions over lineitem ⋈ part. The optimizer
+# stress here is the DISJUNCTION: Catalyst must still push the common
+# l_quantity bounds to the lineitem scan (derived from the OR branches)
+# and keep the per-branch predicates as a post-join filter rather than
+# exploding the join. part is a dimension → broadcast; revenue uses the
+# decimal recipe.
+# ---------------------------------------------------------------------------
+Q42_BRANCHES = (
+    ("Brand#1", 5, 1, 11),
+    ("Brand#7", 10, 10, 20),
+    ("Brand#13", 15, 20, 30),
+)
+
+
+def q42_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    branch = lambda b, s, qlo, qhi: (
+        (F.col("p_brand") == b)
+        & (F.col("p_size") <= s)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    cond = reduce(lambda x, y: x | y, [branch(*t) for t in Q42_BRANCHES])
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,10)"
+    )
+    return joined.filter(cond).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+    )
+
+
+def _oracle_q42() -> str:
+    branches = " OR ".join(
+        f"(p_brand = '{b}' AND p_size <= {s}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, s, qlo, qhi in Q42_BRANCHES
+    )
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,10))) AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {branches}
+"""
+
+
+QUERIES["q42_disjunctive_predicates"] = q42_disjunctive_predicates
+ORACLES["q42_disjunctive_predicates"] = _oracle_q42()

@@ -83,6 +83,7 @@ _PRIORITY = (
     "e30_scd2_intervals",
     "x18_bloom_fpr_sweep",
     "m09_audio_features",
+    "q42_disjunctive_predicates",
     # round 5: plans/semantics changed this round (head/tail frequency
     # joins, staged percentile table, KMV hash overflow fix, shared
     # sessionizer, m05 NumPy vectorization, t47 common-token prune).
