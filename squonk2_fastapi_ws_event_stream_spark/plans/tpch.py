@@ -1089,3 +1089,87 @@ WHERE {branches}
 
 QUERIES["q42_disjunctive_predicates"] = q42_disjunctive_predicates
 ORACLES["q42_disjunctive_predicates"] = _oracle_q42()
+
+
+# ---------------------------------------------------------------------------
+# q43 — CDC MERGE (upsert/delete apply): apply a change batch
+# (updates / deletes / inserts, derived deterministically from the
+# snapshot) to the orders snapshot — the Delta/Iceberg MERGE INTO
+# semantics expressed as a plain declarative plan: union snapshot +
+# changes, one per-key window keeps the change when present, deletes
+# drop out. The CDC-apply step every warehouse ingest runs.
+#
+# Scale: ONE shuffle (the per-key window) — no join at all; the change
+# batch unions in map-side. At 100 TB the same plan applies per
+# partition of a date-partitioned snapshot; row_number's per-key work is
+# O(1) because a key carries at most one snapshot row + one change row.
+# ---------------------------------------------------------------------------
+def q43_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(0).alias("src"),
+        F.lit("base").alias("version"),
+    )
+    orders = table(spark, sf_dir, "orders")
+    upd = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.lit(1).alias("src"),
+        F.lit("updated").alias("version"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 25 == 3).select(
+        "o_orderkey",
+        F.col("o_totalprice"),
+        F.lit(1).alias("src"),
+        F.lit("deleted").alias("version"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 40 == 7).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        (F.col("o_totalprice") * 2.0).alias("o_totalprice"),
+        F.lit(1).alias("src"),
+        F.lit("inserted").alias("version"),
+    )
+    unioned = snap.unionByName(upd).unionByName(dele).unionByName(ins)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("src").desc())
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("version") != "deleted"))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "version",
+        )
+    )
+
+
+ORACLE_Q43 = """
+WITH changes AS (
+  SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+         'updated' AS version
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'deleted' AS version
+  FROM orders WHERE o_orderkey % 25 = 3
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice * 2.0,
+         'inserted' AS version
+  FROM orders WHERE o_orderkey % 40 = 7
+),
+unioned AS (
+  SELECT o_orderkey, o_totalprice, 0 AS src, 'base' AS version FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 1 AS src, version FROM changes
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                               ORDER BY src DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, version
+FROM ranked WHERE rn = 1 AND version <> 'deleted'
+"""
+
+
+QUERIES["q43_cdc_merge"] = q43_cdc_merge
+ORACLES["q43_cdc_merge"] = ORACLE_Q43
