@@ -2525,3 +2525,69 @@ GROUP BY m.cell_id
 
 QUERIES["v28_kmeans_iteration"] = v28_kmeans_iteration
 ORACLES["v28_kmeans_iteration"] = _oracle_v28()
+
+
+# ---------------------------------------------------------------------------
+# v29 — embedding outlier worklist: the V29_K vectors FURTHEST from their
+# own IVF centroid (lowest own-cell cosine) — the mislabeled/noise/OOD
+# review queue an embedding-corpus curation pass works through (v12
+# removes semantic DUPLICATES; v29 surfaces semantic ORPHANS).
+#
+# Scale: rides the staged assignment; own-cell cosine is a map-side
+# broadcast lookup (v22's shape); the bottom-k compiles to
+# TakeOrderedAndProject — per-partition partial top-k, never a global
+# window sort (a percent_rank over the corpus would single-partition).
+# ---------------------------------------------------------------------------
+V29_K = 50
+
+
+def v29_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = assigned.join(F.broadcast(cents), "cell_id").select(
+        "vec_id",
+        "cell_id",
+        cosine(F.col("embedding"), F.col("c_emb")).alias("own_cos"),
+    )
+    order_cols = [F.col("own_cos").asc(), F.col("vec_id").asc()]
+    bottom = scored.orderBy(*order_cols).limit(V29_K)
+    w = Window.orderBy(*order_cols)
+    return bottom.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("int").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell_id").cast("long").alias("cell_id"),
+        "own_cos",
+    )
+
+
+def _oracle_v29() -> str:
+    return f"""
+WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+           WHERE vec_id % {CENTROID_STRIDE} = 0),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS c_rank
+    FROM embeddings e CROSS JOIN c
+  ) WHERE c_rank = 1
+),
+scored AS (
+  SELECT a.vec_id, a.cell_id,
+         {sql_cosine('a.embedding', 'c.c_emb')} AS own_cos
+  FROM assigned a JOIN c USING (cell_id)
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY own_cos ASC, vec_id ASC) AS INTEGER)
+         AS rank,
+       vec_id, CAST(cell_id AS BIGINT) AS cell_id, own_cos
+FROM scored
+ORDER BY own_cos ASC, vec_id ASC
+LIMIT {V29_K}
+"""
+
+
+QUERIES["v29_embedding_outliers"] = v29_embedding_outliers
+ORACLES["v29_embedding_outliers"] = _oracle_v29()
