@@ -224,3 +224,18 @@ def test_e30_scd2_single_user_shuffle(spark):
     plan = explain(QUERIES["e30_scd2_intervals"](spark, SF), mode="simple")
     assert plan.count("Exchange hashpartitioning(user_id") <= 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q43_merge_is_one_window_no_join(spark):
+    # CDC merge = union + per-key window; a join-based MERGE would
+    # shuffle twice and row-multiply.
+    plan = explain(QUERIES["q43_cdc_merge"](spark, SF), mode="simple")
+    assert "Join" not in plan
+    assert "hashpartitioning(o_orderkey" in plan
+
+
+def test_v29_bottom_k_is_take_ordered(spark):
+    # The outlier worklist compiles to TakeOrderedAndProject — never a
+    # global percent_rank window over the corpus.
+    plan = explain(QUERIES["v29_embedding_outliers"](spark, SF), mode="simple")
+    assert "TakeOrderedAndProject" in plan
