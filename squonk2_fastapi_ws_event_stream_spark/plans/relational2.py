@@ -702,10 +702,17 @@ def x18_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_build = okeys.agg(F.countDistinct("o_orderkey").alias("n_build_keys"))
     li = table(spark, sf_dir, "lineitem").select("l_orderkey")
     truth = okeys.distinct().withColumn("is_match", F.lit(True))
-    tagged = (
-        li.join(truth, li["l_orderkey"] == truth["o_orderkey"], "left")
+    # Stage the audit-tagged probe ONCE: all three tiers read the same
+    # (l_orderkey, is_match) table, so the truth join is paid once, not
+    # per tier (the t02 staging discipline).
+    from ..operators.dedup import _stage_cached
+
+    tagged = _stage_cached(
+        "x18_tagged",
+        sf_dir,
+        lambda: li.join(truth, li["l_orderkey"] == truth["o_orderkey"], "left")
         .withColumn("is_match", F.coalesce("is_match", F.lit(False)))
-        .select("l_orderkey", "is_match")
+        .select("l_orderkey", "is_match"),
     )
 
     def tier(m_bits: int) -> DataFrame:
