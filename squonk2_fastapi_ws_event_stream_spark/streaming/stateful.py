@@ -110,3 +110,66 @@ def latest_state(envelope: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming decayed counters — the streaming twin of the e29 batch
+# operator: per stream key, an exponentially decayed message count with a
+# one-day half-life, maintained in keyed state. The decay arithmetic is
+# INTEGER-exact (the e29 discipline): state holds (last_day,
+# scaled_count) where an event aged `a` days adds 2^(DECAY_SHIFT - a);
+# advancing the horizon by d days is one right-shift by d. No pow(), no
+# float accumulation, so a restart that replays a batch re-derives the
+# identical integers. State per key is two longs — O(keys) forever.
+# ---------------------------------------------------------------------------
+DECAY_SHIFT = 20  # day-0 weight = 2^20; events older than 20 days weigh 0
+_MS_PER_DAY = 86_400_000
+
+DECAYED_OUTPUT_SCHEMA = (
+    "key string, as_of_day long, scaled long, decayed_count double"
+)
+DECAYED_STATE_SCHEMA = "last_day long, scaled long"
+
+
+def _update_decayed(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last_day, scaled = state.get if state.exists else (-1, 0)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        days = (pdf["timestamp"] // _MS_PER_DAY).astype("int64")
+        batch_max = int(days.max())
+        if batch_max > last_day:
+            if last_day >= 0:
+                shift = batch_max - last_day
+                scaled = scaled >> shift if shift < 63 else 0
+            last_day = batch_max
+        ages = last_day - days
+        live = ages[ages <= DECAY_SHIFT]
+        # 2^(SHIFT - age) via pandas pow on int64 (int << Series is not
+        # defined); exponents are bounded by DECAY_SHIFT so this is exact.
+        scaled += int((2 ** (DECAY_SHIFT - live)).sum())
+    state.update((last_day, scaled))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "as_of_day": [last_day],
+            "scaled": [scaled],
+            "decayed_count": [scaled / float(1 << DECAY_SHIFT)],
+        }
+    )
+
+
+def decayed_counts(envelope: DataFrame) -> DataFrame:
+    """Streaming per-key decayed message count (one-day half-life)."""
+    # envelope.timestamp is a TimestampType; the state math wants integer
+    # broker milliseconds (pandas datetime64 cannot floor-divide an int).
+    rows = envelope.select("key", F.unix_millis("timestamp").alias("timestamp"))
+    return rows.groupBy("key").applyInPandasWithState(
+        _update_decayed,
+        outputStructType=DECAYED_OUTPUT_SCHEMA,
+        stateStructType=DECAYED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

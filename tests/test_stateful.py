@@ -138,3 +138,67 @@ def test_latest_state_survives_restart(spark, tmp_path):
     second = run_once()
     assert second and second[-1]["last_offset"] == 2
     assert second[-1]["last_value"] == "second"
+
+
+def test_decayed_counts_integer_exact_and_restart_safe(spark, tmp_path):
+    """Three days of messages arriving across two runs (shared checkpoint
+    → run 2 is a RESTART): the decayed count must equal the closed-form
+    sum over ages computed in plain Python, exactly — the decay state is
+    integer arithmetic, so restarts cannot drift it."""
+    import time
+
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        DECAY_SHIFT,
+        decayed_counts,
+    )
+
+    root = str(tmp_path / "log")
+    w = EventLogWriter(root, "d1")
+    day_ms = 86_400_000
+    # day 0: 3 msgs; day 1: 2 msgs (written now, consumed in run 1)
+    for i in range(3):
+        w.publish("a", BASE_TS + i * 1000)
+    for i in range(2):
+        w.publish("b", BASE_TS + day_ms + i * 1000)
+    spark.dataSource.register(EventStreamDataSource)
+
+    def stream_df():
+        return (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "d1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+
+    out1: list = []
+    q = (
+        decayed_counts(stream_df())
+        .writeStream.foreachBatch(lambda df, _id: out1.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    base_day = (BASE_TS + day_ms) // day_ms
+    want1 = 3 * (1 << (DECAY_SHIFT - 1)) + 2 * (1 << DECAY_SHIFT)
+    assert out1[-1]["as_of_day"] == base_day
+    assert out1[-1]["scaled"] == want1
+
+    # day 3 arrives (2-day jump): prior state must shift right by 2
+    for i in range(4):
+        w.publish("c", BASE_TS + 3 * day_ms + i * 1000)
+    out2: list = []
+    q2 = (
+        decayed_counts(stream_df())
+        .writeStream.foreachBatch(lambda df, _id: out2.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    want2 = (want1 >> 2) + 4 * (1 << DECAY_SHIFT)
+    assert out2[-1]["as_of_day"] == base_day + 2
+    assert out2[-1]["scaled"] == want2
