@@ -239,3 +239,35 @@ def test_v29_bottom_k_is_take_ordered(spark):
     # global percent_rank window over the corpus.
     plan = explain(QUERIES["v29_embedding_outliers"](spark, SF), mode="simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_t52_band_join_never_all_pairs(spark):
+    # Fuzzy decontamination candidates come from the LSH band equi-join;
+    # the Jaccard verify touches candidates only.
+    plan = explain(QUERIES["t52_fuzzy_decontamination"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_x17_window_explode_no_range_join(spark):
+    # The 7-day rolling merge is an in-row explode + equi-groupBy — no
+    # range join, no window over raw history.
+    plan = explain(QUERIES["x17_sliding_hll_window"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "hll_union_agg" in plan or "hll_sketch_agg" in plan
+
+
+def test_e28_forward_asof_one_user_shuffle(spark):
+    # Union + forward window: one user_id hash exchange, no inequality
+    # join anywhere.
+    plan = explain(QUERIES["e28_asof_forward"](spark, SF), mode="simple")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_v28_lloyd_update_two_shuffles(spark):
+    # posexplode + (cell,dim) aggregate + per-cell drift aggregate: the
+    # only exchanges are those two hash aggregates (plus the broadcast of
+    # the old centroids' dim rows).
+    plan = explain(QUERIES["v28_kmeans_iteration"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
