@@ -946,3 +946,111 @@ WHERE ROUND(1.0 * len(list_intersect(st.shingles, se.shingles))
 
 QUERIES["t52_fuzzy_decontamination"] = t52_fuzzy_decontamination
 ORACLES["t52_fuzzy_decontamination"] = _oracle_t52()
+
+
+# ---------------------------------------------------------------------------
+# t54 — INCREMENTAL dedup: classify an incoming batch against the staged
+# digest index of the existing corpus — at 100 TB you never re-dedup the
+# corpus when a 1-TB delta arrives; you probe the delta against the
+# standing index (v27's incremental-maintenance idea on the text side).
+# The synthetic batch re-enters every 30th doc (a dup-of-existing),
+# every 45th doc reversed-word-order (novel text, same vocabulary), and
+# every 90th doc reversed AGAIN under a third id (novel text repeated
+# INSIDE the batch), ids offset. Classes: `dup_of_existing` (digest in
+# the index),
+# `dup_within_batch` (digest new but repeated in the batch — keeper =
+# min id), `novel`. kept = novel or within-batch keeper.
+#
+# Scale: the standing index is (digest → min doc_id) — 32-byte keys,
+# staged once per corpus; the batch probes it with ONE equi-join (left),
+# and the within-batch window partitions by digest. The existing corpus
+# is scanned only when the index is (re)built, never per batch.
+# ---------------------------------------------------------------------------
+T54_ID_OFFSET = 80_000
+
+
+def t54_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    index = _stage_cached(
+        "t54_index",
+        sf_dir,
+        lambda: docs.select(
+            F.sha2("text", 256).alias("digest"), "doc_id"
+        )
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("existing_id")),
+    )
+    words = F.split("text", " ")
+    batch = (
+        docs.filter(F.col("doc_id") % 30 == 0)
+        .select((F.col("doc_id") + T54_ID_OFFSET).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 45 == 0).select(
+                (F.col("doc_id") + 2 * T54_ID_OFFSET).alias("doc_id"),
+                F.array_join(F.reverse(words), " ").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 90 == 0).select(
+                (F.col("doc_id") + 3 * T54_ID_OFFSET).alias("doc_id"),
+                F.array_join(F.reverse(words), " ").alias("text"),
+            )
+        )
+        .withColumn("digest", F.sha2("text", 256))
+    )
+    probed = batch.join(F.broadcast(index), "digest", "left")
+    w = Window.partitionBy("digest").orderBy(F.col("doc_id").asc())
+    classified = probed.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id",
+        F.when(F.col("existing_id").isNotNull(), "dup_of_existing")
+        .when(F.col("rn") > 1, "dup_within_batch")
+        .otherwise("novel")
+        .alias("status"),
+        F.coalesce("existing_id", F.lit(-1)).cast("long").alias("existing_id"),
+    )
+    return classified.withColumn(
+        "kept", F.col("status") == "novel"
+    )
+
+
+ORACLE_T54 = f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+index_ AS (
+  SELECT sha256(text) AS digest, MIN(doc_id) AS existing_id
+  FROM docs GROUP BY sha256(text)
+),
+batch AS (
+  SELECT doc_id + {T54_ID_OFFSET} AS doc_id, text
+  FROM docs WHERE doc_id % 30 = 0
+  UNION ALL
+  SELECT doc_id + {2 * T54_ID_OFFSET} AS doc_id,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+  FROM docs WHERE doc_id % 45 = 0
+  UNION ALL
+  SELECT doc_id + {3 * T54_ID_OFFSET} AS doc_id,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+  FROM docs WHERE doc_id % 90 = 0
+),
+probed AS (
+  SELECT b.doc_id, sha256(b.text) AS digest, i.existing_id
+  FROM batch b LEFT JOIN index_ i ON sha256(b.text) = i.digest
+),
+classified AS (
+  SELECT doc_id,
+         CASE WHEN existing_id IS NOT NULL THEN 'dup_of_existing'
+              WHEN ROW_NUMBER() OVER (PARTITION BY digest
+                                      ORDER BY doc_id ASC) > 1
+                   THEN 'dup_within_batch'
+              ELSE 'novel' END AS status,
+         CAST(COALESCE(existing_id, -1) AS BIGINT) AS existing_id
+  FROM probed
+)
+SELECT doc_id, status, existing_id, status = 'novel' AS kept
+FROM classified
+"""
+
+
+QUERIES["t54_incremental_dedup"] = t54_incremental_dedup
+ORACLES["t54_incremental_dedup"] = ORACLE_T54

@@ -86,6 +86,7 @@ _PRIORITY = (
     "q42_disjunctive_predicates",
     "q43_cdc_merge",
     "v29_embedding_outliers",
+    "t54_incremental_dedup",
     # round 5: plans/semantics changed this round (head/tail frequency
     # joins, staged percentile table, KMV hash overflow fix, shared
     # sessionizer, m05 NumPy vectorization, t47 common-token prune).
