@@ -212,14 +212,30 @@ def _read_log(root: str, stream: str, start_exclusive: int, end_inclusive: int |
 def _last_offset(root: str, stream: str) -> int:
     """Highest assigned offset, or 0 for an empty stream (ordinals are
     1-based). The high-water mark file dominates when retention emptied
-    the log — assigned ordinals are never reused."""
+    the log — assigned ordinals are never reused.
+
+    This runs DRIVER-SIDE on every micro-batch plan (latestOffset), so it
+    must not scale with log length: read a tail window and parse only the
+    last complete line (appends are line-atomic), growing the window in
+    the rare case a single record exceeds it."""
     last = 0
     path = os.path.join(stream_dir(root, stream), LOG_FILE)
     if os.path.exists(path):
+        size = os.path.getsize(path)
+        window = 8192
         with open(path, "rb") as f:
-            for line in f:
-                if line.strip():
-                    last = json.loads(line)["offset"]
+            while True:
+                f.seek(max(0, size - window))
+                chunk = f.read()
+                lines = [ln for ln in chunk.split(b"\n") if ln.strip()]
+                # the first line of a mid-file window may be a fragment;
+                # with >= 2 lines (or a full-file window) the last is whole
+                if lines and (len(lines) >= 2 or window >= size):
+                    last = json.loads(lines[-1])["offset"]
+                    break
+                if window >= size:
+                    break
+                window *= 8
     return max(last, _read_hwm(root, stream))
 
 
