@@ -159,3 +159,44 @@ def test_streaming_missing_stream_rejected(spark, log_root, tmp_path):
             .start()
         )
         q.awaitTermination(60)
+
+
+def test_last_offset_tail_read_edge_cases(tmp_path):
+    """_last_offset reads only the log TAIL (driver-side planning must
+    not scale with log length); the windowing must survive every line
+    layout: empty log, one line, records longer than the initial window,
+    and a fragment-leading mid-file window."""
+    import json
+    import os
+
+    from squonk2_fastapi_ws_event_stream_spark.sources.eventstream import (
+        EventLogWriter,
+        _last_offset,
+    )
+
+    root = str(tmp_path / "log")
+    w = EventLogWriter(root, "t")
+    assert _last_offset(root, "t") == 0  # no file yet
+
+    w.publish("x", 1_700_000_000_000)
+    assert _last_offset(root, "t") == 1  # single short line
+
+    # a single record far larger than the 8 KB initial window — the
+    # window must grow until the line is whole
+    w.publish("y" * 100_000, 1_700_000_000_001)
+    assert _last_offset(root, "t") == 2
+
+    # many short lines after the giant one (mid-file window starts with a
+    # fragment of the giant record; the LAST line must still be parsed)
+    for i in range(50):
+        w.publish("z", 1_700_000_000_002 + i)
+    assert _last_offset(root, "t") == 52
+
+    # exhaustive layout sweep: logs of every length 1..40 with mixed line
+    # sizes must always report the true last offset
+    for n in (1, 2, 3, 7, 40):
+        name = f"sweep{n}"
+        w2 = EventLogWriter(root, name)
+        for i in range(n):
+            w2.publish("m" * (1 + (i * 37) % 300), 1_700_000_000_000 + i)
+        assert _last_offset(root, name) == n, n
