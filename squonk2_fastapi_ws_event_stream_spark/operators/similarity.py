@@ -2591,3 +2591,57 @@ LIMIT {V29_K}
 
 QUERIES["v29_embedding_outliers"] = v29_embedding_outliers
 ORACLES["v29_embedding_outliers"] = _oracle_v29()
+
+
+# ---------------------------------------------------------------------------
+# v30 — cross-modal retrieval with quality annotation: IVF top-k over
+# the embeddings, each hit joined to its DOCUMENT row (vec_id ↔ doc_id —
+# the "embedding column alongside the text column" layout a training
+# pipeline stores) and annotated with the t09 quality bucket and source.
+# The RAG-curation view: is retrieval surfacing high-quality text, or do
+# low-quality documents dominate the neighborhoods? Also the only
+# operator exercising the embeddings ⋈ documents cross-table join.
+#
+# Scale: retrieval is the staged-IVF path (never all-pairs); the hit set
+# reduces to |queries|×k rows BEFORE joining documents, so the text table
+# is probed by a tiny equi-join (AQE broadcasts the hit side), never
+# scanned per query.
+# ---------------------------------------------------------------------------
+def v30_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import t09_quality_score
+
+    hits = _ivf_topk(spark, sf_dir, N_PROBE)
+    quality = t09_quality_score(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "quality_bucket"
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    return (
+        hits.join(quality, "vec_id")
+        .join(docs, "vec_id")
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "cos",
+            "quality_bucket",
+            "source",
+        )
+    )
+
+
+def _oracle_v30() -> str:
+    from .textstats import _oracle_t09
+
+    return f"""
+SELECT h.query_id, h.rank, CAST(h.vec_id AS BIGINT) AS vec_id, h.cos,
+       q.quality_bucket, d.source
+FROM ({_oracle_v03_probe(N_PROBE)}) h
+JOIN ({_oracle_t09()}) q ON q.doc_id = h.vec_id
+JOIN documents d ON d.doc_id = h.vec_id
+"""
+
+
+QUERIES["v30_retrieval_quality"] = v30_retrieval_quality
+ORACLES["v30_retrieval_quality"] = _oracle_v30()

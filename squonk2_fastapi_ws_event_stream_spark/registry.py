@@ -87,6 +87,7 @@ _PRIORITY = (
     "q43_cdc_merge",
     "v29_embedding_outliers",
     "t54_incremental_dedup",
+    "v30_retrieval_quality",
     # round 5: plans/semantics changed this round (head/tail frequency
     # joins, staged percentile table, KMV hash overflow fix, shared
     # sessionizer, m05 NumPy vectorization, t47 common-token prune).
