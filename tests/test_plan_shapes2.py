@@ -106,16 +106,21 @@ def test_x13_kmin_is_take_ordered(spark):
 
 
 def test_no_row_at_a_time_python_anywhere(spark):
-    """Global hot-path hygiene: no registered query may contain a
-    row-at-a-time Python eval (BatchEvalPython). Python is allowed only
-    as Arrow-batched stages (ArrowEvalPython / MapInPandas — the
-    multimodal ingest and the v05 NumPy scorer)."""
-    offenders = []
+    """Global hot-path hygiene, every registered query in one sweep:
+    (a) no row-at-a-time Python eval (BatchEvalPython) — Python is
+    allowed only as Arrow-batched stages (ArrowEvalPython/MapInPandas);
+    (b) no unbounded CartesianProduct — every cross product must plan as
+    a BroadcastNestedLoopJoin over a provably small side (1-row
+    aggregates, packed centroid rows), never a shuffled cartesian."""
+    py_offenders, cartesian_offenders = [], []
     for name, fn in QUERIES.items():
         plan = explain(fn(spark, SF), mode="simple")
         if "BatchEvalPython" in plan:
-            offenders.append(name)
-    assert not offenders, f"row-at-a-time Python in: {offenders}"
+            py_offenders.append(name)
+        if "CartesianProduct" in plan:
+            cartesian_offenders.append(name)
+    assert not py_offenders, f"row-at-a-time Python in: {py_offenders}"
+    assert not cartesian_offenders, f"cartesian product in: {cartesian_offenders}"
 
 
 def test_t45_pagerank_no_cartesian(spark):
