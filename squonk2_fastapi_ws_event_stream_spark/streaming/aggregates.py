@@ -52,6 +52,31 @@ def windowed_counts(
     )
 
 
+def windowed_distinct(
+    envelope: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window APPROXIMATE distinct senders per stream key — the
+    streaming twin of x01/x17: `approx_count_distinct` keeps a bounded
+    HLL buffer per open window in the state store (an exact distinct
+    would buffer every value seen — the unbounded-state trap), merges
+    across partitions, and emits on watermark close. rsd=0.01 ≈ 2.5 KB
+    of state per (window, key) regardless of throughput."""
+    sender = F.get_json_object(F.col("value").cast("string"), "$.sender")
+    return (
+        envelope.withWatermark("timestamp", watermark)
+        .withColumn("sender", F.coalesce(sender, F.lit("unknown")))
+        .groupBy(F.window("timestamp", window).alias("win"), "key")
+        .agg(F.approx_count_distinct("sender", rsd=0.01).alias("approx_senders"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "key",
+            "approx_senders",
+        )
+    )
+
+
 def sliding_counts(
     envelope: DataFrame,
     window: str = "10 minutes",

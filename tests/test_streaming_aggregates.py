@@ -194,3 +194,59 @@ def test_windowed_topk_matches_batch_rank(spark, tmp_path):
         (next(iter({k[0] for k in finals})), "b"): 3,
         (next(iter({k[0] for k in finals})), "c"): 1,
     }
+
+
+def test_windowed_distinct_counts_unique_senders(spark, tmp_path):
+    """approx_count_distinct in a watermarked window: 30 messages from 7
+    distinct senders in one hour window -> the HLL estimate at rsd=0.01
+    must be exact at this cardinality, and state stays bounded (one
+    sketch per open window, not one row per message)."""
+    import json
+
+    from squonk2_fastapi_ws_event_stream_spark.streaming.aggregates import (
+        windowed_distinct,
+    )
+
+    root = str(tmp_path / "log")
+    w = EventLogWriter(root, "senders")
+    for i in range(30):
+        w.publish(json.dumps({"sender": f"user{i % 7}"}), BASE_TS + i * 1000)
+    spark.dataSource.register(EventStreamDataSource)
+
+    env = (
+        spark.readStream.format("eventstream")
+        .option("path", root)
+        .option("stream", "senders")
+        .option("startingOrdinal", 0)
+        .load()
+    )
+    rows: list = []
+    q = (
+        windowed_distinct(env)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only CLOSED windows; all 30 messages share one
+    # window which never closes within this bounded run — re-publish a
+    # message 3 hours later to push the watermark past it, then rerun.
+    # watermark application lags one micro-batch (the interval-join
+    # lesson), so two pushes are needed: one to advance the watermark
+    # past the window, one more batch to flush the closed window.
+    for k, hours in enumerate((3, 6)):
+        w.publish(
+            json.dumps({"sender": "late"}), BASE_TS + hours * 3600 * 1000
+        )
+        q2 = (
+            windowed_distinct(env)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+    assert any(r["approx_senders"] == 7 for r in rows), rows
