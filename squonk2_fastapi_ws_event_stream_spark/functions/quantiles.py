@@ -47,19 +47,30 @@ def _kth_smallest(
     if lo == hi:
         return lo
     if n_range <= TAKE_CAP or depth >= MAX_DEPTH:
+        # No range re-filter here: `df` IS the row set whose count is
+        # n_range — at the top level it's the whole column, in recursion
+        # it's the parent's floor()-bucket filter. Re-filtering by
+        # [lo, hi] could disagree with floor() at float bucket edges and
+        # shift the k-th value (or strand fewer than k rows).
         row = (
-            df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
-            .orderBy(F.col(col).asc())
+            df.orderBy(F.col(col).asc())
             .limit(k)
             .agg(F.max(col).alias("v"))
             .collect()[0]
         )
         return float(row["v"])
     width = (hi - lo) / N_BUCKETS
-    bucket = F.least(F.lit(N_BUCKETS - 1), F.floor((F.col(col) - lo) / width))
+    # Clamp BOTH ends: [lo, hi] are derived bucket edges, and a row kept
+    # by the parent's floor()-bucket filter can sit an ulp outside them —
+    # clamping (instead of range-filtering) guarantees every row of `df`
+    # lands in exactly one bucket, so the histogram total equals n_range
+    # and the rank bookkeeping is exact.
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(F.lit(N_BUCKETS - 1), F.floor((F.col(col) - lo) / width)),
+    )
     hist = (
-        df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
-        .groupBy(bucket.alias("b"))
+        df.groupBy(bucket.alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
@@ -70,11 +81,9 @@ def _kth_smallest(
         if cum + c >= k:
             sub_lo = lo + b * width
             sub_hi = hi if b == N_BUCKETS - 1 else lo + (b + 1) * width
-            # Re-filter with the SAME bucket expression to stay consistent
-            # with the histogram's float arithmetic.
-            sub = df.filter(
-                (F.col(col) >= lo) & (F.col(col) <= hi) & (bucket == b)
-            )
+            # Filter with the SAME clamped bucket expression the histogram
+            # counted with — sub's row count is exactly c by construction.
+            sub = df.filter(bucket == b)
             return _kth_smallest(sub, col, k - cum, sub_lo, sub_hi, c, depth + 1)
         cum += c
     raise AssertionError("rank beyond histogram total")  # pragma: no cover

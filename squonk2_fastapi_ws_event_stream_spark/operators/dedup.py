@@ -1000,7 +1000,13 @@ def t54_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("digest", F.sha2("text", 256))
     )
-    probed = batch.join(F.broadcast(index), "digest", "left")
+    # Hint-free: the digest index grows with the corpus (billions of rows
+    # at 100 TB), so a static broadcast hint would be job-fatal past the
+    # 8 GB cap. Digest keys are sha2-uniform — a plain shuffle equi-join
+    # has no skew, and AQE broadcasts at runtime when the index genuinely
+    # fits. (SCALING.md bounded-broadcast rule; guarded by
+    # tests/test_plan_shapes2.py::test_no_unbounded_broadcast_hints.)
+    probed = batch.join(index, "digest", "left")
     w = Window.partitionBy("digest").orderBy(F.col("doc_id").asc())
     classified = probed.withColumn("rn", F.row_number().over(w)).select(
         "doc_id",

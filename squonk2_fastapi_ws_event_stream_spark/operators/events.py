@@ -1279,10 +1279,13 @@ def e25_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pr")
     ).select("pr.a", "pr.b")
     both = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_both"))
+    # Group under the domain name (event_type) so the plan-guard can see
+    # the fixed-enum grouping; rename to the join alias afterwards.
     singles = (
-        sets.select(F.explode("types").alias("t"))
-        .groupBy("t")
+        sets.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_t"))
+        .select(F.col("event_type").alias("t"), "n_t")
     )
     total = sets.agg(F.count(F.lit(1)).alias("n_sessions"))
     return (
@@ -1632,7 +1635,16 @@ def e29_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"), "event_type"
     )
     latest = ev.agg(F.max("day").alias("max_day"))
-    weighted = ev.crossJoin(F.broadcast(latest)).withColumn(
+    # Pre-aggregate per (event_type, day) FIRST — at most (types x days)
+    # rows carry a weight — then multiply counts by the 2^-age weight in
+    # DECIMAL(38,0): summing per-event 2^40 weights into a BIGINT would
+    # wrap silently past ~8.4M day-0 events (Spark wraps, DuckDB errors —
+    # the exact cross-engine divergence class). Decimal is overflow-safe
+    # to 10^38 ~ 2^126.
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    weighted = daily.crossJoin(F.broadcast(latest)).withColumn(
         "w",
         F.expr(
             f"CASE WHEN datediff(max_day, day) <= {E29_SHIFT} THEN "
@@ -1641,39 +1653,45 @@ def e29_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     scored = weighted.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("w").alias("w_sum"),
+        F.sum("cnt").alias("n_events"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("w").cast("decimal(38,0)")
+        ).alias("w_sum"),
     )
     rank_w = Window.orderBy(F.col("w_sum").desc(), F.col("event_type").asc())
     return scored.withColumn("rank", F.row_number().over(rank_w)).select(
         F.col("rank").cast("int").alias("rank"),
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
-        F.round(F.col("w_sum") / F.pow(F.lit(2.0), F.lit(E29_SHIFT)), 6).alias(
-            "decayed_score"
-        ),
+        F.round(
+            F.col("w_sum").cast("double") / F.pow(F.lit(2.0), F.lit(E29_SHIFT)), 6
+        ).alias("decayed_score"),
     )
 
 
 ORACLE_E29 = f"""
 WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
 latest AS (SELECT MAX(day) AS max_day FROM ev),
+daily AS (
+  SELECT event_type, day, COUNT(*) AS cnt FROM ev GROUP BY event_type, day
+),
 weighted AS (
-  SELECT event_type,
+  SELECT event_type, cnt,
          CASE WHEN date_diff('day', day, max_day) <= {E29_SHIFT}
               THEN CAST(1 AS BIGINT) << ({E29_SHIFT} - date_diff('day', day, max_day))
               ELSE CAST(0 AS BIGINT) END AS w
-  FROM ev CROSS JOIN latest
+  FROM daily CROSS JOIN latest
 ),
 scored AS (
-  SELECT event_type, COUNT(*) AS n_events, SUM(w) AS w_sum
+  SELECT event_type, SUM(cnt) AS n_events,
+         SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS w_sum
   FROM weighted GROUP BY event_type
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY w_sum DESC, event_type ASC) AS INTEGER)
          AS rank,
        event_type,
        CAST(n_events AS BIGINT) AS n_events,
-       ROUND(w_sum / POWER(2.0, {E29_SHIFT}), 6) AS decayed_score
+       ROUND(CAST(w_sum AS DOUBLE) / POWER(2.0, {E29_SHIFT}), 6) AS decayed_score
 FROM scored
 """
 

@@ -1040,8 +1040,11 @@ ORACLES = {
 # stress here is the DISJUNCTION: Catalyst must still push the common
 # l_quantity bounds to the lineitem scan (derived from the OR branches)
 # and keep the per-branch predicates as a post-join filter rather than
-# exploding the join. part is a dimension → broadcast; revenue uses the
-# decimal recipe.
+# exploding the join. The part side gets the classic Q19 pushdown: the
+# part-only disjunction (brand, size) pre-filters part BEFORE the join,
+# shrinking the build side ~1000x so hint-free AQE broadcasts it at
+# runtime. part is SF-scaled, so a static broadcast hint is forbidden
+# (SCALING.md:62); revenue uses the decimal recipe.
 # ---------------------------------------------------------------------------
 Q42_BRANCHES = (
     ("Brand#1", 5, 1, 11),
@@ -1051,11 +1054,29 @@ Q42_BRANCHES = (
 
 
 def q42_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    # Derived l_quantity bounds from the OR branches -> lineitem scan.
+    q_lo = min(qlo for _, _, qlo, _ in Q42_BRANCHES)
+    q_hi = max(qhi for _, _, _, qhi in Q42_BRANCHES)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .filter((F.col("l_quantity") >= q_lo) & (F.col("l_quantity") <= q_hi))
     )
-    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    # Part-only disjunction pushed to the part scan (the Q19 pushdown):
+    # shrinks the build side ~1000x; AQE broadcasts at runtime, no hint.
+    part_cond = reduce(
+        lambda x, y: x | y,
+        [
+            (F.col("p_brand") == b) & (F.col("p_size") <= s)
+            for b, s, _, _ in Q42_BRANCHES
+        ],
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+        .filter(part_cond)
+    )
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
     branch = lambda b, s, qlo, qhi: (
         (F.col("p_brand") == b)
         & (F.col("p_size") <= s)
@@ -1131,7 +1152,14 @@ def q43_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("inserted").alias("version"),
     )
     unioned = snap.unionByName(upd).unionByName(dele).unionByName(ins)
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("src").desc())
+    # Deterministic tie-break: at SF>=2 an inserted key (o_orderkey+10M)
+    # can collide with a real orderkey, giving two src=1 rows per key.
+    # upd/dele are disjoint (k%10==0 and k%25==3 is impossible mod 5),
+    # so within (key, src) versions are distinct -> ordering by version
+    # after src makes row_number deterministic in both engines.
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("src").desc(), F.col("version").asc()
+    )
     return (
         unioned.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("version") != "deleted"))
@@ -1163,7 +1191,7 @@ unioned AS (
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
-                               ORDER BY src DESC) AS rn
+                               ORDER BY src DESC, version ASC) AS rn
   FROM unioned
 )
 SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, version

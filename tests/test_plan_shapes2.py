@@ -276,3 +276,80 @@ def test_v28_lloyd_update_two_shuffles(spark):
     plan = explain(QUERIES["v28_kmeans_iteration"](spark, SF), mode="simple")
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_no_unbounded_broadcast_hints(spark):
+    """SCALING.md's bounded-broadcast rule, executable (round-6 task #3):
+    every broadcast hint in every registered query must have a provably
+    bounded input — 1-row aggregate, fixed-K limit, fixed-domain
+    grouping, spec-fixed table, unique-key range — or be a stride-
+    derived workload fixture, or carry an explicit justified entry in
+    plan_guard.ALLOWED_SEMANTIC. t54/q42 proved prose rules regress;
+    this closes the class."""
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        ALLOWED_SEMANTIC,
+        broadcast_hint_audit,
+    )
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        report = broadcast_hint_audit(fn(spark, SF))
+        allowed = ALLOWED_SEMANTIC.get(name, (0, ""))[0]
+        if len(report["unbounded"]) > allowed:
+            offenders[name] = report["unbounded"]
+    assert not offenders, f"unbounded broadcast hints: {offenders}"
+
+
+def test_plan_guard_catches_the_t54_q42_antipattern(spark):
+    """Canary: the exact round-5 anti-patterns (broadcast hint on a
+    corpus-sized digest index / on the full SF-scaled part table) must
+    go RED through the guard — proving the rule is executable, not
+    prose."""
+    from pyspark.sql import functions as F
+
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.tables import table
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    index = docs.select(F.sha2("text", 256).alias("digest"), "doc_id").groupBy(
+        "digest"
+    ).agg(F.min("doc_id").alias("existing_id"))
+    bad_t54 = docs.withColumn("digest", F.sha2("text", 256)).join(
+        F.broadcast(index), "digest", "left"
+    )
+    assert broadcast_hint_audit(bad_t54)["unbounded"], "guard missed t54 shape"
+
+    li = table(spark, SF, "lineitem").select("l_partkey")
+    part = table(spark, SF, "part").select("p_partkey")
+    bad_q42 = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    assert broadcast_hint_audit(bad_q42)["unbounded"], "guard missed q42 shape"
+
+    # ...and the FIXED shapes are green.
+    assert not broadcast_hint_audit(QUERIES["t54_incremental_dedup"](spark, SF))[
+        "unbounded"
+    ]
+    assert not broadcast_hint_audit(
+        QUERIES["q42_disjunctive_predicates"](spark, SF)
+    )["unbounded"]
+
+
+def test_t54_index_join_is_hint_free(spark):
+    """Round-6 task #1: the digest-index probe join must carry no static
+    broadcast hint (the index is corpus-sized); digest keys are
+    sha2-uniform so the shuffle equi-join is skew-free and AQE
+    broadcasts at runtime if the index genuinely fits."""
+    plan = explain(QUERIES["t54_incremental_dedup"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_q42_part_filter_reaches_the_scan(spark):
+    """Round-6 task #2: the brand/size disjunction must prune the part
+    scan (PushedFilters), and the derived quantity bounds the lineitem
+    scan — no static broadcast hint anywhere."""
+    plan = explain(QUERIES["q42_disjunctive_predicates"](spark, SF))
+    assert "p_brand" in plan.split("PushedFilters", 1)[-1]
+    assert "GreaterThanOrEqual(l_quantity" in plan or "l_quantity" in plan.split(
+        "PushedFilters", 1
+    )[-1]
