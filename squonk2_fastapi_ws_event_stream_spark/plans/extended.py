@@ -291,6 +291,34 @@ WHERE length(parts[u.i]) > 0
 
 
 # ---------------------------------------------------------------------------
+# t13b — the same sentence segmentation as pure JVM split + posexplode:
+# the fast path (whole-stage codegen, zero Python) for the common case
+# where the segmentation rule IS expressible as a regex split. t13 keeps
+# the UDTF form as the user-extensible surface (arbitrary Python
+# segmenters); this is what the engine compiles the simple rule to.
+# The t13-vs-t13b bench delta is the measured cost of crossing into
+# Python (crossover analysis in SCALING.md).
+# ---------------------------------------------------------------------------
+def t13b_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # posexplode indexes pre-filter, matching the UDTF's enumerate() —
+    # empty fragments consume an index but emit no row.
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", "\\. ")).alias("sent_idx", "sentence"),
+        )
+        .filter(F.length("sentence") > 0)
+        .select(
+            "doc_id",
+            F.col("sent_idx").cast("int").alias("sent_idx"),
+            "sentence",
+            F.length("sentence").cast("int").alias("n_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q18 — explicit GROUPING SETS + grouping_id: mixed granularity aggregates
 # in one pass (finer than q07's rollup / q15's cube).
 # ---------------------------------------------------------------------------
@@ -494,6 +522,7 @@ QUERIES = {
     "q16_distinct_users_daily": q16_distinct_users_daily,
     "q17_revenue_share": q17_revenue_share,
     "t13_sentence_udtf": t13_sentence_udtf,
+    "t13b_sentence_split": t13b_sentence_split,
     "q18_grouping_sets": q18_grouping_sets,
     "x01_approx_distinct": x01_approx_distinct,
     "x02_approx_percentiles": x02_approx_percentiles,
@@ -510,6 +539,7 @@ ORACLES = {
     "q16_distinct_users_daily": ORACLE_Q16,
     "q17_revenue_share": ORACLE_Q17,
     "t13_sentence_udtf": ORACLE_T13,
+    "t13b_sentence_split": ORACLE_T13,
     "q18_grouping_sets": ORACLE_Q18,
     "q19_promo_revenue": ORACLE_Q19,
     # x01/x02 hash the exact value + a tolerance-verdict boolean; the raw

@@ -202,3 +202,66 @@ def test_decayed_counts_integer_exact_and_restart_safe(spark, tmp_path):
     want2 = (want1 >> 2) + 4 * (1 << DECAY_SHIFT)
     assert out2[-1]["as_of_day"] == base_day + 2
     assert out2[-1]["scaled"] == want2
+
+
+def test_idle_keys_are_evicted_state_plateaus_under_churn(spark, tmp_path):
+    """Round-6 task #4: stream keys are unbounded over months of churn,
+    so the stateful operators evict keys idle past retention
+    (ProcessingTimeTimeout + state.remove). Drive running_totals with a
+    rate stream where EVERY row is a brand-new key that never returns:
+    without eviction state rows == all keys ever seen; with a 1 s
+    retention the store must plateau far below that (and report
+    removals)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .select(
+            F.concat(F.lit("k"), F.col("value")).alias("key"),
+            F.col("value").cast("string").alias("value"),
+        )
+    )
+    q = (
+        running_totals(rows, retention_ms=1000)
+        .writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-churn"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        progress = []
+        while time.time() < deadline:
+            time.sleep(1.0)
+            p = q.lastProgress
+            if p and p.get("stateOperators"):
+                progress.append(p)
+            done = [
+                pp
+                for pp in progress
+                if pp["stateOperators"][0]["numRowsRemoved"] > 0
+            ]
+            total_in = sum(pp["numInputRows"] for pp in progress)
+            if done and total_in > 2000:
+                break
+    finally:
+        q.stop()
+
+    assert progress, "no streaming progress observed"
+    total_input = sum(p["numInputRows"] for p in progress)
+    last_state_rows = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progress)
+    # Every input row is a distinct key; without eviction numRowsTotal
+    # would equal total_input. Plateau bound: keys live <= retention +
+    # trigger lag (~1.5 s * 200 rps = ~300), leave slack for scheduling.
+    assert total_input > 2000, f"too little churn generated: {total_input}"
+    assert removed > 0, "no state rows were ever evicted"
+    assert last_state_rows < total_input / 2, (
+        f"state did not plateau: {last_state_rows} rows for "
+        f"{total_input} distinct keys"
+    )
