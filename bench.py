@@ -397,6 +397,61 @@ def main() -> None:
         print("bench-check: no usable baseline found, skipping", file=sys.stderr)
 
 
+def _ws_delivery_bench(spark) -> dict:
+    """End-to-end single-connection delivery: publisher log → manager
+    (foreachBatch → chunked hub) → stdlib WS server → real client socket,
+    measured from client connect to last frame. This is the path the
+    scaling curve does NOT exercise (the curve's foreachBatch counts
+    rows JVM-side); round 6 batched the hub handoff (one queue op per
+    micro-batch chunk) and the frame writes (one syscall per chunk), so
+    the per-connection ceiling is recorded here from now on."""
+    import shutil
+    import tempfile
+
+    from squonk2_fastapi_ws_event_stream_spark.sources.registry import Registry
+    from squonk2_fastapi_ws_event_stream_spark.streaming.manager import StreamManager
+    from squonk2_fastapi_ws_event_stream_spark.streaming.websocket import (
+        EventStreamWsServer,
+        WsClient,
+    )
+
+    n = 60_000
+    root = tempfile.mkdtemp(prefix="es-ws-")
+    server = manager = None
+    try:
+        _publish_streams(root, 1, n)
+        registry = Registry(f"{root}/es.db")
+        manager = StreamManager(spark, root, f"{root}/ckpt")
+        server = EventStreamWsServer(registry, manager).start_background()
+        rec = registry.create("s0")
+        t0 = time.perf_counter()
+        client = WsClient(
+            "127.0.0.1",
+            server.port,
+            f"/event-stream/{rec['uuid']}"
+            f"?stream_from_ordinal=0&max_events={n}&timeout_s=120",
+            timeout=300,
+        )
+        got = 0
+        while got < n:
+            text, close = client.recv_text_or_close()
+            if text is None:
+                break
+            got += 1
+        sec = time.perf_counter() - t0
+        return {
+            "messages": got,
+            "sec": round(sec, 3),
+            "msgs_per_sec": round(got / sec) if sec > 0 else 0,
+        }
+    finally:
+        if server is not None:
+            server.stop()
+        if manager is not None:
+            manager.stop_all()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _publish_streams(root: str, n_streams: int, per_stream: int) -> None:
     from squonk2_fastapi_ws_event_stream_spark.sources.eventstream import (
         EventLogWriter,
@@ -512,6 +567,12 @@ def bench_streaming_relay(spark) -> dict:
         finally:
             shutil.rmtree(root, ignore_errors=True)
     result["scaling_curve"] = curve
+    result["ws_delivery"] = _ws_delivery_bench(spark)
+    print(
+        f"  ws delivery: {result['ws_delivery']['msgs_per_sec']} msg/s "
+        f"({result['ws_delivery']['messages']} msgs end-to-end)",
+        file=sys.stderr,
+    )
     return result
 
 

@@ -153,13 +153,16 @@ def create_app(
             try:
                 while delivered < max_events:
                     try:
-                        item = handle.hub.get(timeout=timeout_s)
+                        chunk = handle.hub.get(timeout=timeout_s)
                     except queue.Empty:
                         break
-                    if item is None:  # poison/stop sentinel
+                    if chunk is None:  # poison/stop sentinel
                         break
-                    yield item.out + "\n"
-                    delivered += 1
+                    # The hub hands chunks (one per micro-batch slice);
+                    # serve up to the max_events boundary in one yield.
+                    take = chunk[: max_events - delivered]
+                    yield "".join(d.out + "\n" for d in take)
+                    delivered += len(take)
             finally:
                 # by handle identity: a newer consume request may already
                 # have replaced this stream's consumer — don't stop it

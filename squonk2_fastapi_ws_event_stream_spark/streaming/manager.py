@@ -36,10 +36,20 @@ class Delivery:
     out: str
 
 
+# The hub hands the socket layer CHUNKS (lists of Delivery), one queue
+# item per micro-batch slice, so a 20k-message replay batch costs ~10
+# queue operations instead of 20k — per-row Queue.put/get was the
+# per-connection delivery ceiling (round-6 task #6). Backpressure:
+# maxsize counts chunks, so the bound is CHUNK_ROWS x maxsize = 32k
+# buffered messages per connection (vs 10k before — same order).
+CHUNK_ROWS = 2048
+HUB_MAX_CHUNKS = 16
+
+
 @dataclass
 class ConsumerHandle:
     stream: str
-    hub: "queue.Queue[Delivery | None]"
+    hub: "queue.Queue[list[Delivery] | None]"
     query: object = None
     stats: dict = field(default_factory=lambda: {"received": 0, "sent": 0})
 
@@ -66,7 +76,7 @@ class StreamManager:
         if old is not None:
             self.stop_consumer_handle(old)
 
-        hub: queue.Queue = queue.Queue(maxsize=10_000)
+        hub: queue.Queue = queue.Queue(maxsize=HUB_MAX_CHUNKS)
         handle = ConsumerHandle(stream=stream, hub=hub)
 
         reader = self.spark.readStream.format("eventstream").option(
@@ -89,18 +99,37 @@ class StreamManager:
         manager = self
 
         def push_batch(batch_df, batch_id):  # runs on the driver per micro-batch
-            rows = sorted(batch_df.collect(), key=lambda r: r["offset"])
-            poisoned = False
-            for r in rows:
-                handle.stats["received"] += 1
-                if r["is_poison"]:
-                    # Never forwarded; stops the consumer
-                    # (app/app.py:463-467,520-524).
-                    poisoned = True
-                    break
-                if r["out"] is not None:
-                    hub.put(Delivery(key=r["key"], offset=r["offset"], out=r["out"]))
-                    handle.stats["sent"] += 1
+            # Arrow-batched collect (toPandas) + column lists: the old
+            # Row-object loop with one hub.put per message was the
+            # per-connection ceiling; now the whole batch crosses as a
+            # few column .tolist() calls and ~batch/CHUNK_ROWS queue ops.
+            pdf = batch_df.toPandas()
+            if len(pdf) == 0:
+                return
+            pdf = pdf.sort_values("offset", ignore_index=True)
+            keys = pdf["key"].tolist()
+            offsets = pdf["offset"].tolist()
+            outs = pdf["out"].tolist()
+            poisons = pdf["is_poison"].tolist()
+            try:
+                # Never forwarded; stops the consumer
+                # (app/app.py:463-467,520-524). Rows after the pill are
+                # neither counted nor delivered, as before.
+                cut = poisons.index(True)
+                poisoned = True
+            except ValueError:
+                cut = len(outs)
+                poisoned = False
+            handle.stats["received"] += cut + (1 if poisoned else 0)
+            chunk = [
+                Delivery(key=k, offset=o, out=s)
+                for k, o, s in zip(keys[:cut], offsets[:cut], outs[:cut])
+                if s is not None
+            ]
+            for i in range(0, len(chunk), CHUNK_ROWS):
+                piece = chunk[i : i + CHUNK_ROWS]
+                hub.put(piece)
+                handle.stats["sent"] += len(piece)
             if poisoned:
                 hub.put(None)  # end-of-stream sentinel for the socket layer
                 # Stop by handle identity, not by name: a reconnect may have

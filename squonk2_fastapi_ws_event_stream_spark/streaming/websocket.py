@@ -272,6 +272,17 @@ class _WsHandler(socketserver.StreamRequestHandler):
             self.wfile.write(encode_frame(OP_TEXT, text.encode("utf-8")))
             self.wfile.flush()
 
+    def _send_text_many(self, texts: list[str]) -> None:
+        """Bulk delivery: encode every frame, then ONE write + flush under
+        one lock acquisition — the per-frame write/flush was the other
+        half of the per-connection delivery ceiling (round-6 task #6).
+        Frames stay individual RFC 6455 text frames; only the syscalls
+        are batched."""
+        buf = b"".join(encode_frame(OP_TEXT, t.encode("utf-8")) for t in texts)
+        with self._wlock:
+            self.wfile.write(buf)
+            self.wfile.flush()
+
     # -- the consume path (C5) --------------------------------------------
     def _consume(self, es_uuid: str, query: str) -> None:
         import queue as _q
@@ -337,15 +348,22 @@ class _WsHandler(socketserver.StreamRequestHandler):
                 if params.max_events is not None and delivered >= params.max_events:
                     break
                 try:
-                    item = handle.hub.get(timeout=0.25)
+                    chunk = handle.hub.get(timeout=0.25)
                 except _q.Empty:
                     if idle_deadline is not None and _time.monotonic() >= idle_deadline:
                         break
                     continue
-                if item is None:  # poison / consumer stop sentinel
+                if chunk is None:  # poison / consumer stop sentinel
                     break
-                self._send_text(item.out)
-                delivered += 1
+                # One micro-batch slice per hub item: bulk-encode up to
+                # the max_events boundary and write once.
+                take = (
+                    chunk
+                    if params.max_events is None
+                    else chunk[: params.max_events - delivered]
+                )
+                self._send_text_many([d.out for d in take])
+                delivered += len(take)
                 if idle_deadline is not None:
                     idle_deadline = _time.monotonic() + params.timeout_s
             self._close(CLOSE_NORMAL, "")
