@@ -1060,3 +1060,163 @@ FROM classified
 
 QUERIES["t54_incremental_dedup"] = t54_incremental_dedup
 ORACLES["t54_incremental_dedup"] = ORACLE_T54
+
+
+# ---------------------------------------------------------------------------
+# t55 — INCREMENTAL near-dedup: t54's delta path for NEAR-duplicates.
+# The standing corpus keeps a staged MinHash band index; an incoming
+# batch is shingled, signed, and probed against it with the same banded
+# equi-join t02 uses — the corpus is never re-shingled per delta, and
+# nothing is all-pairs. The synthetic delta re-enters every 40th doc
+# with its last word dropped (a true near-dup of the original) and
+# every 60th doc word-reversed (same vocabulary, different shingles —
+# novel), ids offset. Each batch doc is classified `near_dup` (best
+# verified Jaccard >= threshold, deterministic argmax: jaccard desc,
+# then lowest existing id) or `novel`.
+#
+# Scale: the band index is (band_id, band_key, doc_id) — linear in the
+# corpus, staged once (persisted; at cluster scale a bucketed table on
+# (band_id, band_key)); the delta probes it with ONE equi-join, and the
+# Jaccard verify joins shingles for CANDIDATE pairs only. This is the
+# standing-index maintenance loop every production near-dedup runs.
+# ---------------------------------------------------------------------------
+T55_ID_OFFSET = 400_000
+
+
+def t55_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sig = _stage_cached(
+        "t02",  # shared with t02/t31: the corpus signature staging table
+        sf_dir,
+        lambda: _with_shingles(
+            table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+        ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
+    )
+    index_bands = sig.select(
+        F.col("doc_id").alias("existing_id"),
+        F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key"),
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    delta = (
+        docs.filter(F.col("doc_id") % 40 == 0)
+        .select(
+            (F.col("doc_id") + T55_ID_OFFSET).alias("doc_id"),
+            F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 60 == 0).select(
+                (F.col("doc_id") + 2 * T55_ID_OFFSET).alias("doc_id"),
+                F.array_join(F.reverse(words), " ").alias("text"),
+            )
+        )
+        .filter(F.length("text") >= H.K)
+    )
+    dsig = _with_shingles(delta, spark).withColumn(
+        "sig", H.minhash_signature(F.col("shingles"))
+    )
+    dbands = dsig.select(
+        "doc_id", F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key")
+    )
+    cand = (
+        dbands.join(index_bands, ["band_id", "band_key"])
+        .select("doc_id", "existing_id")
+        .distinct()
+    )
+    pairs = cand.join(dsig.select("doc_id", F.col("shingles").alias("sh_d")), "doc_id").join(
+        sig.select(F.col("doc_id").alias("existing_id"), F.col("shingles").alias("sh_e")),
+        "existing_id",
+    )
+    jac = F.size(F.array_intersect("sh_d", "sh_e")) / F.size(
+        F.array_union("sh_d", "sh_e")
+    )
+    scored = pairs.select(
+        "doc_id", "existing_id", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("existing_id").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return delta.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("existing_id").isNotNull(), "near_dup")
+        .otherwise("novel")
+        .alias("status"),
+        F.coalesce("existing_id", F.lit(-1)).cast("long").alias("matched_id"),
+        F.coalesce("jaccard", F.lit(-1.0)).alias("jaccard"),
+    )
+
+
+def _oracle_t55() -> str:
+    corpus_bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id AS existing_id, {b} AS band_id,"
+        f" {H.sql_band_key('sig', b)} AS band_key FROM sig"
+        for b in range(H.N_BANDS)
+    )
+    delta_bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, {H.sql_band_key('sig', b)} AS band_key"
+        " FROM dsig"
+        for b in range(H.N_BANDS)
+    )
+    return rf"""
+WITH sh AS ({SQL_SHINGLES}),
+sig AS (
+  SELECT doc_id, shingles, {H.sql_minhash_signature('shingles')} AS sig FROM sh
+),
+bands AS (
+{corpus_bands}
+),
+delta AS (
+  SELECT doc_id + {T55_ID_OFFSET} AS doc_id,
+         regexp_replace(text, '\s+\S+$', '') AS text
+  FROM documents WHERE doc_id % 40 = 0
+  UNION ALL
+  SELECT doc_id + {2 * T55_ID_OFFSET} AS doc_id,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+  FROM documents WHERE doc_id % 60 = 0
+),
+dvalid AS (SELECT * FROM delta WHERE length(text) >= {H.K}),
+dsh AS (
+  SELECT doc_id, list_distinct({H.sql_shingle_hashes('codes', 'text')}) AS shingles
+  FROM (SELECT doc_id, text, {H.sql_char_codes('text')} AS codes FROM dvalid)
+),
+dsig AS (
+  SELECT doc_id, shingles, {H.sql_minhash_signature('shingles')} AS sig FROM dsh
+),
+dbands AS (
+{delta_bands}
+),
+cand AS (
+  SELECT DISTINCT d.doc_id, i.existing_id
+  FROM dbands d JOIN bands i
+    ON d.band_id = i.band_id AND d.band_key = i.band_key
+),
+scored AS (
+  SELECT c.doc_id, c.existing_id,
+         ROUND(1.0 * len(list_intersect(dd.shingles, ee.shingles))
+               / len(list_distinct(list_concat(dd.shingles, ee.shingles))), 6)
+           AS jaccard
+  FROM cand c
+  JOIN dsh dd ON dd.doc_id = c.doc_id
+  JOIN sh ee ON ee.doc_id = c.existing_id
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY jaccard DESC, existing_id ASC) AS rn
+  FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+)
+SELECT v.doc_id,
+       CASE WHEN b.existing_id IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS status,
+       CAST(COALESCE(b.existing_id, -1) AS BIGINT) AS matched_id,
+       COALESCE(b.jaccard, -1.0) AS jaccard
+FROM dvalid v
+LEFT JOIN (SELECT doc_id, existing_id, jaccard FROM best WHERE rn = 1) b
+  ON v.doc_id = b.doc_id
+"""
+
+
+QUERIES["t55_incremental_neardup"] = t55_incremental_neardup
+ORACLES["t55_incremental_neardup"] = _oracle_t55()

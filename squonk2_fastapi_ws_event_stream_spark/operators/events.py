@@ -1767,3 +1767,107 @@ FROM intervals
 
 QUERIES["e30_scd2_intervals"] = e30_scd2_intervals
 ORACLES["e30_scd2_intervals"] = ORACLE_E30
+
+
+# ---------------------------------------------------------------------------
+# e31 — multi-touch conversion attribution: every purchase is attributed
+# to the same user's touchpoint events (click/view/signup/error) in the
+# 7 days before it; per touch TYPE we report total touches credited,
+# how often that type was the FIRST touch of a conversion, the LAST
+# touch, and how many distinct conversions it participated in — the
+# first-touch / last-touch marketing-attribution report, kept
+# INTEGER-exact (no fractional "linear" credit, whose float sums are
+# order-dependent across engines).
+#
+# Mechanism: e28's forward as-of (first_value IGNORE NULLS over the
+# forward user window) pins each touch to its next purchase; a second
+# window over (purchase) ranks the attribution set for first/last.
+# Scale: two hash exchanges — (user_id) then (next purchase id) — both
+# equi-partitioned windows, no interval self-join.
+# ---------------------------------------------------------------------------
+E31_WINDOW_MS = 7 * 86_400_000
+
+
+def e31_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    tagged = (
+        ev.withColumn(
+            "type_order", F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .withColumn(
+            "pid", F.when(F.col("event_type") == "purchase", F.col("event_id"))
+        )
+        .withColumn("pts", F.when(F.col("event_type") == "purchase", F.col("ts")))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("type_order").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = tagged.withColumn(
+        "next_pid", F.first("pid", ignorenulls=True).over(w)
+    ).withColumn("next_pts", F.first("pts", ignorenulls=True).over(w))
+    lag_ms = F.unix_millis("next_pts") - F.unix_millis("ts")
+    touches = nxt.filter(
+        (F.col("event_type") != "purchase")
+        & F.col("next_pid").isNotNull()
+        & (lag_ms <= E31_WINDOW_MS)
+    ).select("event_id", "event_type", "ts", "next_pid")
+    wp = Window.partitionBy("next_pid").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ranked = (
+        touches.withColumn("rn", F.row_number().over(wp))
+        .withColumn("n_set", F.count(F.lit(1)).over(Window.partitionBy("next_pid")))
+    )
+    return ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum((F.col("rn") == 1).cast("long")).cast("long").alias("n_first_touch"),
+        F.sum((F.col("rn") == F.col("n_set")).cast("long"))
+        .cast("long")
+        .alias("n_last_touch"),
+        F.countDistinct("next_pid").cast("long").alias("n_conversions_touched"),
+    )
+
+
+ORACLE_E31 = f"""
+WITH tagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS type_order,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS pid,
+         CASE WHEN event_type = 'purchase' THEN ts END AS pts
+  FROM events
+),
+nxt AS (
+  SELECT *,
+         first_value(pid IGNORE NULLS) OVER w AS next_pid,
+         first_value(pts IGNORE NULLS) OVER w AS next_pts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts ASC, type_order ASC, event_id ASC
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+touches AS (
+  SELECT event_id, event_type, ts, next_pid
+  FROM nxt
+  WHERE event_type <> 'purchase' AND next_pid IS NOT NULL
+    AND epoch_ms(next_pts) - epoch_ms(ts) <= {E31_WINDOW_MS}
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY next_pid
+                            ORDER BY ts ASC, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY next_pid) AS n_set
+  FROM touches
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first_touch,
+       CAST(SUM(CASE WHEN rn = n_set THEN 1 ELSE 0 END) AS BIGINT) AS n_last_touch,
+       CAST(COUNT(DISTINCT next_pid) AS BIGINT) AS n_conversions_touched
+FROM ranked GROUP BY event_type
+"""
+
+
+QUERIES["e31_touch_attribution"] = e31_touch_attribution
+ORACLES["e31_touch_attribution"] = ORACLE_E31

@@ -821,8 +821,10 @@ def m08_perceptual_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_M08 = """
-WITH params AS (
+# Shared aHash re-derivation CTE (oracle side): every sampled gray is
+# rebuilt from the fixture builder's doc_id arithmetic — used by m08 and
+# the m10 near-dup banding below.
+SQL_AHASH_CTE = """params AS (
   SELECT doc_id,
          16 + doc_id % 17 AS w, 8 + doc_id % 11 AS h,
          doc_id % 251 AS fill,
@@ -844,7 +846,10 @@ hashed AS (
            list_transform(g, x -> CASE WHEN 64 * x > list_sum(g)
                                        THEN '1' ELSE '0' END), '') AS ahash
   FROM grays
-)
+)"""
+
+ORACLE_M08 = f"""
+WITH {SQL_AHASH_CTE}
 SELECT doc_id, ahash,
        COUNT(*) OVER (PARTITION BY ahash) AS n_same_hash
 FROM hashed
@@ -950,3 +955,112 @@ FROM samples
 
 QUERIES["m09_audio_features"] = m09_audio_features
 ORACLES["m09_audio_features"] = ORACLE_M09
+
+
+# ---------------------------------------------------------------------------
+# m10 — perceptual NEAR-dup banding: m08 finds exact aHash collisions;
+# real near-duplicate images (recompressed, slightly recropped) differ
+# in a few bits. The LSH discipline transfers unchanged from t02: split
+# the 64-bit aHash into 4 bands of 16 bits — two images within Hamming
+# distance 3 of each other agree on at least one full band (pigeonhole)
+# — equi-join on (band_id, band_bits) for candidates, then verify the
+# exact Hamming distance on candidates only. Never pixel-level or
+# hash-level all-pairs.
+#
+# Scale: hash extraction is one Arrow-batched mapInPandas pass; the
+# candidate join shuffles (band_id, 16-char key) — linear in image
+# count; the 64-term Hamming compare is a codegen expression on
+# candidate pairs only.
+# ---------------------------------------------------------------------------
+M10_N_BANDS, M10_BAND_LEN, M10_HAMMING_T = 4, 16, 6
+
+
+def _hamming64(a: str, b: str):
+    """64-term integer Hamming distance between two 64-char bit strings
+    as a single codegen expression (no UDF)."""
+    terms = [
+        (F.substring(a, i, 1) != F.substring(b, i, 1)).cast("int")
+        for i in range(1, 65)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total
+
+
+def m10_image_neardup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload[:2] == b"BM":
+                    ids.append(doc_id)
+                    hashes.append(ahash_bmp(payload))
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    hashed = attach_media_payload(docs).mapInPandas(run, schema=M08_SCHEMA)
+    bands = hashed.select(
+        "doc_id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("ahash", 1 + b * M10_BAND_LEN, M10_BAND_LEN)
+                    for b in range(M10_N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_bits"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_bits"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("h_a"),
+            F.col("b.ahash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", _hamming64("h_a", "h_b"))
+        .filter(F.col("hamming") <= M10_HAMMING_T)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _oracle_m10() -> str:
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, ahash, {b} AS band_id,"
+        f" substr(ahash, {1 + b * M10_BAND_LEN}, {M10_BAND_LEN}) AS band_bits"
+        " FROM hashed"
+        for b in range(M10_N_BANDS)
+    )
+    ham = " + ".join(
+        f"(CASE WHEN substr(h_a, {i}, 1) <> substr(h_b, {i}, 1)"
+        " THEN 1 ELSE 0 END)"
+        for i in range(1, 65)
+    )
+    return f"""
+WITH {SQL_AHASH_CTE},
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.ahash AS h_a, b.ahash AS h_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({ham} AS INTEGER) AS hamming
+FROM cand
+WHERE {ham} <= {M10_HAMMING_T}
+"""
+
+
+QUERIES["m10_image_neardup_bands"] = m10_image_neardup_bands
+ORACLES["m10_image_neardup_bands"] = _oracle_m10()

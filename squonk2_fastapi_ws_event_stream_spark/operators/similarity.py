@@ -2645,3 +2645,87 @@ JOIN documents d ON d.doc_id = h.vec_id
 
 QUERIES["v30_retrieval_quality"] = v30_retrieval_quality
 ORACLES["v30_retrieval_quality"] = _oracle_v30()
+
+
+# ---------------------------------------------------------------------------
+# v31 — incremental DELETE maintenance for the IVF index: v27's sibling
+# on the remove side. Tombstoned vectors (a deletes table, modeled as
+# vec_id % 9 == 4) are removed from the STAGED cell assignment with one
+# anti-join — the base corpus is never re-embedded or re-assigned — and
+# the per-cell occupancy after the delete is verified against a
+# rebuild-from-scratch of the shrunken corpus (the v27 rebuild-
+# equivalence verdict: incremental maintenance must be
+# indistinguishable from a full rebuild).
+#
+# Scale: the staged assignment is probed once (anti-join on vec_id, a
+# fixed-width key); per-cell counts are a (cell_id) aggregate with
+# map-side combine. The rebuild arm exists only to produce the verdict
+# and rides the same broadcast packed-centroid assignment as v03.
+# ---------------------------------------------------------------------------
+V31_DELETE_MOD, V31_DELETE_REM = 9, 4
+
+
+def v31_ivf_delete_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
+    tomb = F.col("vec_id") % V31_DELETE_MOD == V31_DELETE_REM
+    before = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(tomb.cast("long")).alias("n_deleted"),
+    )
+    # Incremental arm: drop tombstones from the standing assignment.
+    after = (
+        assigned.filter(~tomb)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    # Rebuild arm: re-assign the shrunken corpus from scratch (same
+    # packed centroids — deletes never move centroids in plain IVF).
+    rebuilt = (
+        _with_nearest_cell(emb.filter(~tomb), packed, "embedding")
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_rebuild"))
+    )
+    return (
+        before.join(after, "cell_id", "left")
+        .join(rebuilt, "cell_id", "left")
+        .select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.col("n_before").cast("long").alias("n_before"),
+            F.col("n_deleted").cast("long").alias("n_deleted"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            (
+                F.coalesce("n_after", F.lit(0)) == F.coalesce("n_rebuild", F.lit(0))
+            ).alias("rebuild_match"),
+        )
+    )
+
+
+ORACLE_V31 = f"""
+WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+           WHERE vec_id % {CENTROID_STRIDE} = 0),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS c_rank
+    FROM embeddings e CROSS JOIN c
+  ) WHERE c_rank = 1
+),
+flagged AS (
+  SELECT cell_id, vec_id,
+         vec_id % {V31_DELETE_MOD} = {V31_DELETE_REM} AS is_tomb
+  FROM assigned
+)
+SELECT cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(SUM(CASE WHEN is_tomb THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(COUNT(*) - SUM(CASE WHEN is_tomb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after,
+       TRUE AS rebuild_match
+FROM flagged GROUP BY cell_id
+"""
+
+
+QUERIES["v31_ivf_delete_maintenance"] = v31_ivf_delete_maintenance
+ORACLES["v31_ivf_delete_maintenance"] = ORACLE_V31

@@ -1292,3 +1292,91 @@ GROUP BY f.wday, dc.n_days_merged
 
 QUERIES["x17_sliding_hll_window"] = x17_sliding_hll_window
 ORACLES["x17_sliding_hll_window"] = ORACLE_X17
+
+
+# ---------------------------------------------------------------------------
+# x19 — stratified deterministic downsampling: keep exactly K events per
+# event_type (stratum), chosen by a keyed hash order — the
+# balance-the-sources sampling step every training-data pipeline runs
+# before mixing. Hash-ordered selection makes the sample REPRODUCIBLE
+# (same corpus -> same sample, no RNG state) and uniform-in-expectation
+# (the overflow-safe x13 hash family); per-stratum summary stats verify
+# the sample against the stratum it came from.
+#
+# Scale: ONE window over (event_type) — a fixed-enum partition key, no
+# global sort; per-stratum top-K by hash is a bounded heap per
+# partition. The summary aggregate rides the same partitioning. Compare
+# x13 (global bottom-k for distinct ESTIMATION); this is per-stratum
+# bottom-k for row SELECTION.
+# ---------------------------------------------------------------------------
+X19_K = 200
+
+
+def x19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    hashed = ev.withColumn("h", _kmv_hash(F.col("event_id")))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("h").asc(), F.col("event_id").asc()
+    )
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    sampled = ranked.filter(F.col("rn") <= X19_K)
+    totals = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.round(F.sum(F.col("value").cast("decimal(18,10)")).cast("double"), 4).alias(
+            "sum_total"
+        ),
+    )
+    per_stratum = sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("h").alias("h_boundary"),
+        F.round(F.sum(F.col("value").cast("decimal(18,10)")).cast("double"), 4).alias(
+            "sum_sampled"
+        ),
+    )
+    return totals.join(per_stratum, "event_type").select(
+        "event_type",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+        F.col("h_boundary").cast("long").alias("h_boundary"),
+        "sum_total",
+        "sum_sampled",
+    )
+
+
+_SQL_X19_HASH = f"((event_id % {_X13_P}) * {X13_A_MOD} + {X13_B}) % {_X13_P}"
+
+ORACLE_X19 = f"""
+WITH hashed AS (
+  SELECT event_id, event_type, value, {_SQL_X19_HASH} AS h FROM events
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY h ASC, event_id ASC) AS rn
+  FROM hashed
+),
+sampled AS (SELECT * FROM ranked WHERE rn <= {X19_K}),
+totals AS (
+  SELECT event_type, COUNT(*) AS n_total,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,10))) AS DOUBLE), 4)
+           AS sum_total
+  FROM events GROUP BY event_type
+),
+per_stratum AS (
+  SELECT event_type, COUNT(*) AS n_sampled, MAX(h) AS h_boundary,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,10))) AS DOUBLE), 4)
+           AS sum_sampled
+  FROM sampled GROUP BY event_type
+)
+SELECT t.event_type,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_sampled AS BIGINT) AS n_sampled,
+       CAST(h_boundary AS BIGINT) AS h_boundary,
+       sum_total, sum_sampled
+FROM totals t JOIN per_stratum p ON t.event_type = p.event_type
+"""
+
+
+QUERIES["x19_stratified_sample"] = x19_stratified_sample
+ORACLES["x19_stratified_sample"] = ORACLE_X19

@@ -1201,3 +1201,162 @@ FROM ranked WHERE rn = 1 AND version <> 'deleted'
 
 QUERIES["q43_cdc_merge"] = q43_cdc_merge
 ORACLES["q43_cdc_merge"] = ORACLE_Q43
+
+
+# ---------------------------------------------------------------------------
+# q44 — RANGE-interval window frames: per customer, the rolling 30-day
+# order revenue as of each order (RANGE BETWEEN INTERVAL 30 DAYS
+# PRECEDING AND CURRENT ROW). The time-window frame every SLA/cohort
+# dashboard leans on; Spark expresses the interval frame as a
+# rangeBetween over an integer day number (same inclusive semantics as
+# DuckDB's INTERVAL frame, tie rows are peers in both engines).
+#
+# Scale: ONE (o_custkey) hash exchange; the frame scan is a per-
+# partition sliding accumulator, never a self-join. Decimal recipe for
+# the windowed sum.
+# ---------------------------------------------------------------------------
+def q44_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    day_num = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(day_num).rangeBetween(-30, 0)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"),
+            4,
+        ).alias("rolling_revenue"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_window"),
+    )
+
+
+ORACLE_Q44 = """
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS day,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 4)
+         AS rolling_revenue,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES["q44_rolling_revenue"] = q44_rolling_revenue
+ORACLES["q44_rolling_revenue"] = ORACLE_Q44
+
+
+# ---------------------------------------------------------------------------
+# q45 — PIVOT report: nation x order-year revenue matrix in one
+# aggregate. Spark's pivot with EXPLICIT values compiles to a single
+# groupBy with one conditional aggregate per cell — no per-year scans,
+# no transpose shuffle; the oracle is the equivalent conditional
+# aggregation. Years are pinned (the generator's 1995-2001 span) so the
+# output schema is deterministic.
+#
+# Scale: one (n_name) aggregate with map-side combine; nation resolves
+# by broadcast (spec-fixed 25 rows).
+# ---------------------------------------------------------------------------
+Q45_YEARS = tuple(range(1995, 2002))
+
+
+def q45_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    df = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("yr", F.year("o_orderdate"))
+    )
+    pivoted = (
+        df.groupBy("n_name")
+        .pivot("yr", list(Q45_YEARS))
+        .agg(dsum2("o_totalprice"))
+    )
+    return pivoted.select(
+        "n_name",
+        *[
+            F.coalesce(F.col(str(y)), F.lit(0.0)).alias(f"y{y}")
+            for y in Q45_YEARS
+        ],
+    )
+
+
+def _oracle_q45() -> str:
+    cells = ",\n       ".join(
+        f"COALESCE(ROUND(CAST(SUM(CASE WHEN year(o_orderdate) = {y}"
+        f" THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 4), 0.0)"
+        f" AS y{y}"
+        for y in Q45_YEARS
+    )
+    return f"""
+SELECT n_name,
+       {cells}
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+QUERIES["q45_pivot_revenue"] = q45_pivot_revenue
+ORACLES["q45_pivot_revenue"] = _oracle_q45()
+
+
+# ---------------------------------------------------------------------------
+# q46 — EXISTS / NOT EXISTS as semi/anti joins: customers who placed at
+# least one 1-URGENT order but never had a returned lineitem. The
+# correlated-subquery shape every warehouse audit query uses; Spark
+# plans both as left-semi / left-anti hash joins (no row multiplication,
+# no distinct needed — semi/anti output at most one row per customer).
+#
+# Scale: the returned-customer build side pre-filters lineitem to
+# l_returnflag = 'R' at the scan (pushed filter) before the orderkey
+# join; both semi and anti are plain shuffle joins, AQE broadcasts if a
+# side fits. No hints (part of the bounded-broadcast discipline).
+# ---------------------------------------------------------------------------
+def q46_exists_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    returned = (
+        orders.join(
+            li.filter(F.col("l_returnflag") == "R"),
+            orders.o_orderkey == F.col("l_orderkey"),
+        ).select("o_custkey")
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .join(returned, cust.c_custkey == returned.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE_Q46 = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  WHERE o.o_custkey = c.c_custkey
+                    AND l.l_returnflag = 'R')
+"""
+
+
+QUERIES["q46_exists_antijoin"] = q46_exists_antijoin
+ORACLES["q46_exists_antijoin"] = ORACLE_Q46

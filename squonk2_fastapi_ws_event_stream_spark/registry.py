@@ -65,6 +65,14 @@ NON_SQL_QUERIES = frozenset(missing)
 _NEW_OR_CHANGED = (
     # round 6 NEW:
     "t13b_sentence_split",
+    "t55_incremental_neardup",
+    "q44_rolling_revenue",
+    "q45_pivot_revenue",
+    "q46_exists_antijoin",
+    "v31_ivf_delete_maintenance",
+    "m10_image_neardup_bands",
+    "e31_touch_attribution",
+    "x19_stratified_sample",
     # round 6 changed plans/semantics: broadcast hints removed (t54,
     # q42), CDC tie-break (q43), decimal decay weights (e29), fixed-enum
     # grouping rename (e25), histogram-selection bucket fix (x15).

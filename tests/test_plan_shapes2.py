@@ -353,3 +353,74 @@ def test_q42_part_filter_reaches_the_scan(spark):
     assert "GreaterThanOrEqual(l_quantity" in plan or "l_quantity" in plan.split(
         "PushedFilters", 1
     )[-1]
+
+
+# -- round-6 additions ------------------------------------------------------
+def test_t55_incremental_probe_never_rescans_allpairs(spark):
+    # Delta signatures probe the staged band index with equi-joins only;
+    # the Jaccard verify touches candidate pairs, never all pairs.
+    plan = explain(QUERIES["t55_incremental_neardup"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_q44_frame_is_one_customer_exchange(spark):
+    # The interval frame is a per-partition sliding accumulator over ONE
+    # (o_custkey) hash exchange — no self-join.
+    plan = explain(QUERIES["q44_rolling_revenue"](spark, SF), mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(o_custkey") <= 1
+
+
+def test_q45_pivot_is_single_aggregate(spark):
+    # Explicit-values pivot compiles to one groupBy aggregate (one
+    # conditional agg per cell) — no per-year scan, no transpose.
+    plan = explain(QUERIES["q45_pivot_revenue"](spark, SF), mode="simple")
+    assert plan.count("Scan parquet") <= 3  # orders, customer, nation
+    assert "pivotfirst" in plan.lower() or "HashAggregate" in plan
+
+
+def test_q46_plans_semi_and_anti(spark):
+    # EXISTS / NOT EXISTS become semi/anti hash joins (no row
+    # multiplication, no distinct), with the returnflag filter pushed to
+    # the lineitem scan.
+    plan = explain(QUERIES["q46_exists_antijoin"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "EqualTo(l_returnflag,R)" in plan or "l_returnflag" in plan.split(
+        "PushedFilters", 1
+    )[-1]
+
+
+def test_v31_delete_is_staged_probe_not_rebuild(spark):
+    # The incremental arm filters the STAGED assignment (InMemoryTableScan
+    # of the persisted index); only the verdict arm re-assigns, riding
+    # the broadcast packed-centroid row. Nothing cartesian.
+    plan = explain(QUERIES["v31_ivf_delete_maintenance"](spark, SF), mode="simple")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_m10_banding_never_allpairs(spark):
+    # Candidates come from the (band_id, band_bits) equi-join; the
+    # 64-term Hamming verify is a codegen expression on candidates.
+    plan = explain(QUERIES["m10_image_neardup_bands"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_e31_attribution_two_window_exchanges(spark):
+    # Forward as-of rides the (user_id) window; first/last ranking rides
+    # the (next_pid) window; the final aggregate is fixed-enum. No
+    # interval self-join.
+    plan = explain(QUERIES["e31_touch_attribution"](spark, SF), mode="simple")
+    assert "Join" not in plan or "SortMergeJoin" not in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "hashpartitioning(next_pid" in plan
+
+
+def test_x19_sample_no_global_sort(spark):
+    # Per-stratum top-K rides the (event_type) window partition — there
+    # must be no single-partition global sort of the events.
+    plan = explain(QUERIES["x19_stratified_sample"](spark, SF), mode="simple")
+    assert "hashpartitioning(event_type" in plan
+    assert "Exchange SinglePartition" not in plan.split("Window")[0]
