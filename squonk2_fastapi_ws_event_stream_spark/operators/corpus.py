@@ -1012,3 +1012,84 @@ FROM tiers CROSS JOIN total
 
 QUERIES["t48_dedup_savings"] = t48_dedup_savings
 ORACLES["t48_dedup_savings"] = _oracle_t48()
+
+
+# ---------------------------------------------------------------------------
+# t56 — one BPE merge step: the adjacent-symbol pair counts that drive
+# byte-pair-encoding tokenizer training, computed the way the real
+# trainers do it at scale — aggregate WORD FREQUENCIES first (the
+# corpus's unique-word table is orders of magnitude smaller than the
+# token stream), then expand each unique word's adjacent character
+# pairs ONCE and weight by its frequency. The winning pair (max count,
+# ties broken lexicographically) is the merge a BPE trainer would apply
+# next; we emit the top-20 candidates.
+#
+# Scale: one (word) aggregate over the token stream (map-side combine),
+# then the pair expansion runs over unique words only — in-row
+# transform(), no per-token explode; the final (a, b) aggregate carries
+# at most |alphabet|^2 keys. This word-frequency factoring is exactly
+# why BPE training is feasible on 100 TB corpora.
+# ---------------------------------------------------------------------------
+T56_TOP = 20
+
+
+def t56_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents").select("text"), spark)
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = freq.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> struct(substring(word, i, 1) AS a,"
+                " substring(word, i + 1, 1) AS b))"
+            )
+        ).alias("pr"),
+    ).select("freq", F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+    counts = pairs.groupBy("a", "b").agg(F.sum("freq").alias("pair_count"))
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= T56_TOP)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "a",
+            "b",
+            F.concat("a", "b").alias("merged"),
+            F.col("pair_count").cast("long").alias("pair_count"),
+        )
+    )
+
+
+ORACLE_T56 = f"""
+WITH words AS (
+  SELECT w AS word FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2
+),
+freq AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+pairs AS (
+  SELECT freq, pr[1] AS a, pr[2] AS b
+  FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, length(word)),
+                                 i -> [substr(word, i, 1), substr(word, i + 1, 1)]))
+             AS pr
+    FROM freq
+  )
+),
+counts AS (SELECT a, b, SUM(freq) AS pair_count FROM pairs GROUP BY a, b),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC, a ASC, b ASC) AS rank
+  FROM counts
+)
+SELECT CAST(rank AS INTEGER) AS rank, a, b, a || b AS merged,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM ranked WHERE rank <= {T56_TOP}
+"""
+
+
+QUERIES["t56_bpe_pair_counts"] = t56_bpe_pair_counts
+ORACLES["t56_bpe_pair_counts"] = ORACLE_T56

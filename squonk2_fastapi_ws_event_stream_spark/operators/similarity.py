@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot, norm, sql_cosine
+from ..functions.vectors import cosine, dot, norm, sql_cosine, sql_dot, sql_norm
 from ..tables import fan_out, guard_all_pairs, table
 
 COSINE_THRESHOLD = 0.40  # corpus max pairwise cosine ≈ 0.45 — yields pairs
@@ -2729,3 +2729,83 @@ FROM flagged GROUP BY cell_id
 
 QUERIES["v31_ivf_delete_maintenance"] = v31_ivf_delete_maintenance
 ORACLES["v31_ivf_delete_maintenance"] = ORACLE_V31
+
+
+# ---------------------------------------------------------------------------
+# v32 — maximum-inner-product search (MIPS) via the augmented-vector
+# reduction (Bachrach et al. '14 / Shrivastava-Li): append
+# sqrt(M^2 - |x|^2) to every corpus vector (M = max corpus norm) and a 0
+# to every query; every augmented corpus vector then has norm exactly M,
+# so cosine ranking over the augmented space IS inner-product ranking —
+# the trick that lets any cosine-ANN index (our IVF/LSH family) serve
+# dot-product retrieval (recommenders, un-normalized embedding scores).
+# Since |x'| = M identically, the augmented cosine reduces algebraically
+# to dot(q, x) / (|q| * M); we compute that closed form and report, per
+# result, whether the cosine-path rank agrees with direct dot ranking
+# (it can differ only by float rounding on near-ties — the verdict is
+# computed identically in both engines).
+#
+# Scale: 1-row max-norm aggregate broadcasts; scoring is map-side
+# against the broadcast query set; one (query_id) window shuffle ranks.
+# ---------------------------------------------------------------------------
+def v32_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
+    mx = emb.agg(F.max(norm(F.col("embedding"))).alias("m_norm"))
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(mx))
+        .withColumn("ip", dot(F.col("q_emb"), F.col("embedding")))
+        .withColumn(
+            "cos_aug", F.col("ip") / (norm(F.col("q_emb")) * F.col("m_norm"))
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_aug").desc(), F.col("vec_id").asc()
+    )
+    w_dot = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w_cos)).withColumn(
+        "rank_direct", F.row_number().over(w_dot)
+    )
+    return ranked.filter(F.col("rank") <= TOP_K).select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        F.round("ip", 6).alias("inner_product"),
+        (F.col("rank") == F.col("rank_direct")).alias("agrees_with_direct"),
+    )
+
+
+ORACLE_V32 = f"""
+WITH mx AS (SELECT MAX({sql_norm('embedding')}) AS m_norm FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id % {QUERY_STRIDE} = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         {sql_dot('q.q_emb', 'e.embedding')} AS ip,
+         {sql_dot('q.q_emb', 'e.embedding')}
+           / ({sql_norm('q.q_emb')} * m_norm) AS cos_aug
+  FROM embeddings e CROSS JOIN q CROSS JOIN mx
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, ip,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_aug DESC, vec_id ASC) AS rank,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ip DESC, vec_id ASC) AS rank_direct
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+       ROUND(ip, 6) AS inner_product,
+       rank = rank_direct AS agrees_with_direct
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+QUERIES["v32_mips_topk"] = v32_mips_topk
+ORACLES["v32_mips_topk"] = ORACLE_V32

@@ -547,3 +547,48 @@ ORACLES = {
     "x01_approx_distinct": ORACLE_X01,
     "x02_approx_percentiles": ORACLE_X02,
 }
+
+
+# ---------------------------------------------------------------------------
+# q47 — correlated scalar subqueries + decorrelation: orders whose value
+# exceeds 1.5x their own customer's average order value. Written as two
+# correlated scalar subqueries (the way analysts write it); Catalyst
+# must DECORRELATE them into per-customer aggregates joined back — the
+# plan-shape guarantee that a naive per-row re-scan never ships. The
+# 1.5x-average predicate is kept decimal-exact by multiplying through
+# (2 * n * price > 3 * sum), because AVG returns an exact decimal in
+# Spark but a double in DuckDB — comparing averages directly would
+# diverge at the boundary.
+#
+# Scale: after decorrelation this is one per-customer aggregate of
+# orders joined back to orders on o_custkey — aggregate-then-join, no
+# row multiplication.
+# ---------------------------------------------------------------------------
+def q47_above_customer_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               ROUND(o_totalprice, 2) AS o_totalprice
+        FROM v_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
+              (SELECT COUNT(*) FROM v_orders o2
+               WHERE o2.o_custkey = o.o_custkey)
+              > 3 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FROM v_orders o3 WHERE o3.o_custkey = o.o_custkey)
+        """
+    )
+
+
+ORACLE_Q47 = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 *
+      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      > 3 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+"""
+
+
+QUERIES["q47_above_customer_average"] = q47_above_customer_average
+ORACLES["q47_above_customer_average"] = ORACLE_Q47

@@ -842,3 +842,127 @@ tagged AS (
 
 QUERIES["x18_bloom_fpr_sweep"] = x18_bloom_fpr_sweep
 ORACLES["x18_bloom_fpr_sweep"] = _oracle_x18()
+
+
+# ---------------------------------------------------------------------------
+# x20 — power-of-2 DDSketch (relative-error quantile sketch): bucket
+# every value by its integer bit length (bucket b covers [2^b, 2^(b+1)),
+# i.e. gamma = 2), giving a MERGEABLE <=64-counter histogram whose
+# quantile estimates carry a guaranteed 2x relative-error bound — the
+# sketch shape DataDog's DDSketch/HDRHistogram use, with the log()
+# replaced by the repo's exact floor(log2 n) = length(bin(n)) - 1
+# identity (no libm in checked columns). The exact-percentile arm
+# exists only to produce the within-bound verdict.
+#
+# Scale: the sketch is ONE fixed-width aggregate (<=64 buckets, map-side
+# combined — the shuffle carries counters, never values) and merges by
+# counter addition across partitions/days; estimates read the collected
+# 64-row histogram. The verdict arm is the only part that wouldn't run
+# at 100 TB (exact percentile buffers values) — x15's selection replaces
+# it there.
+# ---------------------------------------------------------------------------
+X20_QS = (0.5, 0.95, 0.99)
+
+
+def x20_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents")
+    )
+    bucket = (F.length(F.bin(F.col("cents"))) - 1).alias("bucket")
+    hist = li.groupBy(bucket).agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, 0
+        ))
+    )
+    total = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.expr(f"percentile(cents, {q})").alias(f"exact_{i}")
+            for i, q in enumerate(X20_QS)
+        ],
+    )
+    qs = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.col(f"exact_{i}").alias("exact_cents"),
+            )
+            for i, q in enumerate(X20_QS)
+        ])
+    ).alias("qq")
+    targets = total.select("n", qs).select(
+        "n", F.col("qq.q").alias("q"), F.col("qq.exact_cents").alias("exact_cents")
+    )
+    # Smallest bucket whose cumulative count reaches ceil(q * n).
+    hit = (
+        cum.crossJoin(F.broadcast(targets))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q", "exact_cents")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    # pyspark's shiftleft() only takes a literal bit count; the SQL form
+    # accepts a column.
+    lo = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))")
+    hi = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) + 1)")
+    est = (lo + hi) / F.lit(2.0)
+    return hit.select(
+        "q",
+        F.col("bucket").cast("int").alias("bucket"),
+        lo.alias("lo_cents"),
+        hi.alias("hi_cents"),
+        est.alias("est_cents"),
+        F.round("exact_cents", 4).alias("exact_cents"),
+        ((est >= F.col("exact_cents") / 2) & (est <= F.col("exact_cents") * 2)).alias(
+            "within_2x"
+        ),
+    )
+
+
+def _oracle_x20() -> str:
+    exacts = ", ".join(
+        f"quantile_cont(cents, {q}) AS exact_{i}" for i, q in enumerate(X20_QS)
+    )
+    target_rows = " UNION ALL ".join(
+        f"SELECT {q} AS q, exact_{i} AS exact_cents, n FROM total"
+        for i, q in enumerate(X20_QS)
+    )
+    return f"""
+WITH li AS (
+  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents FROM lineitem
+),
+hist AS (
+  SELECT length(bin(cents)) - 1 AS bucket, COUNT(*) AS c
+  FROM li GROUP BY 1
+),
+cum AS (
+  SELECT bucket, c,
+         SUM(c) OVER (ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+total AS (SELECT COUNT(*) AS n, {exacts} FROM li),
+targets AS ({target_rows}),
+hit AS (
+  SELECT q, exact_cents, MIN(bucket) AS bucket
+  FROM cum CROSS JOIN targets
+  WHERE cum >= CEIL(q * n)
+  GROUP BY q, exact_cents
+)
+SELECT q,
+       CAST(bucket AS INTEGER) AS bucket,
+       CAST(1 AS BIGINT) << bucket AS lo_cents,
+       CAST(1 AS BIGINT) << (bucket + 1) AS hi_cents,
+       ((CAST(1 AS BIGINT) << bucket) + (CAST(1 AS BIGINT) << (bucket + 1))) / 2.0
+         AS est_cents,
+       ROUND(exact_cents, 4) AS exact_cents,
+       ((CAST(1 AS BIGINT) << bucket) + (CAST(1 AS BIGINT) << (bucket + 1))) / 2.0
+         >= ROUND(exact_cents, 4) / 2
+       AND ((CAST(1 AS BIGINT) << bucket) + (CAST(1 AS BIGINT) << (bucket + 1))) / 2.0
+         <= ROUND(exact_cents, 4) * 2 AS within_2x
+FROM hit
+"""
+
+
+QUERIES["x20_ddsketch_quantiles"] = x20_ddsketch_quantiles
+ORACLES["x20_ddsketch_quantiles"] = _oracle_x20()

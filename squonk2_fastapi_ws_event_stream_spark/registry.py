@@ -73,6 +73,10 @@ _NEW_OR_CHANGED = (
     "m10_image_neardup_bands",
     "e31_touch_attribution",
     "x19_stratified_sample",
+    "t56_bpe_pair_counts",
+    "x20_ddsketch_quantiles",
+    "v32_mips_topk",
+    "q47_above_customer_average",
     # round 6 changed plans/semantics: broadcast hints removed (t54,
     # q42), CDC tie-break (q43), decimal decay weights (e29), fixed-enum
     # grouping rename (e25), histogram-selection bucket fix (x15).

@@ -424,3 +424,42 @@ def test_x19_sample_no_global_sort(spark):
     plan = explain(QUERIES["x19_stratified_sample"](spark, SF), mode="simple")
     assert "hashpartitioning(event_type" in plan
     assert "Exchange SinglePartition" not in plan.split("Window")[0]
+
+
+def test_t56_pairs_expand_from_unique_words(spark):
+    # BPE pair counting must aggregate word frequencies BEFORE the pair
+    # expansion: the (word) aggregate sits below the explode in the plan
+    # (unique words only are expanded), and the final (a,b) aggregate is
+    # alphabet-bounded.
+    plan = explain(QUERIES["t56_bpe_pair_counts"](spark, SF), mode="simple")
+    gen_pos = plan.find("Generate explode(transform")
+    agg_pos = plan.rfind("HashAggregate")
+    assert gen_pos != -1 and agg_pos > gen_pos  # word agg below the expansion
+    assert "CartesianProduct" not in plan
+
+
+def test_x20_sketch_shuffles_counters_not_values(spark):
+    # The <=64-bucket histogram is a fixed-width aggregate; the bucket
+    # expression is the bin()-length identity (no log/pow in the plan).
+    plan = explain(QUERIES["x20_ddsketch_quantiles"](spark, SF), mode="simple")
+    assert "bin(" in plan
+    assert "LOG(" not in plan.upper() or "log(" not in plan
+
+
+def test_v32_mips_single_query_window_shuffle(spark):
+    # Max-norm broadcasts (1-row agg); both rankings ride the same
+    # (query_id) window partitioning — one hash exchange.
+    plan = explain(QUERIES["v32_mips_topk"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(query_id") <= 1
+
+
+def test_q47_subqueries_decorrelate(spark):
+    # The two correlated scalar subqueries must decorrelate into
+    # aggregate-then-join — no nested-loop re-scan of orders per row.
+    plan = explain(QUERIES["q47_above_customer_average"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    join_pos = plan.find("Join")
+    agg_pos = plan.rfind("HashAggregate")
+    assert join_pos != -1 and agg_pos > join_pos
