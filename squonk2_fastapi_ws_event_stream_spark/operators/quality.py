@@ -1239,3 +1239,84 @@ GROUP BY t.doc_id
 
 QUERIES["t53_ngram_novelty"] = t53_ngram_novelty
 ORACLES["t53_ngram_novelty"] = ORACLE_T53
+
+
+# ---------------------------------------------------------------------------
+# t57 — cross-document sentence dedup (the C4 recipe): every distinct
+# sentence is kept only at its FIRST occurrence corpus-wide (lowest
+# (doc_id, position)); later occurrences are stripped and each doc's
+# surviving text is reassembled in original order. This is the
+# span-level dedup pass between exact-doc dedup (t01) and near-dedup
+# (t02) in a real training pipeline — boilerplate sentences ("all
+# rights reserved") vanish corpus-wide in one pass.
+#
+# Scale: one (sentence) aggregate finds each sentence's min
+# (doc_id, pos) owner — shuffle keys are sentences (at 100 TB, sha2 the
+# sentence for fixed-width keys, t05's trick); the keep decision joins
+# back by sentence; reassembly is a per-doc aggregate with an in-row
+# sort. No window over the corpus, nothing quadratic.
+# ---------------------------------------------------------------------------
+def t57_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", r"\. ")).alias("pos", "sent"),
+    ).filter(F.length("sent") > 0)
+    owner = sents.groupBy("sent").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_at")
+    )
+    kept = sents.join(owner, "sent").withColumn(
+        "is_kept",
+        (F.col("doc_id") == F.col("first_at.doc_id"))
+        & (F.col("pos") == F.col("first_at.pos")),
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sents"),
+        F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_kept"), F.struct("pos", "sent"))
+                    )
+                ),
+                lambda x: x["sent"],
+            ),
+            ". ",
+        ).alias("kept_text"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_sents").cast("long").alias("n_sents"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "kept_text",
+    )
+
+
+ORACLE_T57 = r"""
+WITH sents AS (
+  SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, parts[u.i] AS sent
+  FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+       unnest(range(1, len(parts) + 1)) AS u(i)
+  WHERE length(parts[u.i]) > 0
+),
+owner AS (
+  SELECT sent, MIN({'d': doc_id, 'p': pos}) AS first_at FROM sents GROUP BY sent
+),
+kept AS (
+  SELECT s.doc_id, s.pos, s.sent,
+         s.doc_id = owner.first_at.d AND s.pos = owner.first_at.p
+           AS is_kept
+  FROM sents s JOIN owner USING (sent)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sents,
+       CAST(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN is_kept THEN sent END, '. '
+                           ORDER BY pos), '') AS kept_text
+FROM kept GROUP BY doc_id
+"""
+
+
+QUERIES["t57_sentence_dedup"] = t57_sentence_dedup
+ORACLES["t57_sentence_dedup"] = ORACLE_T57

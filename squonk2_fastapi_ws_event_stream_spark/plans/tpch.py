@@ -1360,3 +1360,70 @@ WHERE EXISTS (SELECT 1 FROM orders o
 
 QUERIES["q46_exists_antijoin"] = q46_exists_antijoin
 ORACLES["q46_exists_antijoin"] = ORACLE_Q46
+
+
+# ---------------------------------------------------------------------------
+# q48 — snapshot reconciliation diff: the audit twin of q43's CDC merge.
+# Given the base snapshot and the merged result (base + the same change
+# batch), classify every key as unchanged / changed / added / removed
+# with ONE full-outer equi-join and report per-class counts plus the
+# exact total price delta — the table-diff every warehouse runs to
+# verify an ingest before swapping snapshots.
+#
+# Scale: one (o_orderkey) full-outer join (AQE picks the strategy, no
+# hints) + a fixed-4-row aggregate; the delta sum uses the decimal
+# recipe.
+# ---------------------------------------------------------------------------
+def q48_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    merged = q43_cdc_merge(spark, sf_dir).select(
+        F.col("o_orderkey").alias("m_key"), F.col("o_totalprice").alias("m_price")
+    )
+    joined = base.join(
+        merged, base.o_orderkey == merged.m_key, "full_outer"
+    ).select(
+        F.when(F.col("o_orderkey").isNull(), "added")
+        .when(F.col("m_key").isNull(), "removed")
+        .when(
+            F.round("o_totalprice", 2) != F.col("m_price"), "changed"
+        )
+        .otherwise("unchanged")
+        .alias("diff_class"),
+        F.abs(
+            F.coalesce(F.col("m_price"), F.lit(0.0))
+            - F.coalesce(F.round("o_totalprice", 2), F.lit(0.0))
+        ).alias("delta"),
+    )
+    return joined.groupBy("diff_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.round(
+            F.sum(F.col("delta").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_price_delta"),
+    )
+
+
+ORACLE_Q48 = f"""
+WITH merged AS (
+  SELECT o_orderkey AS m_key, o_totalprice AS m_price
+  FROM ({ORACLE_Q43})
+),
+base AS (SELECT o_orderkey, o_totalprice FROM orders),
+joined AS (
+  SELECT CASE WHEN b.o_orderkey IS NULL THEN 'added'
+              WHEN m.m_key IS NULL THEN 'removed'
+              WHEN ROUND(b.o_totalprice, 2) <> m.m_price THEN 'changed'
+              ELSE 'unchanged' END AS diff_class,
+         ABS(COALESCE(m.m_price, 0.0)
+             - COALESCE(ROUND(b.o_totalprice, 2), 0.0)) AS delta
+  FROM base b FULL OUTER JOIN merged m ON b.o_orderkey = m.m_key
+)
+SELECT diff_class,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       ROUND(CAST(SUM(CAST(delta AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_price_delta
+FROM joined GROUP BY diff_class
+"""
+
+
+QUERIES["q48_snapshot_diff"] = q48_snapshot_diff
+ORACLES["q48_snapshot_diff"] = ORACLE_Q48

@@ -77,6 +77,8 @@ _NEW_OR_CHANGED = (
     "x20_ddsketch_quantiles",
     "v32_mips_topk",
     "q47_above_customer_average",
+    "t57_sentence_dedup",
+    "q48_snapshot_diff",
     # round 6 changed plans/semantics: broadcast hints removed (t54,
     # q42), CDC tie-break (q43), decimal decay weights (e29), fixed-enum
     # grouping rename (e25), histogram-selection bucket fix (x15).

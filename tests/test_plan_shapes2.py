@@ -463,3 +463,19 @@ def test_q47_subqueries_decorrelate(spark):
     join_pos = plan.find("Join")
     agg_pos = plan.rfind("HashAggregate")
     assert join_pos != -1 and agg_pos > join_pos
+
+
+def test_t57_owner_aggregate_no_window_over_corpus(spark):
+    # The keep decision is a (sentence) aggregate + join-back — no
+    # corpus-wide window, nothing quadratic; reassembly sorts in-row.
+    plan = explain(QUERIES["t57_sentence_dedup"](spark, SF), mode="simple")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q48_diff_is_one_outer_join(spark):
+    # Reconciliation = ONE full-outer equi-join on the key + a 4-row
+    # aggregate; no hints (bounded-broadcast rule).
+    plan = explain(QUERIES["q48_snapshot_diff"](spark, SF), mode="simple")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
