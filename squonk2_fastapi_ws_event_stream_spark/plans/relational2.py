@@ -966,3 +966,115 @@ FROM hit
 
 QUERIES["x20_ddsketch_quantiles"] = x20_ddsketch_quantiles
 ORACLES["x20_ddsketch_quantiles"] = _oracle_x20()
+
+
+# ---------------------------------------------------------------------------
+# x21 — Z-ORDER layout quality: interleave the bits of two query
+# dimensions (user bucket x hour bucket) into a Morton code, split the
+# code range into 64 "files", and measure each file's min/max span in
+# BOTH dimensions — against the same files under a plain lexicographic
+# (d1-then-d2) sort. This is the data-layout decision behind
+# Delta/Iceberg OPTIMIZE ZORDER: balanced per-file spans in every
+# dimension mean min/max file statistics can prune scans for predicates
+# on EITHER column, where a linear sort prunes only its leading column
+# (its files span the full d2 range — visible in this query's output).
+#
+# Scale: the Morton code is 20 integer bit-ops, map-side; the per-file
+# aggregate carries 128 rows. At write time the same code is the
+# repartitionByRange key — this query prices the layout before paying
+# the rewrite.
+# ---------------------------------------------------------------------------
+X21_BITS = 10  # 10 bits per dimension -> 20-bit Morton code
+X21_FILE_SHIFT = 14  # top 6 bits -> 64 files
+
+
+def _morton_terms(d1: str, d2: str) -> str:
+    """SQL for the bit-interleaved Morton code (identical Spark/DuckDB:
+    integer shifts, masks, adds)."""
+    return " + ".join(
+        f"((({d1} >> {i}) & 1) * {1 << (2 * i + 1)})"
+        f" + ((({d2} >> {i}) & 1) * {1 << (2 * i)})"
+        for i in range(X21_BITS)
+    )
+
+
+def x21_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % (1 << X21_BITS)).alias("d1"),
+        (
+            (F.unix_millis("ts") / F.lit(3_600_000)).cast("bigint")
+            % (1 << X21_BITS)
+        ).alias("d2"),
+    )
+    # Column >> int isn't overloaded in the Python API — use the SQL form.
+    keyed = ev.select(
+        "d1",
+        "d2",
+        F.expr(
+            f"shiftright(CAST(({_morton_terms('d1', 'd2')}) AS BIGINT),"
+            f" {X21_FILE_SHIFT})"
+        ).alias("z_file"),
+        F.expr(
+            f"shiftright(CAST(d1 * {1 << X21_BITS} + d2 AS BIGINT),"
+            f" {X21_FILE_SHIFT})"
+        ).alias("lin_file"),
+    )
+    def spans(file_col: str, layout: str) -> DataFrame:
+        return keyed.groupBy(F.col(file_col).alias("file_id")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("d1").alias("d1_min"),
+            F.max("d1").alias("d1_max"),
+            F.min("d2").alias("d2_min"),
+            F.max("d2").alias("d2_max"),
+        ).select(F.lit(layout).alias("layout"), "*")
+    return spans("z_file", "zorder").unionByName(spans("lin_file", "linear")).select(
+        "layout",
+        F.col("file_id").cast("long").alias("file_id"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("d1_min").cast("long").alias("d1_min"),
+        F.col("d1_max").cast("long").alias("d1_max"),
+        F.col("d2_min").cast("long").alias("d2_min"),
+        F.col("d2_max").cast("long").alias("d2_max"),
+        # per-file pruning width: the span a min/max stat must cover
+        (F.col("d1_max") - F.col("d1_min") + F.col("d2_max") - F.col("d2_min"))
+        .cast("long")
+        .alias("span_sum"),
+    )
+
+
+ORACLE_X21 = f"""
+WITH ev AS (
+  SELECT user_id % {1 << X21_BITS} AS d1,
+         (epoch_ms(ts) // 3600000) % {1 << X21_BITS} AS d2
+  FROM events
+),
+keyed AS (
+  SELECT d1, d2,
+         ({_morton_terms('d1', 'd2')}) >> {X21_FILE_SHIFT} AS z_file,
+         (d1 * {1 << X21_BITS} + d2) >> {X21_FILE_SHIFT} AS lin_file
+  FROM ev
+),
+z AS (
+  SELECT 'zorder' AS layout, z_file AS file_id, COUNT(*) AS n_rows,
+         MIN(d1) AS d1_min, MAX(d1) AS d1_max,
+         MIN(d2) AS d2_min, MAX(d2) AS d2_max
+  FROM keyed GROUP BY z_file
+),
+l AS (
+  SELECT 'linear' AS layout, lin_file AS file_id, COUNT(*) AS n_rows,
+         MIN(d1) AS d1_min, MAX(d1) AS d1_max,
+         MIN(d2) AS d2_min, MAX(d2) AS d2_max
+  FROM keyed GROUP BY lin_file
+),
+unioned AS (SELECT * FROM z UNION ALL SELECT * FROM l)
+SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(d1_min AS BIGINT) AS d1_min, CAST(d1_max AS BIGINT) AS d1_max,
+       CAST(d2_min AS BIGINT) AS d2_min, CAST(d2_max AS BIGINT) AS d2_max,
+       CAST(d1_max - d1_min + d2_max - d2_min AS BIGINT) AS span_sum
+FROM unioned
+"""
+
+
+QUERIES["x21_zorder_layout"] = x21_zorder_layout
+ORACLES["x21_zorder_layout"] = ORACLE_X21

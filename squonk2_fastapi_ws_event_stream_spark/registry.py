@@ -79,6 +79,7 @@ _NEW_OR_CHANGED = (
     "q47_above_customer_average",
     "t57_sentence_dedup",
     "q48_snapshot_diff",
+    "x21_zorder_layout",
     # round 6 changed plans/semantics: broadcast hints removed (t54,
     # q42), CDC tie-break (q43), decimal decay weights (e29), fixed-enum
     # grouping rename (e25), histogram-selection bucket fix (x15).

@@ -232,3 +232,104 @@ def decayed_counts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters — sharded Space-Saving (Metwally et al. '05):
+# per hash shard, keep at most CAPACITY (key, count, overcount)
+# counters; an unseen key evicts the minimum counter and inherits its
+# count as overcount. Guarantees: reported >= true (never undercounts)
+# and reported - overcount <= true, with O(CAPACITY) state per shard —
+# the streaming top-k every dashboard wants without per-key state
+# (running_totals is O(keys); this is O(shards x capacity) FOREVER,
+# churn-immune by construction). Global candidates = union of shard
+# candidates (a key's traffic all lands in one shard, so per-key
+# guarantees survive sharding).
+#
+# Determinism: batch items merge in (count desc, key asc) order and
+# eviction picks the (min count, max key) victim, so a replayed batch
+# re-derives identical counters (restart-safe).
+# ---------------------------------------------------------------------------
+HH_CAPACITY = 8
+
+HH_OUTPUT_SCHEMA = (
+    "shard string, keys array<string>, counts array<long>, overcounts array<long>"
+)
+HH_STATE_SCHEMA = (
+    "keys array<string>, counts array<long>, overcounts array<long>"
+)
+
+
+def _update_hh_fn(capacity: int, retention_ms: int):
+    def _update_hh(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ks, cs, os_ = state.get
+            table = {k: [c, o] for k, c, o in zip(ks, cs, os_)}
+        else:
+            table = {}
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            batch = pdf["item"].value_counts()
+            # Deterministic merge order: count desc, then key asc.
+            for item, c in sorted(
+                batch.items(), key=lambda kv: (-kv[1], kv[0])
+            ):
+                c = int(c)
+                if item in table:
+                    table[item][0] += c
+                elif len(table) < capacity:
+                    table[item] = [c, 0]
+                else:
+                    victim = min(table, key=lambda k: (table[k][0], [-ord(ch) for ch in k]))
+                    floor_c = table[victim][0]
+                    del table[victim]
+                    table[item] = [floor_c + c, floor_c]
+        state.update(
+            (
+                list(table.keys()),
+                [v[0] for v in table.values()],
+                [v[1] for v in table.values()],
+            )
+        )
+        state.setTimeoutDuration(retention_ms)
+        ordered = sorted(table.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]],
+                "keys": [[k for k, _ in ordered]],
+                "counts": [[v[0] for _, v in ordered]],
+                "overcounts": [[v[1] for _, v in ordered]],
+            }
+        )
+
+    return _update_hh
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str = "item",
+    n_shards: int = 8,
+    capacity: int = HH_CAPACITY,
+    retention_ms: int = DEFAULT_IDLE_RETENTION_MS,
+) -> DataFrame:
+    """Streaming top-k candidates per shard with Space-Saving guarantees.
+    `items` is any streaming DataFrame; `item_col` is hashed into
+    `n_shards` groups (a key's rows always land in one shard)."""
+    sharded = items.select(
+        F.col(item_col).cast("string").alias("item"),
+    ).withColumn(
+        "shard", (F.xxhash64("item") % n_shards + n_shards) % n_shards
+    ).withColumn("shard", F.col("shard").cast("string"))
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _update_hh_fn(capacity, retention_ms),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

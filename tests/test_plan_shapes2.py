@@ -479,3 +479,11 @@ def test_q48_diff_is_one_outer_join(spark):
     plan = explain(QUERIES["q48_snapshot_diff"](spark, SF), mode="simple")
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_x21_morton_is_mapside_integer_ops(spark):
+    # The Morton code is pure integer shifts/masks computed map-side; the
+    # per-file aggregates are tiny (128 rows) and there is no join.
+    plan = explain(QUERIES["x21_zorder_layout"](spark, SF), mode="simple")
+    assert "Join" not in plan
+    assert "shiftright" in plan

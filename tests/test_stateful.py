@@ -265,3 +265,85 @@ def test_idle_keys_are_evicted_state_plateaus_under_churn(spark, tmp_path):
         f"state did not plateau: {last_state_rows} rows for "
         f"{total_input} distinct keys"
     )
+
+
+def test_heavy_hitters_space_saving_guarantees_and_restart(spark, tmp_path):
+    """Sharded Space-Saving: the true heavy key must be reported with
+    reported >= true and reported - overcount <= true; per-shard state
+    stays at <= capacity counters under key churn; and a restart from
+    the checkpoint continues the counters."""
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import heavy_hitters
+
+    root = str(tmp_path / "log")
+    w = EventLogWriter(root, "hh")
+    seq = ["hot"] * 300 + ["warm"] * 50 + [f"filler{i}" for i in range(200)]
+    # Interleave deterministically so hot appears throughout the stream.
+    seq = [seq[i] for i in range(0, len(seq), 2)] + [
+        seq[i] for i in range(1, len(seq), 2)
+    ]
+    for i, item in enumerate(seq):
+        w.publish(item, BASE_TS + i * 10)
+    spark.dataSource.register(EventStreamDataSource)
+
+    def run_once(tag_unused=None) -> list:
+        got: list = []
+        q = (
+            heavy_hitters(
+                spark.readStream.format("eventstream")
+                .option("path", root)
+                .option("stream", "hh")
+                .option("startingOrdinal", 0)
+                .option("maxOffsetsPerTrigger", 100)
+                .load()
+                .selectExpr("cast(value as string) as item"),
+                item_col="item",
+                n_shards=4,
+                capacity=8,
+            )
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt-hh"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return got
+
+    rows = run_once()
+    # availableNow + maxOffsetsPerTrigger drains one cap per run; loop
+    # runs until the backlog is consumed (each run resumes the cursor).
+    for _ in range(10):
+        if sum(r["counts"][0] for r in rows[-4:] if r["counts"]) >= 300:
+            break
+        rows = run_once()
+    latest: dict = {}
+    for r in rows:
+        latest[r["shard"]] = r  # last emission per shard wins
+    hot = None
+    for r in latest.values():
+        assert len(r["keys"]) <= 8  # capacity bound under churn
+        if "hot" in r["keys"]:
+            i = r["keys"].index("hot")
+            hot = (r["counts"][i], r["overcounts"][i])
+    assert hot is not None, f"heavy key evicted: {latest}"
+    n_hot = sum(1 for s in seq if s == "hot")
+    assert hot[0] >= n_hot  # never undercounts
+    assert hot[0] - hot[1] <= n_hot  # overcount-corrected lower bound
+
+    # Restart: more hot traffic, same checkpoint — counters continue.
+    for i in range(100):
+        w.publish("hot", BASE_TS + 10_000_000 + i * 10)
+    rows2 = run_once()
+    for _ in range(5):
+        rows2 = run_once()
+        found = [
+            r for r in rows2 if "hot" in r["keys"]
+        ]
+        if found and max(
+            r["counts"][r["keys"].index("hot")] for r in found
+        ) >= n_hot + 100:
+            break
+    found = [r for r in rows2 if "hot" in r["keys"]]
+    assert found, "hot lost after restart"
+    best = max(r["counts"][r["keys"].index("hot")] for r in found)
+    assert best >= n_hot + 100  # state recovered and continued
