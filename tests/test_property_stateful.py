@@ -1,0 +1,173 @@
+"""Property tests for the pure-Python cores of the stateful operators.
+
+These drive the applyInPandasWithState update functions directly through
+a fake GroupState — no Spark session — so hypothesis can hammer the
+algorithmic guarantees with thousands of random streams.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+    _update_decayed_fn,
+    _update_hh_fn,
+    DECAY_SHIFT,
+    _MS_PER_DAY,
+)
+
+
+class FakeState:
+    def __init__(self):
+        self._val = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = v
+
+    def remove(self):
+        self._val = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+@st.composite
+def item_stream(draw):
+    """A stream of items split into micro-batches."""
+    alphabet = [f"k{i}" for i in range(draw(st.integers(2, 30)))]
+    n = draw(st.integers(1, 300))
+    items = draw(st.lists(st.sampled_from(alphabet), min_size=n, max_size=n))
+    n_batches = draw(st.integers(1, 5))
+    size = max(1, len(items) // n_batches)
+    return [items[i : i + size] for i in range(0, len(items), size)]
+
+
+@given(item_stream(), st.integers(2, 10))
+@settings(max_examples=200, deadline=None)
+def test_space_saving_guarantees_hold_for_any_stream(batches, capacity):
+    """Space-Saving invariants (Metwally '05) for every surviving key:
+    reported >= true_count and reported - overcount <= true_count; the
+    counter table never exceeds capacity; and total reported mass over
+    the table never loses the stream's total (any key with
+    true_count > N/capacity MUST survive)."""
+    fn = _update_hh_fn(capacity, retention_ms=10_000)
+    state = FakeState()
+    out = None
+    for batch in batches:
+        out = list(fn(("s",), iter([pd.DataFrame({"item": batch})]), state))[-1]
+    truth = Counter(x for b in batches for x in b)
+    n_total = sum(truth.values())
+    keys = out["keys"][0]
+    counts = out["counts"][0]
+    overs = out["overcounts"][0]
+    assert len(keys) <= capacity
+    for k, c, o in zip(keys, counts, overs):
+        assert c >= truth[k], (k, c, truth[k])
+        assert c - o <= truth[k], (k, c, o, truth[k])
+    # classic guarantee: every key with frequency > n/capacity survives
+    for k, t in truth.items():
+        if t > n_total / capacity:
+            assert k in keys, (k, t, n_total, capacity, keys)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(1, 40)),  # (day, count)
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_decayed_counter_stays_in_the_exact_decay_envelope(day_counts):
+    """The streaming decayed counter folds by integer right-shifts, so
+    it can only FLOOR the exact real-valued decayed sum — never exceed
+    it — and each day-advance shift loses strictly less than one scaled
+    unit (remnants of grouped mass survive: 2*2^20 at age 21 is exactly
+    1 unit, which a per-event age cutoff would wrongly drop). With all
+    events on one day the value is exact."""
+    from fractions import Fraction
+
+    day_counts = sorted(day_counts)
+    fn = _update_decayed_fn(retention_ms=10_000)
+    state = FakeState()
+    out = None
+    n_batches = 0
+    for day, cnt in day_counts:
+        ts = [day * _MS_PER_DAY + i for i in range(cnt)]
+        out = list(fn(("k",), iter([pd.DataFrame({"timestamp": ts})]), state))[-1]
+        n_batches += 1
+    max_day = max(d for d, _ in day_counts)
+    scaled = int(out["scaled"][0])
+    # Exact real-valued decayed mass, ALL events included (old events
+    # contribute fractions; insertion drops ages > SHIFT, shifts floor).
+    exact = sum(
+        Fraction(c) * Fraction(1 << DECAY_SHIFT) / (1 << (max_day - d))
+        for d, c in day_counts
+    )
+    n_events = sum(c for _, c in day_counts)
+    assert scaled <= exact
+    assert exact - scaled < n_batches + n_events  # floor-loss envelope
+    assert int(out["as_of_day"][0]) == max_day
+    if len({d for d, _ in day_counts}) == 1:  # no decay at all -> exact
+        assert scaled == exact
+
+
+def test_space_saving_eviction_path_removes_state():
+    fn = _update_hh_fn(4, retention_ms=10)
+    state = FakeState()
+    list(fn(("s",), iter([pd.DataFrame({"item": ["a", "b"]})]), state))
+    assert state.exists
+    state.hasTimedOut = True
+    assert list(fn(("s",), iter([]), state)) == []
+    assert not state.exists
+
+
+# -- plan-guard classifier properties (pure string logic) -------------------
+from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (  # noqa: E402
+    BOUNDED,
+    WORKLOAD,
+    _filter_class,
+)
+
+
+@given(
+    st.sampled_from(["doc_id", "vec_id", "o_orderkey", "event_id"]),
+    st.integers(2, 10_000),
+    st.integers(0, 99),
+    st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_filter_class_recognizes_stride_and_bounds(col, mod, rem, casted):
+    lit = f"cast({rem} as bigint)" if casted else str(rem)
+    mod_lit = f"cast({mod} as bigint)" if casted else str(mod)
+    stride = f"(({col}#12L % {mod_lit}) = {lit})"
+    assert _filter_class(stride) == WORKLOAD
+    eq = f"({col}#3L = {lit})"
+    assert _filter_class(eq) == BOUNDED
+    upper = f"({col}#3L < {lit})"
+    assert _filter_class(upper) == BOUNDED
+
+
+@given(st.text(alphabet="abcdefg_%()=<> 0123456789#L", max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_filter_class_never_blesses_unknown_columns(cond):
+    # A condition that names no unique-key column proves nothing.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        UNIQUE_KEY_COLS,
+    )
+
+    if not any(c in cond for c in UNIQUE_KEY_COLS):
+        assert _filter_class(cond) is None
