@@ -800,21 +800,36 @@ def ahash_bmp(payload: bytes) -> str:
 M08_SCHEMA = "doc_id long, ahash string"
 
 
+def _ahash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (doc_id, ahash) table — the hash extraction (payload build
+    + pixel gather) is the dominant Python cost, and it feeds m08 plus
+    both sides of m10's band self-join; persist it once per corpus (the
+    t02 staging-table discipline)."""
+    from .dedup import _stage_cached
+
+    def build() -> DataFrame:
+        docs = fan_out(
+            table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, hashes = [], []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    if payload[:2] == b"BM":  # magic-byte dispatch, not doc_id
+                        ids.append(doc_id)
+                        hashes.append(ahash_bmp(payload))
+                yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+        return attach_media_payload(docs).mapInPandas(run, schema=M08_SCHEMA)
+
+    return _stage_cached("m_ahash", sf_dir, build)
+
+
 def m08_perceptual_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, hashes = [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if payload[:2] == b"BM":  # magic-byte dispatch, not doc_id
-                    ids.append(doc_id)
-                    hashes.append(ahash_bmp(payload))
-            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
-
-    hashed = attach_media_payload(docs).mapInPandas(run, schema=M08_SCHEMA)
+    hashed = _ahash_table(spark, sf_dir)
     w = Window.partitionBy("ahash")
     return hashed.select(
         "doc_id", "ahash", F.count(F.lit(1)).over(w).cast("long").alias("n_same_hash")
@@ -989,18 +1004,7 @@ def _hamming64(a: str, b: str):
 
 
 def m10_image_neardup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, hashes = [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if payload[:2] == b"BM":
-                    ids.append(doc_id)
-                    hashes.append(ahash_bmp(payload))
-            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
-
-    hashed = attach_media_payload(docs).mapInPandas(run, schema=M08_SCHEMA)
+    hashed = _ahash_table(spark, sf_dir)  # staged: ONE extraction pass
     bands = hashed.select(
         "doc_id",
         "ahash",

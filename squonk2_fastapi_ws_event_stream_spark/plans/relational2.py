@@ -875,12 +875,15 @@ def x20_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.unboundedPreceding, 0
         ))
     )
+    # ONE percentile buffer for all three ranks (the array form) — three
+    # separate percentile() aggregates each buffer the full column.
+    qs_sql = ", ".join(str(q) for q in X20_QS)
     total = li.agg(
         F.count(F.lit(1)).alias("n"),
-        *[
-            F.expr(f"percentile(cents, {q})").alias(f"exact_{i}")
-            for i, q in enumerate(X20_QS)
-        ],
+        F.expr(f"percentile(cents, array({qs_sql}))").alias("exacts"),
+    ).select(
+        "n",
+        *[F.col("exacts")[i].alias(f"exact_{i}") for i in range(len(X20_QS))],
     )
     qs = F.explode(
         F.array(*[
