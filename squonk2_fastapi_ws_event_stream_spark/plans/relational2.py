@@ -715,75 +715,112 @@ def x18_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "is_match"),
     )
 
-    def tier(m_bits: int) -> DataFrame:
-        words = okeys.select(
-            F.explode(
-                F.array(
-                    *[
-                        (((F.col("o_orderkey") * a + b) % _P) % m_bits)
-                        for a, b in BLOOM_AB
-                    ]
-                )
-            ).alias("p")
-        ).select(
-            (F.col("p") / 64).cast("long").alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
-        )
-        bitmap = (
-            words.groupBy("w")
-            .agg(F.expr("bit_or(m)").alias("bits"))
-            .agg(
-                F.map_from_arrays(
-                    F.collect_list("w"), F.collect_list("bits")
-                ).alias("bm")
+    # ONE build pass for ALL tiers: each key explodes to 9 (tier, word,
+    # mask) triples; one (tier, word) bit_or aggregate; the three packed
+    # bitmaps pivot into a single broadcast row. (Round 6: the per-tier
+    # form scanned the build side three times for the same result.)
+    triples = okeys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("mb"),
+                        ((((F.col("o_orderkey") * a + b) % _P) % m) / 64)
+                        .cast("long")
+                        .alias("w"),
+                        F.expr(
+                            f"shiftleft(CAST(1 AS BIGINT),"
+                            f" CAST((((o_orderkey * {a} + {b}) % {_P}) % {m})"
+                            " % 64 AS INT))"
+                        ).alias("mask"),
+                    )
+                    for m in X18_SIZES
+                    for a, b in BLOOM_AB
+                ]
             )
-            .select(
-                F.expr(
-                    f"transform(sequence(0, {m_bits // 64 - 1}),"
-                    " w -> coalesce(element_at(bm, CAST(w AS BIGINT)),"
-                    " CAST(0 AS BIGINT)))"
-                ).alias("bloom")
+        ).alias("t")
+    ).select("t.mb", "t.w", "t.mask")
+    per_word = triples.groupBy("mb", "w").agg(F.expr("bit_or(mask)").alias("bits"))
+    maps = per_word.groupBy("mb").agg(
+        F.map_from_arrays(F.collect_list("w"), F.collect_list("bits")).alias("bm")
+    )
+    bitmaps = maps.agg(
+        *[
+            F.first(F.when(F.col("mb") == m, F.col("bm")), ignorenulls=True).alias(
+                f"bm_{m}"
             )
-        )
+            for m in X18_SIZES
+        ]
+    ).select(
+        *[
+            F.expr(
+                f"transform(sequence(0, {m // 64 - 1}),"
+                f" w -> coalesce(element_at(bm_{m}, CAST(w AS BIGINT)),"
+                " CAST(0 AS BIGINT)))"
+            ).alias(f"bloom_{m}")
+            for m in X18_SIZES
+        ]
+    )
 
-        def probe_bit(a: int, b: int) -> "F.Column":
+    def probe_pass(m_bits: int) -> "F.Column":
+        def bit(a: int, b: int) -> "F.Column":
             p = f"((l_orderkey * {a} + {b}) % {_P}) % {m_bits}"
             return F.expr(
-                f"bloom[CAST(({p}) / 64 AS INT)]"
+                f"bloom_{m_bits}[CAST(({p}) / 64 AS INT)]"
                 f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT)) != 0"
             )
 
-        probe = tagged.crossJoin(F.broadcast(bitmap)).withColumn(
-            "bloom_pass",
-            reduce(lambda x, y: x & y, [probe_bit(a, b) for a, b in BLOOM_AB]),
-        )
-        return (
-            probe.agg(
-                F.count(F.lit(1)).cast("long").alias("n_probe_rows"),
-                F.sum(F.col("is_match").cast("long")).cast("long").alias("n_true_match"),
-                F.sum((F.col("bloom_pass") & ~F.col("is_match")).cast("long"))
-                .cast("long")
-                .alias("n_false_pos"),
-                F.sum((~F.col("bloom_pass") & F.col("is_match")).cast("long"))
-                .cast("long")
-                .alias("n_false_neg"),
-            )
-            .crossJoin(F.broadcast(n_build))
-            .select(
-                F.lit(m_bits).cast("long").alias("m_bits"),
-                F.col("n_build_keys").cast("long").alias("n_build_keys"),
-                "n_probe_rows",
-                "n_false_pos",
-                F.round(
-                    F.col("n_false_pos")
-                    / (F.col("n_probe_rows") - F.col("n_true_match")),
-                    6,
-                ).alias("fp_rate"),
-                (F.col("n_false_neg") == 0).alias("zero_false_neg"),
-            )
-        )
+        return reduce(lambda x, y: x & y, [bit(a, b) for a, b in BLOOM_AB])
 
-    return reduce(lambda x, y: x.unionByName(y), [tier(m) for m in X18_SIZES])
+    # ONE probe pass: all three tiers' pass bits evaluate per row; one
+    # aggregate carries every tier's counters.
+    probe = tagged.crossJoin(F.broadcast(bitmaps)).select(
+        "is_match", *[probe_pass(m).alias(f"pass_{m}") for m in X18_SIZES]
+    )
+    counters = probe.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_rows"),
+        F.sum(F.col("is_match").cast("long")).cast("long").alias("n_true_match"),
+        *[
+            F.sum((F.col(f"pass_{m}") & ~F.col("is_match")).cast("long"))
+            .cast("long")
+            .alias(f"fp_{m}")
+            for m in X18_SIZES
+        ],
+        *[
+            F.sum((~F.col(f"pass_{m}") & F.col("is_match")).cast("long"))
+            .cast("long")
+            .alias(f"fn_{m}")
+            for m in X18_SIZES
+        ],
+    ).crossJoin(F.broadcast(n_build))
+    tiers = counters.select(
+        "n_build_keys",
+        "n_probe_rows",
+        "n_true_match",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("long").alias("m_bits"),
+                        F.col(f"fp_{m}").alias("n_false_pos"),
+                        F.col(f"fn_{m}").alias("n_false_neg"),
+                    )
+                    for m in X18_SIZES
+                ]
+            )
+        ).alias("t"),
+    )
+    return tiers.select(
+        F.col("t.m_bits").alias("m_bits"),
+        F.col("n_build_keys").cast("long").alias("n_build_keys"),
+        "n_probe_rows",
+        F.col("t.n_false_pos").alias("n_false_pos"),
+        F.round(
+            F.col("t.n_false_pos") / (F.col("n_probe_rows") - F.col("n_true_match")),
+            6,
+        ).alias("fp_rate"),
+        (F.col("t.n_false_neg") == 0).alias("zero_false_neg"),
+    )
 
 
 def _oracle_x18() -> str:
