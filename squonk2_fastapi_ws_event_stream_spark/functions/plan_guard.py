@@ -57,6 +57,7 @@ FIXED_DOMAIN_COLS = {
     "day",  # calendar days: bounded by wall-clock span, not data size
     "bucket",  # hash % K buckets (CMS/bloom/histogram) — K fixed
     "row_i",  # sketch row index — d fixed
+    "p_size",  # TPC-H spec-fixed 1..50 at every SF
 }
 
 # Unique, non-negative, sequentially-assigned key columns: an equality,

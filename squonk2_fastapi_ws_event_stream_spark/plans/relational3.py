@@ -1,0 +1,166 @@
+"""Third relational-extension surface (round-6 additions, q49+).
+
+Same contract as plans/tpch.py / relational2.py: each query is a
+(spark, sf_dir) -> DataFrame callable with a DuckDB oracle twin.  The
+reference engine has no relational algebra (SURVEY §2.11) — these
+exercise Catalyst features a complete warehouse surface needs that the
+earlier q-families don't yet cover: multi-objective dominance (skyline)
+and Spark 4's recursive CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# q49 — skyline (Pareto frontier): parts not dominated on
+# (p_size, p_retailprice), both minimized.  The classic multi-objective
+# "cheapest AND smallest" catalog query relational engines answer with a
+# dominance self-join; here it is the textbook DISTRIBUTED skyline
+# reduction instead:
+#
+#   1. per-dimension pre-aggregation: min(price) per p_size — a plain
+#      map-side-combinable hash aggregate that collapses the corpus to
+#      at most |size domain| rows (p_size is spec-fixed 1..50 at every
+#      SF, TPC-H §4.2.3 semantics),
+#   2. dominance on the <=50-row reduced set: sorted by size, a point
+#      survives iff its price is strictly below the running min of all
+#      smaller sizes (a 50-row single-partition window — bounded by the
+#      fixed domain, not by SF),
+#   3. join back (broadcast of the <=50-row skyline — provably bounded)
+#      to count the parts sitting exactly on each frontier point.
+#
+# Scale: the corpus is touched exactly twice (once per aggregate), no
+# self-join, no cartesian; every SF-scaled structure reduces before any
+# window.  A naive NOT EXISTS dominance anti-join would be O(n²).
+# ---------------------------------------------------------------------------
+def q49_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").select(
+        "p_size", F.col("p_retailprice").cast("decimal(12,2)").alias("price")
+    )
+    best = part.groupBy("p_size").agg(F.min("price").alias("best_price"))
+    # <=50 rows here (fixed p_size domain): the unpartitioned window is
+    # bounded by the domain, never by SF.
+    w = Window.orderBy("p_size").rowsBetween(Window.unboundedPreceding, -1)
+    sky = (
+        best.withColumn("prev_best", F.min("best_price").over(w))
+        .filter(
+            F.col("prev_best").isNull()
+            | (F.col("best_price") < F.col("prev_best"))
+        )
+        .select("p_size", "best_price")
+    )
+    p = part.alias("p")
+    s = sky.select(
+        F.col("p_size").alias("sky_size"), F.col("best_price")
+    ).alias("s")
+    return (
+        p.join(
+            F.broadcast(s),
+            (F.col("p.p_size") == F.col("s.sky_size"))
+            & (F.col("p.price") == F.col("s.best_price")),
+        )
+        .groupBy(F.col("s.sky_size"), F.col("s.best_price"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            F.col("sky_size").alias("p_size"),
+            F.round(F.col("best_price").cast("double"), 2).alias("best_price"),
+            "n_parts",
+        )
+    )
+
+
+ORACLE_Q49 = """
+WITH best AS (
+  SELECT p_size, MIN(CAST(p_retailprice AS DECIMAL(12,2))) AS best_price
+  FROM part GROUP BY p_size
+), sky AS (
+  SELECT p_size, best_price FROM (
+    SELECT p_size, best_price,
+           MIN(best_price) OVER (ORDER BY p_size
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+    FROM best) t
+  WHERE prev_best IS NULL OR best_price < prev_best
+)
+SELECT s.p_size, ROUND(CAST(s.best_price AS DOUBLE), 2) AS best_price,
+       COUNT(*) AS n_parts
+FROM part p JOIN sky s ON p.p_size = s.p_size
+ AND CAST(p.p_retailprice AS DECIMAL(12,2)) = s.best_price
+GROUP BY s.p_size, s.best_price
+"""
+
+QUERIES["q49_skyline_parts"] = q49_skyline_parts
+ORACLES["q49_skyline_parts"] = ORACLE_Q49
+
+
+# ---------------------------------------------------------------------------
+# q50 — recursive CTE (Spark 4 `WITH RECURSIVE`): referral-chain rollup.
+# A synthetic hierarchy (parent = custkey DIV 8, roots are custkeys 0..7)
+# walked bottom-up to each root, then account balances rolled up per
+# root.  Exercises the iterative-plan surface (UnionLoop) that graph
+# operators t07/t45 hand-build with driver loops — here the ENGINE owns
+# the loop.
+#
+# Scale: the recursive step is a pure projection + filter on the
+# previous level (NO join, no shuffle per iteration) and terminates in
+# ceil(log8 N) levels — 7 levels at 100 TB.  Total generated rows are
+# O(N log N); the only shuffles are the final per-custkey aggregate and
+# the balance join.
+# ---------------------------------------------------------------------------
+def q50_recursive_referrals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE up AS (
+          SELECT c_custkey AS custkey, c_custkey AS anc, 0 AS depth
+          FROM v_customer
+          UNION ALL
+          SELECT custkey, anc DIV 8 AS anc, depth + 1 AS depth
+          FROM up WHERE anc >= 8
+        ),
+        rooted AS (
+          SELECT custkey, MAX(depth) AS chain_len,
+                 MIN(CASE WHEN anc < 8 THEN anc END) AS root
+          FROM up GROUP BY custkey
+        )
+        SELECT CAST(root AS BIGINT) AS root,
+               COUNT(*) AS n_customers,
+               CAST(MAX(chain_len) AS INT) AS max_chain,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
+                 AS total_acctbal
+        FROM rooted JOIN v_customer ON custkey = c_custkey
+        GROUP BY root
+        """
+    )
+
+
+ORACLE_Q50 = """
+WITH RECURSIVE up AS (
+  SELECT c_custkey AS custkey, c_custkey AS anc, 0 AS depth FROM customer
+  UNION ALL
+  SELECT custkey, anc // 8 AS anc, depth + 1 AS depth
+  FROM up WHERE anc >= 8
+),
+rooted AS (
+  SELECT custkey, MAX(depth) AS chain_len,
+         MIN(CASE WHEN anc < 8 THEN anc END) AS root
+  FROM up GROUP BY custkey
+)
+SELECT CAST(root AS BIGINT) AS root,
+       COUNT(*) AS n_customers,
+       CAST(MAX(chain_len) AS INT) AS max_chain,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4)
+         AS total_acctbal
+FROM rooted JOIN customer ON custkey = c_custkey
+GROUP BY root
+"""
+
+QUERIES["q50_recursive_referrals"] = q50_recursive_referrals
+ORACLES["q50_recursive_referrals"] = ORACLE_Q50

@@ -20,13 +20,14 @@ from .operators import (
     similarity,
     textstats,
 )
-from .plans import extended, pipeline, relational2, tpch
+from .plans import extended, pipeline, relational2, relational3, tpch
 
 _MODULES = (
     tpch,
     extended,
     pipeline,
     relational2,
+    relational3,
     events,
     dedup,
     graph,
@@ -80,6 +81,8 @@ _NEW_OR_CHANGED = (
     "t57_sentence_dedup",
     "q48_snapshot_diff",
     "x21_zorder_layout",
+    "q49_skyline_parts",
+    "q50_recursive_referrals",
     # round 6 changed plans/semantics: broadcast hints removed (t54,
     # q42), CDC tie-break (q43), decimal decay weights (e29), fixed-enum
     # grouping rename (e25), histogram-selection bucket fix (x15).

@@ -487,3 +487,30 @@ def test_x21_morton_is_mapside_integer_ops(spark):
     plan = explain(QUERIES["x21_zorder_layout"](spark, SF), mode="simple")
     assert "Join" not in plan
     assert "shiftright" in plan
+
+
+def test_q49_skyline_reduces_before_dominance(spark):
+    # The corpus collapses to a <=50-row per-size aggregate BEFORE any
+    # window/dominance logic, and the only broadcast hint (the skyline
+    # join-back) is proven bounded by the fixed p_size domain.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["q49_skyline_parts"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    # dominance window sits ABOVE the per-size reduce in the plan tree
+    assert plan.find("Window") < plan.rfind("HashAggregate")
+
+
+def test_q50_recursive_step_is_join_free(spark):
+    # The engine owns the iteration (UnionLoop); the recursive step is a
+    # pure projection+filter on the previous level — the loop body must
+    # contain NO join and NO exchange (shuffles happen once, after).
+    plan = explain(QUERIES["q50_recursive_referrals"](spark, SF), mode="simple")
+    assert "UnionLoop" in plan
+    loop_body = plan.split("UnionLoop", 1)[1].split("BroadcastExchange", 1)[0]
+    assert "Join" not in loop_body
+    assert "Exchange" not in loop_body
