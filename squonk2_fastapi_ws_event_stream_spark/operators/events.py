@@ -1871,3 +1871,209 @@ FROM ranked GROUP BY event_type
 
 QUERIES["e31_touch_attribution"] = e31_touch_attribution
 ORACLES["e31_touch_attribution"] = ORACLE_E31
+
+
+# ---------------------------------------------------------------------------
+# e32 — CUSUM change-point detection: per event type, the one-sided
+# upward CUSUM over the daily count series — the classic drift detector
+# (Page 1954) that flags sustained level shifts a rolling z-score (e21)
+# or MAD fence (e26) miss.  The recursion S_t = max(0, S_{t-1} + x_t - k)
+# is not a window frame, but its closed form IS:
+#     S_t = P_t - min(0, min_{j<=t} P_j),   P_t = cumsum(x_i - k),
+# so two stacked prefix windows (cumsum, running min) on the SAME
+# (event_type, day) ordering compute it exactly.
+#
+# Everything stays integer-exact and cross-engine deterministic: with
+# D = n_days and T = total count per type, the slack k = mean = T/D is
+# avoided by scaling all units by D — d_t = x_t*D - T is an integer, and
+# prefix sums accumulate in DECIMAL(38,0) (counts×days×days can brush
+# int64 at 100 TB; Spark would wrap silently, DuckDB would error — the
+# documented divergence class).  Threshold h = E32_H_MULT * T (i.e.
+# E32_H_MULT days' worth of mean drift).
+#
+# Scale: one (event_type, day) aggregate with map-side combine reduces
+# the corpus to |types × days| rows; both windows and the per-type stats
+# join ride ONE (event_type) hash partitioning.  Calendar-bounded state.
+# ---------------------------------------------------------------------------
+E32_H_MULT = 3
+
+
+def e32_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    # fixed-domain event_type: the per-type stats side is bounded.
+    scored = daily.join(F.broadcast(per_type), "event_type").withColumn(
+        "d",
+        (
+            F.col("cnt").cast("decimal(38,0)") * F.col("n_days").cast("decimal(38,0)")
+            - F.col("total").cast("decimal(38,0)")
+        ),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = (
+        scored.withColumn("p", F.sum("d").over(w_cum))
+        .withColumn("runmin", F.min("p").over(w_cum))
+        .withColumn(
+            "cusum",
+            F.col("p") - F.least(F.lit(0).cast("decimal(38,0)"), F.col("runmin")),
+        )
+        .withColumn(
+            "h",
+            F.col("total").cast("decimal(38,0)") * F.lit(E32_H_MULT).cast("decimal(38,0)"),
+        )
+    )
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.date_format(
+            F.min(F.when(F.col("cusum") > F.col("h"), F.col("day"))), "yyyy-MM-dd"
+        ).alias("first_alarm_day"),
+        F.sum(F.when(F.col("cusum") > F.col("h"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarm_days"),
+        F.round(
+            (F.max("cusum") / F.max("n_days").cast("decimal(38,0)")).cast("double"),
+            4,
+        ).alias("max_cusum"),
+    )
+
+
+ORACLE_E32 = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+per_type AS (
+  SELECT event_type, SUM(cnt) AS total, COUNT(*) AS n_days
+  FROM daily GROUP BY event_type
+),
+scored AS (
+  SELECT d.event_type, d.day, d.cnt, p.total, p.n_days,
+         CAST(d.cnt AS DECIMAL(38,0)) * CAST(p.n_days AS DECIMAL(38,0))
+           - CAST(p.total AS DECIMAL(38,0)) AS d
+  FROM daily d JOIN per_type p ON d.event_type = p.event_type
+),
+pre AS (
+  SELECT *,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM scored
+),
+s AS (
+  SELECT *,
+         MIN(p) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+  FROM pre
+),
+c AS (
+  SELECT *,
+         p - LEAST(CAST(0 AS DECIMAL(38,0)), runmin) AS cusum,
+         CAST(total AS DECIMAL(38,0)) * {E32_H_MULT} AS h
+  FROM s
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       strftime(MIN(CASE WHEN cusum > h THEN day END), '%Y-%m-%d')
+         AS first_alarm_day,
+       CAST(SUM(CASE WHEN cusum > h THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarm_days,
+       ROUND(CAST(MAX(cusum) / CAST(MAX(n_days) AS DECIMAL(38,0)) AS DOUBLE), 4)
+         AS max_cusum
+FROM c GROUP BY event_type
+"""
+
+
+QUERIES["e32_cusum_changepoint"] = e32_cusum_changepoint
+ORACLES["e32_cusum_changepoint"] = ORACLE_E32
+
+
+# ---------------------------------------------------------------------------
+# e33 — activity streaks (gaps-and-islands): per user, runs of
+# CONSECUTIVE active calendar days.  The canonical islands idiom — on the
+# per-(user, day) distinct grid, day_number minus the per-user row_number
+# is constant within a run — so streaks fall out of one partitioned
+# window plus two aggregates, no self-join.  Distinct from e08 (ordinal
+# gaps within a stream) and e10 (time-gap sessionization): the unit here
+# is the calendar day, the output the user's engagement-streak profile.
+#
+# Scale: the (user_id, day) dedup aggregate collapses the corpus first;
+# the row_number window, the streak aggregate and the final per-user
+# rollup all ride the SAME user_id hash partitioning (one exchange,
+# reused).  No unpartitioned window anywhere.
+# ---------------------------------------------------------------------------
+def e33_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .withColumn(
+            "day_num",
+            F.datediff(F.col("day"), F.lit("1995-01-01").cast("date")),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    runs = days.withColumn(
+        "grp", F.col("day_num") - F.row_number().over(w)
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start_day").asc()
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(w_best))
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("active_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max(F.when(F.col("rn") == 1, F.col("len"))).cast("long")
+            .alias("longest_streak"),
+            F.date_format(
+                F.max(F.when(F.col("rn") == 1, F.col("start_day"))), "yyyy-MM-dd"
+            ).alias("longest_streak_start"),
+        )
+    )
+
+
+ORACLE_E33 = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+runs AS (
+  SELECT user_id, day,
+         date_diff('day', DATE '1995-01-01', day)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day ASC) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start_day
+  FROM runs GROUP BY user_id, grp
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY len DESC, start_day ASC) AS rn
+  FROM streaks
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(CASE WHEN rn = 1 THEN len END) AS BIGINT) AS longest_streak,
+       strftime(MAX(CASE WHEN rn = 1 THEN start_day END), '%Y-%m-%d')
+         AS longest_streak_start
+FROM ranked GROUP BY user_id
+"""
+
+
+QUERIES["e33_activity_streaks"] = e33_activity_streaks
+ORACLES["e33_activity_streaks"] = ORACLE_E33

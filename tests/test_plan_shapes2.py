@@ -514,3 +514,29 @@ def test_q50_recursive_step_is_join_free(spark):
     loop_body = plan.split("UnionLoop", 1)[1].split("BroadcastExchange", 1)[0]
     assert "Join" not in loop_body
     assert "Exchange" not in loop_body
+
+
+def test_e32_cusum_windows_ride_type_partitioning(spark):
+    # CUSUM's two prefix windows (cumsum, running min) are PARTITIONED by
+    # event_type — never an unpartitioned global sort — and the per-type
+    # stats broadcast is bounded by the fixed event_type domain.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["e32_cusum_changepoint"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"]
+    plan = explain(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(event_type" in plan
+    # every Window carries a partition spec (no SinglePartition window)
+    assert "Window" in plan and "SinglePartition" not in plan
+
+
+def test_e33_streaks_reuse_one_user_exchange(spark):
+    # Islands = dedup aggregate + row_number window + two aggregates, all
+    # on user_id-led keys: exactly TWO exchanges (the (user,day) dedup
+    # and the user window), the rollups reuse the window's partitioning.
+    plan = explain(QUERIES["e33_activity_streaks"](spark, SF), mode="simple")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
