@@ -1093,3 +1093,120 @@ FROM ranked WHERE rank <= {T56_TOP}
 
 QUERIES["t56_bpe_pair_counts"] = t56_bpe_pair_counts
 ORACLES["t56_bpe_pair_counts"] = ORACLE_T56
+
+
+# ---------------------------------------------------------------------------
+# t58 — vocabulary coverage curve: the smallest vocabulary size that
+# covers {50, 90, 95, 99}% of the corpus token mass — the sizing curve
+# every tokenizer-training run (BPE/WordPiece vocab budget) reads before
+# fixing |V|.  t12 ranks the head, t36 fits the Zipf tail; this answers
+# "how big must V be".
+#
+# NO token-level global window: ranking by frequency is factored through
+# the DISTINCT-COUNT HISTOGRAM (one row per distinct token count — the
+# t36 trick).  Within a same-count group the cumulative mass is linear in
+# the number of tokens taken, so each coverage crossing is solved in
+# CLOSED FORM from the group's prefix (rank offset R, mass offset M):
+#     vocab = R + ceil((threshold - M) / cnt).
+# All arithmetic is int64 (token masses, not 2^k weights — exact far
+# past 100 TB); thresholds use ceil-division via `div`/`//` (truncating
+# in BOTH engines; x21 lesson).
+#
+# Scale: wordcount aggregate (map-side combinable) → histogram aggregate
+# (≤ O(√corpus) rows) → single-partition prefix window over the tiny
+# histogram → constant-size crossing join (4 targets × histogram).  The
+# corpus is scanned once.
+# ---------------------------------------------------------------------------
+T58_TARGETS = (50, 90, 95, 99)
+
+
+def t58_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents").select("text"), spark)
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    cnts = (
+        toks.filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hist = cnts.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_toks"))
+    w = Window.orderBy(F.col("cnt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pref = hist.select(
+        "cnt",
+        "n_toks",
+        F.coalesce(F.sum("n_toks").over(w), F.lit(0)).alias("r_prev"),
+        F.coalesce(
+            F.sum(F.col("n_toks") * F.col("cnt")).over(w), F.lit(0)
+        ).alias("m_prev"),
+    )
+    totals = hist.agg(
+        F.sum(F.col("n_toks") * F.col("cnt")).alias("total_mass"),
+        F.sum("n_toks").alias("vocab_total"),
+    )
+    targets = spark.createDataFrame(
+        [(p,) for p in T58_TARGETS], "pct int"
+    )
+    joined = pref.crossJoin(F.broadcast(totals)).crossJoin(F.broadcast(targets))
+    thr = F.expr("(pct * total_mass + 99) div 100")
+    crossing = joined.withColumn("thr", thr).filter(
+        (F.col("m_prev") < F.col("thr"))
+        & (F.col("thr") <= F.col("m_prev") + F.col("n_toks") * F.col("cnt"))
+    )
+    k = F.expr("(thr - m_prev + cnt - 1) div cnt")
+    return crossing.select(
+        "pct",
+        (F.col("r_prev") + k).cast("long").alias("vocab_size"),
+        (F.col("m_prev") + k * F.col("cnt")).cast("long").alias("covered_tokens"),
+        F.col("total_mass").cast("long").alias("total_tokens"),
+        F.col("vocab_total").cast("long").alias("vocab_total"),
+        F.round(
+            (F.col("m_prev") + k * F.col("cnt")).cast("double")
+            / F.col("total_mass").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+ORACLE_T58 = f"""
+WITH toks AS (
+  SELECT token FROM documents,
+       unnest(string_split(text, ' ')) AS u(token)
+  WHERE length(token) > 0
+),
+cnts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+hist AS (SELECT cnt, COUNT(*) AS n_toks FROM cnts GROUP BY cnt),
+pref AS (
+  SELECT cnt, n_toks,
+         COALESCE(SUM(n_toks) OVER w, 0) AS r_prev,
+         COALESCE(SUM(n_toks * cnt) OVER w, 0) AS m_prev
+  FROM hist
+  WINDOW w AS (ORDER BY cnt DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+totals AS (
+  SELECT SUM(n_toks * cnt) AS total_mass, SUM(n_toks) AS vocab_total
+  FROM hist
+),
+targets AS (SELECT unnest(ARRAY{list(T58_TARGETS)}) AS pct),
+crossing AS (
+  SELECT p.*, t.total_mass, t.vocab_total, g.pct,
+         (g.pct * t.total_mass + 99) // 100 AS thr
+  FROM pref p CROSS JOIN totals t CROSS JOIN targets g
+  WHERE (g.pct * t.total_mass + 99) // 100 > p.m_prev
+    AND (g.pct * t.total_mass + 99) // 100 <= p.m_prev + p.n_toks * p.cnt
+)
+SELECT CAST(pct AS INTEGER) AS pct,
+       CAST(r_prev + (thr - m_prev + cnt - 1) // cnt AS BIGINT) AS vocab_size,
+       CAST(m_prev + ((thr - m_prev + cnt - 1) // cnt) * cnt AS BIGINT)
+         AS covered_tokens,
+       CAST(total_mass AS BIGINT) AS total_tokens,
+       CAST(vocab_total AS BIGINT) AS vocab_total,
+       ROUND(CAST(m_prev + ((thr - m_prev + cnt - 1) // cnt) * cnt AS DOUBLE)
+             / CAST(total_mass AS DOUBLE), 6) AS coverage
+FROM crossing
+"""
+
+
+QUERIES["t58_vocab_coverage"] = t58_vocab_coverage
+ORACLES["t58_vocab_coverage"] = ORACLE_T58

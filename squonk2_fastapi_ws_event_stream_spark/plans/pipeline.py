@@ -1380,3 +1380,121 @@ FROM totals t JOIN per_stratum p ON t.event_type = p.event_type
 
 QUERIES["x19_stratified_sample"] = x19_stratified_sample
 ORACLES["x19_stratified_sample"] = ORACLE_X19
+
+
+# ---------------------------------------------------------------------------
+# x22 — priority sampling (Duffield–Lund–Thorup, JACM '07): a fixed-K
+# weighted sample per event_type whose subset-sum estimator
+# sum(max(w_i, tau)) over the K kept rows — tau = the (K+1)-th priority —
+# is UNBIASED for the stratum's total, the size-bounded alternative to
+# threshold/PPS sampling every 100-TB aggregation pipeline wants.
+# Priorities are q_i = w_i / u_i with u_i = (h_i + 1)/P derived from the
+# repo's overflow-safe KMV hash — deterministic, so both engines draw the
+# SAME sample and the estimate itself is hash-comparable (double ops are
+# IEEE-exact; the estimator sum accumulates in DECIMAL).
+#
+# Scale: per-stratum top-(K+1) by priority is a partitioned window over
+# fixed-domain event_type keys; one corpus scan, one (event_type)
+# exchange shared by the window and both aggregates.  The kept set is
+# K+1 rows per stratum regardless of SF.
+# ---------------------------------------------------------------------------
+X22_K = 64
+
+
+def x22_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # u = (h+1)/P in (0,1]; priority = w/u = (w*P)/(h+1), parenthesized
+    # identically in the oracle (IEEE double ops are order-sensitive).
+    pri = (F.col("value") * F.lit(float(_X13_P))) / (
+        (_kmv_hash(F.col("event_id")) + F.lit(1)).cast("double")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("priority").desc(), F.col("event_id").asc()
+    )
+    ranked = ev.withColumn("priority", pri).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    kept = ranked.filter(F.col("rn") <= X22_K + 1)
+    est = kept.groupBy("event_type").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == X22_K + 1, F.col("priority"))),
+            F.lit(0.0),
+        ).alias("tau"),
+    )
+    sample_est = (
+        kept.join(F.broadcast(est), "event_type")
+        .filter(F.col("rn") <= X22_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum(
+                F.greatest(F.col("value"), F.col("tau")).cast("decimal(18,6)")
+            ).alias("est_d"),
+        )
+    )
+    totals = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("exact_d"),
+    )
+    return totals.join(sample_est, "event_type").select(
+        "event_type",
+        "n_total",
+        "n_sampled",
+        F.round(F.col("exact_d").cast("double"), 4).alias("sum_exact"),
+        F.round(F.col("est_d").cast("double"), 4).alias("sum_est"),
+        F.round(
+            F.abs(F.col("est_d").cast("double") - F.col("exact_d").cast("double"))
+            / F.col("exact_d").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+_SQL_X22_HASH = f"((event_id % {_X13_P}) * {X13_A_MOD} + {X13_B}) % {_X13_P}"
+
+ORACLE_X22 = f"""
+WITH ranked AS (
+  SELECT event_id, event_type, value,
+         (value * CAST({_X13_P} AS DOUBLE))
+           / CAST(({_SQL_X22_HASH}) + 1 AS DOUBLE) AS priority
+  FROM events
+),
+rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY priority DESC, event_id ASC) AS rn
+  FROM ranked
+),
+kept AS (SELECT * FROM rn WHERE rn <= {X22_K} + 1),
+tau AS (
+  SELECT event_type,
+         COALESCE(MAX(CASE WHEN rn = {X22_K} + 1 THEN priority END), 0.0) AS tau
+  FROM kept GROUP BY event_type
+),
+est AS (
+  SELECT k.event_type,
+         COUNT(*) AS n_sampled,
+         SUM(CAST(GREATEST(k.value, t.tau) AS DECIMAL(18,6))) AS est_d
+  FROM kept k JOIN tau t ON k.event_type = t.event_type
+  WHERE k.rn <= {X22_K}
+  GROUP BY k.event_type
+),
+totals AS (
+  SELECT event_type, COUNT(*) AS n_total,
+         SUM(CAST(value AS DECIMAL(18,6))) AS exact_d
+  FROM events GROUP BY event_type
+)
+SELECT t.event_type,
+       CAST(t.n_total AS BIGINT) AS n_total,
+       CAST(e.n_sampled AS BIGINT) AS n_sampled,
+       ROUND(CAST(t.exact_d AS DOUBLE), 4) AS sum_exact,
+       ROUND(CAST(e.est_d AS DOUBLE), 4) AS sum_est,
+       ROUND(ABS(CAST(e.est_d AS DOUBLE) - CAST(t.exact_d AS DOUBLE))
+             / CAST(t.exact_d AS DOUBLE), 6) AS rel_err
+FROM totals t JOIN est e ON t.event_type = e.event_type
+"""
+
+
+QUERIES["x22_priority_sample"] = x22_priority_sample
+ORACLES["x22_priority_sample"] = ORACLE_X22

@@ -85,6 +85,8 @@ _NEW_OR_CHANGED = (
     "q50_recursive_referrals",
     "e32_cusum_changepoint",
     "e33_activity_streaks",
+    "x22_priority_sample",
+    "t58_vocab_coverage",
     # round 6 changed plans/semantics: broadcast hints removed (t54,
     # q42), CDC tie-break (q43), decimal decay weights (e29), fixed-enum
     # grouping rename (e25), histogram-selection bucket fix (x15).

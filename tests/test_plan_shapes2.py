@@ -540,3 +540,32 @@ def test_e33_streaks_reuse_one_user_exchange(spark):
     plan = explain(QUERIES["e33_activity_streaks"](spark, SF), mode="simple")
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_x22_topk_is_partitioned_never_global(spark):
+    # The per-stratum top-(K+1) rides a window PARTITIONED by the
+    # fixed-domain event_type — no SinglePartition funnel anywhere in the
+    # corpus path — and the tau broadcast is a bounded per-type aggregate.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["x22_priority_sample"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"]
+    plan = explain(df, mode="simple")
+    assert "hashpartitioning(event_type" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t58_prefix_window_sees_histogram_not_tokens(spark):
+    # Exactly ONE window, and it sits above BOTH aggregates (wordcount,
+    # then distinct-count histogram): the single-partition prefix scan
+    # only ever carries histogram rows, never the vocabulary.
+    df = QUERIES["t58_vocab_coverage"](spark, SF)
+    plan = explain(df, mode="simple")
+    assert plan.count("Window [") == 1
+    win = plan.find("Window [")
+    aggs_below = plan[win:].count("HashAggregate")
+    assert aggs_below >= 4  # partial+final for wordcount and histogram
+    assert "CartesianProduct" not in plan
