@@ -2809,3 +2809,91 @@ FROM ranked WHERE rank <= {TOP_K}
 
 QUERIES["v32_mips_topk"] = v32_mips_topk
 ORACLES["v32_mips_topk"] = ORACLE_V32
+
+
+# ---------------------------------------------------------------------------
+# v33 — kNN GRAPH construction: the k nearest neighbors of EVERY corpus
+# vector (not just a query workload) via the staged stride-IVF index —
+# the build step behind semantic-dedup clustering (v12 consumes exactly
+# such neighbor lists), NN-descent seeding, and graph-ANN indexes.
+#
+# Every vector multi-probes its N_PROBE nearest cells (map-side against
+# the broadcast packed centroids), then candidates come from ONE
+# (cell_id) equi-join against the staged assignment: per cell the work
+# is |members| x |probers of that cell| — bounded by cell occupancy
+# (audited by v26), NEVER the all-pairs corpus square that the guarded
+# v01 ground-truth computes. The per-point top-k is a window partitioned
+# by the probing vector.
+#
+# Scale: one corpus scan for probes (centroids broadcast — fixed k), the
+# staged assignment reused from v03/v12/v14, one cell equi-join, one
+# (query_id)-partitioned window. Output is exactly K x corpus rows.
+# ---------------------------------------------------------------------------
+V33_K = 5
+
+
+def v33_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
+    allq = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = _with_probe_cells(allq, packed, N_PROBE)
+    scored = (
+        assigned.join(probes, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= V33_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("nbr_id"),
+            "cos",
+        )
+    )
+
+
+ORACLE_V33 = f"""
+WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+           WHERE vec_id % {CENTROID_STRIDE} = 0),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS c_rank
+    FROM embeddings e CROSS JOIN c
+  ) WHERE c_rank = 1
+),
+probes AS (
+  SELECT query_id, q_emb, cell_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS p_rank
+    FROM embeddings e CROSS JOIN c
+  ) WHERE p_rank <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         {sql_cosine('p.q_emb', 'a.embedding')} AS cos
+  FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id AS nbr_id, cos FROM ranked WHERE rank <= {V33_K}
+"""
+
+
+QUERIES["v33_knn_graph"] = v33_knn_graph
+ORACLES["v33_knn_graph"] = ORACLE_V33

@@ -333,3 +333,85 @@ def heavy_hitters(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming running z-score anomaly detection — the streaming twin of the
+# batch anomaly family (e21 rolling z, e26 MAD, e32 CUSUM): each message
+# is judged against its stream's PRIOR running distribution, then folded
+# in. State per key is three numbers (n, sum, sum-of-squares) — O(keys),
+# evicted when idle like every operator above.
+#
+# Integer-exact: the z test  (x-mean)² > Z²·var  is cross-multiplied to
+#     (x·n − s)² > Z²·(n·s2 − s²)
+# so no float division or sqrt ever happens; s2 is carried as a Python
+# bigint serialized into a string state column because x²-sums overflow
+# int64 at ~1e21 (million-byte messages × billions of rows — real at
+# 100 TB; Spark would wrap silently, the documented divergence class).
+# A zero-variance history with a deviating point (d != 0) is an anomaly
+# by convention (infinite z).
+# ---------------------------------------------------------------------------
+ZSCORE_OUTPUT_SCHEMA = (
+    "key string, n_seen long, batch_n long, batch_anomalies long, mean_milli long"
+)
+ZSCORE_STATE_SCHEMA = "n long, s long, s2 string"
+ZSCORE_Z = 3
+ZSCORE_MIN_N = 30  # no verdicts before a minimal history
+
+
+def _update_zscore_fn(retention_ms: int):
+    def _update_zscore(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s, s2_str = state.get if state.exists else (0, 0, "0")
+        s2 = int(s2_str)
+        batch_n = 0
+        anomalies = 0
+        for pdf in pdfs:
+            for x in pdf["x"].astype("int64").tolist():
+                x = int(x)
+                if n >= ZSCORE_MIN_N:
+                    d = x * n - s
+                    var_n2 = n * s2 - s * s  # n² · var ≥ 0, exact
+                    if (var_n2 == 0 and d != 0) or (
+                        var_n2 > 0 and d * d > ZSCORE_Z * ZSCORE_Z * var_n2
+                    ):
+                        anomalies += 1
+                n += 1
+                s += x
+                s2 += x * x
+                batch_n += 1
+        state.update((n, s, str(s2)))
+        state.setTimeoutDuration(retention_ms)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_seen": [n],
+                "batch_n": [batch_n],
+                "batch_anomalies": [anomalies],
+                "mean_milli": [s * 1000 // n if n else 0],
+            }
+        )
+
+    return _update_zscore
+
+
+def running_zscore(
+    envelope: DataFrame, retention_ms: int = DEFAULT_IDLE_RETENTION_MS
+) -> DataFrame:
+    """Streaming per-key anomaly counts: each message's size is z-tested
+    against the key's prior running distribution (integer-exact, no
+    float state). Keys idle past `retention_ms` are evicted."""
+    sized = envelope.select(
+        "key", F.octet_length("value").cast("long").alias("x")
+    )
+    return sized.groupBy("key").applyInPandasWithState(
+        _update_zscore_fn(retention_ms),
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

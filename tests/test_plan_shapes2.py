@@ -569,3 +569,13 @@ def test_t58_prefix_window_sees_histogram_not_tokens(spark):
     aggs_below = plan[win:].count("HashAggregate")
     assert aggs_below >= 4  # partial+final for wordcount and histogram
     assert "CartesianProduct" not in plan
+
+
+def test_v33_knn_graph_is_cell_join_never_allpairs(spark):
+    # Every vector probes via the broadcast packed centroids (map-side);
+    # candidates come only from the (cell_id) equi-join against the
+    # staged assignment — no cartesian, no corpus x corpus join.
+    plan = explain(QUERIES["v33_knn_graph"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(cell_id" in plan or "cell_id" in plan
+    assert "hashpartitioning(query_id" in plan

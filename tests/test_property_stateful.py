@@ -171,3 +171,49 @@ def test_filter_class_never_blesses_unknown_columns(cond):
 
     if not any(c in cond for c in UNIQUE_KEY_COLS):
         assert _filter_class(cond) is None
+
+
+@given(
+    st.lists(st.integers(0, 1000), min_size=31, max_size=200),
+    st.integers(1, 4),
+)
+@settings(max_examples=200, deadline=None)
+def test_zscore_core_matches_reference_welford(xs, n_batches):
+    """The integer cross-multiplied z-test must agree with a float
+    reference implementation of the same prior-distribution rule, and
+    (n, s, s2) state must be exactly the stream's moments regardless of
+    batching."""
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        ZSCORE_MIN_N,
+        ZSCORE_Z,
+        _update_zscore_fn,
+    )
+
+    fn = _update_zscore_fn(retention_ms=10_000)
+    state = FakeState()
+    size = max(1, len(xs) // n_batches)
+    total_flagged = 0
+    for i in range(0, len(xs), size):
+        out = list(
+            fn(("k",), iter([pd.DataFrame({"x": xs[i : i + size]})]), state)
+        )[-1]
+        total_flagged += int(out["batch_anomalies"][0])
+    n, s, s2 = state.get
+    assert n == len(xs) and s == sum(xs) and int(s2) == sum(x * x for x in xs)
+
+    # float reference (exact integers are small enough here that float64
+    # is itself exact: values <= 1000, n <= 200)
+    rn = rs = rs2 = 0
+    ref_flagged = 0
+    for x in xs:
+        if rn >= ZSCORE_MIN_N:
+            var_n2 = rn * rs2 - rs * rs
+            d = x * rn - rs
+            if (var_n2 == 0 and d != 0) or (
+                var_n2 > 0 and d * d > ZSCORE_Z**2 * var_n2
+            ):
+                ref_flagged += 1
+        rn += 1
+        rs += x
+        rs2 += x * x
+    assert total_flagged == ref_flagged

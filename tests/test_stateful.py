@@ -347,3 +347,58 @@ def test_heavy_hitters_space_saving_guarantees_and_restart(spark, tmp_path):
     assert found, "hot lost after restart"
     best = max(r["counts"][r["keys"].index("hot")] for r in found)
     assert best >= n_hot + 100  # state recovered and continued
+
+
+def test_running_zscore_flags_spike_and_survives_restart(spark, tmp_path):
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        running_zscore,
+    )
+
+    root = str(tmp_path / "zlog")
+    w = EventLogWriter(root, "s1")
+    # 40 constant-size messages build the history (well past ZSCORE_MIN_N).
+    for i in range(40):
+        w.publish("x" * 5, BASE_TS + i * 1000)
+    spark.dataSource.register(EventStreamDataSource)
+
+    def stream_df():
+        return (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "s1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+
+    first: list = []
+    q = (
+        running_zscore(stream_df())
+        .writeStream.foreachBatch(lambda df, _id: first.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "zckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert first[-1]["n_seen"] == 40
+    assert first[-1]["batch_anomalies"] == 0  # constants are never anomalous
+    assert first[-1]["mean_milli"] == 5000
+
+    # Restart run: 3 more normals + one 100-byte spike. The restored
+    # (n, s, s2) state must carry the history — the spike deviates from a
+    # zero-variance prior and MUST be flagged; normals must not.
+    for i in range(3):
+        w.publish("x" * 5, BASE_TS + 50_000 + i * 1000)
+    w.publish("x" * 100, BASE_TS + 60_000)
+    second: list = []
+    q2 = (
+        running_zscore(stream_df())
+        .writeStream.foreachBatch(lambda df, _id: second.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "zckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert second[-1]["n_seen"] == 44
+    assert second[-1]["batch_anomalies"] == 1
