@@ -1003,7 +1003,9 @@ def _hamming64(a: str, b: str):
     return total
 
 
-def m10_image_neardup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _neardup_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming) banded near-dup image pairs — m10's
+    pipeline, shared with the m11 cross-modal audit."""
     hashed = _ahash_table(spark, sf_dir)  # staged: ONE extraction pass
     bands = hashed.select(
         "doc_id",
@@ -1036,7 +1038,13 @@ def m10_image_neardup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_m10() -> str:
+def m10_image_neardup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _neardup_image_pairs(spark, sf_dir)
+
+
+def _sql_neardup_pairs_ctes() -> str:
+    """The WITH-clause body producing the `pairs(doc_a, doc_b, hamming)`
+    CTE — shared by the m10 and m11 oracles."""
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, ahash, {b} AS band_id,"
         f" substr(ahash, {1 + b * M10_BAND_LEN}, {M10_BAND_LEN}) AS band_bits"
@@ -1048,8 +1056,7 @@ def _oracle_m10() -> str:
         " THEN 1 ELSE 0 END)"
         for i in range(1, 65)
     )
-    return f"""
-WITH {SQL_AHASH_CTE},
+    return f"""{SQL_AHASH_CTE},
 bands AS (
 {band_selects}
 ),
@@ -1059,12 +1066,81 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_bits = b.band_bits
    AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, CAST({ham} AS INTEGER) AS hamming
-FROM cand
-WHERE {ham} <= {M10_HAMMING_T}
+),
+pairs AS (
+  SELECT doc_a, doc_b, CAST({ham} AS INTEGER) AS hamming
+  FROM cand
+  WHERE {ham} <= {M10_HAMMING_T}
+)"""
+
+
+def _oracle_m10() -> str:
+    return f"""
+WITH {_sql_neardup_pairs_ctes()}
+SELECT doc_a, doc_b, hamming FROM pairs
 """
 
 
 QUERIES["m10_image_neardup_bands"] = m10_image_neardup_bands
 ORACLES["m10_image_neardup_bands"] = _oracle_m10()
+
+
+# ---------------------------------------------------------------------------
+# m11 — cross-modal caption consistency: the curation decision BEHIND
+# image near-dup pairs. Two visually-near-identical images (m10's banded
+# pairs) whose attached captions AGREE are redundancy — drop one; pairs
+# whose captions CONFLICT are labeling noise — route to review, because
+# deleting either silently picks a winner for the contradicting text.
+# This is the multimodal analogue of t42's canonical selection: the
+# pixel signal and the text signal are audited TOGETHER.
+#
+# Scale: the pair set is banded (never all-pairs, m10's plan); each
+# endpoint resolves its caption through a plain doc_id equi-join against
+# documents (hint-free — AQE broadcasts if the pair set is small).  Two
+# joins, both on unique keys; output is one row per near-dup pair.
+# ---------------------------------------------------------------------------
+def m11_caption_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _neardup_image_pairs(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            (F.col("text_a") == F.col("text_b")).alias("same_caption"),
+            F.when(
+                F.col("text_a") == F.col("text_b"), F.lit("redundant_pair")
+            )
+            .otherwise(F.lit("caption_conflict"))
+            .alias("decision"),
+            F.length("text_a").cast("long").alias("len_a"),
+            F.length("text_b").cast("long").alias("len_b"),
+        )
+    )
+
+
+def _oracle_m11() -> str:
+    return f"""
+WITH {_sql_neardup_pairs_ctes()}
+SELECT p.doc_a, p.doc_b, p.hamming,
+       (da.text = db.text) AS same_caption,
+       CASE WHEN da.text = db.text THEN 'redundant_pair'
+            ELSE 'caption_conflict' END AS decision,
+       CAST(length(da.text) AS BIGINT) AS len_a,
+       CAST(length(db.text) AS BIGINT) AS len_b
+FROM pairs p
+JOIN documents da ON p.doc_a = da.doc_id
+JOIN documents db ON p.doc_b = db.doc_id
+"""
+
+
+QUERIES["m11_caption_consistency"] = m11_caption_consistency
+ORACLES["m11_caption_consistency"] = _oracle_m11()

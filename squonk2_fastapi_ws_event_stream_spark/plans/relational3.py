@@ -164,3 +164,102 @@ GROUP BY root
 
 QUERIES["q50_recursive_referrals"] = q50_recursive_referrals
 ORACLES["q50_recursive_referrals"] = ORACLE_Q50
+
+
+# ---------------------------------------------------------------------------
+# q51 — incremental aggregate maintenance: apply a DELTA batch of orders
+# to a STAGED per-customer aggregate and prove the merge equals a full
+# recompute — the materialized-view maintenance step that lets a 100-TB
+# revenue rollup absorb a day's orders without re-scanning the corpus.
+# Completes the incremental-maintenance family on the relational side
+# (t54 digest index, t55 band index, v27/v31 IVF add/delete).
+#
+# The fixture splits orders by `o_orderkey % 37 = 0` into base (staged
+# aggregate) and delta (the new batch).  Maintenance = aggregate the
+# delta alone, then FULL-OUTER merge with coalesced decimal sums — cost
+# O(delta + touched keys), never O(corpus).  The verdict column compares
+# every merged row against the full recompute (exact decimals, so the
+# equality is bit-deterministic in both engines).
+#
+# Scale: the delta aggregate is delta-sized; the merge is a hint-free
+# equi-join on c_custkey (AQE broadcasts the delta side when it fits —
+# the normal case); the full recompute exists here only as the audit.
+# ---------------------------------------------------------------------------
+def q51_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    is_delta = F.col("o_orderkey") % 37 == 0
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        )
+
+    base = rollup(orders.filter(~is_delta))
+    delta = rollup(orders.filter(is_delta))
+    merged = (
+        base.alias("b")
+        .join(delta.alias("d"), "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce(F.col("b.n"), F.lit(0))
+                + F.coalesce(F.col("d.n"), F.lit(0))
+            ).alias("n_merged"),
+            (
+                F.coalesce(F.col("b.rev"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("d.rev"), F.lit(0).cast("decimal(18,2)"))
+            ).alias("rev_merged"),
+        )
+    )
+    full = rollup(orders).select(
+        "o_custkey",
+        F.col("n").alias("n_full"),
+        F.col("rev").alias("rev_full"),
+    )
+    return merged.join(full, "o_custkey", "full_outer").select(
+        "o_custkey",
+        F.coalesce(F.col("n_merged"), F.lit(0)).cast("long").alias("n_merged"),
+        F.round(F.col("rev_merged").cast("double"), 4).alias("rev_merged"),
+        (
+            (F.col("n_merged") == F.col("n_full"))
+            & (F.col("rev_merged") == F.col("rev_full"))
+        ).alias("matches_full_recompute"),
+    )
+
+
+ORACLE_Q51 = """
+WITH base AS (
+  SELECT o_custkey, COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders WHERE o_orderkey % 37 <> 0 GROUP BY o_custkey
+),
+delta AS (
+  SELECT o_custkey, COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders WHERE o_orderkey % 37 = 0 GROUP BY o_custkey
+),
+merged AS (
+  SELECT COALESCE(b.o_custkey, d.o_custkey) AS o_custkey,
+         COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n_merged,
+         COALESCE(b.rev, CAST(0 AS DECIMAL(18,2)))
+           + COALESCE(d.rev, CAST(0 AS DECIMAL(18,2))) AS rev_merged
+  FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey
+),
+fullr AS (
+  SELECT o_custkey, COUNT(*) AS n_full,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_full
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(m.o_custkey, f.o_custkey) AS o_custkey,
+       CAST(COALESCE(m.n_merged, 0) AS BIGINT) AS n_merged,
+       ROUND(CAST(m.rev_merged AS DOUBLE), 4) AS rev_merged,
+       (m.n_merged = f.n_full AND m.rev_merged = f.rev_full)
+         AS matches_full_recompute
+FROM merged m FULL OUTER JOIN fullr f ON m.o_custkey = f.o_custkey
+"""
+
+QUERIES["q51_incremental_agg_maintenance"] = q51_incremental_agg_maintenance
+ORACLES["q51_incremental_agg_maintenance"] = ORACLE_Q51

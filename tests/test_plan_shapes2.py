@@ -579,3 +579,32 @@ def test_v33_knn_graph_is_cell_join_never_allpairs(spark):
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(cell_id" in plan or "cell_id" in plan
     assert "hashpartitioning(query_id" in plan
+
+
+def test_m11_audit_rides_banded_pairs(spark):
+    # The cross-modal audit inherits m10's banded candidate generation —
+    # no cartesian — and resolves captions via plain doc_id equi-joins
+    # with no static hints anywhere.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["m11_caption_consistency"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"]
+    plan = explain(df, mode="simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_q51_merge_is_hint_free_outer_join(spark):
+    # Maintenance merges base and delta aggregates with full-outer
+    # equi-joins on the key — no static broadcast hint (the delta side is
+    # corpus-derived here; AQE decides at runtime).
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["q51_incremental_agg_maintenance"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
