@@ -184,3 +184,42 @@ def windowed_topk(
         )
 
     return agg, rank_batch
+
+
+def windowed_quantile_sketch(
+    envelope: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window DDSketch-style size histogram per stream key — the
+    streaming twin of x20: message sizes fold into power-of-2 buckets
+    (bucket = floor(log2 size) computed as bit length, no libm), so each
+    open (window, key) holds at most 64 bounded counters in the state
+    store and any quantile is answerable downstream with <= 2x relative
+    error by walking the cumulative bucket counts. The buckets are
+    MERGEABLE by addition — the property that lets 1000 executors (or
+    1000 windows) combine partial sketches without ever buffering raw
+    values, which an exact streaming percentile would require.
+
+    Emits one row per (window, key, bucket) on watermark close; the
+    p50/p95 reconstruction stays with the consumer (batch x20 shows the
+    walk)."""
+    size = F.octet_length("value").cast("long")
+    bucket = (F.length(F.bin(F.greatest(size, F.lit(1)))) - 1).alias("bucket")
+    return (
+        envelope.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", window).alias("win"), "key", bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.min(size).alias("min_bytes"),
+            F.max(size).alias("max_bytes"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "key",
+            "bucket",
+            "n_messages",
+            "min_bytes",
+            "max_bytes",
+        )
+    )

@@ -250,3 +250,40 @@ def test_windowed_distinct_counts_unique_senders(spark, tmp_path):
         )
         q2.awaitTermination(120)
     assert any(r["approx_senders"] == 7 for r in rows), rows
+
+
+def test_windowed_quantile_sketch_buckets_match_batch_twin(spark, tmp_path):
+    from squonk2_fastapi_ws_event_stream_spark.streaming.aggregates import (
+        windowed_quantile_sketch,
+    )
+
+    root = str(tmp_path / "qlog")
+    w = EventLogWriter(root, "sizes")
+    # sizes 1,2,3,4,8,9,31,32 -> buckets 0,1,1,2,3,3,4,5
+    for i, n in enumerate((1, 2, 3, 4, 8, 9, 31, 32)):
+        w.publish("x" * n, BASE_TS + i * 1000)
+    spark.dataSource.register(EventStreamDataSource)
+    stream = (
+        spark.readStream.format("eventstream")
+        .option("path", root)
+        .option("stream", "sizes")
+        .option("startingOrdinal", 0)
+        .load()
+    )
+    out, _ = _run(windowed_quantile_sketch(stream), spark, tmp_path, "qsketch")
+    got = {
+        (r["bucket"], r["n_messages"], r["min_bytes"], r["max_bytes"])
+        for r in out.collect()
+    }
+    assert got == {
+        (0, 1, 1, 1),
+        (1, 2, 2, 3),
+        (2, 1, 4, 4),
+        (3, 2, 8, 9),
+        (4, 1, 31, 31),
+        (5, 1, 32, 32),
+    }
+    # the sketch's invariant: every value in bucket b satisfies
+    # 2^b <= v < 2^(b+1) (the <=2x relative-error guarantee)
+    for b, _n, lo, hi in got:
+        assert 2**b <= lo <= hi < 2 ** (b + 1)
