@@ -2077,3 +2077,93 @@ FROM ranked GROUP BY user_id
 
 QUERIES["e33_activity_streaks"] = e33_activity_streaks
 ORACLES["e33_activity_streaks"] = ORACLE_E33
+
+
+# ---------------------------------------------------------------------------
+# e34 — daily retention triangle: users bucketed by their FIRST-seen
+# day (the cohort), then counted again at each day of age — the classic
+# product-analytics cohort matrix (q33 builds the order-based yearly
+# variant; this is the event-log daily one with a fixed-age pivot and
+# retention percentages).  Day numbers are pure integer datediffs, so
+# cohort and age are exact integer arithmetic in both engines.
+#
+# Scale: first-seen day is ONE per-user aggregate; the (user, day)
+# activity grid is a dedup aggregate; their join is a plain user-keyed
+# equi-join (hint-free).  The (cohort, age) matrix is calendar-bounded —
+# the pivot has a FIXED age list so the schema never depends on data.
+# ---------------------------------------------------------------------------
+E34_MAX_AGE = 7
+
+
+def e34_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                "datediff(CAST(ts AS DATE), DATE '1995-01-01')"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    aged = (
+        days.join(cohort, "user_id")
+        .withColumn("age", (F.col("day") - F.col("cohort_day")).cast("int"))
+        .filter(F.col("age") <= E34_MAX_AGE)
+    )
+    mat = (
+        aged.groupBy("cohort_day")
+        .pivot("age", list(range(E34_MAX_AGE + 1)))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [str(a) for a in range(E34_MAX_AGE + 1)])
+    )
+    return mat.select(
+        F.col("cohort_day").cast("long").alias("cohort_day"),
+        *[
+            F.col(str(a)).cast("long").alias(f"w{a}")
+            for a in range(E34_MAX_AGE + 1)
+        ],
+        *[
+            F.round(
+                F.col(str(a)).cast("double") / F.col("0").cast("double"), 6
+            ).alias(f"r{a}")
+            for a in range(1, E34_MAX_AGE + 1)
+        ],
+    )
+
+
+def _oracle_e34() -> str:
+    counts = ",\n       ".join(
+        f"CAST(COUNT(*) FILTER (WHERE age = {a}) AS BIGINT) AS w{a}"
+        for a in range(E34_MAX_AGE + 1)
+    )
+    ratios = ",\n       ".join(
+        f"ROUND(CAST(COUNT(*) FILTER (WHERE age = {a}) AS DOUBLE)"
+        f" / CAST(COUNT(*) FILTER (WHERE age = 0) AS DOUBLE), 6) AS r{a}"
+        for a in range(1, E34_MAX_AGE + 1)
+    )
+    return f"""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+),
+aged AS (
+  SELECT d.user_id, c.cohort_day,
+         CAST(d.day - c.cohort_day AS INTEGER) AS age
+  FROM days d JOIN cohort c ON d.user_id = c.user_id
+  WHERE d.day - c.cohort_day <= {E34_MAX_AGE}
+)
+SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       {counts},
+       {ratios}
+FROM aged GROUP BY cohort_day
+"""
+
+
+QUERIES["e34_retention_triangle"] = e34_retention_triangle
+ORACLES["e34_retention_triangle"] = _oracle_e34()

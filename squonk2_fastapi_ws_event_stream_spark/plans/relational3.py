@@ -263,3 +263,73 @@ FROM merged m FULL OUTER JOIN fullr f ON m.o_custkey = f.o_custkey
 
 QUERIES["q51_incremental_agg_maintenance"] = q51_incremental_agg_maintenance
 ORACLES["q51_incremental_agg_maintenance"] = ORACLE_Q51
+
+
+# ---------------------------------------------------------------------------
+# q52 — ranking-function battery on a REDUCED table: nation revenue
+# ranked within each order-year by rank / dense_rank / percent_rank /
+# cume_dist / ntile(3) — the league-table report every BI layer emits.
+#
+# The deliberate scale shape: ranking functions need a per-partition
+# total order, and a window partition runs in ONE task — so the battery
+# runs on the nation × year AGGREGATE (25 × 7 rows, spec-fixed × 
+# calendar-bounded), never on raw orders.  Ranking a corpus-sized
+# partition is exactly the single-task funnel the guard tests forbid;
+# rank-on-the-reduced-table is the scalable idiom (x15's selection
+# covers the rare need for exact ranks over raw rows).
+#
+# Scale: orders reduce through one (nationkey, year) map-side-combinable
+# aggregate; the windows see ≤ 175 rows.  Nation resolves by broadcast
+# (spec-fixed).
+# ---------------------------------------------------------------------------
+def q52_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("yr"), "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d")
+        )
+    )
+    w = Window.partitionBy("yr").orderBy(
+        F.col("rev_d").desc(), F.col("n_name").asc()
+    )
+    return yearly.select(
+        F.col("yr").cast("long").alias("yr"),
+        "n_name",
+        F.round(F.col("rev_d").cast("double"), 4).alias("revenue"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(3).over(w).cast("int").alias("tier"),
+    )
+
+
+ORACLE_Q52 = """
+WITH yearly AS (
+  SELECT year(o_orderdate) AS yr, n_name,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY year(o_orderdate), n_name
+)
+SELECT CAST(yr AS BIGINT) AS yr, n_name,
+       ROUND(CAST(rev_d AS DOUBLE), 4) AS revenue,
+       CAST(RANK() OVER w AS INTEGER) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+       CAST(NTILE(3) OVER w AS INTEGER) AS tier
+FROM yearly
+WINDOW w AS (PARTITION BY yr ORDER BY rev_d DESC, n_name ASC)
+"""
+
+QUERIES["q52_rank_battery"] = q52_rank_battery
+ORACLES["q52_rank_battery"] = ORACLE_Q52

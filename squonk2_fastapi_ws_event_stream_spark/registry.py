@@ -90,6 +90,8 @@ _NEW_OR_CHANGED = (
     "v33_knn_graph",
     "m11_caption_consistency",
     "q51_incremental_agg_maintenance",
+    "q52_rank_battery",
+    "e34_retention_triangle",
     # round 6 changed plans/semantics: broadcast hints removed (t54,
     # q42), CDC tie-break (q43), decimal decay weights (e29), fixed-enum
     # grouping rename (e25), histogram-selection bucket fix (x15).

@@ -608,3 +608,27 @@ def test_q51_merge_is_hint_free_outer_join(spark):
     plan = explain(df, mode="simple")
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q52_ranks_only_the_reduced_table(spark):
+    # The ranking window's input is the (year, nation) aggregate — the
+    # windows sit ABOVE the revenue HashAggregates in the plan tree, so
+    # no ranking function ever sees a corpus-sized partition.
+    plan = explain(QUERIES["q52_rank_battery"](spark, SF), mode="simple")
+    win = plan.find("Window")
+    assert win != -1
+    assert plan[win:].count("HashAggregate") >= 2  # partial+final reduce below
+    assert "CartesianProduct" not in plan
+
+
+def test_e34_triangle_is_two_aggregates_one_join(spark):
+    # first-seen week and the (user, week) grid are both aggregates; the
+    # cohort join is a plain user-keyed equi-join with no static hints.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["e34_retention_triangle"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "CartesianProduct" not in plan
