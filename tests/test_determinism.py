@@ -53,6 +53,13 @@ REPRESENTATIVES = [
     "v22_ivf_cell_quality",  # decimal cosine means, partial-agg merge order
     "x13_kmv_distinct",  # k-min hash selection across partition layouts
     "t42_canonical_selection",  # max_by struct merge order on exact ties
+    # round-6 continuation representatives:
+    "q49_skyline_parts",  # decimal min-agg merge + frontier equality join
+    "q51_incremental_agg_maintenance",  # decimal outer-merge vs recompute
+    "e32_cusum_changepoint",  # decimal prefix windows under repartitioning
+    "x22_priority_sample",  # priority top-(K+1) under partial top-k merge
+    "t58_vocab_coverage",  # histogram prefix + closed-form crossings
+    "v33_knn_graph",  # cell-join candidate merge + top-k tie-breaks
 ]
 
 
