@@ -2167,3 +2167,82 @@ FROM aged GROUP BY cohort_day
 
 QUERIES["e34_retention_triangle"] = e34_retention_triangle
 ORACLES["e34_retention_triangle"] = _oracle_e34()
+
+
+# ---------------------------------------------------------------------------
+# e35 — peak concurrency (interval occupancy): the maximum number of
+# simultaneously-open sessions per day — the capacity-planning number
+# behind connection pools and executor sizing.  The classic sweep-line
+# (+1 at session start, −1 after end) is made distributed by bucketing
+# boundaries to MINUTES first: the per-minute delta aggregate is
+# map-side combinable and calendar-bounded, so the running-sum window
+# that turns deltas into occupancy only ever sees one row per active
+# minute (525k rows/year — bounded by wall-clock, not SF), never the
+# corpus.  Sessions come from the shared e10 sessionizer.
+#
+# Scale: sessionizer = one (user_id) exchange; session spans = the same
+# partitioning (exchange reused); boundary deltas aggregate to minutes
+# (calendar-bounded); the single-partition cumsum holds minute rows
+# only — the t36/t58 justification, load-bearing here.
+# ---------------------------------------------------------------------------
+def e35_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    sess = (
+        _with_session_ids(ev)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.expr("min(unix_millis(ts)) div 60000").alias("start_min"),
+            F.expr("max(unix_millis(ts)) div 60000").alias("end_min"),
+        )
+    )
+    deltas = sess.select(
+        F.col("start_min").alias("minute"), F.lit(1).alias("d")
+    ).unionAll(
+        sess.select((F.col("end_min") + 1).alias("minute"), F.lit(-1).alias("d"))
+    )
+    per_min = deltas.groupBy("minute").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("minute").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_min.withColumn("conc", F.sum("delta").over(w))
+    return (
+        cum.groupBy(F.expr("minute div 1440").alias("day_num"))
+        .agg(
+            F.max("conc").cast("long").alias("peak_concurrency"),
+            F.count(F.lit(1)).cast("long").alias("n_boundary_minutes"),
+        )
+        .select(
+            F.col("day_num").cast("long").alias("day_num"),
+            "peak_concurrency",
+            "n_boundary_minutes",
+        )
+    )
+
+
+ORACLE_E35 = f"""
+WITH {_sql_session_sid()},
+sess AS (
+  SELECT user_id, session_id,
+         MIN(epoch_ms(ts)) // 60000 AS start_min,
+         MAX(epoch_ms(ts)) // 60000 AS end_min
+  FROM sid GROUP BY user_id, session_id
+),
+deltas AS (
+  SELECT start_min AS minute, 1 AS d FROM sess
+  UNION ALL
+  SELECT end_min + 1 AS minute, -1 AS d FROM sess
+),
+per_min AS (SELECT minute, SUM(d) AS delta FROM deltas GROUP BY minute),
+cum AS (
+  SELECT minute,
+         SUM(delta) OVER (ORDER BY minute
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM per_min
+)
+SELECT CAST(minute // 1440 AS BIGINT) AS day_num,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+       CAST(COUNT(*) AS BIGINT) AS n_boundary_minutes
+FROM cum GROUP BY minute // 1440
+"""
+
+
+QUERIES["e35_peak_concurrency"] = e35_peak_concurrency
+ORACLES["e35_peak_concurrency"] = ORACLE_E35

@@ -1498,3 +1498,90 @@ FROM totals t JOIN est e ON t.event_type = e.event_type
 
 QUERIES["x22_priority_sample"] = x22_priority_sample
 ORACLES["x22_priority_sample"] = ORACLE_X22
+
+
+# ---------------------------------------------------------------------------
+# x23 — sample-size planner: the design-of-experiments step BEFORE x03/
+# x11/x19/x22 draw anything — from each stratum's exact pilot moments,
+# the minimum sample size n_req = (Z/e)² · var/mean² (Z=2, e=1% relative
+# error on the mean) that certifies a future sample.  x11 audits a
+# sample after the fact; x23 prices it in advance.
+#
+# Integer-exact until the last step: values become CENTS (exact — the
+# generator emits 2-decimal values), sums and sums-of-squares accumulate
+# in DECIMAL(38,0) (cents² × rows brushes int64 at 100 TB), and the
+# variance is the exact rational (n·s2 − s²)/(n·(n−1)) cast to double
+# once.  sqrt is correctly-rounded IEEE, division exact — both engines
+# produce bit-identical doubles, so even ceil(n_req) agrees.
+#
+# Scale: one (event_type) aggregate with map-side combine; nothing else.
+# ---------------------------------------------------------------------------
+X23_Z, X23_RELERR_INV = 2, 100  # Z=2 (~95%), e = 1/100 relative error
+
+
+def x23_sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("cents") * F.col("cents")).cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    var_c = (
+        (F.col("n").cast("decimal(38,0)") * F.col("s2") - F.col("s") * F.col("s"))
+        .cast("double")
+        / (F.col("n").cast("double") * (F.col("n").cast("double") - 1))
+    )
+    mean_c = F.col("s").cast("double") / F.col("n").cast("double")
+    k = float(X23_Z * X23_RELERR_INV)
+    n_req = F.ceil(F.lit(k * k) * var_c / (mean_c * mean_c))
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pilot"),
+        F.round(mean_c / 100.0, 6).alias("mean_value"),
+        F.round(F.sqrt(var_c) / 100.0, 6).alias("sd_value"),
+        F.round(F.sqrt(var_c) / mean_c, 6).alias("cv"),
+        n_req.cast("long").alias("n_required"),
+        F.round(n_req.cast("double") / F.col("n").cast("double"), 6).alias(
+            "required_fraction"
+        ),
+    )
+
+
+ORACLE_X23 = f"""
+WITH agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS DECIMAL(38,0))) AS s,
+         SUM(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                  * CAST(ROUND(value * 100, 0) AS BIGINT) AS DECIMAL(38,0))) AS s2
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, s, s2,
+         CAST(CAST(n AS DECIMAL(38,0)) * s2 - s * s AS DOUBLE)
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var_c,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c
+  FROM agg
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_pilot,
+       ROUND(mean_c / 100.0, 6) AS mean_value,
+       ROUND(SQRT(var_c) / 100.0, 6) AS sd_value,
+       ROUND(SQRT(var_c) / mean_c, 6) AS cv,
+       CAST(CEIL({float(X23_Z * X23_RELERR_INV)}
+                 * {float(X23_Z * X23_RELERR_INV)} * var_c
+                 / (mean_c * mean_c)) AS BIGINT) AS n_required,
+       ROUND(CAST(CEIL({float(X23_Z * X23_RELERR_INV)}
+                 * {float(X23_Z * X23_RELERR_INV)} * var_c
+                 / (mean_c * mean_c)) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS required_fraction
+FROM m
+"""
+
+
+QUERIES["x23_sample_size_planner"] = x23_sample_size_planner
+ORACLES["x23_sample_size_planner"] = ORACLE_X23

@@ -92,6 +92,8 @@ _NEW_OR_CHANGED = (
     "q51_incremental_agg_maintenance",
     "q52_rank_battery",
     "e34_retention_triangle",
+    "e35_peak_concurrency",
+    "x23_sample_size_planner",
     # round 6 changed plans/semantics: broadcast hints removed (t54,
     # q42), CDC tie-break (q43), decimal decay weights (e29), fixed-enum
     # grouping rename (e25), histogram-selection bucket fix (x15).

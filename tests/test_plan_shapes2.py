@@ -632,3 +632,22 @@ def test_e34_triangle_is_two_aggregates_one_join(spark):
     assert not audit["unbounded"] and not audit["workload"]
     plan = explain(df, mode="simple")
     assert "CartesianProduct" not in plan
+
+
+def test_e35_sweep_line_sees_minutes_not_events(spark):
+    # The occupancy cumsum window's input is the per-minute delta
+    # aggregate (calendar-bounded) — both windows in the plan sit above
+    # aggregates, and session windows ride the user_id partitioning.
+    plan = explain(QUERIES["e35_peak_concurrency"](spark, SF), mode="simple")
+    assert "hashpartitioning(user_id" in plan
+    assert "hashpartitioning(minute" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x23_planner_is_one_aggregate(spark):
+    # The whole planner is a single map-side-combinable (event_type)
+    # aggregate: no join, no window, nothing else.
+    plan = explain(QUERIES["x23_sample_size_planner"](spark, SF), mode="simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
