@@ -60,6 +60,8 @@ REPRESENTATIVES = [
     "x22_priority_sample",  # priority top-(K+1) under partial top-k merge
     "t58_vocab_coverage",  # histogram prefix + closed-form crossings
     "v33_knn_graph",  # cell-join candidate merge + top-k tie-breaks
+    "e35_peak_concurrency",  # union + minute-delta merge under partitioning
+    "x23_sample_size_planner",  # decimal moment sums, partial-agg merge order
 ]
 
 
