@@ -2246,3 +2246,107 @@ FROM cum GROUP BY minute // 1440
 
 QUERIES["e35_peak_concurrency"] = e35_peak_concurrency
 ORACLES["e35_peak_concurrency"] = ORACLE_E35
+
+
+# ---------------------------------------------------------------------------
+# e36 — M4 min/max DECIMATION: downsample each (event_type, day) series
+# to its first / min / max / last points — the lossless-for-rendering
+# reduction (M4: Jugel et al., VLDB 2014) dashboards apply before
+# plotting, and the compaction tier long-retention metric stores keep.
+# Keeping argmin/argmax EVENT IDS (not just values) preserves the
+# drill-down link back to the raw stream.
+#
+# Determinism: every selected point is a row_number()=1 under a total
+# order — (value, event_id) for min/max, (ts, event_id) for first/last
+# — so both engines pick identical rows even on tied values/timestamps.
+#
+# Scale: one (event_type, day)-partitioned exchange reused by all four
+# orderings (Catalyst plans one shuffle; the sorts differ per window),
+# then one map-side-combinable aggregate. Buckets = types × days —
+# calendar-bounded output like e35. No driver state, no collect.
+# ---------------------------------------------------------------------------
+def e36_minmax_decimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        F.expr("datediff(CAST(ts AS DATE), DATE '1995-01-01')").alias("day_num"),
+    )
+    part = ["event_type", "day_num"]
+    rn_min = F.row_number().over(
+        Window.partitionBy(*part).orderBy(F.col("value").asc(), F.col("event_id").asc())
+    )
+    rn_max = F.row_number().over(
+        Window.partitionBy(*part).orderBy(F.col("value").desc(), F.col("event_id").asc())
+    )
+    rn_first = F.row_number().over(
+        Window.partitionBy(*part).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    )
+    rn_last = F.row_number().over(
+        Window.partitionBy(*part).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    )
+    tagged = ev.select(
+        *part,
+        "event_id",
+        "value",
+        rn_min.alias("rn_min"),
+        rn_max.alias("rn_max"),
+        rn_first.alias("rn_first"),
+        rn_last.alias("rn_last"),
+    )
+    pick = lambda rn, col: F.min(F.when(F.col(rn) == 1, F.col(col)))
+    return tagged.groupBy(*part).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        pick("rn_first", "event_id").cast("long").alias("first_id"),
+        pick("rn_first", "value").alias("first_value"),
+        pick("rn_min", "event_id").cast("long").alias("min_id"),
+        F.min("value").alias("min_value"),
+        pick("rn_max", "event_id").cast("long").alias("max_id"),
+        F.max("value").alias("max_value"),
+        pick("rn_last", "event_id").cast("long").alias("last_id"),
+        pick("rn_last", "value").alias("last_value"),
+    ).select(
+        "event_type",
+        F.col("day_num").cast("int").alias("day_num"),
+        "n_events", "first_id", "first_value", "min_id", "min_value",
+        "max_id", "max_value", "last_id", "last_value",
+    )
+
+
+ORACLE_E36 = """
+WITH tagged AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS INTEGER)
+           AS day_num,
+         event_id, value, ts
+  FROM events
+),
+rn AS (
+  SELECT event_type, day_num, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day_num
+                            ORDER BY value ASC, event_id ASC) AS rn_min,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day_num
+                            ORDER BY value DESC, event_id ASC) AS rn_max,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day_num
+                            ORDER BY ts ASC, event_id ASC) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day_num
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM tagged
+)
+SELECT event_type, day_num,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(event_id) FILTER (WHERE rn_first = 1) AS BIGINT) AS first_id,
+       MIN(value) FILTER (WHERE rn_first = 1) AS first_value,
+       CAST(MIN(event_id) FILTER (WHERE rn_min = 1) AS BIGINT) AS min_id,
+       MIN(value) AS min_value,
+       CAST(MIN(event_id) FILTER (WHERE rn_max = 1) AS BIGINT) AS max_id,
+       MAX(value) AS max_value,
+       CAST(MIN(event_id) FILTER (WHERE rn_last = 1) AS BIGINT) AS last_id,
+       MIN(value) FILTER (WHERE rn_last = 1) AS last_value
+FROM rn GROUP BY event_type, day_num
+"""
+
+
+QUERIES["e36_minmax_decimation"] = e36_minmax_decimation
+ORACLES["e36_minmax_decimation"] = ORACLE_E36

@@ -1144,3 +1144,123 @@ JOIN documents db ON p.doc_b = db.doc_id
 
 QUERIES["m11_caption_consistency"] = m11_caption_consistency
 ORACLES["m11_caption_consistency"] = _oracle_m11()
+
+
+# ---------------------------------------------------------------------------
+# m12 — VIDEO scene-cut detection: per-frame perceptual hashes, then a
+# cut wherever consecutive frames' Hamming distance jumps — the shot
+# segmentation step a video training pipeline runs right after m03's
+# frame sampling (dedup within a shot, sample across shots). Videos are
+# synthesized as real BMP frame sequences (doc_id % 10 == 4): fill
+# drifts by +M12_STEP per frame (smooth motion) and jumps by +M12_JUMP
+# at the doc's cut point — measured separation at the default params:
+# smooth steps ≤ 12 bits, true cuts ≥ 19 bits, so M12_CUT_T = 16 sits
+# in the gap with margin on both sides.
+#
+# HONESTY: every frame hash reads REAL pixel bytes (make_bmp →
+# ahash_bmp, builder and parser independent code paths); the oracle
+# re-derives each frame's 64 sampled grays from the doc_id arithmetic.
+#
+# Scale: frame build + hash is one Arrow-batched mapInPandas pass
+# (frames-per-video is fixed); the only shuffle is the (doc_id)
+# partition for the lag window; the 64-term Hamming is the m10 codegen
+# expression on (video × frames) rows. No all-pairs anywhere — scene
+# detection is sequential per video by nature.
+# ---------------------------------------------------------------------------
+M12_FRAMES, M12_STEP, M12_JUMP, M12_CUT_T = 6, 3, 97, 16
+M12_SCHEMA = "doc_id long, frame_idx int, ahash string"
+
+
+def m12_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id"), spark)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id in pdf["doc_id"]:
+                if doc_id % 10 != 4:
+                    continue
+                w, h = _bmp_dims(doc_id)
+                cut = 2 + doc_id % 3
+                for k in range(M12_FRAMES):
+                    fill = (
+                        doc_id + M12_STEP * k + (M12_JUMP if k >= cut else 0)
+                    ) % 251
+                    payload = make_bmp(w, h, fill)
+                    if payload[:2] == b"BM":  # magic-byte dispatch
+                        ids.append(doc_id)
+                        idxs.append(k)
+                        hashes.append(ahash_bmp(payload))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "ahash": hashes})
+
+    frames = docs.mapInPandas(run, schema=M12_SCHEMA)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    steps = frames.withColumn("prev", F.lag("ahash").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    return steps.withColumn("hamming", _hamming64("prev", "ahash")).select(
+        "doc_id",
+        "frame_idx",
+        F.col("hamming").cast("int").alias("hamming"),
+        (F.col("hamming") >= M12_CUT_T).alias("is_cut"),
+    )
+
+
+def _sql_m12_frame_hashes() -> str:
+    """Frame aHash re-derivation CTE: SQL_AHASH_CTE's per-frame form —
+    every sampled gray rebuilt from (doc_id, frame) arithmetic."""
+    return f"""params AS (
+  SELECT doc_id,
+         16 + doc_id % 17 AS w, 8 + doc_id % 11 AS h,
+         ((3 * (16 + doc_id % 17) + 3) // 4) * 4 AS rb,
+         2 + doc_id % 3 AS cut
+  FROM documents WHERE doc_id % 10 = 4
+),
+frames AS (
+  SELECT doc_id, w, h, rb, CAST(f.k AS INTEGER) AS frame_idx,
+         (doc_id + {M12_STEP} * f.k
+          + CASE WHEN f.k >= cut THEN {M12_JUMP} ELSE 0 END) % 251 AS fill
+  FROM params, unnest(range(0, {M12_FRAMES})) AS f(k)
+),
+grays AS (
+  SELECT doc_id, frame_idx,
+         list_transform(range(0, 64), k ->
+             (fill + ((k // 8) * h // 8) * rb + 3 * ((k % 8) * w // 8)) % 256
+           + (fill + ((k // 8) * h // 8) * rb + 3 * ((k % 8) * w // 8) + 1) % 256
+           + (fill + ((k // 8) * h // 8) * rb + 3 * ((k % 8) * w // 8) + 2) % 256
+         ) AS g
+  FROM frames
+),
+fhashed AS (
+  SELECT doc_id, frame_idx,
+         array_to_string(
+           list_transform(g, x -> CASE WHEN 64 * x > list_sum(g)
+                                       THEN '1' ELSE '0' END), '') AS ahash
+  FROM grays
+)"""
+
+
+def _oracle_m12() -> str:
+    ham = " + ".join(
+        f"(CASE WHEN substr(prev, {i}, 1) <> substr(ahash, {i}, 1)"
+        " THEN 1 ELSE 0 END)"
+        for i in range(1, 65)
+    )
+    return f"""
+WITH {_sql_m12_frame_hashes()},
+steps AS (
+  SELECT doc_id, frame_idx, ahash,
+         LAG(ahash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+  FROM fhashed
+)
+SELECT doc_id, frame_idx,
+       CAST({ham} AS INTEGER) AS hamming,
+       CAST({ham} AS INTEGER) >= {M12_CUT_T} AS is_cut
+FROM steps WHERE prev IS NOT NULL
+"""
+
+
+QUERIES["m12_video_scene_cuts"] = m12_video_scene_cuts
+ORACLES["m12_video_scene_cuts"] = _oracle_m12()

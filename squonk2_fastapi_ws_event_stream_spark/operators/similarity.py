@@ -2897,3 +2897,77 @@ SELECT query_id, rank, vec_id AS nbr_id, cos FROM ranked WHERE rank <= {V33_K}
 
 QUERIES["v33_knn_graph"] = v33_knn_graph
 ORACLES["v33_knn_graph"] = ORACLE_V33
+
+
+# ---------------------------------------------------------------------------
+# v34 — RANGE (radius / epsilon) search: every probed neighbor with
+# cosine >= V34_RADIUS for the fixed query workload — FAISS's
+# range_search next to v03's top-k.  Retrieval filtering and dedup
+# candidate generation want "everything at least this similar", not a
+# fixed k: near-duplicate queries have hundreds of matches where a
+# top-10 truncates, and isolated queries have none where a top-10
+# fabricates neighbors.
+#
+# Same staged stride-IVF index as v03/v33 (built once, queried many
+# times); the probe set is the identical broadcast argmax.  The plan is
+# strictly LIGHTER than top-k: the threshold is a per-row filter, so no
+# per-query window sort exists at all — candidates stream map-side out
+# of the one (cell_id) equi-join.  Reference parity: the reference has
+# no vector ops; this extends the training-data-pipeline surface
+# (SURVEY §2.8).
+#
+# Scale: corpus scanned once at index build (staged), queries probe
+# N_PROBE cells, join work bounded by cell occupancy (v26 audits it),
+# output bounded by true matches.  100-TB shape: identical.
+# ---------------------------------------------------------------------------
+V34_RADIUS = 0.30
+
+
+def v34_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = _with_probe_cells(queries, packed, N_PROBE)
+    return (
+        assigned.join(probes, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+        .filter(F.col("cos") >= V34_RADIUS)
+        .select("query_id", "vec_id", "cos")
+    )
+
+
+ORACLE_V34 = f"""
+WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
+           WHERE vec_id % {CENTROID_STRIDE} = 0),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS c_rank
+    FROM embeddings e CROSS JOIN c
+  ) WHERE c_rank = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id % {QUERY_STRIDE} = 0),
+probes AS (
+  SELECT query_id, q_emb, cell_id FROM (
+    SELECT q.query_id, q.q_emb, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {sql_cosine('q.q_emb', 'c.c_emb')} DESC,
+                                       c.cell_id ASC) AS p_rank
+    FROM q CROSS JOIN c
+  ) WHERE p_rank <= {N_PROBE}
+)
+SELECT p.query_id, a.vec_id,
+       {sql_cosine('p.q_emb', 'a.embedding')} AS cos
+FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+WHERE a.vec_id <> p.query_id
+  AND {sql_cosine('p.q_emb', 'a.embedding')} >= {V34_RADIUS}
+"""
+
+
+QUERIES["v34_range_search"] = v34_range_search
+ORACLES["v34_range_search"] = ORACLE_V34

@@ -1118,3 +1118,307 @@ FROM unioned
 
 QUERIES["x21_zorder_layout"] = x21_zorder_layout
 ORACLES["x21_zorder_layout"] = ORACLE_X21
+
+
+# ---------------------------------------------------------------------------
+# x24 — small-files COMPACTION planner (the OPTIMIZE bin-packing step):
+# given a file manifest, coalesce adjacent small files into target-size
+# bins — the maintenance job every 100-TB table needs, since streaming
+# ingest writes one file per trigger and scan cost degrades with file
+# count. The manifest here is deterministic-synthetic: one "file" per
+# o_orderdate day, sized by an integer per-row byte estimate (the shape
+# a real Delta/Iceberg manifest has: path, partition value, bytes).
+#
+# Packing rule: files stay in date order (preserves partition locality /
+# clustering) and file i goes to bin floor(cum_bytes_before / target) —
+# the ideal-splitter greedy, identical to how Spark's own
+# maxPartitionBytes coalescing bins splits. A bin can exceed target only
+# by the straddling file's tail, and an oversized single file is flagged
+# (it needs a SPLIT, not a compaction).
+#
+# Scale: the manifest aggregate is map-side combinable (one row per
+# file); the running-sum window sees ONE ROW PER CALENDAR DAY — bounded
+# by wall-clock like e35/t58, never by SF. Per-bin rollup re-aggregates
+# the same bounded manifest. At 100 TB the manifest is millions of
+# files, still metadata-scale.
+# ---------------------------------------------------------------------------
+X24_TARGET_BYTES = 262_144  # 256 KiB bins at test scale
+
+
+def x24_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        F.datediff(F.to_date("o_orderdate"), F.lit(EPOCH)).alias("day_num"),
+        (F.lit(64) + F.length("o_orderpriority") + F.length("o_orderstatus")).alias(
+            "row_bytes"
+        ),
+    )
+    manifest = orders.groupBy("day_num").agg(
+        F.sum("row_bytes").cast("bigint").alias("file_bytes")
+    )
+    w = Window.orderBy("day_num").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    packed = manifest.withColumn(
+        "cum_before", F.coalesce(F.sum("file_bytes").over(w), F.lit(0))
+    ).withColumn("bin_id", F.expr(f"cum_before div {X24_TARGET_BYTES}"))
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.min("day_num").cast("long").alias("first_day"),
+        F.max("day_num").cast("long").alias("last_day"),
+        F.sum("file_bytes").cast("bigint").alias("bin_bytes"),
+        F.round(
+            F.sum("file_bytes") / F.lit(float(X24_TARGET_BYTES)), 6
+        ).alias("fill_ratio"),
+        F.max(
+            (F.col("file_bytes") > F.lit(X24_TARGET_BYTES)).cast("int")
+        ).cast("boolean").alias("has_oversize_file"),
+    ).select(
+        F.col("bin_id").cast("long").alias("bin_id"),
+        "n_files", "first_day", "last_day", "bin_bytes", "fill_ratio",
+        "has_oversize_file",
+    )
+
+
+ORACLE_X24 = f"""
+WITH manifest AS (
+  SELECT date_diff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE)) AS day_num,
+         CAST(SUM(64 + length(o_orderpriority) + length(o_orderstatus)) AS BIGINT)
+           AS file_bytes
+  FROM orders GROUP BY 1
+),
+packed AS (
+  SELECT day_num, file_bytes,
+         COALESCE(SUM(file_bytes) OVER (ORDER BY day_num
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM manifest
+)
+SELECT CAST(cum_before // {X24_TARGET_BYTES} AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(MIN(day_num) AS BIGINT) AS first_day,
+       CAST(MAX(day_num) AS BIGINT) AS last_day,
+       CAST(SUM(file_bytes) AS BIGINT) AS bin_bytes,
+       ROUND(SUM(file_bytes) / {float(X24_TARGET_BYTES)}, 6) AS fill_ratio,
+       MAX(file_bytes > {X24_TARGET_BYTES}) AS has_oversize_file
+FROM packed GROUP BY 1
+"""
+
+
+QUERIES["x24_compaction_planner"] = x24_compaction_planner
+ORACLES["x24_compaction_planner"] = ORACLE_X24
+
+
+# ---------------------------------------------------------------------------
+# x25 — ANALYZE-style column statistics (the CBO's food): per-column
+# row count, null count, EXACT NDV, numeric min/max and mean string
+# length for a fixed set of lineitem columns — what
+# `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` materializes and
+# the optimizer's join-reorder / broadcast decisions read.
+#
+# Plan shape: ONE scan → ONE aggregate producing a single wide row
+# (Spark plans the multi-distinct via its Expand: rows × C duplicates
+# tagged per column, then a two-phase partial/final distinct aggregate —
+# the standard engine plan for multi-column NDV), then a zero-cost
+# explode of that single row into the per-column stats table. The
+# union-of-per-column-SELECTs alternative scans the table C times;
+# this scans ONCE.
+#
+# Scale: Expand ×C is a constant factor on the scan, shuffle carries
+# only (column-tag, value) partial-distinct groups. At 100 TB exact NDV
+# is swapped for the x13 KMV sketch per column (bounded state, same
+# one-pass shape) — the exact arm is this query's oracle-checkable
+# verdict, like x20's exact-percentile arm.
+# ---------------------------------------------------------------------------
+X25_NUM_COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_discount")
+X25_STR_COLS = ("l_returnflag", "l_linestatus")
+
+
+def x25_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        *X25_NUM_COLS, *X25_STR_COLS
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in X25_NUM_COLS + X25_STR_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+        ]
+    for c in X25_NUM_COLS:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+        ]
+    for c in X25_STR_COLS:
+        aggs += [F.sum(F.length(c)).alias(f"{c}__len")]
+    row = li.agg(*aggs)
+
+    def stat_struct(c: str) -> "F.Column":
+        is_num = c in X25_NUM_COLS
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"{c}__nn")).cast("long").alias("n_nulls"),
+            F.col(f"{c}__ndv").cast("long").alias("ndv"),
+            (F.col(f"{c}__min") if is_num else F.lit(None).cast("double")).alias(
+                "min_val"
+            ),
+            (F.col(f"{c}__max") if is_num else F.lit(None).cast("double")).alias(
+                "max_val"
+            ),
+            (
+                F.round(F.col(f"{c}__len") / F.col(f"{c}__nn"), 6)
+                if not is_num
+                else F.lit(None).cast("double")
+            ).alias("avg_len"),
+            F.round(F.col(f"{c}__ndv") / F.col("n_rows"), 6).alias("selectivity"),
+        )
+    return row.select(
+        F.explode(
+            F.array(*[stat_struct(c) for c in X25_NUM_COLS + X25_STR_COLS])
+        ).alias("s")
+    ).select("s.*")
+
+
+def _oracle_x25() -> str:
+    branches = []
+    for c in X25_NUM_COLS + X25_STR_COLS:
+        is_num = c in X25_NUM_COLS
+        branches.append(f"""
+  SELECT '{c}' AS col_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+         {f'CAST(MIN({c}) AS DOUBLE)' if is_num else 'CAST(NULL AS DOUBLE)'} AS min_val,
+         {f'CAST(MAX({c}) AS DOUBLE)' if is_num else 'CAST(NULL AS DOUBLE)'} AS max_val,
+         {f'ROUND(SUM(length({c})) / CAST(COUNT({c}) AS DOUBLE), 6)' if not is_num else 'CAST(NULL AS DOUBLE)'}
+           AS avg_len,
+         ROUND(COUNT(DISTINCT {c}) / CAST(COUNT(*) AS DOUBLE), 6) AS selectivity
+  FROM lineitem""")
+    return " UNION ALL ".join(branches)
+
+
+QUERIES["x25_column_stats"] = x25_column_stats
+ORACLES["x25_column_stats"] = _oracle_x25()
+
+
+# ---------------------------------------------------------------------------
+# x26 — distribution DRIFT detection: compare a numeric column's
+# distribution between two periods (the train/serve or week-over-week
+# shift monitor every feature pipeline runs). Both periods fold into
+# the SAME fixed equi-width histogram (integer cents, bucket width
+# chosen from the spec-fixed domain), then two libm-free statistics on
+# the bounded bucket table:
+#   - max CDF gap (the Kolmogorov–Smirnov statistic on binned data),
+#   - L1 histogram distance (total variation ×2),
+# both as exact rationals over (n_a × n_b)-scaled integers until the
+# single final rounding. PSI is deliberately NOT used — it needs log(),
+# and the repo's checked columns are libm-free by contract
+# (cross-engine determinism).
+#
+# Scale: one scan per period folding to ≤ X26_BUCKETS counters
+# (map-side combinable — the shuffle carries counters, never values);
+# the CDF window walks the bounded bucket table. The same shape x20
+# uses, pointed at drift instead of quantiles.
+# ---------------------------------------------------------------------------
+X26_BUCKETS = 64
+X26_LO, X26_HI = 0, 500_000_00  # spec-fixed price domain in cents
+X26_WIDTH = (X26_HI - X26_LO) // X26_BUCKETS
+X26_SPLIT_YEAR = 2000
+
+
+def x26_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        (F.year("o_orderdate") < X26_SPLIT_YEAR).alias("is_a"),
+    )
+    bucket = F.least(
+        F.greatest(
+            F.expr(f"(cents - {X26_LO}) div {X26_WIDTH}"), F.lit(0).cast("bigint")
+        ),
+        F.lit(X26_BUCKETS - 1).cast("bigint"),
+    ).alias("bucket")
+    hist = orders.groupBy(bucket).agg(
+        F.sum(F.col("is_a").cast("long")).alias("c_a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("c_b"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum_a", F.sum("c_a").over(w)).withColumn(
+        "cum_b", F.sum("c_b").over(w)
+    )
+    # exact integer cross-scaling: |cum_a * n_b - cum_b * n_a| over n_a*n_b
+    # (the 1-row totals broadcast back onto the bounded bucket table)
+    totals = cum.agg(
+        F.max("cum_a").cast("long").alias("n_a"), F.max("cum_b").cast("long").alias("n_b")
+    )
+    scored = cum.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "c_a",
+        "c_b",
+        # DECIMAL(38,0) cross-products: cum*n reaches ~(1.5e10)^2 at
+        # 100 TB — int64 wraps silently (the e29/x13 divergence class).
+        F.abs(
+            F.col("cum_a").cast("decimal(38,0)") * F.col("n_b").cast("decimal(38,0)")
+            - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a").cast("decimal(38,0)")
+        ).alias("gap_scaled"),
+        F.abs(
+            F.col("c_a").cast("decimal(38,0)") * F.col("n_b").cast("decimal(38,0)")
+            - F.col("c_b").cast("decimal(38,0)") * F.col("n_a").cast("decimal(38,0)")
+        ).alias("l1_scaled"),
+        "n_a",
+        "n_b",
+    )
+    return scored.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_hit"),
+        F.round(
+            F.max("gap_scaled").cast("double")
+            / (F.max("n_a").cast("double") * F.max("n_b").cast("double")),
+            6,
+        ).alias("ks_stat"),
+        F.round(
+            F.sum("l1_scaled").cast("double")
+            / (F.max("n_a").cast("double") * F.max("n_b").cast("double")),
+            6,
+        ).alias("l1_dist"),
+    )
+
+
+ORACLE_X26 = f"""
+WITH src AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         EXTRACT(year FROM o_orderdate) < {X26_SPLIT_YEAR} AS is_a
+  FROM orders
+),
+hist AS (
+  SELECT LEAST(GREATEST((cents - {X26_LO}) // {X26_WIDTH}, 0), {X26_BUCKETS - 1})
+           AS bucket,
+         SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS c_a,
+         SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS c_b
+  FROM src GROUP BY 1
+),
+cum AS (
+  SELECT bucket, c_a, c_b,
+         SUM(c_a) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(c_b) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM hist
+),
+totals AS (SELECT MAX(cum_a) AS n_a, MAX(cum_b) AS n_b FROM cum)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+       ROUND(CAST(MAX(ABS(CAST(cum_a AS DECIMAL(38,0)) * n_b
+                        - CAST(cum_b AS DECIMAL(38,0)) * n_a)) AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_stat,
+       ROUND(CAST(SUM(ABS(CAST(c_a AS DECIMAL(38,0)) * n_b
+                        - CAST(c_b AS DECIMAL(38,0)) * n_a)) AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS l1_dist
+FROM cum CROSS JOIN totals
+GROUP BY n_a, n_b
+"""
+
+
+QUERIES["x26_histogram_drift"] = x26_histogram_drift
+ORACLES["x26_histogram_drift"] = ORACLE_X26

@@ -333,3 +333,94 @@ WINDOW w AS (PARTITION BY yr ORDER BY rev_d DESC, n_name ASC)
 
 QUERIES["q52_rank_battery"] = q52_rank_battery
 ORACLES["q52_rank_battery"] = ORACLE_Q52
+
+
+# ---------------------------------------------------------------------------
+# q53 — NULL-safe dimension diff: period-over-period aggregate
+# comparison joined with `<=>` (eqNullSafe / IS NOT DISTINCT FROM) on a
+# NULLABLE group key.  The one equality operator the other 52 q-queries
+# never exercise — and the one that matters whenever a grouping
+# dimension legitimately contains NULL ("unclassified"): with plain `=`
+# the NULL buckets of the two periods DON'T match each other, the full
+# outer join emits two dangling half-rows, and the diff silently
+# double-counts the unclassified segment.  Here one priority value is
+# nulled (the "unknown" class), both periods aggregate, and the
+# full-outer null-safe join produces exactly one row per key — NULL
+# included — with the period delta.
+#
+# Scale: both join inputs are fixed-domain aggregates (<= |priorities|
+# rows) reduced map-side from one orders scan each; the null-safe
+# full-outer join is over that bounded table.  Output = key domain.
+# No hint needed — AQE broadcasts the bounded sides at runtime.
+# ---------------------------------------------------------------------------
+Q53_SPLIT_YEAR = 2000
+Q53_NULLED_PRIORITY = "3-MEDIUM"
+
+
+def q53_nullsafe_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderpriority"), F.lit(Q53_NULLED_PRIORITY)).alias("prio"),
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+
+    def period(pred) -> DataFrame:
+        return orders.filter(pred).groupBy("prio").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").alias("rev"),
+        )
+
+    a = period(F.col("yr") < Q53_SPLIT_YEAR).select(
+        F.col("prio").alias("prio_a"), F.col("n").alias("n_a"), F.col("rev").alias("rev_a")
+    )
+    b = period(F.col("yr") >= Q53_SPLIT_YEAR).select(
+        F.col("prio").alias("prio_b"), F.col("n").alias("n_b"), F.col("rev").alias("rev_b")
+    )
+    joined = a.join(b, F.col("prio_a").eqNullSafe(F.col("prio_b")), "full_outer")
+    return joined.select(
+        F.coalesce("prio_a", "prio_b").alias("prio"),
+        # NULL prio is the real matched "unclassified" bucket — tell it
+        # apart from a key genuinely absent in one period.
+        (F.col("prio_a").isNull() & F.col("prio_b").isNull()).alias("is_unclassified"),
+        F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        (F.coalesce("n_b", F.lit(0)) - F.coalesce("n_a", F.lit(0)))
+        .cast("long")
+        .alias("n_delta"),
+        (
+            F.coalesce(F.col("rev_b"), F.lit(0).cast("decimal(18,2)"))
+            - F.coalesce(F.col("rev_a"), F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("decimal(19,2)")
+        .alias("rev_delta"),
+    )
+
+
+ORACLE_Q53 = f"""
+WITH src AS (
+  SELECT NULLIF(o_orderpriority, '{Q53_NULLED_PRIORITY}') AS prio,
+         EXTRACT(year FROM o_orderdate) AS yr,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+a AS (
+  SELECT prio AS prio_a, CAST(COUNT(*) AS BIGINT) AS n_a, SUM(price) AS rev_a
+  FROM src WHERE yr < {Q53_SPLIT_YEAR} GROUP BY prio
+),
+b AS (
+  SELECT prio AS prio_b, CAST(COUNT(*) AS BIGINT) AS n_b, SUM(price) AS rev_b
+  FROM src WHERE yr >= {Q53_SPLIT_YEAR} GROUP BY prio
+)
+SELECT COALESCE(prio_a, prio_b) AS prio,
+       (prio_a IS NULL AND prio_b IS NULL) AS is_unclassified,
+       CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+       CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+       CAST(COALESCE(n_b, 0) - COALESCE(n_a, 0) AS BIGINT) AS n_delta,
+       CAST(COALESCE(rev_b, CAST(0 AS DECIMAL(18,2)))
+          - COALESCE(rev_a, CAST(0 AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev_delta
+FROM a FULL OUTER JOIN b ON prio_a IS NOT DISTINCT FROM prio_b
+"""
+
+
+QUERIES["q53_nullsafe_diff"] = q53_nullsafe_diff
+ORACLES["q53_nullsafe_diff"] = ORACLE_Q53

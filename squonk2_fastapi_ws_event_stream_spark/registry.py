@@ -94,6 +94,13 @@ _NEW_OR_CHANGED = (
     "e34_retention_triangle",
     "e35_peak_concurrency",
     "x23_sample_size_planner",
+    "v34_range_search",
+    "x24_compaction_planner",
+    "x25_column_stats",
+    "e36_minmax_decimation",
+    "q53_nullsafe_diff",
+    "m12_video_scene_cuts",
+    "x26_histogram_drift",
     # round 6 changed plans/semantics: broadcast hints removed (t54,
     # q42), CDC tie-break (q43), decimal decay weights (e29), fixed-enum
     # grouping rename (e25), histogram-selection bucket fix (x15).

@@ -223,3 +223,46 @@ def windowed_quantile_sketch(
             "max_bytes",
         )
     )
+
+
+def windowed_minmax(
+    envelope: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window M4 decimation per stream key — the streaming twin
+    of the e36 batch query: each (window, key) reduces to its first /
+    smallest / largest / last message (by byte size) with the OFFSETS
+    kept for drill-down, the lossless-for-rendering series downsample.
+
+    Every selected point is a plain min/max over a struct whose leading
+    fields impose a total order ((size, offset) or (timestamp, offset))
+    — ordinary aggregates, so the whole thing runs INSIDE the stateful
+    streaming plan (unlike ranking, which needs windowed_topk's
+    two-stage sink shape) with O(windows x keys) fixed-width state and
+    watermark eviction. Ties resolve identically on replay: offsets are
+    unique per stream, making the struct order total.
+    """
+    size = F.octet_length("value").cast("long")
+    return (
+        envelope.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", window).alias("win"), "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.min(F.struct(F.col("timestamp"), F.col("offset"))).alias("_first"),
+            F.min(F.struct(size.alias("sz"), F.col("offset"))).alias("_min"),
+            F.max(F.struct(size.alias("sz"), F.col("offset"))).alias("_max"),
+            F.max(F.struct(F.col("timestamp"), F.col("offset"))).alias("_last"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "key",
+            "n_messages",
+            F.col("_first.offset").alias("first_offset"),
+            F.col("_min.sz").alias("min_bytes"),
+            F.col("_min.offset").alias("min_offset"),
+            F.col("_max.sz").alias("max_bytes"),
+            F.col("_max.offset").alias("max_offset"),
+            F.col("_last.offset").alias("last_offset"),
+        )
+    )

@@ -62,6 +62,13 @@ REPRESENTATIVES = [
     "v33_knn_graph",  # cell-join candidate merge + top-k tie-breaks
     "e35_peak_concurrency",  # union + minute-delta merge under partitioning
     "x23_sample_size_planner",  # decimal moment sums, partial-agg merge order
+    "v34_range_search",  # cell-join candidate merge, threshold filter only
+    "x24_compaction_planner",  # manifest cumsum + bin rollup under partitioning
+    "x25_column_stats",  # Expand multi-distinct partial merges
+    "e36_minmax_decimation",  # four-window row_number picks on one exchange
+    "q53_nullsafe_diff",  # null-keyed full-outer merge, decimal deltas
+    "m12_video_scene_cuts",  # Arrow frame-hash pass + per-video lag window
+    "x26_histogram_drift",  # decimal cross-products, bounded-bucket cumsum
 ]
 
 

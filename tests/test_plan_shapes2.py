@@ -651,3 +651,77 @@ def test_x23_planner_is_one_aggregate(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_v34_range_search_has_no_window_and_no_allpairs(spark):
+    # Radius search is strictly lighter than top-k: candidates stream out
+    # of the cell equi-join through a filter — no per-query window sort
+    # exists at all, and the corpus never meets itself cartesian-style.
+    plan = explain(QUERIES["v34_range_search"](spark, SF), mode="simple")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_x24_packing_window_sees_manifest_not_orders(spark):
+    # The running-sum window's input is the per-day file manifest
+    # aggregate (calendar-bounded rows), never the orders corpus: the
+    # plan's Window sits above an Aggregate on day_num.
+    plan = explain(QUERIES["x24_compaction_planner"](spark, SF), mode="simple")
+    assert "Window" in plan
+    assert "hashpartitioning(day_num" in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_x25_stats_scan_table_once(spark):
+    # ANALYZE reads the table ONCE: a single scan feeds the Expand-based
+    # multi-distinct aggregate; the per-column reshaping explodes a
+    # 1-row aggregate, adding no second scan.
+    plan = explain(QUERIES["x25_column_stats"](spark, SF), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_e36_four_windows_one_exchange(spark):
+    # All four M4 orderings (first/min/max/last) partition by
+    # (event_type, day_num): Catalyst plans ONE hashpartitioning
+    # exchange for the event scan, reused by every window sort.
+    plan = explain(QUERIES["e36_minmax_decimation"](spark, SF), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_q53_nullsafe_join_is_bounded_and_hint_free(spark):
+    # Both sides of the null-safe full-outer join are fixed-domain
+    # priority aggregates; no static hint, no cartesian, and the plan
+    # really contains the null-safe comparison (not a rewritten =).
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["q53_nullsafe_diff"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan
+
+
+def test_m12_scene_cuts_one_video_exchange_no_pairs(spark):
+    # Frame hashing is one Arrow pass; the only shuffle partitions by
+    # doc_id for the lag window; the Hamming compare is the codegen
+    # expression on sequential frame rows — no join, no cartesian.
+    plan = explain(QUERIES["m12_video_scene_cuts"](spark, SF), mode="simple")
+    assert "hashpartitioning(doc_id" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_x26_drift_shuffles_counters_not_values(spark):
+    # Both periods fold to <= 64 bucket counters in one aggregate; the
+    # CDF window and the scaled-gap join touch only the bounded bucket
+    # table and the broadcast 1-row totals.
+    plan = explain(QUERIES["x26_histogram_drift"](spark, SF), mode="simple")
+    # the bucket groupBy key is a computed expression -> _groupingexpression
+    assert "hashpartitioning(_groupingexpression" in plan
+    # the 1-row totals ride a broadcast; the probe side never re-shuffles
+    assert "CartesianProduct" not in plan

@@ -287,3 +287,67 @@ def test_windowed_quantile_sketch_buckets_match_batch_twin(spark, tmp_path):
     # 2^b <= v < 2^(b+1) (the <=2x relative-error guarantee)
     for b, _n, lo, hi in got:
         assert 2**b <= lo <= hi < 2 ** (b + 1)
+
+
+def test_windowed_minmax_matches_batch_twin(spark, tmp_path):
+    from squonk2_fastapi_ws_event_stream_spark.streaming.aggregates import (
+        windowed_minmax,
+    )
+
+    root = str(tmp_path / "log_mm")
+    w = EventLogWriter(root, "metrics")
+    # varied sizes across two hours; hour 0 has min/max extremes inside
+    for i, ms in enumerate((0, 60_000, 120_000, 180_000, HOUR, HOUR + 60_000)):
+        w.publish('{"m": ' + "9" * (1 + (i * 3) % 7) + "}", BASE_TS + ms)
+    spark.dataSource.register(EventStreamDataSource)
+    stream = (
+        spark.readStream.format("eventstream")
+        .option("path", root)
+        .option("stream", "metrics")
+        .option("startingOrdinal", 0)
+        .load()
+    )
+    out, _ = _run(windowed_minmax(stream), spark, tmp_path, "win_minmax")
+    got = {
+        (
+            r["window_start"].isoformat(),
+            r["n_messages"],
+            r["first_offset"],
+            r["min_bytes"],
+            r["min_offset"],
+            r["max_bytes"],
+            r["max_offset"],
+            r["last_offset"],
+        )
+        for r in out.collect()
+    }
+    batch = spark.read.format("eventstream").option("path", root).load()
+    sz = F.octet_length("value").cast("long")
+    want_df = (
+        batch.groupBy(F.window("timestamp", "1 hour").alias("w"), "key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct(F.col("timestamp"), F.col("offset"))).alias("f"),
+            F.min(F.struct(sz.alias("sz"), F.col("offset"))).alias("mn"),
+            F.max(F.struct(sz.alias("sz"), F.col("offset"))).alias("mx"),
+            F.max(F.struct(F.col("timestamp"), F.col("offset"))).alias("l"),
+        )
+    )
+    want = {
+        (
+            r["w"]["start"].isoformat(),
+            r["n"],
+            r["f"]["offset"],
+            r["mn"]["sz"],
+            r["mn"]["offset"],
+            r["mx"]["sz"],
+            r["mx"]["offset"],
+            r["l"]["offset"],
+        )
+        for r in want_df.collect()
+    }
+    assert got == want
+    assert sum(r[1] for r in got) == 6
+    # hour-0 extremes are real: 4 distinct sizes -> min < max
+    h0 = min(got)
+    assert h0[3] < h0[5]
