@@ -1214,13 +1214,16 @@ ORACLES["x24_compaction_planner"] = ORACLE_X24
 # `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` materializes and
 # the optimizer's join-reorder / broadcast decisions read.
 #
-# Plan shape: ONE scan → ONE aggregate producing a single wide row
-# (Spark plans the multi-distinct via its Expand: rows × C duplicates
-# tagged per column, then a two-phase partial/final distinct aggregate —
-# the standard engine plan for multi-column NDV), then a zero-cost
-# explode of that single row into the per-column stats table. The
-# union-of-per-column-SELECTs alternative scans the table C times;
-# this scans ONCE.
+# Plan shape: ONE scan → ONE aggregate producing a single wide row,
+# then a zero-cost explode of that single row into the per-column stats
+# table. (The union-of-per-column-SELECTs alternative scans the table C
+# times; this scans ONCE.) All NDVs use count_distinct — Spark's Expand
+# multi-distinct plan: rows × C tagged duplicates, two-phase
+# partial/final distinct aggregate, NDV-bounded shuffle. (Measured
+# alternative: tiering bounded-domain columns onto size(collect_set())
+# halves the Expand factor but forces the whole aggregate out of
+# codegen HashAggregate into ObjectHashAggregate — 2× SLOWER at sf0.1;
+# the uniform codegen path wins.)
 #
 # Scale: Expand ×C is a constant factor on the scan, shuffle carries
 # only (column-tag, value) partial-distinct groups. At 100 TB exact NDV
