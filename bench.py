@@ -335,6 +335,7 @@ def main() -> None:
         print(f"  warm {name}: {t:.3f}s", file=sys.stderr)
 
     streaming = bench_streaming_relay(spark)
+    batch_scaling = bench_batch_scaling(spark)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -345,6 +346,10 @@ def main() -> None:
         "sf": float(sf),
         "cold_total_sec": round(sum(cold.values()), 3),
         "streaming": streaming,
+        # full-record only (compact line must stay under the driver's
+        # 2000-char window): warm sec per query per SF — linear-scaling
+        # evidence across 100x of data.
+        "batch_scaling": batch_scaling,
     }
 
     # Full record → repo file (the durable per-query map).
@@ -497,6 +502,44 @@ def _relay_pass(spark, root: str, n_streams: int, per_stream: int, tag: str) -> 
     total = n_streams * per_stream
     assert sum(counts) == total, (sum(counts), total)
     return elapsed
+
+
+# Batch scaling curve: representative query per plan family, timed warm at
+# every available SF — the direct linear-scaling evidence (a query whose
+# runtime grows faster than the data is hiding a super-linear stage).
+SCALING_QUERIES = (
+    "q01_pricing_summary",    # scan + hash aggregate
+    "t02_dedup_minhash_lsh",  # staged LSH banding + verify join
+    "v03_ann_ivf_topk",       # broadcast argmax + cell equi-join + window
+    "e10_sessionize",         # user-partitioned gaps-and-islands windows
+    "x04_skew_two_phase_agg", # salted two-phase aggregate
+)
+SCALING_SFS = ("0.001", "0.01", "0.1")
+
+
+def bench_batch_scaling(spark) -> dict:
+    from squonk2_fastapi_ws_event_stream_spark.operators.dedup import (
+        unpersist_lsh_cache,
+    )
+
+    curve: dict[str, dict[str, float]] = {q: {} for q in SCALING_QUERIES}
+    for sf in SCALING_SFS:
+        sf_dir = f"/root/testdata/sf{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        unpersist_lsh_cache()  # staged tables must rebuild at THIS sf
+        for name in SCALING_QUERIES:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warm pass (staging + codegen)
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            curve[name][sf] = round(time.perf_counter() - t0, 3)
+    for name, row in curve.items():
+        print(f"  batch scaling {name}: {row}", file=sys.stderr)
+    return curve
 
 
 def bench_streaming_relay(spark) -> dict:

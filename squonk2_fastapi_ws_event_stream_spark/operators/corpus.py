@@ -1210,3 +1210,130 @@ FROM crossing
 
 QUERIES["t58_vocab_coverage"] = t58_vocab_coverage
 ORACLES["t58_vocab_coverage"] = ORACLE_T58
+
+
+# ---------------------------------------------------------------------------
+# t59 — RAKE-style keyword extraction: candidate phrases are maximal
+# runs of non-stopword tokens (the token-island split, engine-portable
+# where a regex stopword split is not); each word scores
+# degree/frequency (degree = Σ lengths of the phrases it appears in),
+# a phrase scores the sum of its words' scores, and the corpus keyword
+# table is the global top-20 distinct phrases.  The unsupervised
+# collection-keyword op (Rose et al. 2010) curation uses to label and
+# compare sources.
+#
+# Determinism: scores are integer MICROS — floor(degree·1e6 / freq) via
+# pure BIGINT integer division (decimal division rounds its quotient to
+# the derived scale before any floor, and the engines disagree at the
+# boundary digit — measured, not theoretical), summed exactly; ties in
+# the final ranking break on the phrase text (unique).
+#
+# Scale: tokenization is a map-side posexplode; the island id is one
+# (doc_id)-partitioned running sum; phrase assembly and lengths ride
+# the same partitioning (exchange reused); word stats are a
+# vocabulary-sized aggregate; the member→score join is a plain
+# equi-join on the word (hint-free — vocabulary grows with the corpus;
+# for natural-language skew the head/tail split of t30 applies).  The
+# global top-20 is a TakeOrdered, never a full sort.
+# ---------------------------------------------------------------------------
+T59_STOPWORDS = ("a", "the", "value", "table")
+T59_TOP_K = 20
+
+
+def t59_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    marked = toks.withColumn(
+        "island",
+        F.sum(F.col("tok").isin(*T59_STOPWORDS).cast("int")).over(w_doc),
+    ).filter(~F.col("tok").isin(*T59_STOPWORDS))
+    w_isl = Window.partitionBy("doc_id", "island")
+    members = marked.withColumn("plen", F.count(F.lit(1)).over(w_isl))
+    # word stats over all phrase occurrences: degree = sum of the hosting
+    # phrase lengths, freq = occurrence count; micro-score by integer
+    # division (decimal product: degree*1e6 nears int64 at corpus scale).
+    words = members.groupBy("tok").agg(
+        F.sum("plen").cast("bigint").alias("degree"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+    ).select(
+        "tok",
+        # pure BIGINT `div`: decimal division rounds its quotient to the
+        # derived scale BEFORE any floor (engines disagree at the 6th
+        # digit); integer division is floor-exact in both engines.
+        # degree*1e6 ~ 1e18 at 100-TB degrees — inside int64 with one
+        # order of margin.
+        F.expr("(degree * 1000000L) div freq").alias("score_micro"),
+    )
+    phrases = (
+        members.join(words, "tok")
+        .groupBy("doc_id", "island")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+            ).alias("phrase"),
+            F.sum("score_micro").alias("score_micro"),
+        )
+    )
+    dist = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("score_micro").cast("bigint").alias("score_micro"),
+    )
+    return dist.orderBy(
+        F.col("score_micro").desc(), F.col("phrase").asc()
+    ).limit(T59_TOP_K)
+
+
+def _oracle_t59() -> str:
+    stops = ", ".join(f"'{s}'" for s in T59_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST(u.i AS INTEGER) AS pos, parts[u.i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+       unnest(range(1, len(parts) + 1)) AS u(i)
+  WHERE parts[u.i] <> ''
+),
+marked AS (
+  SELECT doc_id, pos, tok,
+         SUM(CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM toks
+),
+members AS (
+  SELECT doc_id, pos, tok, island,
+         COUNT(*) OVER (PARTITION BY doc_id, island) AS plen
+  FROM marked WHERE tok NOT IN ({stops})
+),
+words AS (
+  SELECT tok,
+         CAST(SUM(plen) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT)
+           AS score_micro
+  FROM members GROUP BY tok
+),
+phrases AS (
+  SELECT m.doc_id, m.island,
+         string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+         SUM(w.score_micro) AS score_micro
+  FROM members m JOIN words w ON m.tok = w.tok
+  GROUP BY m.doc_id, m.island
+)
+SELECT phrase,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MAX(score_micro) AS BIGINT) AS score_micro
+FROM phrases
+GROUP BY phrase
+ORDER BY score_micro DESC, phrase ASC
+LIMIT {T59_TOP_K}
+"""
+
+
+QUERIES["t59_rake_keywords"] = t59_rake_keywords
+ORACLES["t59_rake_keywords"] = _oracle_t59()

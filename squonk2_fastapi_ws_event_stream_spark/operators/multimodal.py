@@ -1264,3 +1264,102 @@ FROM steps WHERE prev IS NOT NULL
 
 QUERIES["m12_video_scene_cuts"] = m12_video_scene_cuts
 ORACLES["m12_video_scene_cuts"] = _oracle_m12()
+
+
+# ---------------------------------------------------------------------------
+# m13 — audio SILENCE-TRIM spans: leading/trailing quiet-run lengths and
+# the effective (trimmed) duration per WAV — the audio-curation step
+# that drops dead air before feature extraction (m09) and prices how
+# much of the corpus is silence. "Quiet" = |sample| < M13_QUIET_T
+# (inner half of the 16-bit range for the synthetic sweep corpus).
+#
+# HONESTY: the spans are computed from the REAL 16-bit PCM samples via
+# the m09 chunk-walk parser; the oracle re-derives every sample from
+# the builder arithmetic (s_i = ((fill + 7i) % 65536) - 32768), so a
+# stride or offset bug in the parser breaks lead/trail/effective in
+# lockstep.
+#
+# Scale: one Arrow-batched mapInPandas pass, no shuffle at all
+# (per-payload spans); integer sample arithmetic end-to-end
+# (effective_ms = floor(eff_samples * 1000 / rate) — no float).
+# ---------------------------------------------------------------------------
+M13_QUIET_T = 16384
+M13_SCHEMA = (
+    "doc_id long, n_samples long, lead_quiet long, trail_quiet long, "
+    "effective_samples long, effective_ms long"
+)
+
+
+def m13_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "lead_quiet", "trail_quiet",
+                "effective_samples", "effective_ms",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+                    continue
+                pos, data_off, data_len = 12, None, None
+                while pos + 8 <= len(payload):
+                    cid = payload[pos : pos + 4]
+                    (clen,) = struct.unpack_from("<I", payload, pos + 4)
+                    if cid == b"data":
+                        data_off, data_len = pos + 8, clen
+                        break
+                    pos += 8 + clen + (clen & 1)
+                (rate,) = struct.unpack_from("<I", payload, 24)
+                n = data_len // 2
+                s = np.frombuffer(payload, dtype="<i2", count=n, offset=data_off)
+                loud = np.nonzero(np.abs(s.astype(np.int64)) >= M13_QUIET_T)[0]
+                if len(loud) == 0:
+                    lead, trail = n, 0
+                else:
+                    lead = int(loud[0])
+                    trail = n - 1 - int(loud[-1])
+                eff = n - lead - trail
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["lead_quiet"].append(lead)
+                out["trail_quiet"].append(trail)
+                out["effective_samples"].append(eff)
+                out["effective_ms"].append(eff * 1000 // rate)
+            yield pd.DataFrame(out)
+
+    return attach_media_payload(docs).mapInPandas(run, schema=M13_SCHEMA)
+
+
+ORACLE_M13 = f"""
+WITH params AS (
+  SELECT doc_id,
+         8000 + (doc_id % 5) * 1000 AS rate,
+         200 + doc_id % 30 AS ns,
+         doc_id % 251 AS fill
+  FROM documents WHERE doc_id % 10 = 7
+),
+spans AS (
+  SELECT doc_id, rate, ns,
+         list_filter(range(0, ns),
+                     i -> abs(((fill + 7 * i) % 65536) - 32768)
+                          >= {M13_QUIET_T}) AS loud
+  FROM params
+)
+SELECT doc_id,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST(CASE WHEN len(loud) = 0 THEN ns ELSE loud[1] END AS BIGINT)
+         AS lead_quiet,
+       CAST(CASE WHEN len(loud) = 0 THEN 0 ELSE ns - 1 - loud[-1] END AS BIGINT)
+         AS trail_quiet,
+       CAST(CASE WHEN len(loud) = 0 THEN 0
+                 ELSE loud[-1] - loud[1] + 1 END AS BIGINT) AS effective_samples,
+       CAST(CASE WHEN len(loud) = 0 THEN 0
+                 ELSE (loud[-1] - loud[1] + 1) * 1000 // rate END AS BIGINT)
+         AS effective_ms
+FROM spans
+"""
+
+
+QUERIES["m13_silence_trim"] = m13_silence_trim
+ORACLES["m13_silence_trim"] = ORACLE_M13

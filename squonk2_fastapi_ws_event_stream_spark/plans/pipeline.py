@@ -1585,3 +1585,98 @@ FROM m
 
 QUERIES["x23_sample_size_planner"] = x23_sample_size_planner
 ORACLES["x23_sample_size_planner"] = ORACLE_X23
+
+
+# ---------------------------------------------------------------------------
+# x27 — AMS F2 sketch (Alon–Matias–Szegedy '96): the second frequency
+# moment Σ c_k² of l_orderkey — the SELF-join size, the skew indicator a
+# cost-based planner reads next to x09's cross-join estimate (uniform
+# keys → F2 ≈ n²/NDV; a hot key inflates F2 quadratically). Each sketch
+# row i keeps ONE counter Z_i = Σ_rows s_i(key) with s_i(key) = ±1 from
+# the deterministic affine-parity hash family (x06/x09's constants);
+# E[Z_i²] = F2 exactly. The estimate is the median of AMS_D=8 squared
+# counters (closed form on the sorted 8-array: mean of the two middle
+# order statistics).
+#
+# Determinism: signs, sums, and squares are integers; Z² products ride
+# DECIMAL(38,0) (Z is bounded by n — 6e11 rows at 100 TB squares past
+# int64); the exact-F2 verdict uses the same decimal discipline.
+#
+# Scale: the sketch pass is ONE scan folding to 8 integers (map-side
+# combinable — this is the extreme of "shuffle counters, never values");
+# the exact arm's per-key count aggregate (NDV-bounded shuffle) exists
+# only as the oracle-checkable verdict, like x20's exact percentiles.
+# ---------------------------------------------------------------------------
+AMS_D = 8
+AMS_A = [4973, 6203, 7369, 8539, 9679, 10837, 11953, 13147]
+AMS_B = [911, 1723, 2617, 3469, 4397, 5281, 6133, 7027]
+AMS_P = 1_000_000_007
+
+
+def x27_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    sign = lambda i: (
+        F.lit(1) - F.lit(2) * ((F.col("l_orderkey") * AMS_A[i] + AMS_B[i]) % AMS_P % 2)
+    )
+    sums = li.agg(
+        *[F.sum(sign(i)).cast("decimal(38,0)").alias(f"z{i}") for i in range(AMS_D)]
+    )
+    ests = F.array_sort(
+        F.array(*[(F.col(f"z{i}") * F.col(f"z{i}")).cast("decimal(38,0)")
+                  for i in range(AMS_D)])
+    )
+    sketch = sums.select(
+        ests[0].cast("double").alias("est_min"),
+        ests[AMS_D - 1].cast("double").alias("est_max"),
+        ((ests[AMS_D // 2 - 1] + ests[AMS_D // 2]).cast("double") / 2).alias(
+            "est_median"
+        ),
+    )
+    exact = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_f2"))
+    )
+    return sketch.crossJoin(F.broadcast(exact)).select(
+        "exact_f2",
+        "est_min",
+        "est_median",
+        "est_max",
+        F.round(F.col("est_median") / F.col("exact_f2"), 6).alias("median_ratio"),
+    )
+
+
+def _oracle_x27() -> str:
+    zs = ",\n         ".join(
+        f"CAST(SUM(1 - 2 * ((l_orderkey * {AMS_A[i]} + {AMS_B[i]})"
+        f" % {AMS_P} % 2)) AS DECIMAL(38,0)) AS z{i}"
+        for i in range(AMS_D)
+    )
+    arr = ", ".join(f"z{i} * z{i}" for i in range(AMS_D))
+    return f"""
+WITH sums AS (
+  SELECT {zs}
+  FROM lineitem
+),
+sorted AS (
+  SELECT list_sort([{arr}]) AS e FROM sums
+),
+sketch AS (
+  SELECT CAST(e[1] AS DOUBLE) AS est_min,
+         CAST(e[{AMS_D}] AS DOUBLE) AS est_max,
+         CAST(e[{AMS_D // 2}] + e[{AMS_D // 2 + 1}] AS DOUBLE) / 2 AS est_median
+  FROM sorted
+),
+exact AS (
+  SELECT CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS BIGINT)
+           AS exact_f2
+  FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)
+)
+SELECT exact_f2, est_min, est_median, est_max,
+       ROUND(est_median / exact_f2, 6) AS median_ratio
+FROM sketch CROSS JOIN exact
+"""
+
+
+QUERIES["x27_ams_f2"] = x27_ams_f2
+ORACLES["x27_ams_f2"] = _oracle_x27()

@@ -391,7 +391,8 @@ def q53_nullsafe_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("rev_b"), F.lit(0).cast("decimal(18,2)"))
             - F.coalesce(F.col("rev_a"), F.lit(0).cast("decimal(18,2)"))
         )
-        .cast("decimal(19,2)")
+        .cast("decimal(19,2)")  # exact decimal subtraction...
+        .cast("double")  # ...one rounding at the output boundary
         .alias("rev_delta"),
     )
 
@@ -416,8 +417,9 @@ SELECT COALESCE(prio_a, prio_b) AS prio,
        CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
        CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
        CAST(COALESCE(n_b, 0) - COALESCE(n_a, 0) AS BIGINT) AS n_delta,
-       CAST(COALESCE(rev_b, CAST(0 AS DECIMAL(18,2)))
-          - COALESCE(rev_a, CAST(0 AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS rev_delta
+       CAST(CAST(COALESCE(rev_b, CAST(0 AS DECIMAL(18,2)))
+          - COALESCE(rev_a, CAST(0 AS DECIMAL(18,2))) AS DECIMAL(19,2))
+            AS DOUBLE) AS rev_delta
 FROM a FULL OUTER JOIN b ON prio_a IS NOT DISTINCT FROM prio_b
 """
 

@@ -101,6 +101,9 @@ _NEW_OR_CHANGED = (
     "q53_nullsafe_diff",
     "m12_video_scene_cuts",
     "x26_histogram_drift",
+    "t59_rake_keywords",
+    "x27_ams_f2",
+    "m13_silence_trim",
     # round 6 changed plans/semantics: broadcast hints removed (t54,
     # q42), CDC tie-break (q43), decimal decay weights (e29), fixed-enum
     # grouping rename (e25), histogram-selection bucket fix (x15).

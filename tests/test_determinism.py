@@ -69,6 +69,8 @@ REPRESENTATIVES = [
     "q53_nullsafe_diff",  # null-keyed full-outer merge, decimal deltas
     "m12_video_scene_cuts",  # Arrow frame-hash pass + per-video lag window
     "x26_histogram_drift",  # decimal cross-products, bounded-bucket cumsum
+    "t59_rake_keywords",  # island windows + integer micro-score join
+    "x27_ams_f2",  # sign-sum partial-agg merge, decimal squares
 ]
 
 

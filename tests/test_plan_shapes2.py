@@ -725,3 +725,34 @@ def test_x26_drift_shuffles_counters_not_values(spark):
     assert "hashpartitioning(_groupingexpression" in plan
     # the 1-row totals ride a broadcast; the probe side never re-shuffles
     assert "CartesianProduct" not in plan
+
+
+def test_t59_keywords_take_ordered_never_global_sort(spark):
+    # Tokenization is a map-side posexplode; islands + phrase assembly
+    # ride the doc_id partitioning; word scores join hint-free; the
+    # final top-20 is a TakeOrdered, never a full-sort exchange.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["t59_rake_keywords"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x27_sketch_pass_folds_to_eight_integers(spark):
+    # The sketch arm is ONE scan -> a no-grouping aggregate (8 sign
+    # sums); only the exact-F2 verdict arm groups by key. No window.
+    plan = explain(QUERIES["x27_ams_f2"](spark, SF), mode="simple")
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 2  # sketch pass + exact verdict
+    assert "CartesianProduct" not in plan
+
+
+def test_m13_trim_is_shuffle_free(spark):
+    # Per-payload spans: one Arrow pass, no exchange at all.
+    plan = explain(QUERIES["m13_silence_trim"](spark, SF), mode="simple")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
