@@ -415,3 +415,78 @@ def running_zscore(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming conversion-funnel tracker — the stateful streaming twin of
+# the e18 batch funnel: each user advances through the ordered steps
+# (signup → click → purchase) with OUT-OF-ORDER STEPS IGNORED (a
+# purchase before the click does not convert — the same prefix rule the
+# batch query's chained windows enforce), and a conversion emits the
+# signup→purchase latency (e27's number) the moment it completes.
+#
+# State per user is three longs (stage, signup_ms, conv_ms) — O(active
+# users), idle-evicted like every operator above. Messages within a
+# batch are re-ordered by offset before folding (applyInPandasWithState
+# guarantees grouping, not intra-group order). At 100 TB this is the
+# standard real-time conversion pipeline: state ∝ live users, not
+# events.
+# ---------------------------------------------------------------------------
+FUNNEL_STEPS = ("signup", "click", "purchase")
+FUNNEL_OUTPUT_SCHEMA = (
+    "user string, stage long, n_events long, converted boolean, conv_ms long"
+)
+FUNNEL_STATE_SCHEMA = "stage long, signup_ms long, conv_ms long"
+
+
+def _update_funnel_fn(retention_ms: int):
+    step_idx = {s: i for i, s in enumerate(FUNNEL_STEPS)}
+
+    def _update_funnel(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        stage, signup_ms, conv_ms = (
+            state.get if state.exists else (0, 0, -1)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("offset")
+        n_events = len(rows)
+        for step, ms in zip(rows["step"], rows["ms"]):
+            i = step_idx.get(step)
+            if i is None or i != stage:
+                continue  # not a step, or out of order: ignored
+            stage += 1
+            if i == 0:
+                signup_ms = int(ms)
+            if stage == len(FUNNEL_STEPS) and conv_ms < 0:
+                conv_ms = int(ms) - signup_ms
+        state.update((stage, signup_ms, conv_ms))
+        state.setTimeoutDuration(retention_ms)
+        yield pd.DataFrame(
+            {
+                "user": [key[0]],
+                "stage": [stage],
+                "n_events": [n_events],
+                "converted": [stage == len(FUNNEL_STEPS)],
+                "conv_ms": [conv_ms],
+            }
+        )
+
+    return _update_funnel
+
+
+def funnel_tracker(
+    events: DataFrame, retention_ms: int = DEFAULT_IDLE_RETENTION_MS
+) -> DataFrame:
+    """Streaming per-user funnel state. `events` must carry
+    (user string, step string, ms long, offset long); the caller maps
+    its envelope into that shape (see tests for the payload form)."""
+    return events.groupBy("user").applyInPandasWithState(
+        _update_funnel_fn(retention_ms),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

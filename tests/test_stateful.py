@@ -402,3 +402,66 @@ def test_running_zscore_flags_spike_and_survives_restart(spark, tmp_path):
     q2.awaitTermination(120)
     assert second[-1]["n_seen"] == 44
     assert second[-1]["batch_anomalies"] == 1
+
+
+def test_funnel_tracker_prefix_rule_and_restart(spark, tmp_path):
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        funnel_tracker,
+    )
+
+    root = str(tmp_path / "flog")
+    w = EventLogWriter(root, "f1")
+    # u1: clean signup -> click -> purchase (+ noise event ignored).
+    # u2: signup then purchase WITHOUT click — must NOT convert.
+    seq = [
+        ("u1", "signup", 0),
+        ("u2", "signup", 1_000),
+        ("u1", "noise", 2_000),
+        ("u1", "click", 3_000),
+        ("u2", "purchase", 4_000),   # out of order: ignored
+        ("u1", "purchase", 5_000),
+    ]
+    for user, step, dt in seq:
+        w.publish(f"{user} {step}", BASE_TS + dt)
+    spark.dataSource.register(EventStreamDataSource)
+
+    def events_df():
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "f1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        return env.selectExpr(
+            "split(cast(value as string), ' ')[0] as user",
+            "split(cast(value as string), ' ')[1] as step",
+            "unix_millis(timestamp) as ms",
+            "offset",
+        )
+
+    def run_once(tag: str) -> list:
+        got: list = []
+        q = (
+            funnel_tracker(events_df())
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "fckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    rows = {r["user"]: r for r in run_once("first")}
+    assert rows["u1"]["converted"] and rows["u1"]["stage"] == 3
+    assert rows["u1"]["conv_ms"] == 5_000  # signup at +0, purchase at +5s
+    assert not rows["u2"]["converted"] and rows["u2"]["stage"] == 1
+
+    # Restart: u2 completes the missing click then purchases — the
+    # recovered state must convert with latency from the ORIGINAL signup.
+    w.publish("u2 click", BASE_TS + 60_000)
+    w.publish("u2 purchase", BASE_TS + 90_000)
+    rows2 = {r["user"]: r for r in run_once("second")}
+    assert rows2["u2"]["converted"] and rows2["u2"]["stage"] == 3
+    assert rows2["u2"]["conv_ms"] == 89_000  # signup at +1s, purchase at +90s
