@@ -2350,3 +2350,112 @@ FROM rn GROUP BY event_type, day_num
 
 QUERIES["e36_minmax_decimation"] = e36_minmax_decimation
 ORACLES["e36_minmax_decimation"] = ORACLE_E36
+
+
+# ---------------------------------------------------------------------------
+# e37 — SEASONAL-baseline anomalies: hour-of-week profile (the daily +
+# weekly cycle every ops metric has) learned from a fixed 14-day train
+# window, then every eval-period (type, day, hour) cell tested against
+# its seasonal slot — the seasonality-aware sibling of e21 (trailing
+# mean — blind to cycles: every Monday 9am "spikes") and e26 (MAD —
+# robust but season-blind).
+#
+# Exactness: the mean comparison is CROSS-MULTIPLIED — the flag is
+# |actual_sum·base_n − base_sum·actual_n| > T·base_n·actual_n in
+# DECIMAL(38,0) integer cents (the running_zscore trick; sums reach
+# 1e13 cents × counts 1e9 at 100 TB — far past int64), so no division
+# order can flip a verdict. The reported means are each ONE double
+# division rounded once (display only).
+#
+# Scale: one scan feeds both aggregates (train and eval periods are
+# disjoint row sets); the baseline table is FIXED-DOMAIN (types × 168
+# hour-of-week slots) regardless of SF, so the join-back is bounded —
+# hint-free, AQE broadcasts it at runtime.
+# ---------------------------------------------------------------------------
+E37_TRAIN_DAYS = 14
+E37_T_CENTS = 8000  # ~p95 of the measured hourly shift at sf0.01
+
+
+def e37_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("datediff(CAST(ts AS DATE), DATE '2024-01-01')").alias("day_num"),
+        # dayofweek is 1..7 (Sun..Sat) in both engines' *default*? No —
+        # DuckDB dayofweek is 0..6; derive from day_num instead: events
+        # start 2024-01-01 (a Monday), so dow = day_num % 7 is engine-free.
+        F.expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') % 7").alias("dow"),
+        F.hour("ts").alias("hour"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    train = (
+        ev.filter(F.col("day_num") < E37_TRAIN_DAYS)
+        .groupBy("event_type", "dow", "hour")
+        .agg(
+            F.sum("cents").cast("decimal(38,0)").alias("base_sum"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("base_n"),
+        )
+    )
+    ev_eval = (
+        ev.filter(F.col("day_num") >= E37_TRAIN_DAYS)
+        .groupBy("event_type", "day_num", "dow", "hour")
+        .agg(
+            F.sum("cents").cast("decimal(38,0)").alias("a_sum"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("a_n"),
+        )
+    )
+    joined = ev_eval.join(train, ["event_type", "dow", "hour"])
+    resid = F.col("a_sum") * F.col("base_n") - F.col("base_sum") * F.col("a_n")
+    bound = F.lit(E37_T_CENTS).cast("decimal(38,0)") * F.col("base_n") * F.col("a_n")
+    return joined.select(
+        "event_type",
+        F.col("day_num").cast("int").alias("day_num"),
+        F.col("hour").cast("int").alias("hour"),
+        F.col("a_n").cast("long").alias("n_events"),
+        F.round(F.col("a_sum").cast("double") / F.col("a_n").cast("double") / 100, 6)
+        .alias("actual_mean"),
+        F.round(
+            F.col("base_sum").cast("double") / F.col("base_n").cast("double") / 100, 6
+        ).alias("seasonal_mean"),
+        (F.abs(resid) > bound).alias("is_anomaly"),
+    )
+
+
+ORACLE_E37 = f"""
+WITH ev AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS dow,
+         EXTRACT(hour FROM ts) AS hour,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+train AS (
+  SELECT event_type, dow, hour,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS base_sum,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS base_n
+  FROM ev WHERE day_num < {E37_TRAIN_DAYS}
+  GROUP BY event_type, dow, hour
+),
+ev_eval AS (
+  SELECT event_type, day_num, dow, hour,
+         CAST(SUM(cents) AS DECIMAL(38,0)) AS a_sum,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS a_n
+  FROM ev WHERE day_num >= {E37_TRAIN_DAYS}
+  GROUP BY event_type, day_num, dow, hour
+)
+SELECT e.event_type,
+       CAST(e.day_num AS INTEGER) AS day_num,
+       CAST(e.hour AS INTEGER) AS hour,
+       CAST(e.a_n AS BIGINT) AS n_events,
+       ROUND(CAST(e.a_sum AS DOUBLE) / CAST(e.a_n AS DOUBLE) / 100, 6)
+         AS actual_mean,
+       ROUND(CAST(t.base_sum AS DOUBLE) / CAST(t.base_n AS DOUBLE) / 100, 6)
+         AS seasonal_mean,
+       ABS(e.a_sum * t.base_n - t.base_sum * e.a_n)
+         > CAST({E37_T_CENTS} AS DECIMAL(38,0)) * t.base_n * e.a_n AS is_anomaly
+FROM ev_eval e JOIN train t USING (event_type, dow, hour)
+"""
+
+
+QUERIES["e37_seasonal_anomalies"] = e37_seasonal_anomalies
+ORACLES["e37_seasonal_anomalies"] = ORACLE_E37

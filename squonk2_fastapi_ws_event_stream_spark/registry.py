@@ -104,6 +104,7 @@ _NEW_OR_CHANGED = (
     "t59_rake_keywords",
     "x27_ams_f2",
     "m13_silence_trim",
+    "e37_seasonal_anomalies",
     # round 6 changed plans/semantics: broadcast hints removed (t54,
     # q42), CDC tie-break (q43), decimal decay weights (e29), fixed-enum
     # grouping rename (e25), histogram-selection bucket fix (x15).

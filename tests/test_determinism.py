@@ -71,6 +71,7 @@ REPRESENTATIVES = [
     "x26_histogram_drift",  # decimal cross-products, bounded-bucket cumsum
     "t59_rake_keywords",  # island windows + integer micro-score join
     "x27_ams_f2",  # sign-sum partial-agg merge, decimal squares
+    "e37_seasonal_anomalies",  # decimal cross-multiplied verdicts under merge
 ]
 
 

@@ -756,3 +756,17 @@ def test_m13_trim_is_shuffle_free(spark):
     plan = explain(QUERIES["m13_silence_trim"](spark, SF), mode="simple")
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_e37_baseline_join_is_bounded_and_hint_free(spark):
+    # Train and eval are two aggregates off one scan; the baseline side
+    # is fixed-domain (types x 168 hour-of-week slots) and joins
+    # hint-free; the anomaly verdict is a decimal cross-product filter.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["e37_seasonal_anomalies"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "CartesianProduct" not in plan and "Window" not in plan
