@@ -1337,3 +1337,126 @@ LIMIT {T59_TOP_K}
 
 QUERIES["t59_rake_keywords"] = t59_rake_keywords
 ORACLES["t59_rake_keywords"] = _oracle_t59()
+
+
+# ---------------------------------------------------------------------------
+# t60 — duplicated-span REMOVAL: the surgery step that completes the
+# exact-substring-dedup pipeline (Lee et al. 2022) — t33 measures the
+# duplicated word-5-gram mass, t39 ranks the worklist, t60 actually
+# CUTS the spans and reassembles the cleaned text.  Every word index
+# covered by any cross-document-duplicated 5-gram is dropped; the
+# remainder reassembles in order (t57's in-order reassembly trick:
+# array_sort over (idx, word) structs inside one aggregate — no
+# per-doc window).
+#
+# Scale: grams shuffle by their sha2 digest (fixed 32-byte keys, one
+# shuffle); the doc-frequency join is hint-free (the gram table grows
+# with the corpus — AQE broadcasts if it fits); covered indices expand
+# at most 5x the dup-gram count before a distinct; the anti-join keying
+# (doc_id, idx) is uniform.  Per-doc work is one aggregate; nothing is
+# quadratic.  Cleaned text is reported as a bounded prefix + exact
+# length (hash-comparable without megabyte rows).
+# ---------------------------------------------------------------------------
+T60_W = T33_W  # same 5-gram unit as the measurement stage
+
+
+def t60_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+        .withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= T60_W)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.expr(_wgram_slices_expr()), lambda g: F.sha2(g, 256))
+        ).alias("gpos", "digest"),
+    )
+    freq = grams.groupBy("digest").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    covered = (
+        grams.join(freq, "digest")
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "doc_id", F.explode(F.sequence(F.col("gpos"), F.col("gpos") + T60_W - 1)).alias("idx")
+        )
+        .distinct()
+    )
+    words = docs.select(
+        "doc_id", F.posexplode(F.col("words")).alias("idx", "word")
+    )
+    kept = words.join(covered, ["doc_id", "idx"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "word"))),
+                lambda s: s.word,
+            ),
+        ).alias("cleaned"),
+    )
+    totals = words.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_words"))
+    return (
+        totals.join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.round(
+                (F.col("n_words") - F.coalesce("n_kept", F.lit(0))) / F.col("n_words"),
+                6,
+            ).alias("removed_frac"),
+            F.length(F.coalesce("cleaned", F.lit(""))).cast("long").alias("cleaned_chars"),
+            F.substring(F.coalesce("cleaned", F.lit("")), 1, 40).alias("cleaned_prefix"),
+        )
+    )
+
+
+ORACLE_T60 = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= {T60_W}
+),
+grams AS (
+  SELECT doc_id, u.i - 1 AS gpos,
+         sha256(words[u.i] || ' ' || words[u.i + 1] || ' ' || words[u.i + 2]
+                || ' ' || words[u.i + 3] || ' ' || words[u.i + 4]) AS digest
+  FROM d, unnest(range(1, len(words) - {T60_W - 1} + 1)) AS u(i)
+),
+freq AS (
+  SELECT digest, COUNT(DISTINCT doc_id) AS n_docs FROM grams GROUP BY digest
+),
+covered AS (
+  SELECT DISTINCT g.doc_id, g.gpos + o.k AS idx
+  FROM grams g JOIN freq f USING (digest), unnest(range(0, {T60_W})) AS o(k)
+  WHERE f.n_docs >= 2
+),
+words AS (
+  SELECT doc_id, u.i - 1 AS idx, words[u.i] AS word
+  FROM d, unnest(range(1, len(words) + 1)) AS u(i)
+),
+kept AS (
+  SELECT w.doc_id, w.idx, w.word FROM words w
+  ANTI JOIN covered c ON w.doc_id = c.doc_id AND w.idx = c.idx
+),
+cleaned AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY idx) AS cleaned
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_words AS BIGINT) AS n_words,
+       CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept,
+       ROUND((t.n_words - COALESCE(c.n_kept, 0)) * 1.0 / t.n_words, 6)
+         AS removed_frac,
+       CAST(length(COALESCE(c.cleaned, '')) AS BIGINT) AS cleaned_chars,
+       substr(COALESCE(c.cleaned, ''), 1, 40) AS cleaned_prefix
+FROM totals t LEFT JOIN cleaned c ON t.doc_id = c.doc_id
+"""
+
+
+QUERIES["t60_dup_span_removal"] = t60_dup_span_removal
+ORACLES["t60_dup_span_removal"] = ORACLE_T60

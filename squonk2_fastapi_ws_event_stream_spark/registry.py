@@ -105,6 +105,7 @@ _NEW_OR_CHANGED = (
     "x27_ams_f2",
     "m13_silence_trim",
     "e37_seasonal_anomalies",
+    "t60_dup_span_removal",
     # round 6 changed plans/semantics: broadcast hints removed (t54,
     # q42), CDC tie-break (q43), decimal decay weights (e29), fixed-enum
     # grouping rename (e25), histogram-selection bucket fix (x15).

@@ -72,6 +72,7 @@ REPRESENTATIVES = [
     "t59_rake_keywords",  # island windows + integer micro-score join
     "x27_ams_f2",  # sign-sum partial-agg merge, decimal squares
     "e37_seasonal_anomalies",  # decimal cross-multiplied verdicts under merge
+    "t60_dup_span_removal",  # digest join + in-order reassembly aggregate
 ]
 
 

@@ -770,3 +770,18 @@ def test_e37_baseline_join_is_bounded_and_hint_free(spark):
     assert not audit["unbounded"] and not audit["workload"]
     plan = explain(df, mode="simple")
     assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+def test_t60_removal_is_digest_keyed_no_window(spark):
+    # Gram shuffle keys on the sha2 digest; the frequency join is
+    # hint-free; reassembly is ONE aggregate (array_sort inside
+    # collect_list) — no per-doc window sort, nothing cartesian.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["t60_dup_span_removal"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
