@@ -1363,3 +1363,125 @@ FROM spans
 
 QUERIES["m13_silence_trim"] = m13_silence_trim
 ORACLES["m13_silence_trim"] = ORACLE_M13
+
+
+# ---------------------------------------------------------------------------
+# m14 — cross-video SHOT REUSE: which frames repeat across DIFFERENT
+# videos (stock intros, watermark cards, syndicated clips) — the video
+# corpus' exact-dedup pass, run at FRAME granularity on perceptual
+# hashes. Every 10th video carries a shared 2-frame "stock intro"
+# (fixed dims/fill — the honest synthesis of syndicated footage); all
+# other frames follow the m12 per-video arithmetic.
+#
+# Scale shape deliberately mirrors t01-vs-t02: repeated-shot detection
+# CLUSTERS by exact aHash (one shuffle on 64-char keys, output linear
+# in distinct hashes) instead of listing pairs — a clip shared by k
+# videos is one row, not the O(k²) pair listing that a planted clique
+# would explode into (t07's lesson applied to frames). Near-dup pairs
+# stay m10's banded machinery.
+#
+# HONESTY: hashes come from real BMP bytes (builder/parser independent);
+# the oracle re-derives stock and per-video frames arithmetically.
+# ---------------------------------------------------------------------------
+M14_STOCK_MOD = 100          # doc_id % 100 == 4 carries the stock intro
+M14_STOCK_FRAMES = 2
+M14_STOCK_W, M14_STOCK_H, M14_STOCK_FILL = 20, 10, 77
+
+
+def m14_shot_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id"), spark)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id in pdf["doc_id"]:
+                if doc_id % 10 != 4:
+                    continue
+                w, h = _bmp_dims(doc_id)
+                cut = 2 + doc_id % 3
+                for k in range(M12_FRAMES):
+                    if doc_id % M14_STOCK_MOD == 4 and k < M14_STOCK_FRAMES:
+                        payload = make_bmp(
+                            M14_STOCK_W, M14_STOCK_H, M14_STOCK_FILL + 3 * k
+                        )
+                    else:
+                        fill = (
+                            doc_id + M12_STEP * k
+                            + (M12_JUMP if k >= cut else 0)
+                        ) % 251
+                        payload = make_bmp(w, h, fill)
+                    if payload[:2] == b"BM":
+                        ids.append(doc_id)
+                        idxs.append(k)
+                        hashes.append(ahash_bmp(payload))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "ahash": hashes})
+
+    frames = docs.mapInPandas(run, schema=M12_SCHEMA)
+    clusters = frames.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.count_distinct("doc_id").cast("long").alias("n_videos"),
+        F.min("doc_id").cast("long").alias("example_doc"),
+        F.min(F.struct("doc_id", "frame_idx")).getField("frame_idx")
+        .cast("int")
+        .alias("example_frame"),
+    )
+    return clusters.filter(F.col("n_videos") >= 2).select(
+        "ahash", "n_frames", "n_videos", "example_doc", "example_frame"
+    )
+
+
+def _oracle_m14() -> str:
+    return f"""
+WITH params AS (
+  SELECT doc_id,
+         16 + doc_id % 17 AS w, 8 + doc_id % 11 AS h,
+         ((3 * (16 + doc_id % 17) + 3) // 4) * 4 AS rb,
+         2 + doc_id % 3 AS cut
+  FROM documents WHERE doc_id % 10 = 4
+),
+frames AS (
+  SELECT doc_id, CAST(f.k AS INTEGER) AS frame_idx,
+         CASE WHEN doc_id % {M14_STOCK_MOD} = 4 AND f.k < {M14_STOCK_FRAMES}
+              THEN {M14_STOCK_W} ELSE w END AS fw,
+         CASE WHEN doc_id % {M14_STOCK_MOD} = 4 AND f.k < {M14_STOCK_FRAMES}
+              THEN {M14_STOCK_H} ELSE h END AS fh,
+         CASE WHEN doc_id % {M14_STOCK_MOD} = 4 AND f.k < {M14_STOCK_FRAMES}
+              THEN ((3 * {M14_STOCK_W} + 3) // 4) * 4 ELSE rb END AS frb,
+         CASE WHEN doc_id % {M14_STOCK_MOD} = 4 AND f.k < {M14_STOCK_FRAMES}
+              THEN {M14_STOCK_FILL} + 3 * f.k
+              ELSE (doc_id + {M12_STEP} * f.k
+                    + CASE WHEN f.k >= cut THEN {M12_JUMP} ELSE 0 END) % 251
+         END AS fill
+  FROM params, unnest(range(0, {M12_FRAMES})) AS f(k)
+),
+grays AS (
+  SELECT doc_id, frame_idx,
+         list_transform(range(0, 64), k ->
+             (fill + ((k // 8) * fh // 8) * frb + 3 * ((k % 8) * fw // 8)) % 256
+           + (fill + ((k // 8) * fh // 8) * frb + 3 * ((k % 8) * fw // 8) + 1) % 256
+           + (fill + ((k // 8) * fh // 8) * frb + 3 * ((k % 8) * fw // 8) + 2) % 256
+         ) AS g
+  FROM frames
+),
+fhashed AS (
+  SELECT doc_id, frame_idx,
+         array_to_string(
+           list_transform(g, x -> CASE WHEN 64 * x > list_sum(g)
+                                       THEN '1' ELSE '0' END), '') AS ahash
+  FROM grays
+),
+clusters AS (
+  SELECT ahash,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_videos,
+         CAST(MIN(doc_id) AS BIGINT) AS example_doc,
+         CAST(MIN({{'d': doc_id, 'f': frame_idx}})['f'] AS INTEGER) AS example_frame
+  FROM fhashed GROUP BY ahash
+)
+SELECT ahash, n_frames, n_videos, example_doc, example_frame
+FROM clusters WHERE n_videos >= 2
+"""
+
+
+QUERIES["m14_shot_reuse"] = m14_shot_reuse
+ORACLES["m14_shot_reuse"] = _oracle_m14()

@@ -73,6 +73,7 @@ REPRESENTATIVES = [
     "x27_ams_f2",  # sign-sum partial-agg merge, decimal squares
     "e37_seasonal_anomalies",  # decimal cross-multiplied verdicts under merge
     "t60_dup_span_removal",  # digest join + in-order reassembly aggregate
+    "m14_shot_reuse",  # frame-hash cluster aggregate, struct-min examples
 ]
 
 

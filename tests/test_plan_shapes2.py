@@ -785,3 +785,13 @@ def test_t60_removal_is_digest_keyed_no_window(spark):
     plan = explain(df, mode="simple")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_m14_reuse_clusters_by_hash_never_pairs(spark):
+    # Repeated-shot detection is ONE aggregate on the frame-hash key —
+    # output linear in distinct hashes, never the O(k^2) pair listing a
+    # planted shared clip would explode a pair-join into (t01-vs-t02
+    # applied to frames). No join, no window.
+    plan = explain(QUERIES["m14_shot_reuse"](spark, SF), mode="simple")
+    assert "hashpartitioning(ahash" in plan
+    assert "Join" not in plan and "Window" not in plan
