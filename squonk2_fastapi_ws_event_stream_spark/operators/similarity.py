@@ -2971,3 +2971,133 @@ WHERE a.vec_id <> p.query_id
 
 QUERIES["v34_range_search"] = v34_range_search
 ORACLES["v34_range_search"] = ORACLE_V34
+
+
+# ---------------------------------------------------------------------------
+# v35 — TWO-STAGE Matryoshka retrieval: stage 1 scores every corpus
+# vector on the cheap 16-dim PREFIX (MRL_DIM — 1/4 the arithmetic and
+# 1/4 the bytes a real deployment keeps hot) and keeps V35_CAND
+# candidates; stage 2 re-ranks ONLY those candidates with the full
+# 64-dim cosine. This is how Matryoshka embeddings are actually
+# deployed (coarse-to-fine funnel) — v15 measures what the prefix alone
+# loses; v35 runs the production funnel and reports what the RERANK
+# recovers (recall vs the exact top-k, per query).
+#
+# Scale: stage 1 is the v02 map-side shape on quarter-width vectors
+# (queries broadcast, corpus streamed once); stage 2 touches
+# queries × V35_CAND rows only. The full-dim corpus join for rerank is
+# a (vec_id) equi-join against the candidate list — candidate-sized,
+# never a second corpus scan beyond the column fetch.
+# ---------------------------------------------------------------------------
+V35_CAND = 30
+
+
+def v35_matryoshka_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
+    )
+    emb_t = emb.select("vec_id", F.slice("embedding", 1, MRL_DIM).alias("e_t"))
+    queries_t = emb_t.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e_t").alias("q_t")
+    )
+    coarse = emb_t.join(
+        F.broadcast(queries_t), F.col("vec_id") != F.col("query_id")
+    ).withColumn("cos_t", cosine(F.col("q_t"), F.col("e_t")))
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_t").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        coarse.withColumn("crank", F.row_number().over(w1))
+        .filter(F.col("crank") <= V35_CAND)
+        .select("query_id", "vec_id")
+    )
+    qfull = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    rerank = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(qfull), "query_id")
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    final = (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    exact = _exact_topk_truth(spark, sf_dir)
+    hits = (
+        final.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        final.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_returned"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_returned").cast("long").alias("n_returned"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(TOP_K) * 1.0, 6).alias(
+                "recall_twostage"
+            ),
+        )
+    )
+
+
+ORACLE_V35 = f"""
+WITH t AS (SELECT vec_id, embedding[1:{{MRL}}] AS e_t FROM embeddings),
+qt AS (SELECT vec_id AS query_id, e_t AS q_t FROM t
+       WHERE vec_id % {QUERY_STRIDE} = 0),
+coarse AS (
+  SELECT qt.query_id, t.vec_id, {sql_cosine('qt.q_t', 't.e_t')} AS cos_t
+  FROM t JOIN qt ON t.vec_id <> qt.query_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_t DESC, vec_id ASC) AS crank
+    FROM coarse
+  ) WHERE crank <= {V35_CAND}
+),
+qf AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       WHERE vec_id % {QUERY_STRIDE} = 0),
+rerank AS (
+  SELECT c.query_id, c.vec_id,
+         {sql_cosine('qf.q_emb', 'e.embedding')} AS cos
+  FROM cand c
+  JOIN embeddings e ON c.vec_id = e.vec_id
+  JOIN qf ON c.query_id = qf.query_id
+),
+final AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM rerank
+  ) WHERE rank <= {TOP_K}
+),
+exact AS (SELECT query_id, vec_id FROM ({ORACLE_V02})),
+hits AS (
+  SELECT f.query_id, COUNT(*) AS n_hits
+  FROM final f JOIN exact e
+    ON f.query_id = e.query_id AND f.vec_id = e.vec_id
+  GROUP BY f.query_id
+)
+SELECT p.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_returned,
+       CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS BIGINT) AS n_hits,
+       ROUND(1.0 * COALESCE(ANY_VALUE(h.n_hits), 0) / {TOP_K}, 6)
+         AS recall_twostage
+FROM final p LEFT JOIN hits h ON p.query_id = h.query_id
+GROUP BY p.query_id
+"""
+ORACLE_V35 = ORACLE_V35.replace("{MRL}", str(MRL_DIM))
+
+
+QUERIES["v35_matryoshka_twostage"] = v35_matryoshka_twostage
+ORACLES["v35_matryoshka_twostage"] = ORACLE_V35

@@ -1680,3 +1680,120 @@ FROM sketch CROSS JOIN exact
 
 QUERIES["x27_ams_f2"] = x27_ams_f2
 ORACLES["x27_ams_f2"] = _oracle_x27()
+
+
+# ---------------------------------------------------------------------------
+# x28 — Count-Sketch (Charikar–Chen–Farach-Colton '02): x06's CMS
+# always OVER-estimates (collisions only add); Count-Sketch pairs each
+# bucket hash with an independent ±1 sign hash so collisions cancel in
+# expectation — the estimate (median over rows of sign·counter) is
+# UNBIASED, the property x06's probes can't have. Both sketches on the
+# same stream, probed at the same true top-10, lets a planner read the
+# bias/variance trade directly: CMS for guaranteed-upper-bound
+# pruning, Count-Sketch for unbiased frequency estimates.
+#
+# Determinism: signs/buckets are the closed-form affine family
+# (x06/x27's constants); the median of CS_D=5 signed estimates is the
+# 3rd order statistic of a sorted 5-array — exact in both engines.
+#
+# Scale: identical to x06 — counters fold map-side to d×w rows
+# regardless of stream size; probes join d broadcast counter rows.
+# ---------------------------------------------------------------------------
+CS_D = 5
+CS_W = 1024
+CS_A = [4973, 6203, 7369, 8539, 9679]
+CS_B = [911, 1723, 2617, 3469, 4397]
+CS_SA = [10837, 11953, 13147, 14389, 15643]
+CS_SB = [5281, 6133, 7027, 7919, 8837]
+
+
+def x28_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(i):
+        return (F.col("user_id") * CS_A[i] + CS_B[i]) % CMS_P % CS_W
+
+    def sign(i):
+        return F.lit(1) - F.lit(2) * (
+            (F.col("user_id") * CS_SA[i] + CS_SB[i]) % CMS_P % 2
+        )
+
+    rows = [
+        ev.select(
+            F.lit(i).alias("row_i"), bucket(i).alias("bucket"), sign(i).alias("s")
+        )
+        for i in range(CS_D)
+    ]
+    hashed = rows[0]
+    for r in rows[1:]:
+        hashed = hashed.unionByName(r)
+    counters = hashed.groupBy("row_i", "bucket").agg(F.sum("s").alias("c"))
+
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    top = truth.orderBy(F.col("true_n").desc(), F.col("user_id").asc()).limit(
+        CMS_TOPN
+    )
+    probes = top.select(
+        "user_id",
+        "true_n",
+        *[bucket(i).alias(f"b{i}") for i in range(CS_D)],
+        *[sign(i).alias(f"s{i}") for i in range(CS_D)],
+    )
+    est = probes
+    for i in range(CS_D):
+        ci = counters.filter(F.col("row_i") == i).select(
+            F.col("bucket").alias(f"b{i}"), F.col("c").alias(f"c{i}")
+        )
+        est = est.join(F.broadcast(ci), f"b{i}")
+    signed = F.array_sort(
+        F.array(*[(F.col(f"s{i}") * F.col(f"c{i}")).cast("long") for i in range(CS_D)])
+    )
+    median = signed[CS_D // 2]
+    return est.select(
+        "user_id",
+        "true_n",
+        median.alias("cs_estimate"),
+        (median - F.col("true_n")).cast("long").alias("signed_error"),
+    )
+
+
+def _oracle_x28() -> str:
+    bucket = lambda i, k: f"({k} * {CS_A[i]} + {CS_B[i]}) % {CMS_P} % {CS_W}"
+    sign = lambda i, k: f"(1 - 2 * (({k} * {CS_SA[i]} + {CS_SB[i]}) % {CMS_P} % 2))"
+    counter_ctes = ",\n".join(
+        f"""cnt{i} AS (
+  SELECT {bucket(i, 'user_id')} AS b{i}, SUM({sign(i, 'user_id')}) AS c{i}
+  FROM events GROUP BY 1
+)"""
+        for i in range(CS_D)
+    )
+    probe_cols = ", ".join(
+        [f"{bucket(i, 'user_id')} AS b{i}" for i in range(CS_D)]
+        + [f"{sign(i, 'user_id')} AS s{i}" for i in range(CS_D)]
+    )
+    joins = "\n".join(f"JOIN cnt{i} USING (b{i})" for i in range(CS_D))
+    arr = ", ".join(f"s{i} * c{i}" for i in range(CS_D))
+    return f"""
+WITH truth AS (
+  SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY user_id
+),
+top AS (
+  SELECT user_id, true_n FROM truth
+  ORDER BY true_n DESC, user_id ASC LIMIT {CMS_TOPN}
+),
+probes AS (SELECT user_id, true_n, {probe_cols} FROM top),
+{counter_ctes},
+est AS (
+  SELECT user_id, true_n, list_sort([{arr}]) AS e
+  FROM probes
+  {joins}
+)
+SELECT user_id, true_n,
+       CAST(e[{CS_D // 2 + 1}] AS BIGINT) AS cs_estimate,
+       CAST(e[{CS_D // 2 + 1}] - true_n AS BIGINT) AS signed_error
+FROM est
+"""
+
+
+QUERIES["x28_count_sketch"] = x28_count_sketch
+ORACLES["x28_count_sketch"] = _oracle_x28()

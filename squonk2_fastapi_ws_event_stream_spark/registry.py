@@ -107,6 +107,8 @@ _NEW_OR_CHANGED = (
     "e37_seasonal_anomalies",
     "t60_dup_span_removal",
     "m14_shot_reuse",
+    "v35_matryoshka_twostage",
+    "x28_count_sketch",
     # round 6 changed plans/semantics: broadcast hints removed (t54,
     # q42), CDC tie-break (q43), decimal decay weights (e29), fixed-enum
     # grouping rename (e25), histogram-selection bucket fix (x15).

@@ -74,6 +74,8 @@ REPRESENTATIVES = [
     "e37_seasonal_anomalies",  # decimal cross-multiplied verdicts under merge
     "t60_dup_span_removal",  # digest join + in-order reassembly aggregate
     "m14_shot_reuse",  # frame-hash cluster aggregate, struct-min examples
+    "v35_matryoshka_twostage",  # two ranking stages, candidate-join merge
+    "x28_count_sketch",  # signed counter merges, median-of-5 order stat
 ]
 
 

@@ -795,3 +795,20 @@ def test_m14_reuse_clusters_by_hash_never_pairs(spark):
     plan = explain(QUERIES["m14_shot_reuse"](spark, SF), mode="simple")
     assert "hashpartitioning(ahash" in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_v35_rerank_touches_candidates_only(spark):
+    # Stage 1 broadcasts the quarter-width query set over one corpus
+    # stream; stage 2's full-dim join keys on vec_id against the
+    # candidate list — no cartesian, both query joins broadcast.
+    plan = explain(QUERIES["v35_matryoshka_twostage"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_x28_counters_fold_before_probe_join(spark):
+    # d x w signed counters aggregate map-side; the probe side joins d
+    # broadcast counter tables — no corpus-sized join input anywhere.
+    plan = explain(QUERIES["x28_count_sketch"](spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
