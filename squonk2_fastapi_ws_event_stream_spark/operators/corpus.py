@@ -1460,3 +1460,127 @@ FROM totals t LEFT JOIN cleaned c ON t.doc_id = c.doc_id
 
 QUERIES["t60_dup_span_removal"] = t60_dup_span_removal
 ORACLES["t60_dup_span_removal"] = ORACLE_T60
+
+
+# ---------------------------------------------------------------------------
+# t61 — Heaps'-law vocabulary growth: distinct-token (type) counts at
+# fixed prefixes of the corpus (10/25/50/75/100% of documents in doc_id
+# order).  The curve every tokenizer/dedup budget reads: how fast does
+# the vocabulary still grow when the corpus doubles?  t36 fits the Zipf
+# rank-frequency law of the FULL corpus; t58 sizes a vocab for a mass
+# target; this measures growth ACROSS corpus prefixes (types vs tokens,
+# V(n) ~ K * n^beta).
+#
+# The naive plan re-tokenizes each prefix (5 corpus scans) or windows
+# over token positions (corpus-sized window).  Instead each checkpoint
+# is answered from FIRST OCCURRENCES: a token is in prefix p's
+# vocabulary iff min(doc_id) over its occurrences < thr_p, so
+#   1. one wordcount-style aggregate -> per-token first_doc (map-side
+#      combinable min),
+#   2. one conditional-sum pass over that vocab table -> all 5
+#      checkpoint vocab sizes in a single 1-row aggregate,
+#   3. one conditional-sum pass over the exploded tokens -> the 5
+#      prefix token masses (again 1 row),
+#   4. stack the fixed 5 checkpoints back into rows.
+# Thresholds thr_p = (p * n_docs) div 100 ride a broadcast 1-row doc
+# count; `div` truncates identically in both engines (x21 lesson).
+#
+# Scale: the corpus is tokenized once into two map-side-combinable
+# aggregates (vocab-sized and 1-row); no window anywhere, no join wider
+# than a broadcast 1-row bound.  Type-token ratios are one double
+# division rounded at the output boundary.
+#
+# Reference parity: no analog in the reference relay (app/app.py); part
+# of the LLM-pipeline extension mandate (text analysis family).
+# ---------------------------------------------------------------------------
+T61_PCTS = (10, 25, 50, 75, 100)
+
+
+def t61_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    def thr(pct: int):
+        return F.expr(f"({pct} * n_docs) div 100")
+
+    firsts = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    vocab_row = (
+        firsts.crossJoin(F.broadcast(n_docs))
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("first_doc") < thr(p), F.lit(1)).otherwise(0)
+                ).alias(f"v{p}")
+                for p in T61_PCTS
+            ]
+        )
+    )
+    mass_row = (
+        toks.crossJoin(F.broadcast(n_docs))
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("doc_id") < thr(p), F.lit(1)).otherwise(0)
+                ).alias(f"m{p}")
+                for p in T61_PCTS
+            ],
+            F.first("n_docs").alias("n_docs"),
+        )
+    )
+    stacked = ",".join(
+        f"{p}, ({p} * n_docs) div 100, v{p}, m{p}" for p in T61_PCTS
+    )
+    return (
+        vocab_row.crossJoin(mass_row)
+        .selectExpr(
+            f"stack({len(T61_PCTS)}, {stacked}) AS "
+            "(pct, docs_prefix, vocab_prefix, tokens_prefix)"
+        )
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            F.col("docs_prefix").cast("long").alias("docs_prefix"),
+            F.col("tokens_prefix").cast("long").alias("tokens_prefix"),
+            F.col("vocab_prefix").cast("long").alias("vocab_prefix"),
+            F.round(
+                F.col("vocab_prefix").cast("double")
+                / F.col("tokens_prefix").cast("double"),
+                6,
+            ).alias("ttr"),
+        )
+    )
+
+
+ORACLE_T61 = f"""
+WITH toks AS (
+  SELECT doc_id, token
+  FROM documents, unnest(string_split(text, ' ')) AS u(token)
+  WHERE length(token) > 0
+),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+firsts AS (SELECT token, MIN(doc_id) AS first_doc FROM toks GROUP BY token),
+targets AS (
+  SELECT pct, (pct * (SELECT n_docs FROM tot)) // 100 AS thr
+  FROM (SELECT unnest(ARRAY{list(T61_PCTS)}) AS pct)
+),
+vocab AS (
+  SELECT t.pct, SUM(CASE WHEN f.first_doc < t.thr THEN 1 ELSE 0 END) AS v
+  FROM targets t CROSS JOIN firsts f GROUP BY t.pct
+),
+mass AS (
+  SELECT t.pct, SUM(CASE WHEN k.doc_id < t.thr THEN 1 ELSE 0 END) AS m
+  FROM targets t CROSS JOIN toks k GROUP BY t.pct
+)
+SELECT CAST(t.pct AS INTEGER) AS pct,
+       CAST(t.thr AS BIGINT) AS docs_prefix,
+       CAST(m.m AS BIGINT) AS tokens_prefix,
+       CAST(v.v AS BIGINT) AS vocab_prefix,
+       ROUND(CAST(v.v AS DOUBLE) / CAST(m.m AS DOUBLE), 6) AS ttr
+FROM targets t JOIN vocab v ON t.pct = v.pct JOIN mass m ON t.pct = m.pct
+"""
+
+
+QUERIES["t61_heaps_law"] = t61_heaps_law
+ORACLES["t61_heaps_law"] = ORACLE_T61

@@ -1320,3 +1320,105 @@ FROM kept GROUP BY doc_id
 
 QUERIES["t57_sentence_dedup"] = t57_sentence_dedup
 ORACLES["t57_sentence_dedup"] = ORACLE_T57
+
+
+# ---------------------------------------------------------------------------
+# t62 — readability scoring (Flesch reading-ease), INTEGER-exact: the
+# classic quality gate that routes documents to "easy / standard /
+# difficult" training mixes and flags machine-generated word salad
+# (absurdly high syllable density) that t09's length/stopword score
+# misses.
+#
+# All three inputs are counted, never modeled:
+#   words      = non-empty space-split tokens,
+#   sentences  = non-blank '[.!?]+'-split segments (floor 1),
+#   syllables  = per word, the number of maximal vowel-group runs
+#                ([aeiouy]+) with a floor of 1 — the standard
+#                dictionary-free approximation; counted as
+#                len(replace(groups -> 'V')) - len(remove(groups)),
+#                identical under Java regex and RE2.
+# The score is Flesch's 206.835 - 1.015*(W/S) - 84.6*(Y/W) held in
+# MILLI-units with truncating integer division (`div` / `//`, the x21
+# lesson) — bit-identical cross-engine, no float ratio anywhere before
+# the output boundary.
+#
+# Scale: pure per-row higher-order array expressions (one whole-stage
+# codegen span, zero shuffle, zero Python); the syllable fold runs
+# inside `aggregate()` over the per-doc word array.
+#
+# Reference parity: no analog in the reference relay (app/app.py); part
+# of the LLM-pipeline extension mandate (text analysis family).
+# ---------------------------------------------------------------------------
+def t62_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = "filter(split(text, ' '), x -> length(x) > 0)"
+    syl = (
+        "greatest(1, length(regexp_replace(lower(w), '[aeiouy]+', 'V'))"
+        " - length(regexp_replace(lower(w), '[aeiouy]+', '')))"
+    )
+    return (
+        docs.selectExpr(
+            "doc_id",
+            f"size({words}) AS n_words",
+            "greatest(1, size(filter(split(text, '[.!?]+'),"
+            " x -> length(trim(x)) > 0))) AS n_sentences",
+            f"aggregate({words}, 0L, (acc, w) -> acc + {syl}) AS n_syllables",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(n_words AS BIGINT) AS n_words",
+            "CAST(n_sentences AS BIGINT) AS n_sentences",
+            "CAST(n_syllables AS BIGINT) AS n_syllables",
+            "CAST(206835 - (1015 * n_words) div greatest(1, n_sentences)"
+            " - (84600 * n_syllables) div greatest(1, n_words)"
+            " AS BIGINT) AS fre_milli",
+        )
+        .selectExpr(
+            "*",
+            "CASE WHEN fre_milli >= 90000 THEN 'very_easy'"
+            " WHEN fre_milli >= 70000 THEN 'easy'"
+            " WHEN fre_milli >= 50000 THEN 'standard'"
+            " WHEN fre_milli >= 30000 THEN 'difficult'"
+            " ELSE 'very_difficult' END AS band",
+        )
+    )
+
+
+ORACLE_T62 = """
+WITH feat AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+           AS n_words,
+         greatest(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+                                     x -> length(trim(x)) > 0)))
+           AS n_sentences,
+         list_sum(list_transform(
+           list_filter(string_split(text, ' '), x -> length(x) > 0),
+           w -> greatest(1,
+                length(regexp_replace(lower(w), '[aeiouy]+', 'V', 'g'))
+              - length(regexp_replace(lower(w), '[aeiouy]+', '', 'g')))))
+           AS n_syllables
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(n_words AS BIGINT) AS n_words,
+         CAST(n_sentences AS BIGINT) AS n_sentences,
+         CAST(n_syllables AS BIGINT) AS n_syllables,
+         CAST(206835 - (1015 * n_words) // greatest(1, n_sentences)
+              - (84600 * n_syllables) // greatest(1, n_words)
+              AS BIGINT) AS fre_milli
+  FROM feat
+)
+SELECT *,
+       CASE WHEN fre_milli >= 90000 THEN 'very_easy'
+            WHEN fre_milli >= 70000 THEN 'easy'
+            WHEN fre_milli >= 50000 THEN 'standard'
+            WHEN fre_milli >= 30000 THEN 'difficult'
+            ELSE 'very_difficult' END AS band
+FROM scored
+"""
+
+
+QUERIES["t62_readability"] = t62_readability
+ORACLES["t62_readability"] = ORACLE_T62

@@ -109,6 +109,8 @@ _NEW_OR_CHANGED = (
     "m14_shot_reuse",
     "v35_matryoshka_twostage",
     "x28_count_sketch",
+    "t61_heaps_law",
+    "t62_readability",
     # round 6 changed plans/semantics: broadcast hints removed (t54,
     # q42), CDC tie-break (q43), decimal decay weights (e29), fixed-enum
     # grouping rename (e25), histogram-selection bucket fix (x15).

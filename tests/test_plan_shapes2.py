@@ -812,3 +812,22 @@ def test_x28_counters_fold_before_probe_join(spark):
     plan = explain(QUERIES["x28_count_sketch"](spark, SF), mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_t61_checkpoints_ride_conditional_sums_no_corpus_window(spark):
+    # Heaps-law checkpoints are answered from the per-token
+    # first-occurrence aggregate via conditional sums: one token-keyed
+    # exchange, bounded 1-row cross joins, never a corpus-sized window
+    # or a 5x re-scan.
+    plan = explain(QUERIES["t61_heaps_law"](spark, SF), mode="simple")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(token" in plan
+
+
+def test_t62_readability_is_one_codegen_span_no_shuffle(spark):
+    # Per-doc higher-order array folds: zero exchanges, zero joins —
+    # the whole score computes inside the scan's codegen stage.
+    plan = explain(QUERIES["t62_readability"](spark, SF), mode="simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan
