@@ -426,3 +426,209 @@ FROM a FULL OUTER JOIN b ON prio_a IS NOT DISTINCT FROM prio_b
 
 QUERIES["q53_nullsafe_diff"] = q53_nullsafe_diff
 ORACLES["q53_nullsafe_diff"] = ORACLE_Q53
+
+
+# ---------------------------------------------------------------------------
+# q54 — RFM customer segmentation with HISTOGRAM-derived quintile
+# boundaries: the classic recency/frequency/monetary marketing cut
+# (score each purchaser 1-5 on all three axes, bucket into named
+# segments).  The textbook implementation is `ntile(5)` over all
+# customers per metric — a corpus-sized single-task window, exactly the
+# funnel the guard tests forbid (q52's comment).  Here each metric's
+# quintile boundaries come from its VALUE HISTOGRAM instead (the
+# t58/x15 discipline):
+#
+#   1. orders reduce to one row per purchaser (recency days, order
+#      count, lifetime cents) — one map-side-combinable aggregate,
+#   2. per metric, a tiny value histogram (recency <= calendar days,
+#      frequency <= max order count, monetary pre-bucketed to $1000) +
+#      a cumulative window over THAT (bounded by the value domain,
+#      never by SF),
+#   3. the 4 boundaries fold to a broadcast 1-row frame; scores are 4
+#      comparisons per axis; segments are a fixed CASE; output is the
+#      <= 6-row per-segment rollup.
+#
+# All boundary math is integer (`div`-truncating thresholds, ceil via
+# +4 div 5); the only division is the one avg at the output boundary.
+#
+# Scale: two corpus-wide shuffles total (per-customer aggregate, final
+# 6-row segment aggregate); every window input is domain-bounded; the
+# boundary frame is provably 1 row.  No ntile over raw customers
+# anywhere.
+# ---------------------------------------------------------------------------
+Q54_MONETARY_BUCKET_CENTS = 100_000  # $1000 per histogram bucket
+
+
+def q54_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        (F.sum("price") * 100).cast("long").alias("cents"),
+    )
+    ref = orders.agg(F.max("d").alias("ref_d"))
+    n_cust = cust.agg(F.count(F.lit(1)).alias("n_cust"))
+    feat = cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff("ref_d", "last_d").cast("long").alias("rec"),
+        "freq",
+        "cents",
+        F.expr(f"cents div {Q54_MONETARY_BUCKET_CENTS}").alias("mb"),
+    )
+
+    def bounds(metric: str) -> DataFrame:
+        hist = feat.groupBy(metric).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(metric).rowsBetween(Window.unboundedPreceding, 0)
+        cum = hist.withColumn("cum", F.sum("cnt").over(w))
+        return cum.crossJoin(F.broadcast(n_cust)).agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"({q} * n_cust + 4) div 5"),
+                        F.col(metric),
+                    )
+                ).alias(f"{metric}_b{q}")
+                for q in (1, 2, 3, 4)
+            ]
+        )
+
+    b = (
+        bounds("rec")
+        .crossJoin(bounds("freq"))
+        .crossJoin(bounds("mb"))
+    )
+
+    def qi(metric: str):
+        e = F.lit(1)
+        for q in (1, 2, 3, 4):
+            e = e + F.when(F.col(metric) > F.col(f"{metric}_b{q}"), 1).otherwise(0)
+        return e
+
+    scored = feat.crossJoin(F.broadcast(b)).select(
+        "o_custkey",
+        "cents",
+        (F.lit(6) - qi("rec")).cast("int").alias("r_score"),
+        qi("freq").cast("int").alias("f_score"),
+        qi("mb").cast("int").alias("m_score"),
+    )
+    seg = F.expr(
+        "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4"
+        " THEN 'champions'"
+        " WHEN f_score >= 4 THEN 'loyal'"
+        " WHEN m_score >= 4 THEN 'big_spender'"
+        " WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'"
+        " WHEN r_score <= 2 THEN 'hibernating'"
+        " ELSE 'regular' END"
+    )
+    out = scored.withColumn("segment", seg).groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("r_score").cast("long").alias("sum_r"),
+        F.sum("f_score").cast("long").alias("sum_f"),
+        F.sum("m_score").cast("long").alias("sum_m"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    return out.select(
+        "segment",
+        "n_customers",
+        "sum_r",
+        "sum_f",
+        "sum_m",
+        F.round(
+            F.col("sum_cents").cast("double")
+            / (F.lit(100.0) * F.col("n_customers").cast("double")),
+            4,
+        ).alias("avg_monetary"),
+    )
+
+
+ORACLE_Q54 = f"""
+WITH src AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+cust AS (
+  SELECT o_custkey, MAX(d) AS last_d,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(price) * 100 AS BIGINT) AS cents
+  FROM src GROUP BY o_custkey
+),
+ref AS (SELECT MAX(d) AS ref_d FROM src),
+tot AS (SELECT COUNT(*) AS n_cust FROM cust),
+feat AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_d, (SELECT ref_d FROM ref)) AS BIGINT)
+           AS rec,
+         freq, cents, cents // {Q54_MONETARY_BUCKET_CENTS} AS mb
+  FROM cust
+),
+rb AS (
+  SELECT
+    MIN(CASE WHEN cum >= (1 * n_cust + 4) // 5 THEN v END) AS b1,
+    MIN(CASE WHEN cum >= (2 * n_cust + 4) // 5 THEN v END) AS b2,
+    MIN(CASE WHEN cum >= (3 * n_cust + 4) // 5 THEN v END) AS b3,
+    MIN(CASE WHEN cum >= (4 * n_cust + 4) // 5 THEN v END) AS b4
+  FROM (SELECT rec AS v, SUM(COUNT(*)) OVER (ORDER BY rec
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM feat GROUP BY rec) h CROSS JOIN tot
+),
+fb AS (
+  SELECT
+    MIN(CASE WHEN cum >= (1 * n_cust + 4) // 5 THEN v END) AS b1,
+    MIN(CASE WHEN cum >= (2 * n_cust + 4) // 5 THEN v END) AS b2,
+    MIN(CASE WHEN cum >= (3 * n_cust + 4) // 5 THEN v END) AS b3,
+    MIN(CASE WHEN cum >= (4 * n_cust + 4) // 5 THEN v END) AS b4
+  FROM (SELECT freq AS v, SUM(COUNT(*)) OVER (ORDER BY freq
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM feat GROUP BY freq) h CROSS JOIN tot
+),
+mbb AS (
+  SELECT
+    MIN(CASE WHEN cum >= (1 * n_cust + 4) // 5 THEN v END) AS b1,
+    MIN(CASE WHEN cum >= (2 * n_cust + 4) // 5 THEN v END) AS b2,
+    MIN(CASE WHEN cum >= (3 * n_cust + 4) // 5 THEN v END) AS b3,
+    MIN(CASE WHEN cum >= (4 * n_cust + 4) // 5 THEN v END) AS b4
+  FROM (SELECT mb AS v, SUM(COUNT(*)) OVER (ORDER BY mb
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM feat GROUP BY mb) h CROSS JOIN tot
+),
+scored AS (
+  SELECT o_custkey, cents,
+         CAST(6 - (1 + (rec > rb.b1)::INT + (rec > rb.b2)::INT
+                     + (rec > rb.b3)::INT + (rec > rb.b4)::INT)
+              AS INTEGER) AS r_score,
+         CAST(1 + (freq > fb.b1)::INT + (freq > fb.b2)::INT
+                + (freq > fb.b3)::INT + (freq > fb.b4)::INT
+              AS INTEGER) AS f_score,
+         CAST(1 + (mb > mbb.b1)::INT + (mb > mbb.b2)::INT
+                + (mb > mbb.b3)::INT + (mb > mbb.b4)::INT
+              AS INTEGER) AS m_score
+  FROM feat CROSS JOIN rb CROSS JOIN fb CROSS JOIN mbb
+),
+seg AS (
+  SELECT *,
+         CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+              THEN 'champions'
+              WHEN f_score >= 4 THEN 'loyal'
+              WHEN m_score >= 4 THEN 'big_spender'
+              WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+              WHEN r_score <= 2 THEN 'hibernating'
+              ELSE 'regular' END AS segment
+  FROM scored
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(r_score) AS BIGINT) AS sum_r,
+       CAST(SUM(f_score) AS BIGINT) AS sum_f,
+       CAST(SUM(m_score) AS BIGINT) AS sum_m,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(*)), 4)
+         AS avg_monetary
+FROM seg GROUP BY segment
+"""
+
+QUERIES["q54_rfm_segments"] = q54_rfm_segments
+ORACLES["q54_rfm_segments"] = ORACLE_Q54

@@ -831,3 +831,20 @@ def test_t62_readability_is_one_codegen_span_no_shuffle(spark):
     plan = explain(QUERIES["t62_readability"](spark, SF), mode="simple")
     assert "Exchange" not in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_q54_quintiles_come_from_histograms_not_ntile(spark):
+    # RFM quintile boundaries fold from domain-bounded value histograms
+    # (three tiny windows), never an ntile over raw customers; the
+    # boundary frames are 1-row broadcasts; the only corpus shuffles
+    # are the per-customer aggregate and the 6-row segment rollup.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["q54_rfm_segments"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "ntile" not in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(o_custkey" in plan
