@@ -1797,3 +1797,119 @@ FROM est
 
 QUERIES["x28_count_sketch"] = x28_count_sketch
 ORACLES["x28_count_sketch"] = _oracle_x28()
+
+
+# ---------------------------------------------------------------------------
+# x29 — Fagin's Threshold Algorithm (TA), the certified-early-stop
+# distributed top-k: rank customers by a combined score over two
+# attribute lists (lifetime dollars + scaled order count) WITHOUT
+# scoring the full corpus under a global sort.  The search-engine
+# primitive (Fagin/Lotem/Naor 2001): read a bounded prefix of each
+# per-attribute ranking, score only the union of those prefixes, and
+# CERTIFY the answer against the threshold tau = sum of the last-seen
+# attribute scores — if the k-th candidate's combined score >= tau, no
+# unseen row can beat it and the bounded prefixes provably contain the
+# true global top-k.
+#
+# Plan shape:
+#   1. one per-customer aggregate (map-side combinable),
+#   2. two TakeOrdered prefixes of depth M (bounded, never a global
+#      sort), their last-seen scores fold to 1-row frames,
+#   3. candidates = union of the two prefix key sets (<= 2M rows,
+#      bounded by construction) -> broadcast-joined back against the
+#      aggregate to fetch both attributes (probe side streams),
+#   4. top-k of the <= 2M scored candidates + the certification bit.
+#
+# All scores are exact integers (cents//100 dollars, count*1000);
+# ties break by custkey everywhere, so the result is total-ordered and
+# bit-deterministic in both engines.
+#
+# Scale: the corpus is aggregated once and probed once; everything
+# downstream of the TakeOrdereds is O(M).  The certification verdict is
+# the point: at 100 TB it tells the caller whether depth M sufficed or
+# the prefixes must deepen — without ever running the global sort.
+# ---------------------------------------------------------------------------
+X29_M = 100  # per-list prefix depth
+X29_K = 10  # certified result size
+
+
+def x29_fagin_ta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    feat = (
+        orders.groupBy("o_custkey")
+        .agg(
+            (F.sum("price") * 100).cast("long").alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .select(
+            "o_custkey",
+            F.expr("cents div 100").alias("a"),
+            (F.col("n_orders") * 1000).alias("b"),
+        )
+    )
+    top_a = feat.orderBy(F.desc("a"), F.asc("o_custkey")).limit(X29_M)
+    top_b = feat.orderBy(F.desc("b"), F.asc("o_custkey")).limit(X29_M)
+    a_last = top_a.agg(F.min("a").alias("a_m"))
+    b_last = top_b.agg(F.min("b").alias("b_m"))
+    cands = (
+        top_a.select("o_custkey").union(top_b.select("o_custkey")).distinct()
+    )
+    scored = feat.join(F.broadcast(cands), "o_custkey").select(
+        "o_custkey", "a", "b", (F.col("a") + F.col("b")).alias("score")
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("o_custkey")).limit(X29_K)
+    kth = topk.agg(F.min("score").alias("kth"))
+    w = Window.orderBy(F.desc("score"), F.asc("o_custkey"))
+    return (
+        topk.crossJoin(F.broadcast(a_last))
+        .crossJoin(F.broadcast(b_last))
+        .crossJoin(F.broadcast(kth))
+        .select(
+            F.row_number().over(w).cast("int").alias("rnk"),
+            "o_custkey",
+            F.col("a").alias("dollars"),
+            F.col("b").alias("freq_scaled"),
+            "score",
+            (F.col("a_m") + F.col("b_m")).alias("tau"),
+            (F.col("kth") >= F.col("a_m") + F.col("b_m")).alias("certified"),
+        )
+    )
+
+
+ORACLE_X29 = f"""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+feat AS (
+  SELECT o_custkey, cents // 100 AS a, n_orders * 1000 AS b FROM cust
+),
+ta AS (SELECT * FROM feat ORDER BY a DESC, o_custkey LIMIT {X29_M}),
+tb AS (SELECT * FROM feat ORDER BY b DESC, o_custkey LIMIT {X29_M}),
+am AS (SELECT MIN(a) AS a_m FROM ta),
+bm AS (SELECT MIN(b) AS b_m FROM tb),
+cands AS (
+  SELECT DISTINCT o_custkey FROM (
+    SELECT o_custkey FROM ta UNION ALL SELECT o_custkey FROM tb)
+),
+scored AS (
+  SELECT f.o_custkey, f.a, f.b, f.a + f.b AS score
+  FROM feat f JOIN cands c ON f.o_custkey = c.o_custkey
+),
+topk AS (SELECT * FROM scored ORDER BY score DESC, o_custkey LIMIT {X29_K}),
+kth AS (SELECT MIN(score) AS kth FROM topk)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, o_custkey) AS INTEGER)
+         AS rnk,
+       o_custkey, a AS dollars, b AS freq_scaled, score,
+       a_m + b_m AS tau,
+       kth >= a_m + b_m AS certified
+FROM topk CROSS JOIN am CROSS JOIN bm CROSS JOIN kth
+"""
+
+QUERIES["x29_fagin_ta_topk"] = x29_fagin_ta_topk
+ORACLES["x29_fagin_ta_topk"] = ORACLE_X29

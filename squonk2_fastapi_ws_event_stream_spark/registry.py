@@ -112,6 +112,7 @@ _NEW_OR_CHANGED = (
     "t61_heaps_law",
     "t62_readability",
     "q54_rfm_segments",
+    "x29_fagin_ta_topk",
     # round 6 changed plans/semantics: broadcast hints removed (t54,
     # q42), CDC tie-break (q43), decimal decay weights (e29), fixed-enum
     # grouping rename (e25), histogram-selection bucket fix (x15).

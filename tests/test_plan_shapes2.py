@@ -848,3 +848,18 @@ def test_q54_quintiles_come_from_histograms_not_ntile(spark):
     assert "ntile" not in plan.lower()
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(o_custkey" in plan
+
+
+def test_x29_ta_prefixes_are_take_ordered_never_global_sort(spark):
+    # Both attribute prefixes plan as bounded TakeOrdereds; candidates
+    # join back via a bounded broadcast; nothing cartesian; the final
+    # window orders <= K rows.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["x29_fagin_ta_topk"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
