@@ -137,6 +137,8 @@ def _find_alias_def(root, name: str) -> str | None:
             exprs = _scala_seq(node.projectList())
         elif cls == "Aggregate":
             exprs = _scala_seq(node.aggregateExpressions())
+        elif cls == "Window":
+            exprs = _scala_seq(node.windowExpressions())
         else:
             continue
         for e in exprs:
@@ -154,6 +156,12 @@ def _expr_bounded(expr: str, scope) -> bool:
         if e in FIXED_DOMAIN_COLS:
             return True
         if e.startswith(_BOUNDED_EXPR_HEADS):
+            return True
+        # lead/lag only REORDER a column's values — the output domain is
+        # the input domain (plus NULL), so a shifted fixed-domain column
+        # is still fixed-domain (e38's next_type = lead(event_type)).
+        m = re.match(r"(?:lead|lag)\((\w+)", e)
+        if m and m.group(1) in FIXED_DOMAIN_COLS:
             return True
         if re.search(r"% \d+\)", e):
             return True

@@ -2459,3 +2459,110 @@ FROM ev_eval e JOIN train t USING (event_type, dow, hour)
 
 QUERIES["e37_seasonal_anomalies"] = e37_seasonal_anomalies
 ORACLES["e37_seasonal_anomalies"] = ORACLE_E37
+
+
+
+
+# ---------------------------------------------------------------------------
+# e38 — journey anomaly scoring: each user's event sequence priced
+# against the corpus-wide first-order transition model (e22's matrix) —
+# users whose adjacent-event transitions are consistently LOW-probability
+# are bots, broken clients, or abuse (the application e22's docstring
+# promises; this operator delivers it).  Score = Σ over a user's
+# transitions of the quantized surprisal
+#     bits(prev→next) = floor(log2 N(prev)) - floor(log2 N(prev→next)),
+# the t30 no-libm trick (floor-log2 = binary-string length - 1): integer
+# bits-of-surprise, bit-identical cross-engine, never a float log.
+#
+# Plan: ONE per-user lag() window (ordered by the unique event_id — ties
+# impossible) feeds both the model and the scoring pass; the transition
+# model is a fixed-domain aggregate (≤ |types|² = 25 rows) and joins
+# back with a legitimate bounded broadcast (the t34 fixed-size-by-
+# construction class).  The worklist is a global top-20 by (score desc,
+# user_id) via TakeOrdered — never a global sort.
+#
+# Scale: one user_id shuffle for the pairs (AQE handles hot users), a
+# 25-row broadcast model, a per-user aggregate, a bounded top-k.
+#
+# Reference parity: no analog in the reference relay (app/app.py); part
+# of the LLM-pipeline extension mandate (event analytics family).
+# ---------------------------------------------------------------------------
+E38_TOP = 20
+
+
+def e38_journey_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").asc())
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .select("user_id", F.col("event_type").alias("prev_type"), "next_type")
+    )
+    bits = lambda c: (F.length(F.regexp_replace(F.bin(c), "^0+", "")) - 1).cast("long")
+    model = (
+        pairs.groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .withColumn(
+            "n_src",
+            F.sum("n_pair").over(Window.partitionBy("prev_type")),
+        )
+        .select(
+            "prev_type",
+            "next_type",
+            (bits(F.col("n_src")) - bits(F.col("n_pair"))).alias("surprise_bits"),
+        )
+    )
+    scored = (
+        pairs.join(F.broadcast(model), ["prev_type", "next_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum("surprise_bits").alias("total_bits"),
+        )
+    )
+    return (
+        scored.select(
+            "user_id",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.col("total_bits").cast("long").alias("total_bits"),
+            F.expr("(total_bits * 1000000) div n_transitions")
+            .cast("long")
+            .alias("bits_per_step_ppm"),
+        )
+        .orderBy(F.col("bits_per_step_ppm").desc(), F.col("user_id").asc())
+        .limit(E38_TOP)
+    )
+
+
+ORACLE_E38 = f"""
+WITH pairs AS (
+  SELECT user_id, event_type AS prev_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id ASC)
+           AS next_type
+  FROM events
+),
+p2 AS (SELECT * FROM pairs WHERE next_type IS NOT NULL),
+model AS (
+  SELECT prev_type, next_type,
+         (length(ltrim(bin(SUM(COUNT(*)) OVER (PARTITION BY prev_type)), '0')) - 1)
+           - (length(ltrim(bin(COUNT(*)), '0')) - 1) AS surprise_bits
+  FROM p2 GROUP BY prev_type, next_type
+),
+scored AS (
+  SELECT p.user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_transitions,
+         CAST(SUM(m.surprise_bits) AS BIGINT) AS total_bits
+  FROM p2 p JOIN model m USING (prev_type, next_type)
+  GROUP BY p.user_id
+)
+SELECT user_id, n_transitions, total_bits,
+       CAST((total_bits * 1000000) // n_transitions AS BIGINT)
+         AS bits_per_step_ppm
+FROM scored
+ORDER BY bits_per_step_ppm DESC, user_id ASC
+LIMIT {E38_TOP}
+"""
+
+
+QUERIES["e38_journey_anomaly"] = e38_journey_anomaly
+ORACLES["e38_journey_anomaly"] = ORACLE_E38

@@ -1422,3 +1422,240 @@ FROM scored
 
 QUERIES["t62_readability"] = t62_readability
 ORACLES["t62_readability"] = ORACLE_T62
+
+
+
+
+
+
+# ---------------------------------------------------------------------------
+# t63 — structured-identifier scan with CHECKSUM validation: the PII
+# classes t18's email/phone regexes cannot express — IPv4 addresses,
+# URLs, and payment-card numbers where a regex match is only a
+# CANDIDATE and the Luhn checksum decides (redacting every 16-digit run
+# would shred order ids and ISBNs; shipping a real card number is a
+# compliance incident — precision and recall both live on the checksum,
+# not the pattern).
+#
+# The corpus has no organic identifiers, so a deterministic payload is
+# planted per doc_id (the t18/m05 fabricate-then-verify pattern):
+#   %4 == 0 → a URL,   %5 == 0 → an IPv4,
+#   %11 == 0 → a 16-digit run whose Luhn CHECK DIGIT IS COMPUTED
+#              IN-QUERY (the validator must accept it),
+#   %13 == 0 → the same digits with the check digit shifted +5 (the
+#              validator must COUNT the candidate but REFUSE to redact).
+# Luhn, both engines, pure integers: digit d at 1-based position j of
+# the 16-digit run doubles when j is odd (= every second digit from the
+# right), doubled values fold as 2d − 9·[d>4]; valid ⇔ sum mod 10 = 0.
+# No floats, no libm, no regex lookaround.
+#
+# Redaction: VALID cards are replaced literally — an aggregate() fold of
+# replace() over the validated candidate array, because no regex can see
+# a checksum — then URL and IPv4 regexes (character classes + bounded
+# repetition + \b only: the Java/RE2-identical subset, the t62 lesson).
+# Output carries candidate/valid/url/ip counts plus sha256 of the
+# redacted text (t18's verify-bytes-without-shipping-bytes trick).
+#
+# Scale: pure per-row string/array expressions — one whole-stage-codegen
+# span, zero shuffle, zero joins, zero Python.
+#
+# Reference parity: no analog in the reference relay (app/app.py); part
+# of the LLM-pipeline extension mandate (text analysis family).
+# ---------------------------------------------------------------------------
+T63_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+T63_URL = r"https?://[A-Za-z0-9./_-]+"
+T63_CARD = r"\b\d{16}\b"
+
+
+def _t63_digit(d, j):
+    return F.substring(d, j, F.lit(1)).cast("int")
+
+
+def _t63_luhn15(d):
+    """Luhn fold over the 15 payload digits of a 16-digit string Column."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(15)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            j % 2 == 1,
+            2 * _t63_digit(d, j)
+            - F.when(_t63_digit(d, j) > 4, F.lit(9)).otherwise(F.lit(0)),
+        ).otherwise(_t63_digit(d, j)).cast("long"),
+    )
+
+
+def t63_pii_checksum_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        "text",
+        F.lpad(F.col("doc_id").cast("string"), 15, "4").alias("p15"),
+    ).select(
+        "doc_id",
+        "text",
+        "p15",
+        ((10 - (_t63_luhn15(F.col("p15")) % 10)) % 10).alias("chk"),
+    ).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" see https://ex.org/p/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".0."),
+                    (F.col("doc_id") % 250).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" card "), F.col("p15"), F.col("chk").cast("string")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" ref "),
+                    F.col("p15"),
+                    ((F.col("chk") + 5) % 10).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scanned = planted.select(
+        "doc_id",
+        "text",
+        F.regexp_extract_all(F.col("text"), F.lit(T63_CARD), F.lit(0)).alias(
+            "cards"
+        ),
+        F.regexp_count(F.col("text"), F.lit(T63_URL)).cast("long").alias("n_urls"),
+        F.regexp_count(F.col("text"), F.lit(T63_IPV4)).cast("long").alias("n_ips"),
+    ).select(
+        "doc_id",
+        "text",
+        "cards",
+        "n_urls",
+        "n_ips",
+        F.filter(
+            F.col("cards"),
+            lambda c: ((_t63_luhn15(c) + _t63_digit(c, F.lit(16))) % 10) == 0,
+        ).alias("valid_cards"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.aggregate(
+                F.col("valid_cards"),
+                F.col("text"),
+                lambda acc, c: F.replace(acc, c, F.lit("[CARD]")),
+            ),
+            F.lit(T63_URL),
+            F.lit("[URL]"),
+        ),
+        F.lit(T63_IPV4),
+        F.lit("[IP]"),
+    )
+    return scanned.select(
+        "doc_id",
+        F.size("cards").cast("long").alias("n_card_candidates"),
+        F.size("valid_cards").cast("long").alias("n_valid_cards"),
+        "n_urls",
+        "n_ips",
+        redacted.alias("clean_text"),
+    ).select(
+        "doc_id",
+        "n_card_candidates",
+        "n_valid_cards",
+        "n_urls",
+        "n_ips",
+        (
+            F.col("n_valid_cards") + F.col("n_urls") + F.col("n_ips") == 0
+        ).alias("pii_free"),
+        F.length("clean_text").cast("long").alias("clean_chars"),
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+    )
+
+
+_T63_LUHN15_DUCK = """list_sum(list_transform(range(1, 16), j ->
+  CASE WHEN j % 2 = 1 THEN
+    2 * CAST(substr({v}, CAST(j AS INT), 1) AS INT)
+    - CASE WHEN CAST(substr({v}, CAST(j AS INT), 1) AS INT) > 4
+           THEN 9 ELSE 0 END
+  ELSE CAST(substr({v}, CAST(j AS INT), 1) AS INT) END))"""
+
+ORACLE_T63 = f"""
+WITH planted AS (
+  SELECT doc_id, text,
+         lpad(CAST(doc_id AS VARCHAR), 15, '4') AS p15
+  FROM documents
+),
+chk AS (
+  SELECT doc_id, text, p15,
+         (10 - ({_T63_LUHN15_DUCK.format(v='p15')} % 10)) % 10 AS chk
+  FROM planted
+),
+aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' see https://ex.org/p/' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                      || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' card ' || p15 || CAST(chk AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' ref ' || p15 || CAST((chk + 5) % 10 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM chk
+),
+scanned AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '{T63_CARD}') AS cards,
+         CAST(len(regexp_extract_all(text, '{T63_URL}')) AS BIGINT) AS n_urls,
+         CAST(len(regexp_extract_all(text, '{T63_IPV4}')) AS BIGINT) AS n_ips,
+         list_filter(regexp_extract_all(text, '{T63_CARD}'), c ->
+           (({_T63_LUHN15_DUCK.format(v='c')}
+             + CAST(substr(c, 16, 1) AS INT)) % 10) = 0) AS valid_cards
+  FROM aug
+),
+-- the corpus plants at most ONE Luhn-valid run per document (the %11
+-- branch; the %13 branch is valid-candidate-but-invalid by
+-- construction and organic text has no 16-digit runs), so the general
+-- fold-of-replaces collapses to a single conditional replace here.
+red AS (
+  SELECT doc_id, cards, valid_cards, n_urls, n_ips,
+         regexp_replace(
+           regexp_replace(
+             CASE WHEN len(valid_cards) >= 1
+                  THEN replace(text, valid_cards[1], '[CARD]')
+                  ELSE text END,
+             '{T63_URL}', '[URL]', 'g'),
+           '{T63_IPV4}', '[IP]', 'g') AS clean_text
+  FROM scanned
+)
+SELECT doc_id,
+       CAST(len(cards) AS BIGINT) AS n_card_candidates,
+       CAST(len(valid_cards) AS BIGINT) AS n_valid_cards,
+       n_urls, n_ips,
+       (CAST(len(valid_cards) AS BIGINT) + n_urls + n_ips) = 0 AS pii_free,
+       CAST(length(clean_text) AS BIGINT) AS clean_chars,
+       sha256(clean_text) AS clean_sha
+FROM red
+"""
+
+
+QUERIES["t63_pii_checksum_scan"] = t63_pii_checksum_scan
+ORACLES["t63_pii_checksum_scan"] = ORACLE_T63

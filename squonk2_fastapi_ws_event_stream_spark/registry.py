@@ -65,6 +65,8 @@ NON_SQL_QUERIES = frozenset(missing)
 # cover ALL queries regardless of this order.
 _NEW_OR_CHANGED = (
     # round 6 NEW:
+    "t63_pii_checksum_scan",
+    "e38_journey_anomaly",
     "t13b_sentence_split",
     "t55_incremental_neardup",
     "q44_rolling_revenue",

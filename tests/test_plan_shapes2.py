@@ -863,3 +863,30 @@ def test_x29_ta_prefixes_are_take_ordered_never_global_sort(spark):
     plan = explain(df, mode="simple")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_t63_checksum_scan_is_one_codegen_span_no_shuffle(spark):
+    # Plant, Luhn-validate, fold-replace, regex-redact: all per-row
+    # string/array expressions — no exchange, no join, no window, and
+    # the Luhn fold is an aggregate() lambda, never a Python UDF.
+    plan = explain(QUERIES["t63_pii_checksum_scan"](spark, SF), mode="simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_e38_anomaly_model_is_bounded_broadcast_worklist_take_ordered(spark):
+    # The transition model is a fixed-domain (<= |types|^2) aggregate and
+    # joins back as a bounded broadcast; the worklist is TakeOrdered,
+    # never a global sort; the only corpus shuffles are the per-user lag
+    # window and the per-user score aggregate.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["e38_journey_anomaly"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "CartesianProduct" not in plan
