@@ -2566,3 +2566,166 @@ LIMIT {E38_TOP}
 
 QUERIES["e38_journey_anomaly"] = e38_journey_anomaly
 ORACLES["e38_journey_anomaly"] = ORACLE_E38
+
+
+# ---------------------------------------------------------------------------
+# e39 — Kaplan–Meier survival curve for signup→purchase conversion with
+# RIGHT-CENSORING: e27 reports conversion latency over users who DID
+# convert; that estimate is biased optimistic because users still in
+# their window are silently dropped.  K-M is the standard fix — every
+# signup is a subject, purchase is the event, a user whose stream ends
+# without purchasing is censored at their last observed event and keeps
+# contributing to the at-risk denominator until then.
+#
+#   S(t) = Π_{u ≤ t, d(u)>0} (n(u) − d(u)) / n(u)
+#
+# Cross-engine determinism: the product is held in integer MICRO-units
+# with a truncating-division fold, S ← (S·(n−d)) div n — both engines
+# multiply the SAME ≤ calendar-bounded sequence in the SAME order, so
+# the quantized curve is bit-identical (a float cumprod would differ in
+# ulps by evaluation order; `product()` doesn't even exist in Spark).
+# Max intermediate is 1e6 · n_subjects < 2^63 up to ~9e12 subjects.
+#
+# Distributed shape: ONE user_id shuffle (a window computing first
+# signup / last seen, then the per-user subject aggregate), then a
+# per-duration aggregate whose key is CALENDAR-BOUNDED (≤ observation
+# span in days).  The at-risk reverse cumsum, the ordering window, and
+# the sequential fold all operate on that bounded table — the fold runs
+# inside ONE aggregate() lambda over a ≤ span-sized sorted array, the
+# e35/x24 cumsum-sees-calendar-rows-only discipline.  The DuckDB twin
+# walks the same rows with a recursive CTE.
+#
+# Reference parity: no analog in the reference relay (app/app.py); part
+# of the LLM-pipeline extension mandate (event analytics family).
+# ---------------------------------------------------------------------------
+def e39_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    ev2 = (
+        ev.withColumn(
+            "t0",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .withColumn("last_ts", F.max("ts").over(w))
+        .filter(F.col("t0").isNotNull())
+    )
+    subjects = (
+        ev2.groupBy("user_id", "t0", "last_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t0")),
+                    F.col("ts"),
+                )
+            ).alias("tp")
+        )
+        .select(
+            F.datediff(
+                F.coalesce(F.col("tp"), F.col("last_ts")).cast("date"),
+                F.col("t0").cast("date"),
+            ).alias("duration"),
+            F.col("tp").isNotNull().alias("observed"),
+        )
+    )
+    per_t = subjects.groupBy("duration").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("d_n"),
+        F.count(F.lit(1)).alias("end_n"),
+    )
+    # at-risk = subjects whose duration >= t: reverse cumsum over the
+    # calendar-bounded per-duration table.
+    risk_w = (
+        Window.orderBy(F.col("duration").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    km_in = (
+        per_t.withColumn("n_at_risk", F.sum("end_n").over(risk_w))
+        .filter(F.col("d_n") > 0)
+        .select("duration", "d_n", "n_at_risk")
+    )
+    folded = km_in.agg(
+        F.expr(
+            """
+            aggregate(
+              array_sort(collect_list(struct(duration, d_n, n_at_risk))),
+              named_struct(
+                's', CAST(1000000 AS BIGINT),
+                'out',
+                CAST(array() AS
+                     ARRAY<STRUCT<duration:INT, d_n:BIGINT,
+                                  n_at_risk:BIGINT, s:BIGINT>>)),
+              (acc, x) -> named_struct(
+                's', (acc.s * (x.n_at_risk - x.d_n)) div x.n_at_risk,
+                'out', array_append(acc.out, named_struct(
+                  'duration', x.duration, 'd_n', x.d_n,
+                  'n_at_risk', x.n_at_risk,
+                  's', (acc.s * (x.n_at_risk - x.d_n)) div x.n_at_risk))),
+              acc -> acc.out) AS rows
+            """
+        )
+    )
+    return folded.select(F.explode("rows").alias("r")).select(
+        F.col("r.duration").cast("int").alias("duration_days"),
+        F.col("r.n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("r.d_n").cast("long").alias("n_events"),
+        F.col("r.s").cast("long").alias("survival_ppm"),
+    )
+
+
+ORACLE_E39 = """
+WITH RECURSIVE per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+),
+signed AS (SELECT * FROM per_user WHERE t0 IS NOT NULL),
+subjects AS (
+  SELECT s.user_id,
+         date_diff('day', CAST(s.t0 AS DATE),
+                   CAST(COALESCE(p.tp, s.last_ts) AS DATE)) AS duration,
+         p.tp IS NOT NULL AS observed
+  FROM signed s LEFT JOIN (
+    SELECT e.user_id, MIN(e.ts) AS tp
+    FROM events e JOIN signed g ON e.user_id = g.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= g.t0
+    GROUP BY e.user_id
+  ) p ON s.user_id = p.user_id
+),
+per_t AS (
+  SELECT duration,
+         SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS d_n,
+         COUNT(*) AS end_n
+  FROM subjects GROUP BY duration
+),
+at_risk AS (
+  SELECT duration, d_n,
+         SUM(end_n) OVER (ORDER BY duration DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n_at_risk
+  FROM per_t
+),
+km_rows AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY duration ASC) AS rn,
+         duration, d_n, n_at_risk
+  FROM at_risk WHERE d_n > 0
+),
+km AS (
+  SELECT rn, duration, d_n, n_at_risk,
+         (1000000 * (n_at_risk - d_n)) // n_at_risk AS s
+  FROM km_rows WHERE rn = 1
+  UNION ALL
+  SELECT r.rn, r.duration, r.d_n, r.n_at_risk,
+         (km.s * (r.n_at_risk - r.d_n)) // r.n_at_risk
+  FROM km_rows r JOIN km ON r.rn = km.rn + 1
+)
+SELECT CAST(duration AS INTEGER) AS duration_days,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d_n AS BIGINT) AS n_events,
+       CAST(s AS BIGINT) AS survival_ppm
+FROM km
+"""
+
+
+QUERIES["e39_kaplan_meier"] = e39_kaplan_meier
+ORACLES["e39_kaplan_meier"] = ORACLE_E39

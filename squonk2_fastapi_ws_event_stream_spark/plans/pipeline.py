@@ -1913,3 +1913,121 @@ FROM topk CROSS JOIN am CROSS JOIN bm CROSS JOIN kth
 
 QUERIES["x29_fagin_ta_topk"] = x29_fagin_ta_topk
 ORACLES["x29_fagin_ta_topk"] = ORACLE_X29
+
+
+# ---------------------------------------------------------------------------
+# x30 — Misra–Gries mergeable heavy-hitter summaries: the deterministic
+# counter-based sketch next to the hash-based x06 CMS (always-over) and
+# x28 Count-Sketch (unbiased): MG NEVER overestimates and carries the
+# classic deterministic guarantee  exact − n/(k+1) ≤ est ≤ exact.  The
+# streaming twin (`streaming/stateful.heavy_hitters`, Space-Saving) is
+# the same counter idea; this is the BATCH mergeable form (Agarwal et
+# al., "Mergeable Summaries", PODS'12).
+#
+# Distributed shape: each Arrow batch folds to an MG(k) summary INSIDE
+# mapInPandas — vectorized, not a row loop: for a batch the MG result
+# equals value_counts minus the (k+1)-th largest count d, keeping
+# positives (at least k+1 keys have count ≥ d, so (k+1)·d ≤ n_batch and
+# the per-batch decrement is ≤ n_batch/(k+1)).  Summaries then merge by
+# a plain per-key SUM — decrements add across batches to ≤ n/(k+1)
+# total, so the merged sketch keeps the MG bound with NO final
+# decrement needed.  The shuffle carries ≤ k rows per batch (counters,
+# never the token stream).
+#
+# Output is deterministic under ANY partitioning (the x20 verdict-
+# boolean pattern): the est value itself depends on batch boundaries,
+# so the query emits the exact top-10 counts plus the three guarantees
+# the sketch must satisfy — never-overestimates, within-bound, and
+# guaranteed-present for keys above the error bound.  The booleans are
+# invariant; the oracle asserts them TRUE against the exact counts.
+#
+# Scale: one corpus pass (Arrow-vectorized), counter-sized shuffle, a
+# bounded top-10 TakeOrdered, a 1-row total broadcast.
+#
+# Reference parity: no analog in the reference relay (app/app.py); part
+# of the LLM-pipeline extension mandate (sketches family).
+# ---------------------------------------------------------------------------
+X30_K = 200
+X30_TOP = 10
+
+
+def x30_misra_gries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import fan_out
+
+    docs = fan_out(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") > 0)
+
+    def mg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            if len(vc) > X30_K:
+                d = int(vc.iloc[X30_K])
+                vc = vc[vc > d] - d
+            yield pd.DataFrame(
+                {"token": vc.index, "est": vc.values.astype("int64")}
+            )
+
+    summaries = toks.mapInPandas(mg, schema="token string, est long")
+    est = summaries.groupBy("token").agg(F.sum("est").alias("est_n"))
+    n_row = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    exact_top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+        .limit(X30_TOP)
+    )
+    return (
+        exact_top.join(est, "token", "left")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "token",
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.expr(f"n_total div {X30_K + 1}").cast("long").alias("mg_bound"),
+            (F.coalesce(F.col("est_n"), F.lit(0)) <= F.col("exact_n")).alias(
+                "never_overestimates"
+            ),
+            (
+                F.coalesce(F.col("est_n"), F.lit(0))
+                >= F.col("exact_n") - F.expr(f"n_total div {X30_K + 1}")
+            ).alias("within_mg_bound"),
+            (
+                (F.col("exact_n") <= F.expr(f"n_total div {X30_K + 1}"))
+                | F.col("est_n").isNotNull()
+            ).alias("guaranteed_present_ok"),
+        )
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+    )
+
+
+ORACLE_X30 = f"""
+WITH toks AS (
+  SELECT token
+  FROM documents, unnest(string_split(text, ' ')) AS u(token)
+  WHERE length(token) > 0
+),
+tot AS (SELECT COUNT(*) AS n_total FROM toks),
+top AS (
+  SELECT token, COUNT(*) AS exact_n FROM toks GROUP BY token
+  ORDER BY exact_n DESC, token ASC LIMIT {X30_TOP}
+)
+SELECT t.token,
+       CAST(t.exact_n AS BIGINT) AS exact_n,
+       CAST(o.n_total AS BIGINT) AS n_total,
+       CAST(o.n_total // {X30_K + 1} AS BIGINT) AS mg_bound,
+       TRUE AS never_overestimates,
+       TRUE AS within_mg_bound,
+       TRUE AS guaranteed_present_ok
+FROM top t CROSS JOIN tot o
+ORDER BY exact_n DESC, token ASC
+"""
+
+
+QUERIES["x30_misra_gries"] = x30_misra_gries
+ORACLES["x30_misra_gries"] = ORACLE_X30

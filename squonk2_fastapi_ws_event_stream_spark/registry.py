@@ -67,6 +67,8 @@ _NEW_OR_CHANGED = (
     # round 6 NEW:
     "t63_pii_checksum_scan",
     "e38_journey_anomaly",
+    "x30_misra_gries",
+    "e39_kaplan_meier",
     "t13b_sentence_split",
     "t55_incremental_neardup",
     "q44_rolling_revenue",

@@ -890,3 +890,24 @@ def test_e38_anomaly_model_is_bounded_broadcast_worklist_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "hashpartitioning(user_id" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_x30_summaries_shuffle_counters_not_tokens(spark):
+    # Per-batch MG folds inside Arrow-vectorized mapInPandas; the merge
+    # shuffles (token, est) counter rows; the exact side is a bounded
+    # top-10 TakeOrdered; the total is a 1-row broadcast.
+    plan = explain(QUERIES["x30_misra_gries"](spark, SF), mode="simple")
+    assert "MapInPandas" in plan
+    assert "hashpartitioning(token" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_e39_km_fold_sees_calendar_rows_only(spark):
+    # One user_id exchange for the subject table; every window after it
+    # (at-risk reverse cumsum) and the sequential fold operate on the
+    # calendar-bounded per-duration aggregate; no join anywhere.
+    plan = explain(QUERIES["e39_kaplan_meier"](spark, SF), mode="simple")
+    assert "hashpartitioning(user_id" in plan
+    assert "hashpartitioning(duration" in plan
+    assert "Join" not in plan
