@@ -1485,3 +1485,191 @@ FROM clusters WHERE n_videos >= 2
 
 QUERIES["m14_shot_reuse"] = m14_shot_reuse
 ORACLES["m14_shot_reuse"] = _oracle_m14()
+
+
+# ---------------------------------------------------------------------------
+# m15 — letterbox / pillarbox border detection from REAL pixel bytes:
+# black bars around image content are the single most common visual
+# artifact in scraped media (TV crops, screenshots, social reposts) —
+# they waste model pixels, poison aHash near-dup (bars dominate the
+# hash), and the crop rectangle is the fix.  The detector scans the
+# ACTUAL pixel array for maximal all-dark edge runs (every channel of
+# every pixel in the row/column < 16), exactly what an ffmpeg cropdetect
+# does, vectorized over a zero-copy NumPy view (no per-pixel loop, the
+# m05 discipline).  BMP rows are stored BOTTOM-UP, so the stored-order
+# leading run is the IMAGE-bottom bar — the detector must get that
+# mapping right or top/bottom swap (the oracle would catch it).
+#
+# Fixture (the corpus has no media): every doc_id % 10 == 3 BMP gets a
+# planted box by (doc_id // 10) % 3 — none / letterbox (k dark rows top
+# and bottom) / pillarbox (k dark cols left and right), k = 1 + doc_id
+# % 3; bar pixels are NEAR-black noise (byte % 13, below threshold),
+# not pure zeros, and interior rows/columns can never alias as dark
+# (consecutive-byte fill steps by >= 48 per pixel across any window —
+# see the proof in the builder).  The oracle predicts every count and
+# the crop rectangle from the doc_id arithmetic alone; the detector
+# sees only bytes.
+#
+# Scale: one filter + two Arrow-batched mapInPandas stages (build,
+# detect), embarrassingly parallel, no shuffle at all.
+#
+# Reference parity: no analog in the reference relay (app/app.py); part
+# of the LLM-pipeline extension mandate (multimodal family).
+# ---------------------------------------------------------------------------
+M15_DARK = 16
+
+
+def make_boxed_bmp(
+    width: int, height: int, top: int, bottom: int, left: int, right: int, fill: int
+) -> bytes:
+    """A valid BMP with near-black bars planted over make_bmp's fill.
+
+    Interior safety: make_bmp fills consecutive bytes (offset+fill) %
+    256, so any full row (>= 48 consecutive bytes) spans >= 48 distinct
+    residues and cannot be all-dark; along a column consecutive pixels
+    differ by row_bytes % 256 ∈ [48, 100], which cannot stay inside a
+    16-wide window two steps running."""
+    buf = bytearray(make_bmp(width, height, fill))
+    row_bytes = ((3 * width + 3) // 4) * 4
+    px = np.frombuffer(memoryview(buf)[54:], dtype=np.uint8).reshape(
+        height, row_bytes
+    )
+    dark_row = (np.arange(3 * width, dtype=np.int64) % 13).astype(np.uint8)
+    # stored bottom-up: stored rows [0:bottom] = image bottom bar,
+    # stored rows [height-top:] = image top bar.
+    if bottom:
+        px[0:bottom, 0 : 3 * width] = dark_row
+    if top:
+        px[height - top :, 0 : 3 * width] = dark_row
+    if left:
+        px[:, 0 : 3 * left] = (
+            np.arange(3 * left, dtype=np.int64) % 13
+        ).astype(np.uint8)
+    if right:
+        px[:, 3 * (width - right) : 3 * width] = (
+            np.arange(3 * right, dtype=np.int64) % 13
+        ).astype(np.uint8)
+    return bytes(buf)
+
+
+def detect_borders(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """(w, h, top, bottom, left, right) from the pixel bytes alone."""
+    w, h = parse_bmp(payload)
+    row_bytes = ((3 * w + 3) // 4) * 4
+    px = (
+        np.frombuffer(payload, dtype=np.uint8, count=h * row_bytes, offset=54)
+        .reshape(h, row_bytes)[:, : 3 * w]
+        .reshape(h, w, 3)
+    )
+    dark = (px < M15_DARK).all(axis=2)
+    row_dark = dark.all(axis=1)  # stored (bottom-up) order
+    col_dark = dark.all(axis=0)
+
+    def lead(v) -> int:
+        nd = ~v
+        return int(np.argmax(nd)) if nd.any() else len(v)
+
+    bottom = lead(row_dark)  # stored-leading = image bottom
+    top = lead(row_dark[::-1])
+    left = lead(col_dark)
+    right = lead(col_dark[::-1])
+    return w, h, top, bottom, left, right
+
+
+M15_SCHEMA = (
+    "doc_id long, width int, height int, top_rows int, bottom_rows int, "
+    "left_cols int, right_cols int"
+)
+
+
+def m15_letterbox_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(
+        table(spark, sf_dir, "documents").select("doc_id"), spark
+    ).filter(F.col("doc_id") % 10 == 3)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = _bmp_dims(doc_id)
+                k = 1 + doc_id % 3
+                kind = (doc_id // 10) % 3
+                t, b, l, r = (
+                    (0, 0, 0, 0) if kind == 0
+                    else (k, k, 0, 0) if kind == 1
+                    else (0, 0, k, k)
+                )
+                payloads.append(
+                    make_boxed_bmp(w, h, t, b, l, r, doc_id % 251)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "top_rows", "bottom_rows",
+                "left_cols", "right_cols",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, t, b, l, r = detect_borders(payload)
+                for k, v in zip(rows, (doc_id, w, h, t, b, l, r)):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    detected = docs.mapInPandas(
+        build, schema="doc_id long, payload binary"
+    ).mapInPandas(detect, schema=M15_SCHEMA)
+    return detected.select(
+        "doc_id",
+        "width",
+        "height",
+        "top_rows",
+        "bottom_rows",
+        "left_cols",
+        "right_cols",
+        F.when(
+            (F.col("top_rows") > 0) | (F.col("bottom_rows") > 0), "letterbox"
+        )
+        .when((F.col("left_cols") > 0) | (F.col("right_cols") > 0), "pillarbox")
+        .otherwise("none")
+        .alias("box_kind"),
+        F.expr(
+            "CAST(1000000 * (width - left_cols - right_cols)"
+            " * (height - top_rows - bottom_rows)"
+            " div (width * height) AS BIGINT)"
+        ).alias("content_ppm"),
+    )
+
+
+ORACLE_M15 = """
+WITH media AS (
+  SELECT doc_id,
+         16 + doc_id % 17 AS w,
+         8 + doc_id % 11 AS h,
+         1 + doc_id % 3 AS k,
+         (doc_id // 10) % 3 AS kind
+  FROM documents WHERE doc_id % 10 = 3
+),
+boxed AS (
+  SELECT doc_id,
+         CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         CAST(CASE WHEN kind = 1 THEN k ELSE 0 END AS INTEGER) AS top_rows,
+         CAST(CASE WHEN kind = 1 THEN k ELSE 0 END AS INTEGER) AS bottom_rows,
+         CAST(CASE WHEN kind = 2 THEN k ELSE 0 END AS INTEGER) AS left_cols,
+         CAST(CASE WHEN kind = 2 THEN k ELSE 0 END AS INTEGER) AS right_cols,
+         CASE WHEN kind = 1 THEN 'letterbox'
+              WHEN kind = 2 THEN 'pillarbox'
+              ELSE 'none' END AS box_kind
+  FROM media
+)
+SELECT doc_id, width, height, top_rows, bottom_rows, left_cols, right_cols,
+       box_kind,
+       CAST(1000000 * (width - left_cols - right_cols)
+            * (height - top_rows - bottom_rows)
+            // (width * height) AS BIGINT) AS content_ppm
+FROM boxed
+"""
+
+
+QUERIES["m15_letterbox_detect"] = m15_letterbox_detect
+ORACLES["m15_letterbox_detect"] = ORACLE_M15

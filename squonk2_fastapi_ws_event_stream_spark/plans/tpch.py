@@ -1427,3 +1427,98 @@ FROM joined GROUP BY diff_class
 
 QUERIES["q48_snapshot_diff"] = q48_snapshot_diff
 ORACLES["q48_snapshot_diff"] = ORACLE_Q48
+
+
+# ---------------------------------------------------------------------------
+# q55 — semi-additive measure rollup (month-end balance): the OLAP
+# pattern plain SUM cannot express — a balance-like measure aggregates
+# across ACCOUNTS but NOT across time; the period value is each
+# account's LAST observation in the period, summed over accounts.
+# Treating each customer's order stream as account activity, the
+# month-end "balance" is the customer's latest o_totalprice in that
+# month; the report is the per-month total, account count, and
+# month-over-month delta.
+#
+# Shape: max_by per (customer, month) — an AGGREGATE, not a row_number
+# window over the corpus (one shuffle on the grouping key, map-side
+# combinable, no corpus-sized sort); ties are impossible because the
+# ordering key packs (epoch_day, orderkey) into one BIGINT with the
+# unique orderkey in the low digits (both engines compare the same
+# integer).  The month rollup and the MoM lag() then operate on the
+# CALENDAR-BOUNDED per-month table.  Balances sum in DECIMAL(18,2) —
+# exact, order-independent (the functions/numeric.py contract).
+#
+# Scale: one (custkey, month) exchange + a calendar-bounded aggregate;
+# no join, no hint, nothing corpus-sized past the first aggregate.
+#
+# Reference parity: no analog in the reference relay (app/app.py); part
+# of the relational-extension family (q40/q44's sibling).
+# ---------------------------------------------------------------------------
+def q55_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("epoch_day"),
+    )
+    eom = orders.groupBy("o_custkey", "month").agg(
+        F.max_by(
+            F.col("o_totalprice").cast("decimal(18,2)"),
+            F.col("epoch_day") * 10_000_000_000 + F.col("o_orderkey"),
+        ).alias("eom_balance")
+    )
+    monthly = eom.groupBy("month").agg(
+        F.sum("eom_balance").alias("total_balance"),
+        F.count(F.lit(1)).alias("n_accounts"),
+    )
+    mom = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        F.round(F.col("total_balance").cast("double"), 2).alias("total_balance"),
+        F.col("n_accounts").cast("long").alias("n_accounts"),
+        F.round(
+            (
+                F.col("total_balance")
+                - F.coalesce(
+                    F.lag("total_balance").over(mom),
+                    F.lit(0).cast("decimal(18,2)"),
+                )
+            ).cast("double"),
+            2,
+        ).alias("mom_delta"),
+    )
+
+
+ORACLE_Q55 = """
+WITH keyed AS (
+  SELECT o_custkey,
+         strftime(o_orderdate, '%Y-%m') AS month,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           * 10000000000 + o_orderkey AS ord_key,
+         CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+eom AS (
+  SELECT o_custkey, month, arg_max(price, ord_key) AS eom_balance
+  FROM keyed GROUP BY o_custkey, month
+),
+monthly AS (
+  SELECT month, SUM(eom_balance) AS total_balance, COUNT(*) AS n_accounts
+  FROM eom GROUP BY month
+)
+SELECT month,
+       ROUND(CAST(total_balance AS DOUBLE), 2) AS total_balance,
+       CAST(n_accounts AS BIGINT) AS n_accounts,
+       ROUND(CAST(total_balance
+                  - COALESCE(LAG(total_balance) OVER (ORDER BY month),
+                             CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS mom_delta
+FROM monthly
+"""
+
+
+QUERIES["q55_semi_additive_balance"] = q55_semi_additive_balance
+ORACLES["q55_semi_additive_balance"] = ORACLE_Q55

@@ -69,6 +69,8 @@ _NEW_OR_CHANGED = (
     "e38_journey_anomaly",
     "x30_misra_gries",
     "e39_kaplan_meier",
+    "m15_letterbox_detect",
+    "q55_semi_additive_balance",
     "t13b_sentence_split",
     "t55_incremental_neardup",
     "q44_rolling_revenue",

@@ -203,3 +203,33 @@ def test_m08_ahash_reads_sampled_pixels():
     for ch in range(3):
         cold[54 + 4 * rb + ch] = 255
     assert ahash_bmp(bytes(cold)) == base
+
+
+def test_m15_border_detector_reads_pixel_bytes():
+    from squonk2_fastapi_ws_event_stream_spark.operators.multimodal import (
+        detect_borders,
+        make_boxed_bmp,
+    )
+
+    # Planted bars come back exactly.
+    p = make_boxed_bmp(20, 10, 2, 2, 0, 0, 7)
+    assert detect_borders(p) == (20, 10, 2, 2, 0, 0)
+    p = make_boxed_bmp(20, 10, 0, 0, 3, 3, 7)
+    assert detect_borders(p) == (20, 10, 0, 0, 3, 3)
+    p = make_boxed_bmp(20, 10, 0, 0, 0, 0, 7)
+    assert detect_borders(p) == (20, 10, 0, 0, 0, 0)
+
+    # Tamper ONE pixel byte inside the image-top bar (stored LAST since
+    # BMP rows are bottom-up): the top run must shrink to the rows above
+    # the tampered one — proof the detector reads bytes, not metadata.
+    row_bytes = ((3 * 20 + 3) // 4) * 4
+    t = bytearray(make_boxed_bmp(20, 10, 2, 2, 0, 0, 7))
+    t[54 + 8 * row_bytes + 9] = 200  # stored row 8 = image row 1 (2nd from top)
+    assert detect_borders(bytes(t)) == (20, 10, 1, 2, 0, 0)
+
+    # Tampering a PADDING byte (beyond 3*w in a row) must change nothing
+    # (w=21 -> 63 pixel bytes padded to a 64-byte stride).
+    pad_stride = ((3 * 21 + 3) // 4) * 4
+    t2 = bytearray(make_boxed_bmp(21, 10, 2, 2, 0, 0, 7))
+    t2[54 + 9 * pad_stride + 3 * 21] = 200
+    assert detect_borders(bytes(t2)) == (21, 10, 2, 2, 0, 0)

@@ -911,3 +911,23 @@ def test_e39_km_fold_sees_calendar_rows_only(spark):
     assert "hashpartitioning(user_id" in plan
     assert "hashpartitioning(duration" in plan
     assert "Join" not in plan
+
+
+def test_m15_detection_is_shuffle_free_arrow_batched(spark):
+    # Build + detect are two Arrow-batched mapInPandas stages over a
+    # pushed-down doc_id filter; no exchange, no join anywhere.
+    plan = explain(QUERIES["m15_letterbox_detect"](spark, SF), mode="simple")
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_q55_balance_is_two_aggregates_no_corpus_window(spark):
+    # max_by rides the (custkey, month) aggregate — never a row_number
+    # window over orders; the only window (MoM lag) orders the
+    # calendar-bounded monthly table.
+    plan = explain(QUERIES["q55_semi_additive_balance"](spark, SF), mode="simple")
+    assert "max_by" in plan
+    assert "hashpartitioning(o_custkey" in plan
+    assert "row_number" not in plan
+    assert "Join" not in plan
