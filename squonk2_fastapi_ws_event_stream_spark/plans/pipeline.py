@@ -2031,3 +2031,166 @@ ORDER BY exact_n DESC, token ASC
 
 QUERIES["x30_misra_gries"] = x30_misra_gries
 ORACLES["x30_misra_gries"] = ORACLE_X30
+
+
+# ---------------------------------------------------------------------------
+# x31 — Poisson-bootstrap confidence interval for a mean, one scan:
+# error bars with NO distributional assumption and NO second pass —
+# the production answer to "is this dashboard delta real?".  The
+# classic resample-n-rows bootstrap cannot run distributed (sampling
+# WITH replacement needs global coordination); the Poisson bootstrap
+# (Chamandy et al., Google) replaces each replicate's multinomial
+# weights with independent Poisson(1) weights per row — each of the
+# R=100 replicate sums becomes a plain conditional aggregate, and the
+# whole thing is ONE map-side-combinable pass.
+#
+# Cross-engine determinism (the x13 overflow lessons): the Poisson
+# draw for (row, replicate) is the fixed affine hash
+# u = ((key % P) · A_r + B_r) % P with per-replicate constants derived
+# arithmetically (never 100 literals), mapped through the HARDCODED
+# integer CDF thresholds floor(P · CDF_Poisson(1)(k)) for k ≤ 7 — no
+# exp(), no rand(); every intermediate < (1e9+7)² < 2^63.  Replicate
+# sums fold integer CENTS; each replicate mean is one double division
+# rounded at the output boundary.
+#
+# Shape: explode ×100 feeds a map-side-combined 100-row aggregate (the
+# shuffle carries ≤ 100 partial rows per task, never the ×100 stream);
+# the CI is an exact order statistic over the fixed 100-row replicate
+# table (a bounded single-partition window, the e39 discipline).
+#
+# Reference parity: no analog in the reference relay (app/app.py);
+# part of the LLM-pipeline extension mandate (sampling/sketch family).
+# ---------------------------------------------------------------------------
+X31_R = 100
+X31_P = 1_000_000_007
+# floor(P * CDF_{Poisson(1)}(k)), k = 0..7; weight = #{t <= u} (max 8).
+X31_THRESHOLDS = (
+    367879443, 735758887, 919698609, 981011849,
+    996340160, 999405822, 999916765, 999989757,
+)
+
+
+def x31_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    P = X31_P
+    # Two mixing rounds, every product < (1e9+7)^2 < 2^63: round 1
+    # spreads the (possibly tiny) key across [0, P) so round 2's
+    # per-replicate multiplier always wraps — a single affine round
+    # with a small key never wraps and degenerates to all-zero weights.
+    rep = orders.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(X31_R - 1))).alias("r"),
+        (((F.col("o_orderkey") % P) * 611592793 + 37) % P).alias("v"),
+    ).select(
+        "r",
+        "cents",
+        (
+            (
+                F.col("v") * ((179424673 + 104729 * F.col("r")) % P)
+                + F.col("r")
+            )
+            % P
+        ).alias("u"),
+    )
+    w = sum(
+        (F.col("u") >= F.lit(t)).cast("long") for t in X31_THRESHOLDS
+    )
+    reps = (
+        rep.withColumn("w", w)
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("wsum"),
+            F.sum("w").alias("wn"),
+        )
+        .select(
+            "r",
+            F.round(
+                F.col("wsum").cast("double")
+                / F.col("wn").cast("double")
+                / 100.0,
+                4,
+            ).alias("rep_mean"),
+        )
+    )
+    ranked = reps.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("rep_mean").asc(), F.col("r").asc())
+        ),
+    )
+    point = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0), 4
+        ).alias("mean_price"),
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("rk") == 5, F.col("rep_mean"))).alias("boot_lo"),
+        F.max(F.when(F.col("rk") == 95, F.col("rep_mean"))).alias("boot_hi"),
+        F.count(F.lit(1)).alias("n_replicates"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        F.col("n").cast("long").alias("n"),
+        "mean_price",
+        "boot_lo",
+        "boot_hi",
+        F.col("n_replicates").cast("long").alias("n_replicates"),
+    )
+
+
+ORACLE_X31 = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders
+),
+rep AS (
+  SELECT r.range AS r, b.cents,
+         (((b.o_orderkey % {X31_P}) * 611592793 + 37) % {X31_P}
+           * ((179424673 + 104729 * r.range) % {X31_P}) + r.range)
+           % {X31_P} AS u
+  FROM base b CROSS JOIN range(0, {X31_R}) r
+),
+weighted AS (
+  SELECT r, cents,
+         {' + '.join(f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in X31_THRESHOLDS)}
+           AS w
+  FROM rep
+),
+reps AS (
+  SELECT r,
+         ROUND(CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+               / 100.0, 4) AS rep_mean
+  FROM weighted GROUP BY r
+),
+ranked AS (
+  SELECT r, rep_mean,
+         ROW_NUMBER() OVER (ORDER BY rep_mean ASC, r ASC) AS rk
+  FROM reps
+),
+point AS (
+  SELECT COUNT(*) AS n,
+         ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0, 4)
+           AS mean_price
+  FROM base
+),
+ci AS (
+  SELECT MAX(CASE WHEN rk = 5 THEN rep_mean END) AS boot_lo,
+         MAX(CASE WHEN rk = 95 THEN rep_mean END) AS boot_hi,
+         COUNT(*) AS n_replicates
+  FROM ranked
+)
+SELECT CAST(p.n AS BIGINT) AS n, p.mean_price, c.boot_lo, c.boot_hi,
+       CAST(c.n_replicates AS BIGINT) AS n_replicates
+FROM point p CROSS JOIN ci c
+"""
+
+
+QUERIES["x31_poisson_bootstrap"] = x31_poisson_bootstrap
+ORACLES["x31_poisson_bootstrap"] = ORACLE_X31

@@ -65,6 +65,7 @@ NON_SQL_QUERIES = frozenset(missing)
 # cover ALL queries regardless of this order.
 _NEW_OR_CHANGED = (
     # round 6 NEW:
+    "x31_poisson_bootstrap",
     "t63_pii_checksum_scan",
     "e38_journey_anomaly",
     "x30_misra_gries",

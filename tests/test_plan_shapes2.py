@@ -922,6 +922,28 @@ def test_m15_detection_is_shuffle_free_arrow_batched(spark):
     assert "Join" not in plan
 
 
+def test_x31_bootstrap_shuffle_carries_replicate_partials_only(spark):
+    # The ×100 explode stays map-side: a partial HashAggregate folds each
+    # task's replicate contributions BEFORE the exchange, so the shuffle
+    # carries <= 100 partial rows per task, never the exploded stream.
+    # The CI join-back is a 1-row bounded broadcast (audit-clean) and the
+    # only window orders the fixed 100-row replicate table.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["x31_poisson_bootstrap"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    # map-side combine: the partial per-replicate sums fold BEFORE the
+    # replicate exchange (simple mode prints partial_sum in the map-side
+    # HashAggregate under the Exchange hashpartitioning(r...) node)
+    assert "Exchange hashpartitioning(r#" in plan
+    assert "partial_sum((w" in plan, "explode must fold map-side pre-shuffle"
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_q55_balance_is_two_aggregates_no_corpus_window(spark):
     # max_by rides the (custkey, month) aggregate — never a row_number
     # window over orders; the only window (MoM lag) orders the
