@@ -2729,3 +2729,220 @@ FROM km
 
 QUERIES["e39_kaplan_meier"] = e39_kaplan_meier
 ORACLES["e39_kaplan_meier"] = ORACLE_E39
+
+
+# ---------------------------------------------------------------------------
+# e40 — regular-grid gap filling with last-observation-carried-forward
+# (the TimescaleDB `time_bucket_gapfill` + `locf` analog; the reference
+# relay replays raw events — downstream dashboards need them resampled
+# onto a regular grid with explicit gaps). Per event type: 15-minute
+# buckets over the GLOBAL data span; a bucket's observed value is its
+# LAST event's value (exchange-ordered by (ts, event_id) via one struct
+# max — never a per-bucket sort); empty buckets carry the previous
+# bucket's value forward and are flagged `is_gap`. Buckets before a
+# type's first observation carry the -1.0 sentinel (NULL would make the
+# hash comparison type-fragile).
+#
+# Cross-engine determinism: values fold as integer CENTS (one decimal
+# cast, x31 discipline); the within-bucket "last" is a struct max on the
+# unique (us, event_id) key — no float order anywhere.
+#
+# Scale: the observed table aggregates on the FINE (event_type, bucket)
+# key with map-side combine; the grid is calendar-bounded (span-hours x
+# |types|, ~10^6 rows for years of data) — the LOCF window partitions by
+# event_type over GRID rows only, never corpus rows; the 1-row bounds
+# aggregate broadcasts.
+# ---------------------------------------------------------------------------
+E40_BUCKET_US = 900_000_000  # 15 minutes
+
+
+def e40_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    ).withColumn("b", F.expr(f"us DIV {E40_BUCKET_US}"))
+    observed = ev.groupBy("event_type", "b").agg(
+        F.max(F.struct("us", "event_id", "cents"))["cents"].alias("close_cents")
+    )
+    bounds = ev.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("b")
+    )
+    w = Window.partitionBy("event_type").orderBy("b")
+    filled = (
+        grid.join(observed, ["event_type", "b"], "left")
+        .withColumn("locf", F.last("close_cents", ignorenulls=True).over(w))
+    )
+    return filled.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_seconds(F.col("b") * (E40_BUCKET_US // 1_000_000)),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("bucket_start"),
+        F.round(F.coalesce(F.col("locf"), F.lit(-100)).cast("double") / 100.0, 2).alias(
+            "close_value"
+        ),
+        F.col("close_cents").isNull().alias("is_gap"),
+    )
+
+
+ORACLE_E40 = f"""
+WITH ev AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us,
+         CAST(CAST(ROUND(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         epoch_us(ts) // {E40_BUCKET_US} AS b
+  FROM events
+),
+observed AS (
+  SELECT event_type, b, cents AS close_cents
+  FROM (SELECT event_type, b, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type, b
+                                  ORDER BY us DESC, event_id DESC) AS rn
+        FROM ev)
+  WHERE rn = 1
+),
+bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM ev),
+grid AS (
+  SELECT t.event_type, unnest(range(bounds.lo, bounds.hi + 1)) AS b
+  FROM (SELECT DISTINCT event_type FROM ev) t
+  CROSS JOIN bounds
+),
+filled AS (
+  SELECT g.event_type, g.b, o.close_cents,
+         last_value(o.close_cents IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+  FROM grid g LEFT JOIN observed o
+    ON g.event_type = o.event_type AND g.b = o.b
+)
+SELECT event_type,
+       strftime(make_timestamp(b * {E40_BUCKET_US}), '%Y-%m-%d %H:%M:%S')
+         AS bucket_start,
+       ROUND(CAST(COALESCE(locf, -100) AS DOUBLE) / 100.0, 2) AS close_value,
+       close_cents IS NULL AS is_gap
+FROM filled
+"""
+
+
+QUERIES["e40_gapfill_locf"] = e40_gapfill_locf
+ORACLES["e40_gapfill_locf"] = ORACLE_E40
+
+
+# ---------------------------------------------------------------------------
+# e41 — time-weighted average (TWAP): per event type, the average of
+# `value` weighted by HOW LONG each observation was the current one
+# (each event's value holds from its timestamp to the next event's),
+# next to the naive per-event mean it corrects. The canonical financial/
+# metering aggregate; a burst of cheap readings no longer drags the
+# average the way it drags the naive mean.
+#
+# Scale — segmented integration with boundary stitching: a single
+# per-type window would funnel a type's ENTIRE history into one task
+# (the q52-class trap), so the integral splits into (a) intra-day
+# segments on the FINE (event_type, day) window and (b) cross-boundary
+# segments (a day's last observation held until the NEXT OBSERVED day's
+# first event) on a window over the calendar-bounded per-day summary.
+# The segments partition [first, last] exactly — the sum equals the
+# single-window formulation the oracle uses.
+#
+# Cross-engine determinism: integer cents x integer microsecond
+# durations folded in DECIMAL(38,0) (cents*span overflows int64 at
+# design scale); day-edge picks are struct min/max on the unique
+# (us, event_id) key; one double division at the output boundary.
+# ---------------------------------------------------------------------------
+def e41_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    w_day = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    seg = ev.withColumn("nxt_us", F.lead("us").over(w_day))
+    daily = seg.groupBy("event_type", "day").agg(
+        F.sum(
+            (F.col("cents").cast("decimal(38,0)"))
+            * (F.col("nxt_us") - F.col("us")).cast("decimal(38,0)")
+        ).alias("intra_vt"),
+        F.sum(F.col("nxt_us") - F.col("us")).alias("intra_dur"),
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("cents").alias("cents_sum"),
+        F.min(F.struct("us", "event_id"))["us"].alias("first_us"),
+        F.max(F.struct("us", "event_id", "cents"))["cents"].alias("last_cents"),
+        F.max(F.struct("us", "event_id"))["us"].alias("last_us"),
+    )
+    w_cal = Window.partitionBy("event_type").orderBy("day")
+    stitched = daily.withColumn("next_first_us", F.lead("first_us").over(w_cal))
+    return (
+        stitched.groupBy("event_type")
+        .agg(
+            F.sum("n_obs").alias("n_obs"),
+            (
+                F.sum(F.coalesce(F.col("intra_vt"), F.lit(0).cast("decimal(38,0)")))
+                + F.sum(
+                    F.when(
+                        F.col("next_first_us").isNotNull(),
+                        F.col("last_cents").cast("decimal(38,0)")
+                        * (F.col("next_first_us") - F.col("last_us")).cast(
+                            "decimal(38,0)"
+                        ),
+                    )
+                )
+            ).alias("vt"),
+            (
+                F.sum(F.coalesce(F.col("intra_dur"), F.lit(0)))
+                + F.sum(
+                    F.when(
+                        F.col("next_first_us").isNotNull(),
+                        F.col("next_first_us") - F.col("last_us"),
+                    )
+                )
+            ).alias("dur_us"),
+            F.sum("cents_sum").alias("cents_sum"),
+        )
+        .select(
+            "event_type",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.col("dur_us").cast("long").alias("span_us"),
+            F.round(
+                F.col("vt").cast("double") / F.col("dur_us").cast("double") / 100.0, 4
+            ).alias("twap"),
+            F.round(
+                F.col("cents_sum").cast("double") / F.col("n_obs").cast("double") / 100.0,
+                4,
+            ).alias("naive_mean"),
+        )
+    )
+
+
+ORACLE_E41 = """
+WITH ev AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us,
+         CAST(CAST(ROUND(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+seq AS (
+  SELECT event_type, cents, us,
+         LEAD(us) OVER (PARTITION BY event_type
+                        ORDER BY us ASC, event_id ASC) AS nxt_us
+  FROM ev
+)
+SELECT event_type,
+       COUNT(*) AS n_obs,
+       CAST(SUM(nxt_us - us) AS BIGINT) AS span_us,
+       ROUND(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * CAST(nxt_us - us AS DECIMAL(38,0)))
+                  AS DOUBLE)
+             / CAST(SUM(nxt_us - us) AS DOUBLE) / 100.0, 4) AS twap,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 4)
+         AS naive_mean
+FROM seq
+GROUP BY event_type
+"""
+
+
+QUERIES["e41_time_weighted_avg"] = e41_time_weighted_avg
+ORACLES["e41_time_weighted_avg"] = ORACLE_E41

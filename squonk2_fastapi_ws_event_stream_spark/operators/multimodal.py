@@ -1673,3 +1673,168 @@ FROM boxed
 
 QUERIES["m15_letterbox_detect"] = m15_letterbox_detect
 ORACLES["m15_letterbox_detect"] = ORACLE_M15
+
+
+# ---------------------------------------------------------------------------
+# m16 — exposure / luminance quality gates over the BMP corpus: per
+# image, the pixel-luminance distribution (mean, extremes, shadow and
+# highlight tail fractions) and an under/over-exposure verdict — the
+# image-side sibling of the t08 text-quality gates (a vision training
+# set drops crushed-black and blown-white frames before they poison the
+# loss, exactly as t08 drops degenerate text).
+#
+# HONESTY: stats come from the REAL pixel bytes (header-parsed stride,
+# padding bytes excluded, NumPy-vectorized — the m05 discipline); the
+# fixture plants exposure variants by doc_id arithmetic (dark span for
+# doc_id % 40 == 13, bright span for % 40 == 33) so the DuckDB oracle
+# re-derives every pixel's luminance in closed form — a parser that
+# misstrides padding or miscounts channels breaks the match.
+#
+# Cross-engine determinism: luminance is the INTEGER channel sum
+# (0..765, no weights, no division); mean/tails are truncating integer
+# divisions (milli / ppm units); the verdict compares integers.
+#
+# Scale: filter + one Arrow-batched build stage + one extract stage,
+# embarrassingly parallel, no shuffle anywhere.
+# ---------------------------------------------------------------------------
+M16_DARK_LUMA = 96       # shadow tail: luma < 96 of 765
+M16_BRIGHT_LUMA = 672    # highlight tail: luma > 672 of 765
+M16_UNDER_MILLI = 150_000   # mean_luma_milli below -> 'under'
+M16_OVER_MILLI = 600_000    # mean_luma_milli above -> 'over'
+
+
+def make_exposed_bmp(width: int, height: int, fill: int, lo: int, span: int) -> bytes:
+    """A valid BMP whose payload bytes follow lo + (offset+fill) % span —
+    span 256/lo 0 is make_bmp's standard fill; span 32 pins the whole
+    image into a dark (lo=0) or bright (lo=224) band."""
+    row_bytes = ((3 * width + 3) // 4) * 4
+    img_bytes = row_bytes * height
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + img_bytes, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_bytes, 2835, 2835, 0, 0
+    )
+    pixels = (
+        lo + (np.arange(img_bytes, dtype=np.int64) + fill) % span
+    ).astype(np.uint8).tobytes()
+    return file_header + dib + pixels
+
+
+def exposure_stats(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """(n_pixels, mean_luma_milli, dark_ppm, bright_ppm, luma_min,
+    luma_max) from the real pixel bytes (padding stripped)."""
+    w, h = parse_bmp(payload)
+    rb = ((3 * w + 3) // 4) * 4
+    luma = (
+        np.frombuffer(payload, dtype=np.uint8, count=h * rb, offset=54)
+        .reshape(h, rb)[:, : 3 * w]
+        .reshape(h, w, 3)
+        .sum(axis=2, dtype=np.int64)
+    )
+    n = luma.size
+    return (
+        n,
+        1000 * int(luma.sum()) // n,
+        1_000_000 * int((luma < M16_DARK_LUMA).sum()) // n,
+        1_000_000 * int((luma > M16_BRIGHT_LUMA).sum()) // n,
+        int(luma.min()),
+        int(luma.max()),
+    )
+
+
+M16_SCHEMA = (
+    "doc_id long, n_pixels int, mean_luma_milli long, dark_ppm long, "
+    "bright_ppm long, luma_min int, luma_max int"
+)
+
+
+def m16_exposure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(
+        table(spark, sf_dir, "documents").select("doc_id"), spark
+    ).filter(F.col("doc_id") % 10 == 3)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = _bmp_dims(doc_id)
+                lo, span = (
+                    (0, 32) if doc_id % 40 == 13
+                    else (224, 32) if doc_id % 40 == 33
+                    else (0, 256)
+                )
+                payloads.append(make_exposed_bmp(w, h, doc_id % 251, lo, span))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_pixels", "mean_luma_milli", "dark_ppm",
+                "bright_ppm", "luma_min", "luma_max",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                stats = exposure_stats(payload)
+                for k, v in zip(rows, (doc_id, *stats)):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    extracted = docs.mapInPandas(
+        build, schema="doc_id long, payload binary"
+    ).mapInPandas(extract, schema=M16_SCHEMA)
+    return extracted.select(
+        "*",
+        F.when(F.col("mean_luma_milli") < M16_UNDER_MILLI, "under")
+        .when(F.col("mean_luma_milli") > M16_OVER_MILLI, "over")
+        .otherwise("ok")
+        .alias("exposure"),
+    )
+
+
+ORACLE_M16 = f"""
+WITH params AS (
+  SELECT doc_id,
+         16 + doc_id % 17 AS w, 8 + doc_id % 11 AS h,
+         doc_id % 251 AS fill,
+         ((3 * (16 + doc_id % 17) + 3) // 4) * 4 AS rb,
+         CASE WHEN doc_id % 40 = 13 THEN 0
+              WHEN doc_id % 40 = 33 THEN 224 ELSE 0 END AS lo,
+         CASE WHEN doc_id % 40 IN (13, 33) THEN 32 ELSE 256 END AS span
+  FROM documents WHERE doc_id % 10 = 3
+),
+lumas AS (
+  SELECT doc_id, w * h AS n,
+         list_transform(range(0, w * h), k ->
+             3 * lo
+           + (fill + (k // w) * rb + 3 * (k % w)) % span
+           + (fill + (k // w) * rb + 3 * (k % w) + 1) % span
+           + (fill + (k // w) * rb + 3 * (k % w) + 2) % span
+         ) AS luma
+  FROM params
+),
+stats AS (
+  SELECT doc_id, n,
+         1000 * list_sum(luma) // n AS mean_luma_milli,
+         1000000 * list_sum(list_transform(luma,
+             v -> CASE WHEN v < {M16_DARK_LUMA} THEN 1 ELSE 0 END)) // n
+           AS dark_ppm,
+         1000000 * list_sum(list_transform(luma,
+             v -> CASE WHEN v > {M16_BRIGHT_LUMA} THEN 1 ELSE 0 END)) // n
+           AS bright_ppm,
+         list_min(luma) AS luma_min,
+         list_max(luma) AS luma_max
+  FROM lumas
+)
+SELECT doc_id, CAST(n AS INTEGER) AS n_pixels,
+       CAST(mean_luma_milli AS BIGINT) AS mean_luma_milli,
+       CAST(dark_ppm AS BIGINT) AS dark_ppm,
+       CAST(bright_ppm AS BIGINT) AS bright_ppm,
+       CAST(luma_min AS INTEGER) AS luma_min,
+       CAST(luma_max AS INTEGER) AS luma_max,
+       CASE WHEN mean_luma_milli < {M16_UNDER_MILLI} THEN 'under'
+            WHEN mean_luma_milli > {M16_OVER_MILLI} THEN 'over'
+            ELSE 'ok' END AS exposure
+FROM stats
+"""
+
+
+QUERIES["m16_exposure_stats"] = m16_exposure_stats
+ORACLES["m16_exposure_stats"] = ORACLE_M16

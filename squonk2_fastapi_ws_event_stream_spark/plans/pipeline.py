@@ -2194,3 +2194,260 @@ FROM point p CROSS JOIN ci c
 
 QUERIES["x31_poisson_bootstrap"] = x31_poisson_bootstrap
 ORACLES["x31_poisson_bootstrap"] = ORACLE_X31
+
+
+# ---------------------------------------------------------------------------
+# x32 — two-proportion A/B significance test with a threshold-sensitivity
+# sweep: users hash into experiment arms, "converted" means at-least-K
+# purchase events, and each K in the sweep gets pooled two-proportion
+# z-test verdicts at 95% — the experimentation-platform readout every
+# event pipeline ends at. The reference relays the raw events
+# (app/app.py:393-524); this is the canonical downstream consumer.
+#
+# Cross-engine determinism: arm assignment is the fixed affine hash
+# ((uid % P) * A + B) % P % 2 (x13 family — every product < 2^63); all
+# counts are exact integers; z^2 = d^2*N / (n1*n2*X*(N-X)) is evaluated
+# in DOUBLE with a FIXED operation order — every step is an IEEE-defined
+# op on identical inputs, so both engines produce the same bits (only
+# sum ORDER and libm calls diverge across engines; neither appears).
+# The verdict compares the unrounded z^2 to the chi-square(1) critical
+# value 3.8416 — a deterministic boolean, the sketch-verdict discipline.
+# No int64 path can overflow at any scale: d, n, X stay < 2^53 exact up
+# to ~9e15 users per arm, and past that the double rounding is still
+# bit-identical cross-engine.
+#
+# Scale: one (user_id) aggregate with map-side combine folds the corpus
+# to per-user purchase counts; the sweep explodes x3 on the per-user
+# table and folds straight into a 3-row conditional aggregate — the
+# shuffle carries <= 3 partial rows per task.
+# ---------------------------------------------------------------------------
+X32_P = 1_000_000_007
+X32_A = 179424673
+X32_B = 104729
+X32_THRESHOLDS = (10, 15, 20)
+X32_Z2_CRIT_95 = 3.8416  # chi-square(1 dof) at alpha = 0.05
+
+
+def x32_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "purchases"
+            )
+        )
+        .withColumn(
+            "arm",
+            (((F.col("user_id") % X32_P) * X32_A + X32_B) % X32_P % 2).cast("int"),
+        )
+    )
+    swept = users.select(
+        "arm",
+        "purchases",
+        F.explode(
+            F.array(*[F.lit(k) for k in X32_THRESHOLDS])
+        ).alias("k_min"),
+    )
+    counts = swept.groupBy("k_min").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        F.sum(
+            ((F.col("arm") == 0) & (F.col("purchases") >= F.col("k_min"))).cast("long")
+        ).alias("x_a"),
+        F.sum(
+            ((F.col("arm") == 1) & (F.col("purchases") >= F.col("k_min"))).cast("long")
+        ).alias("x_b"),
+    )
+    enriched = counts.select(
+        "*",
+        (F.col("x_a") * F.col("n_b") - F.col("x_b") * F.col("n_a")).alias("d"),
+        (F.col("x_a") + F.col("x_b")).alias("x_pool"),
+        (F.col("n_a") + F.col("n_b")).alias("n_pool"),
+    )
+    z2 = (
+        F.col("d").cast("double")
+        * F.col("d").cast("double")
+        * F.col("n_pool").cast("double")
+    ) / (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        * F.col("x_pool").cast("double")
+        * (F.col("n_pool") - F.col("x_pool")).cast("double")
+    )
+    return enriched.select(
+        F.col("k_min").cast("int").alias("k_min"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("x_a").cast("long").alias("x_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("x_b").cast("long").alias("x_b"),
+        F.round(F.col("x_a").cast("double") / F.col("n_a").cast("double"), 6).alias(
+            "rate_a"
+        ),
+        F.round(F.col("x_b").cast("double") / F.col("n_b").cast("double"), 6).alias(
+            "rate_b"
+        ),
+        F.round(z2, 6).alias("z_sq"),
+        (z2 > F.lit(X32_Z2_CRIT_95)).alias("significant_95"),
+    )
+
+
+ORACLE_X32 = f"""
+WITH users AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+         CAST((((user_id % {X32_P}) * {X32_A} + {X32_B}) % {X32_P}) % 2 AS INTEGER)
+           AS arm
+  FROM events GROUP BY user_id
+),
+swept AS (
+  SELECT u.arm, u.purchases, k.k_min
+  FROM users u
+  CROSS JOIN (VALUES {', '.join(f'({k})' for k in X32_THRESHOLDS)}) k(k_min)
+),
+counts AS (
+  SELECT k_min,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN arm = 0 AND purchases >= k_min THEN 1 ELSE 0 END) AS x_a,
+         SUM(CASE WHEN arm = 1 AND purchases >= k_min THEN 1 ELSE 0 END) AS x_b
+  FROM swept GROUP BY k_min
+),
+enriched AS (
+  SELECT *, x_a * n_b - x_b * n_a AS d,
+         x_a + x_b AS x_pool, n_a + n_b AS n_pool
+  FROM counts
+),
+scored AS (
+  SELECT *,
+         (CAST(d AS DOUBLE) * CAST(d AS DOUBLE) * CAST(n_pool AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * CAST(x_pool AS DOUBLE)
+            * CAST(n_pool - x_pool AS DOUBLE)) AS z2
+  FROM enriched
+)
+SELECT CAST(k_min AS INTEGER) AS k_min,
+       CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+       ROUND(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       ROUND(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       ROUND(z2, 6) AS z_sq,
+       z2 > {X32_Z2_CRIT_95} AS significant_95
+FROM scored
+"""
+
+
+QUERIES["x32_ab_proportion_test"] = x32_ab_proportion_test
+ORACLES["x32_ab_proportion_test"] = ORACLE_X32
+
+
+# ---------------------------------------------------------------------------
+# x33 — Benford first-digit audit: the first significant digit of every
+# order total vs Benford's law, with an exact chi-square verdict — the
+# classic anomaly/fraud screen a data-quality layer runs over money
+# columns. Expected probabilities log10(1 + 1/d) are HARDCODED exact
+# micro-unit constants (no libm at query time); they sum to exactly
+# 1,000,000.
+#
+# Cross-engine determinism (the e39 truncating-division discipline):
+# each digit's chi-square term is computed as the INTEGER micro-unit
+# floor(((1e6*obs - n*P_d)^2 * 1e6) / (n*P_d*1e6)) via decimal DIV —
+# numerators reach 1e36 at design scale, inside DECIMAL(38,0); DuckDB
+# mirrors with HUGEINT //. The per-digit terms sum exactly as BIGINT;
+# the reject verdict compares integer micro-units to the chi-square
+# (8 dof, alpha=0.05) critical value 15.5073 scaled by 1e6.
+#
+# Scale: first_digit is map-side string work on the cents integer; the
+# aggregate groups on the FIXED 9-digit domain with map-side combine;
+# the 9-row total window is bounded. One scan, one 9-row shuffle.
+# ---------------------------------------------------------------------------
+X33_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+X33_CHI2_CRIT_MICRO = 15_507_300  # chi-square(8 dof) at alpha = 0.05, x1e6
+
+
+def x33_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dollars = table(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 100"
+        ).alias("dollars")
+    )
+    digits = dollars.select(
+        F.substring(F.col("dollars").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("obs"))
+    n_total = digits.agg(F.count(F.lit(1)).alias("n"))
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in X33_BENFORD_PPM.items()], "digit int, p_ppm long"
+    )
+    # broadcast the PROVABLY bounded sides: the 9-row expected table (a
+    # local relation) and the 1-row total — never the data-derived obs.
+    joined = (
+        obs.join(F.broadcast(expected), "digit", "right")
+        .na.fill({"obs": 0})
+        .crossJoin(F.broadcast(n_total))
+    )
+    term = joined.select(
+        "digit",
+        "obs",
+        "n",
+        F.expr("n * p_ppm DIV 1000").alias("expected_milli"),
+        F.expr(
+            "(CAST(1000000 * obs - n * p_ppm AS DECIMAL(38,0))"
+            " * CAST(1000000 * obs - n * p_ppm AS DECIMAL(38,0))"
+            " * 1000000)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * p_ppm * 1000000)"
+        ).alias("term_micro"),
+    )
+    w_all = Window.partitionBy()
+    return term.select(
+        F.col("digit").cast("int").alias("digit"),
+        F.col("obs").cast("long").alias("n_obs"),
+        F.expr("obs * 1000000 DIV n").cast("long").alias("obs_ppm"),
+        F.col("expected_milli").cast("long").alias("expected_milli"),
+        F.col("term_micro").cast("long").alias("term_micro"),
+        F.sum("term_micro").over(w_all).cast("long").alias("chi2_micro"),
+        (
+            F.sum("term_micro").over(w_all) > F.lit(X33_CHI2_CRIT_MICRO)
+        ).alias("reject_benford_95"),
+    )
+
+
+ORACLE_X33 = f"""
+WITH dollars AS (
+  SELECT CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // 100 AS dollars
+  FROM orders
+),
+digits AS (
+  SELECT CAST(SUBSTR(CAST(dollars AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM dollars
+),
+obs AS (SELECT digit, COUNT(*) AS obs FROM digits GROUP BY digit),
+n_total AS (SELECT COUNT(*) AS n FROM digits),
+expected(digit, p_ppm) AS (VALUES
+  {', '.join(f'({d}, {p})' for d, p in X33_BENFORD_PPM.items())}
+),
+term AS (
+  SELECT e.digit, COALESCE(o.obs, 0) AS obs, t.n,
+         t.n * e.p_ppm // 1000 AS expected_milli,
+         (CAST(1000000 * COALESCE(o.obs, 0) - t.n * e.p_ppm AS HUGEINT)
+          * CAST(1000000 * COALESCE(o.obs, 0) - t.n * e.p_ppm AS HUGEINT)
+          * 1000000)
+         // (CAST(t.n AS HUGEINT) * e.p_ppm * 1000000) AS term_micro
+  FROM expected e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN n_total t
+)
+SELECT CAST(digit AS INTEGER) AS digit,
+       CAST(obs AS BIGINT) AS n_obs,
+       CAST(obs * 1000000 // n AS BIGINT) AS obs_ppm,
+       CAST(expected_milli AS BIGINT) AS expected_milli,
+       CAST(term_micro AS BIGINT) AS term_micro,
+       CAST(SUM(term_micro) OVER () AS BIGINT) AS chi2_micro,
+       SUM(term_micro) OVER () > {X33_CHI2_CRIT_MICRO} AS reject_benford_95
+FROM term
+"""
+
+
+QUERIES["x33_benford_audit"] = x33_benford_audit
+ORACLES["x33_benford_audit"] = ORACLE_X33

@@ -632,3 +632,110 @@ FROM seg GROUP BY segment
 
 QUERIES["q54_rfm_segments"] = q54_rfm_segments
 ORACLES["q54_rfm_segments"] = ORACLE_Q54
+
+
+# ---------------------------------------------------------------------------
+# q56 — exact proportional allocation by the largest-remainder (Hamilton)
+# method: a fixed budget of 1,000,000 cents splits across nations in
+# proportion to their order revenue, and the allocations SUM EXACTLY to
+# the budget — the billing/chargeback primitive naive rounding always
+# breaks (floor leaves cents on the floor, round can over-spend).
+#
+#   base_i  = floor(B * rev_i / total)           (exact decimal DIV)
+#   residue = B - sum(base_i)  (< |nations|)
+#   +1 to the `residue` nations with the largest remainder
+#             B * rev_i mod total, ties broken by nation name.
+#
+# Cross-engine determinism: revenue folds as integer cents; B*rev_i hits
+# 1e6 * 1e13+ — DECIMAL(38,0) multiply, DIV, and % on both engines; the
+# remainder ranking is integer with a total tie order (remainder DESC,
+# name ASC).
+#
+# Scale: customer⋈orders is the only corpus join — both sides SF-scaled,
+# hint-free (AQE decides; the SCALING.md:62 rule); the per-nation rollup
+# is a 25-row aggregate, and every window after it runs on the
+# spec-fixed 25-row nation table.  The nation dim broadcast is bounded.
+# ---------------------------------------------------------------------------
+Q56_BUDGET_CENTS = 1_000_000
+
+
+def q56_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("rev_cents"))
+    )
+    named = rev.join(F.broadcast(nation), rev.c_nationkey == nation.n_nationkey)
+    totaled = named.withColumn(
+        "total", F.sum("rev_cents").over(Window.partitionBy())
+    )
+    scored = totaled.select(
+        "n_name",
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        F.expr(
+            f"CAST({Q56_BUDGET_CENTS} AS DECIMAL(38,0)) * rev_cents DIV total"
+        ).alias("base"),
+        F.expr(
+            f"CAST({Q56_BUDGET_CENTS} AS DECIMAL(38,0)) * rev_cents % total"
+        ).alias("rem"),
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("rem").desc(), F.col("n_name").asc())
+    ranked = scored.withColumn(
+        "residue", F.lit(Q56_BUDGET_CENTS) - F.sum("base").over(w_all)
+    ).withColumn("rk", F.row_number().over(w_rank))
+    return ranked.select(
+        "n_name",
+        "rev_cents",
+        F.col("base").cast("long").alias("base_cents"),
+        (F.col("rk") <= F.col("residue")).cast("int").alias("extra_cent"),
+        (F.col("base") + (F.col("rk") <= F.col("residue")).cast("int"))
+        .cast("long")
+        .alias("alloc_cents"),
+    )
+
+
+ORACLE_Q56 = f"""
+WITH rev AS (
+  SELECT c.c_nationkey,
+         SUM(CAST(CAST(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS HUGEINT)) AS rev_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+),
+named AS (
+  SELECT n.n_name, r.rev_cents,
+         SUM(r.rev_cents) OVER () AS total
+  FROM rev r JOIN nation n ON r.c_nationkey = n.n_nationkey
+),
+scored AS (
+  SELECT n_name, CAST(rev_cents AS BIGINT) AS rev_cents,
+         CAST({Q56_BUDGET_CENTS} AS HUGEINT) * rev_cents // total AS base,
+         CAST({Q56_BUDGET_CENTS} AS HUGEINT) * rev_cents % total AS rem
+  FROM named
+),
+ranked AS (
+  SELECT *,
+         {Q56_BUDGET_CENTS} - SUM(base) OVER () AS residue,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, n_name ASC) AS rk
+  FROM scored
+)
+SELECT n_name, rev_cents,
+       CAST(base AS BIGINT) AS base_cents,
+       CAST(CASE WHEN rk <= residue THEN 1 ELSE 0 END AS INTEGER) AS extra_cent,
+       CAST(base + CASE WHEN rk <= residue THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_cents
+FROM ranked
+"""
+
+
+QUERIES["q56_largest_remainder_alloc"] = q56_largest_remainder_alloc
+ORACLES["q56_largest_remainder_alloc"] = ORACLE_Q56

@@ -65,6 +65,12 @@ NON_SQL_QUERIES = frozenset(missing)
 # cover ALL queries regardless of this order.
 _NEW_OR_CHANGED = (
     # round 6 NEW:
+    "e40_gapfill_locf",
+    "e41_time_weighted_avg",
+    "x32_ab_proportion_test",
+    "x33_benford_audit",
+    "q56_largest_remainder_alloc",
+    "m16_exposure_stats",
     "x31_poisson_bootstrap",
     "t63_pii_checksum_scan",
     "e38_journey_anomaly",

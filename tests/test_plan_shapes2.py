@@ -944,6 +944,107 @@ def test_x31_bootstrap_shuffle_carries_replicate_partials_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_e40_locf_window_rides_grid_not_corpus(spark):
+    # The observed table folds on the FINE (event_type, bucket) key with a
+    # map-side partial; the LOCF window runs on grid rows (calendar-
+    # bounded) after the grid join; the 1-row bounds aggregate broadcasts.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["e40_gapfill_locf"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "partial_max" in plan  # within-bucket close folds map-side
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_e41_twap_has_no_corpus_scale_type_window(spark):
+    # Segmented integration: the only corpus window partitions by the
+    # FINE (event_type, day) key; the per-type stitch window runs on the
+    # calendar-bounded daily summary. A bare event_type partition over
+    # raw events (the q52-class single-task funnel) must not appear.
+    plan = explain(QUERIES["e41_time_weighted_avg"](spark, SF), mode="simple")
+    assert "hashpartitioning(event_type#" in plan  # stitch on daily table
+    assert "hashpartitioning(event_type#" in plan.split("Scan parquet")[0]
+    # the window over raw events must carry day in its partition key:
+    import re
+    win_parts = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    raw_windows = [w for w in win_parts if "day" not in w and "us#" in w]
+    assert not raw_windows, f"corpus window without day key: {raw_windows}"
+    assert "Join" not in plan
+
+
+def test_x32_sweep_shuffle_carries_three_partial_rows(spark):
+    # The corpus folds to per-user counts (map-side combine on user_id);
+    # the x3 threshold explode feeds a 3-row conditional aggregate whose
+    # shuffle carries <= 3 partial rows per task. No join anywhere.
+    plan = explain(QUERIES["x32_ab_proportion_test"](spark, SF), mode="simple")
+    assert "hashpartitioning(user_id" in plan
+    assert "hashpartitioning(k_min" in plan
+    assert "partial_sum" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_x33_benford_groups_on_fixed_digit_domain(spark):
+    # One scan; the aggregate groups on the 9-value digit domain with a
+    # map-side partial; broadcasts are the 9-row local expected table and
+    # the 1-row total (audit-clean); the chi-square window is 9 rows.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["x33_benford_audit"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "hashpartitioning(digit" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q56_alloc_windows_ride_the_nation_rollup(spark):
+    # customer⋈orders is the only corpus join (hint-free, AQE decides);
+    # every window (total, residue, remainder rank) runs on the 25-row
+    # nation rollup; the nation dim broadcast is spec-bounded.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["q56_largest_remainder_alloc"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "hashpartitioning(c_nationkey" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_m16_exposure_is_shuffle_free_arrow_batched(spark):
+    # Build + extract are two Arrow-batched mapInPandas stages over a
+    # pushed-down doc_id filter; no exchange, no join anywhere.
+    plan = explain(QUERIES["m16_exposure_stats"](spark, SF), mode="simple")
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_m16_exposure_reads_real_pixel_bytes():
+    # Tamper checks: stats must come from the actual pixel array —
+    # brightening one pixel moves the mean; padding bytes are excluded.
+    from squonk2_fastapi_ws_event_stream_spark.operators.multimodal import (
+        exposure_stats, make_exposed_bmp,
+    )
+    img = bytearray(make_exposed_bmp(17, 9, 7, 0, 256))
+    base = exposure_stats(bytes(img))
+    img[54] = 255 if img[54] < 128 else 0  # tamper pixel (0,0) channel B
+    assert exposure_stats(bytes(img)) != base
+    # padding tamper must NOT change anything (w=17 -> 51 data bytes,
+    # 52-byte rows -> 1 pad byte per row at offset 54 + 51)
+    img2 = bytearray(make_exposed_bmp(17, 9, 7, 0, 256))
+    img2[54 + 51] = 255
+    assert exposure_stats(bytes(img2)) == base
+
+
 def test_q55_balance_is_two_aggregates_no_corpus_window(spark):
     # max_by rides the (custkey, month) aggregate — never a row_number
     # window over orders; the only window (MoM lag) orders the
