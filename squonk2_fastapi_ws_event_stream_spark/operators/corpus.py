@@ -1584,3 +1584,133 @@ FROM targets t JOIN vocab v ON t.pct = v.pct JOIN mass m ON t.pct = m.pct
 
 QUERIES["t61_heaps_law"] = t61_heaps_law
 ORACLES["t61_heaps_law"] = ORACLE_T61
+
+
+# ---------------------------------------------------------------------------
+# t64 — PMI collocation mining: the corpus's strongest word PAIRS by
+# (quantized) pointwise mutual information — the collocation table
+# ("New York", "machine learning") a tokenizer or phrase-merge stage is
+# built from. t56 ranks pairs by RAW count (the BPE merge objective);
+# PMI instead normalizes by both words' marginals, surfacing pairs that
+# co-occur far above chance even when rare.
+#
+#   PMI(a,b) = log2( P(ab) / (P(a) P(b)) )
+#            = log2( c_ab * N^2 / (M * c_a * c_b) )
+# quantized EXACTLY on the integer bits scale (the t22 recipe, no libm):
+#   pmi_bits = bits(c_ab) + 2*bits(N) - bits(M) - bits(c_a) - bits(c_b)
+# (each bits(x) = floor(log2 x); total quantization error < 5 bits,
+# constant across engines because every term is a binary-string length).
+#
+# Scale: adjacent pairs explode from the per-document token array
+# (map-side); pair counts reduce on the fine (a, b) key with map-side
+# combine; the marginal joins run on the REDUCED pair table against the
+# vocab-sized frequency table (hint-free — AQE decides; a hot word like
+# 'the' touches at most |vocab| distinct pairs, never corpus rows); the
+# 1-row N/M aggregates broadcast; top-20 is TakeOrdered, never a global
+# sort.
+# ---------------------------------------------------------------------------
+T64_MIN_SUPPORT = 5
+T64_TOP = 20
+
+
+def t64_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality import tokens_table
+
+    toks = tokens_table(spark, sf_dir).select("doc_id", "w")
+    docs = fan_out(table(spark, sf_dir, "documents").select("text"), spark)
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> struct(element_at(split(text, ' '), i) AS a,"
+                " element_at(split(text, ' '), i + 1) AS b))"
+            )
+        ).alias("pr")
+    ).select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+    pair_counts = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= T64_MIN_SUPPORT)
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = pairs.agg(F.count(F.lit(1)).alias("m_pairs")).crossJoin(
+        F.broadcast(toks.agg(F.count(F.lit(1)).alias("n_toks")))
+    )
+
+    def bits(c: str) -> F.Column:
+        return (F.length(F.regexp_replace(F.bin(c), "^0+", "")) - 1).cast("long")
+
+    scored = (
+        pair_counts.join(freq.withColumnRenamed("w", "a").withColumnRenamed("cnt", "c_a"), "a")
+        .join(freq.withColumnRenamed("w", "b").withColumnRenamed("cnt", "c_b"), "b")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi_bits",
+            bits("c_ab")
+            + 2 * bits("n_toks")
+            - bits("m_pairs")
+            - bits("c_a")
+            - bits("c_b"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("pmi_bits").desc(),
+            F.col("c_ab").desc(),
+            F.col("a").asc(),
+            F.col("b").asc(),
+        )
+        .limit(T64_TOP)
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            F.col("pmi_bits").cast("long").alias("pmi_bits"),
+        )
+    )
+
+
+ORACLE_T64 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+           i -> struct_pack(a := tk[i], b := tk[i + 1]))) AS pr
+  FROM (SELECT string_split(text, ' ') AS tk FROM documents)
+),
+flat AS (SELECT pr.a AS a, pr.b AS b FROM pairs),
+pair_counts AS (
+  SELECT a, b, COUNT(*) AS c_ab FROM flat GROUP BY a, b
+  HAVING COUNT(*) >= {T64_MIN_SUPPORT}
+),
+freq AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+totals AS (
+  SELECT (SELECT COUNT(*) FROM flat) AS m_pairs,
+         (SELECT COUNT(*) FROM toks) AS n_toks
+),
+scored AS (
+  SELECT p.a, p.b, p.c_ab, fa.cnt AS c_a, fb.cnt AS c_b,
+         (length(bin(p.c_ab)) - 1)
+         + 2 * (length(bin(t.n_toks)) - 1)
+         - (length(bin(t.m_pairs)) - 1)
+         - (length(bin(fa.cnt)) - 1)
+         - (length(bin(fb.cnt)) - 1) AS pmi_bits
+  FROM pair_counts p
+  JOIN freq fa ON p.a = fa.w
+  JOIN freq fb ON p.b = fb.w
+  CROSS JOIN totals t
+)
+SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+       CAST(pmi_bits AS BIGINT) AS pmi_bits
+FROM scored
+ORDER BY pmi_bits DESC, c_ab DESC, a ASC, b ASC
+LIMIT {T64_TOP}
+"""
+
+
+QUERIES["t64_pmi_collocations"] = t64_pmi_collocations
+ORACLES["t64_pmi_collocations"] = ORACLE_T64

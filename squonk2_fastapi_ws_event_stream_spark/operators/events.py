@@ -2946,3 +2946,114 @@ GROUP BY event_type
 
 QUERIES["e41_time_weighted_avg"] = e41_time_weighted_avg
 ORACLES["e41_time_weighted_avg"] = ORACLE_E41
+
+
+# ---------------------------------------------------------------------------
+# e42 — watermark lateness audit: how out-of-order would this stream be
+# at the consumer? Ingest order is simulated as event time plus a
+# deterministic per-event arrival jitter (0..10 min — the multi-partition
+# consumer interleave a real broker produces; the affine hash is the x13
+# family, every product < 2^63). An event's lateness is the high-water
+# mark of everything that ARRIVED before it minus its own event time —
+# exactly what a streaming watermark sees — bucketed on the exact
+# floor(log2) scale (the t22 bits trick, no libm). The readout that
+# tunes `withWatermark` retention for every streaming operator in
+# streaming/aggregates.py.
+#
+# Scale — two-level running max, no corpus-wide window: the running
+# high-water mark over arrival order decomposes into (a) an intra-hour
+# window partitioned by the CALENDAR arrival hour and (b) a prefix max
+# over the per-hour summary (calendar-bounded rows). greatest(intra,
+# prefix-of-previous-hours) == the global running max, exactly.
+#
+# Cross-engine determinism: all integer microseconds; arrival order is
+# the total (arrival_us, event_id); buckets are binary-string lengths.
+# ---------------------------------------------------------------------------
+E42_P = 1_000_000_007
+E42_A = 611592793
+E42_B = 179424673
+E42_JITTER_US = 600_000_000  # arrival delay in [0, 10 min)
+E42_HOUR_US = 3_600_000_000
+
+
+def e42_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    ).withColumn(
+        "a_us",
+        F.col("us")
+        + ((F.col("event_id") % E42_P) * E42_A + E42_B) % E42_P % E42_JITTER_US,
+    ).withColumn("a_hour", F.expr(f"a_us DIV {E42_HOUR_US}"))
+    w_in = (
+        Window.partitionBy("a_hour")
+        .orderBy("a_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = ev.withColumn("hwm_in", F.max("us").over(w_in))
+    hours = ev.groupBy("a_hour").agg(F.max("us").alias("h_max"))
+    w_pre = Window.orderBy("a_hour").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = hours.withColumn("hwm_pre", F.max("h_max").over(w_pre)).select(
+        "a_hour", "hwm_pre"
+    )
+    scored = intra.join(prefix, "a_hour").select(
+        "event_type",
+        F.greatest(
+            F.coalesce(F.col("hwm_in"), F.lit(-1)),
+            F.coalesce(F.col("hwm_pre"), F.lit(-1)),
+        ).alias("hwm"),
+        "us",
+    ).withColumn(
+        "late_us", F.greatest(F.lit(0), F.col("hwm") - F.col("us"))
+    ).withColumn(
+        "late_bits",
+        F.when(F.col("late_us") == 0, F.lit(-1)).otherwise(
+            (F.length(F.regexp_replace(F.bin("late_us"), "^0+", "")) - 1).cast(
+                "int"
+            )
+        ),
+    )
+    return (
+        scored.groupBy("event_type", "late_bits")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.expr("late_us DIV 1000")).alias("max_late_ms"),
+        )
+        .select(
+            "event_type",
+            F.col("late_bits").cast("int").alias("late_bits"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("max_late_ms").cast("long").alias("max_late_ms"),
+        )
+    )
+
+
+ORACLE_E42 = f"""
+WITH ev AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         epoch_us(ts)
+           + ((event_id % {E42_P}) * {E42_A} + {E42_B}) % {E42_P}
+             % {E42_JITTER_US} AS a_us
+  FROM events
+),
+scored AS (
+  SELECT event_type, us,
+         GREATEST(0, COALESCE(MAX(us) OVER (
+             ORDER BY a_us ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) - us)
+           AS late_us
+  FROM ev
+)
+SELECT event_type,
+       CAST(CASE WHEN late_us = 0 THEN -1
+                 ELSE length(bin(late_us)) - 1 END AS INTEGER) AS late_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(late_us // 1000) AS BIGINT) AS max_late_ms
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+QUERIES["e42_watermark_lateness"] = e42_watermark_lateness
+ORACLES["e42_watermark_lateness"] = ORACLE_E42

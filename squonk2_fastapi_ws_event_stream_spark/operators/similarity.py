@@ -3101,3 +3101,89 @@ ORACLE_V35 = ORACLE_V35.replace("{MRL}", str(MRL_DIM))
 
 QUERIES["v35_matryoshka_twostage"] = v35_matryoshka_twostage
 ORACLES["v35_matryoshka_twostage"] = ORACLE_V35
+
+
+# ---------------------------------------------------------------------------
+# v36 — embedding dimension health audit: per vector dimension, exact
+# moment statistics and a DEAD-DIMENSION verdict — the collapsed/dead-
+# dimension screen every embedding pipeline runs before indexing: a
+# dimension the encoder zeroed (or a normalization bug froze) wastes
+# index bytes and silently distorts every cosine distance.
+#
+# Cross-engine determinism: each float32 component rounds ONCE into an
+# exact e8 integer (CAST to DECIMAL(18,8) x 1e8 — the v28 davg family);
+# sums of v and v^2 fold exactly in decimal; the VARIANCE never touches
+# a float: var_e16 = (n*sq - s^2) DIV n^2 is an exact nonnegative
+# integer in 1e-16 units (a first draft emitted a double variance and
+# two of 64 dims diverged by one ulp across engines — the
+# DECIMAL(38,20)->double cast is not bit-portable; integers are). The
+# mean stays a double (one fixed-order division, portable).
+#
+# Scale: posexplode fans the corpus into (dim, val) rows once; the
+# aggregate reduces to exactly |dims| groups with map-side decimal
+# partials — the shuffle carries <= 64 partial rows per task. No join,
+# no window. Bounds at 1e9 vectors: n*sq <= 1e34, s^2 <= 1e34, both
+# inside DECIMAL(38,0); var_e16 <= ~2e15 fits BIGINT.
+# ---------------------------------------------------------------------------
+V36_DEAD_VAR_E16 = 10_000_000_000  # 1e-6 in 1e-16 units
+
+
+def v36_dimension_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = table(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).withColumn(
+        "v8",
+        (F.col("val").cast("decimal(18,8)") * 100_000_000)
+        .cast("decimal(38,0)"),
+    )
+    agg = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v8").alias("s8"),
+        F.sum(F.col("v8") * F.col("v8")).alias("sq16"),
+        F.min("val").alias("mn"),
+        F.max("val").alias("mx"),
+    )
+    var_e16 = F.expr("(n * sq16 - s8 * s8) DIV (CAST(n AS DECIMAL(38,0)) * n)")
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("long").alias("n_vectors"),
+        F.round(
+            F.col("s8").cast("double") / F.col("n").cast("double") / 1e8, 8
+        ).alias("mean_val"),
+        var_e16.cast("long").alias("var_e16"),
+        F.round(F.col("mn").cast("double"), 6).alias("min_val"),
+        F.round(F.col("mx").cast("double"), 6).alias("max_val"),
+        (var_e16 < F.lit(V36_DEAD_VAR_E16)).alias("is_dead"),
+    )
+
+
+ORACLE_V36 = f"""
+WITH dims AS (
+  SELECT CAST(d.i - 1 AS INTEGER) AS dim, e.embedding[d.i] AS val,
+         -- widen to DOUBLE first: DuckDB's direct FLOAT->DECIMAL cast
+         -- rounds in float32 and disagrees with Spark's double path
+         CAST(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(18,8))
+              * 100000000 AS HUGEINT) AS v8
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS d(i)
+),
+agg AS (
+  SELECT dim, COUNT(*) AS n,
+         SUM(v8) AS s8, SUM(v8 * v8) AS sq16,
+         MIN(val) AS mn, MAX(val) AS mx
+  FROM dims GROUP BY dim
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       CAST(n AS BIGINT) AS n_vectors,
+       ROUND(CAST(s8 AS DOUBLE) / CAST(n AS DOUBLE) / 1e8, 8) AS mean_val,
+       CAST((n * sq16 - s8 * s8) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+         AS var_e16,
+       ROUND(CAST(mn AS DOUBLE), 6) AS min_val,
+       ROUND(CAST(mx AS DOUBLE), 6) AS max_val,
+       (n * sq16 - s8 * s8) // (CAST(n AS HUGEINT) * n) < {V36_DEAD_VAR_E16}
+         AS is_dead
+FROM agg
+"""
+
+
+QUERIES["v36_dimension_health"] = v36_dimension_health
+ORACLES["v36_dimension_health"] = ORACLE_V36

@@ -65,6 +65,9 @@ NON_SQL_QUERIES = frozenset(missing)
 # cover ALL queries regardless of this order.
 _NEW_OR_CHANGED = (
     # round 6 NEW:
+    "e42_watermark_lateness",
+    "v36_dimension_health",
+    "t64_pmi_collocations",
     "e40_gapfill_locf",
     "e41_time_weighted_avg",
     "x32_ab_proportion_test",

@@ -1045,6 +1045,47 @@ def test_m16_exposure_reads_real_pixel_bytes():
     assert exposure_stats(bytes(img2)) == base
 
 
+def test_e42_running_max_is_two_level_hour_segmented(spark):
+    # The running high-water mark must decompose: the only corpus window
+    # partitions by the CALENDAR arrival hour; the prefix max runs on the
+    # per-hour summary. A window over raw events without a_hour in its
+    # partition key would be the single-task funnel.
+    import re
+    plan = explain(QUERIES["e42_watermark_lateness"](spark, SF), mode="simple")
+    assert "hashpartitioning(a_hour" in plan
+    win_parts = re.findall(r"windowspecdefinition\(([^)]*?specifiedwindowframe)", plan)
+    bad = [w for w in win_parts if "a_hour" not in w and "us#" in w]
+    assert not bad, f"corpus window without hour segmentation: {bad}"
+    assert "CartesianProduct" not in plan
+
+
+def test_v36_moments_fold_mapside_to_64_groups(spark):
+    # One posexplode pass; the aggregate reduces on the dim key with
+    # map-side decimal partial sums; no join, no window anywhere.
+    plan = explain(QUERIES["v36_dimension_health"](spark, SF), mode="simple")
+    assert "hashpartitioning(dim" in plan
+    assert "partial_sum" in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_t64_marginal_joins_ride_reduced_tables_topk_take_ordered(spark):
+    # Pair counts reduce BEFORE joining the vocab-sized marginals
+    # (hint-free); N/M are 1-row broadcasts; top-20 is TakeOrdered.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.operators import dedup
+    dedup.unpersist_lsh_cache()
+    df = QUERIES["t64_pmi_collocations"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning(a#" in plan or "hashpartitioning(b#" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q55_balance_is_two_aggregates_no_corpus_window(spark):
     # max_by rides the (custkey, month) aggregate — never a row_number
     # window over orders; the only window (MoM lag) orders the
