@@ -2451,3 +2451,137 @@ FROM term
 
 QUERIES["x33_benford_audit"] = x33_benford_audit
 ORACLES["x33_benford_audit"] = ORACLE_X33
+
+
+# ---------------------------------------------------------------------------
+# x34 — CUPED variance reduction (x32's production sibling): adjust the
+# experiment metric with each user's PRE-period covariate,
+#   Y' = Y - theta * X,   theta = cov(X, Y) / var(X),
+# and report how much metric variance the adjustment removes (rho^2) —
+# the standard trick that makes A/B tests converge weeks faster when
+# pre-behavior predicts post-behavior. Pre = purchase revenue in days
+# 1-15 of the month, post = days 16+; arms reuse x32's affine hash.
+#
+# Cross-engine determinism: per-user revenues fold as exact integer
+# cents; ALL five pooled moments (n, Sx, Sy, Sxx, Sxy, Syy) are exact
+# DECIMAL(38,0) integers; theta / rho^2 / the adjusted arm means are
+# fixed-order DOUBLE expressions over those scale-0 integers (scale-0
+# decimal -> double is plain integer rounding, portable — unlike the
+# high-scale decimal casts v36 had to ban); the cuped_helps verdict
+# compares the unrounded rho^2. Bounds at 1e9 users x $10k: Sxy <= 1e9
+# * (1e6)^2 = 1e21, n*Sxy <= 1e30 — inside DECIMAL(38,0).
+#
+# Scale: ONE (user_id) aggregate with map-side combine folds the corpus
+# to per-user (pre, post) pairs; everything after is a 2-row (per-arm)
+# conditional aggregate folded into 1 row. No join, no window.
+# ---------------------------------------------------------------------------
+X34_RHO2_MIN = 0.01
+
+
+def x34_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.dayofmonth("ts").alias("dom"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("dom") <= 15, F.col("cents")).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("dom") > 15, F.col("cents")).otherwise(0)).alias("y"),
+    ).withColumn(
+        "arm",
+        (((F.col("user_id") % X32_P) * X32_A + X32_B) % X32_P % 2).cast("int"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    m = users.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * d("x")).alias("sxx"),
+        F.sum(d("x") * d("y")).alias("sxy"),
+        F.sum(d("y") * d("y")).alias("syy"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, d("y"))).alias("sy_a"),
+        F.sum(F.when(F.col("arm") == 0, d("x"))).alias("sx_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, d("y"))).alias("sy_b"),
+        F.sum(F.when(F.col("arm") == 1, d("x"))).alias("sx_b"),
+    )
+    dbl = lambda c: F.col(c).cast("double")
+    cov_n = dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")   # n^2 * cov
+    varx_n = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")  # n^2 * var(x)
+    vary_n = dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")  # n^2 * var(y)
+    theta = cov_n / varx_n
+    rho2 = cov_n * cov_n / (varx_n * vary_n)
+    diff_raw = dbl("sy_b") / dbl("n_b") - dbl("sy_a") / dbl("n_a")
+    diff_adj = diff_raw - theta * (dbl("sx_b") / dbl("n_b") - dbl("sx_a") / dbl("n_a"))
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(theta, 6).alias("theta"),
+        F.round(rho2, 6).alias("rho_sq"),
+        F.round(diff_raw / 100.0, 4).alias("diff_raw"),
+        F.round(diff_adj / 100.0, 4).alias("diff_cuped"),
+        (rho2 > F.lit(X34_RHO2_MIN)).alias("cuped_helps"),
+    )
+
+
+ORACLE_X34 = f"""
+WITH ev AS (
+  SELECT user_id, EXTRACT(day FROM ts) AS dom,
+         CAST(CAST(ROUND(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+users AS (
+  SELECT user_id,
+         SUM(CASE WHEN dom <= 15 THEN cents ELSE 0 END) AS x,
+         SUM(CASE WHEN dom > 15 THEN cents ELSE 0 END) AS y,
+         CAST((((user_id % {X32_P}) * {X32_A} + {X32_B}) % {X32_P}) % 2
+              AS INTEGER) AS arm
+  FROM ev GROUP BY user_id
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) END) AS sy_a,
+         SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) END) AS sx_a,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) END) AS sy_b,
+         SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) END) AS sx_b
+  FROM users
+),
+scored AS (
+  SELECT *,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS cov_n,
+         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS varx_n,
+         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS vary_n,
+         (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+          - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS diff_raw
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       ROUND(cov_n / varx_n, 6) AS theta,
+       ROUND(cov_n * cov_n / (varx_n * vary_n), 6) AS rho_sq,
+       ROUND(diff_raw / 100.0, 4) AS diff_raw,
+       ROUND((diff_raw - (cov_n / varx_n)
+              * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                 - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))) / 100.0, 4)
+         AS diff_cuped,
+       cov_n * cov_n / (varx_n * vary_n) > {X34_RHO2_MIN} AS cuped_helps
+FROM scored
+"""
+
+
+QUERIES["x34_cuped_adjustment"] = x34_cuped_adjustment
+ORACLES["x34_cuped_adjustment"] = ORACLE_X34

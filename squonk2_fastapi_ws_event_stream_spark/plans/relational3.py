@@ -739,3 +739,100 @@ FROM ranked
 
 QUERIES["q56_largest_remainder_alloc"] = q56_largest_remainder_alloc
 ORACLES["q56_largest_remainder_alloc"] = ORACLE_Q56
+
+
+# ---------------------------------------------------------------------------
+# q57 — rolling 7-day EXACT median of daily revenue per nation: the
+# robust trend line (a one-day promo spike drags a moving average for a
+# week; the rolling median shrugs it off). Median is computed exactly —
+# no approx-percentile sketch — because the frame is BOUNDED (7 rows):
+# sort the frame's values, pick the middle pair.
+#
+# Cross-engine determinism: daily revenue folds as integer cents; the
+# median of a <= 7-value integer frame is emitted in milli-cents as
+# (lower + upper) * 500 — an exact integer for both odd (lower == upper)
+# and even frames; no float division anywhere.
+#
+# Scale: customer⋈orders is the only corpus join (SF-scaled, hint-free);
+# the rollup reduces to the CALENDAR-BOUNDED (nation x day) table and
+# every window frame after it holds <= 7 of those rows. The per-frame
+# sort is O(7 log 7) on 25 x |days| rows — driver-free, corpus-free.
+# ---------------------------------------------------------------------------
+Q57_WINDOW = 7
+
+
+def q57_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "day")
+        .agg(F.sum("cents").alias("rev_cents"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(-(Q57_WINDOW - 1), 0)
+    )
+    framed = daily.withColumn(
+        "frame", F.sort_array(F.collect_list("rev_cents").over(w))
+    )
+    n = F.size("frame")
+    return framed.select(
+        "n_name",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        F.element_at(
+            "frame", F.expr("CAST((size(frame) + 1) DIV 2 AS INT)")
+        ).alias("_lo"),
+        F.element_at(
+            "frame", F.expr("CAST(size(frame) DIV 2 + 1 AS INT)")
+        ).alias("_hi"),
+        n.cast("int").alias("n_window"),
+    ).select(
+        "n_name",
+        "day",
+        "rev_cents",
+        ((F.col("_lo") + F.col("_hi")) * 500).cast("long").alias("med7_milli"),
+        "n_window",
+    )
+
+
+ORACLE_Q57 = f"""
+WITH daily AS (
+  SELECT c.c_nationkey, CAST(o.o_orderdate AS DATE) AS day,
+         SUM(CAST(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS rev_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+named AS (
+  SELECT n.n_name, d.day, d.rev_cents
+  FROM daily d JOIN nation n ON d.c_nationkey = n.n_nationkey
+),
+framed AS (
+  SELECT n_name, day, rev_cents,
+         list_sort(list(rev_cents) OVER (
+           PARTITION BY n_name ORDER BY day
+           ROWS BETWEEN {Q57_WINDOW - 1} PRECEDING AND CURRENT ROW)) AS frame
+  FROM named
+)
+SELECT n_name, strftime(day, '%Y-%m-%d') AS day,
+       CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST((frame[(len(frame) + 1) // 2]
+             + frame[len(frame) // 2 + 1]) * 500 AS BIGINT) AS med7_milli,
+       CAST(len(frame) AS INTEGER) AS n_window
+FROM framed
+"""
+
+
+QUERIES["q57_rolling_median_revenue"] = q57_rolling_median_revenue
+ORACLES["q57_rolling_median_revenue"] = ORACLE_Q57

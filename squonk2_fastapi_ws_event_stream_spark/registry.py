@@ -65,6 +65,8 @@ NON_SQL_QUERIES = frozenset(missing)
 # cover ALL queries regardless of this order.
 _NEW_OR_CHANGED = (
     # round 6 NEW:
+    "q57_rolling_median_revenue",
+    "x34_cuped_adjustment",
     "e42_watermark_lateness",
     "v36_dimension_health",
     "t64_pmi_collocations",

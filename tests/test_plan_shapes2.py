@@ -1086,6 +1086,32 @@ def test_t64_marginal_joins_ride_reduced_tables_topk_take_ordered(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q57_median_frame_rides_calendar_daily_rollup(spark):
+    # The corpus reduces to the (nation, day) rollup BEFORE any window;
+    # the rolling frame is ROWS 6 PRECEDING on that calendar-bounded
+    # table; customer⋈orders stays hint-free.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["q57_rolling_median_revenue"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "specifiedwindowframe(RowFrame, -6, currentrow" in plan
+    assert "hashpartitioning(c_nationkey" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x34_cuped_folds_to_one_row_no_join(spark):
+    # One (user_id) aggregate with map-side combine; all twelve pooled
+    # moments fold in a single 1-row aggregate. No join, no window.
+    plan = explain(QUERIES["x34_cuped_adjustment"](spark, SF), mode="simple")
+    assert "hashpartitioning(user_id" in plan
+    assert "partial_sum" in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_q55_balance_is_two_aggregates_no_corpus_window(spark):
     # max_by rides the (custkey, month) aggregate — never a row_number
     # window over orders; the only window (MoM lag) orders the
