@@ -1220,3 +1220,181 @@ LEFT JOIN (SELECT doc_id, existing_id, jaccard FROM best WHERE rn = 1) b
 
 QUERIES["t55_incremental_neardup"] = t55_incremental_neardup
 ORACLES["t55_incremental_neardup"] = _oracle_t55()
+
+
+# ---------------------------------------------------------------------------
+# t65 — CONTAINMENT dedup: t02 finds near-duplicates by symmetric
+# Jaccard, which structurally MISSES excerpt/quote relationships — a
+# paragraph lifted whole into a 4x longer document has tiny Jaccard but
+# containment ~1. Per LSH candidate pair, the exact asymmetric
+# containments C(a,b) = |A∩B|/|A| and C(b,a) = |A∩B|/|B| over the
+# 8-gram shingle sets, with a DIRECTION verdict ('a_in_b' / 'b_in_a' /
+# 'mutual') — the signal that decides which side survives curation
+# (keep the superset, drop the excerpt).
+#
+# Fixture (the t01 discipline — the corpus has no true excerpts, its
+# LSH candidates are all near-identical): every 80th doc gets a planted
+# QUARTER-length excerpt (id + 20000) and every (80k+40)th doc gets a
+# planted 2x SUPERSET (original + an upper-cased copy whose shingles
+# are disjoint), so all three directions exercise: the excerpt's
+# shingles sit inside the original (b_in_a), the original sits inside
+# its superset (a_in_b), and the corpus's own dup groups stay mutual.
+#
+# Cross-engine determinism: containments are integer ppm via BIGINT
+# truncating division (set sizes are exact integers); verdicts compare
+# integers.
+#
+# Scale: identical to t02 — banded equi-join candidates (never
+# all-pairs) over a persisted signature staging table; shingle sets
+# re-join ONCE per candidate; the fixture union is two cheap projected
+# scans.
+# ---------------------------------------------------------------------------
+T65_CONTAIN_PPM = 400_000  # containment >= 0.40 flags a directional overlap
+
+
+def _t65_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 80 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(length(text) DIV 4 AS INT))").alias(
+            "text"
+        ),
+    )
+    supersets = docs.filter(F.col("doc_id") % 80 == 40).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), F.upper("text")).alias("text"),
+    )
+    return docs.unionByName(excerpts).unionByName(supersets)
+
+
+def t65_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _stage_cached(
+        "t65",
+        sf_dir,
+        lambda: _with_shingles(_t65_corpus(spark, sf_dir), spark).withColumn(
+            "sig", H.minhash_signature(F.col("shingles"))
+        ),
+    )
+    # r=1 banding (every signature position its own band): a quarter-size
+    # excerpt has Jaccard ~0.2 against its source — t02's r=4 bands
+    # collide with probability (1-(1-J^4)^4) ~ 1%, structurally missing
+    # the very pairs this operator exists for. With r=1, b=16 the
+    # collision probability at J=0.2 is 1-(1-J)^16 ~ 97%; the exact
+    # containment verify prunes the extra low-J candidates.
+    bands = sig.select(
+        "doc_id", F.posexplode(F.col("sig")).alias("band_id", "band_key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = sig.select("doc_id", "shingles")
+    pairs = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_shared"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+        )
+    )
+    scored = pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        F.expr("n_shared * 1000000 DIV n_a").alias("contain_a_ppm"),
+        F.expr("n_shared * 1000000 DIV n_b").alias("contain_b_ppm"),
+    ).filter(
+        (F.col("contain_a_ppm") >= T65_CONTAIN_PPM)
+        | (F.col("contain_b_ppm") >= T65_CONTAIN_PPM)
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        "contain_a_ppm",
+        "contain_b_ppm",
+        F.when(
+            (F.col("contain_a_ppm") >= T65_CONTAIN_PPM)
+            & (F.col("contain_b_ppm") >= T65_CONTAIN_PPM),
+            "mutual",
+        )
+        .when(F.col("contain_a_ppm") >= T65_CONTAIN_PPM, "a_in_b")
+        .otherwise("b_in_a")
+        .alias("direction"),
+    )
+
+
+def _oracle_t65() -> str:
+    # r=1 bands: one select per signature position (band_key = the raw
+    # minhash value, matching the Spark posexplode over `sig`)
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, shingles, {b} AS band_id,"
+        f" sig[{b + 1}] AS band_key FROM sig"
+        for b in range(H.N_PERM)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id,
+         substr(text, 1, CAST(length(text) // 4 AS INTEGER)) AS text
+  FROM documents WHERE doc_id % 80 = 0
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id,
+         text || ' ' || upper(text) AS text
+  FROM documents WHERE doc_id % 80 = 40
+),
+sh AS (
+  SELECT doc_id,
+         {H.sql_shingle_hashes('codes', 'text')} AS hs,
+         list_distinct({H.sql_shingle_hashes('codes', 'text')}) AS shingles
+  FROM (SELECT doc_id, text, {H.sql_char_codes('text')} AS codes
+        FROM corpus WHERE length(text) >= {H.K})
+),
+sig AS (
+  SELECT doc_id, shingles, {H.sql_minhash_signature('shingles')} AS sig FROM sh
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+           AS n_shared,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+           * 1000000 // len(sa.shingles) AS contain_a_ppm,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+           * 1000000 // len(sb.shingles) AS contain_b_ppm
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_shared, contain_a_ppm, contain_b_ppm,
+       CASE WHEN contain_a_ppm >= {T65_CONTAIN_PPM}
+             AND contain_b_ppm >= {T65_CONTAIN_PPM} THEN 'mutual'
+            WHEN contain_a_ppm >= {T65_CONTAIN_PPM} THEN 'a_in_b'
+            ELSE 'b_in_a' END AS direction
+FROM scored
+WHERE contain_a_ppm >= {T65_CONTAIN_PPM} OR contain_b_ppm >= {T65_CONTAIN_PPM}
+"""
+
+
+QUERIES["t65_containment_dedup"] = t65_containment_dedup
+ORACLES["t65_containment_dedup"] = _oracle_t65()

@@ -65,6 +65,7 @@ NON_SQL_QUERIES = frozenset(missing)
 # cover ALL queries regardless of this order.
 _NEW_OR_CHANGED = (
     # round 6 NEW:
+    "t65_containment_dedup",
     "q57_rolling_median_revenue",
     "x34_cuped_adjustment",
     "e42_watermark_lateness",

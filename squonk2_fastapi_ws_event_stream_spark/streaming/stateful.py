@@ -490,3 +490,93 @@ def funnel_tracker(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming time-weighted average — the stateful streaming twin of the
+# e41 batch TWAP (operators/events.py): per key, each observation's
+# value "holds" from its event time until the next observation, and the
+# running integral of value x holding-time updates incrementally as
+# messages arrive. The metering/financial aggregate that a burst of
+# cheap readings cannot drag the way it drags a plain running mean
+# (`running_totals`).
+#
+# State per key is (last_us, last_cents, vt, dur, n, late) — vt is the
+# exact integer cents x microseconds integral carried as a STRING (the
+# running_zscore s2 discipline: it exceeds int64 at design scale; Python
+# ints are unbounded and the state column stays a string). Messages
+# within a batch fold in offset order; an observation whose event time
+# regresses BELOW the key's last observation is counted `late` and
+# skipped (its holding interval already belongs to the newer value —
+# exactly what the e42 lateness audit quantifies). Keys idle past
+# retention are evicted; a re-appearing key restarts its integral (the
+# broker's retention makes the tail re-derivable).
+#
+# Scale: O(active keys) state, six scalars each; per-message work is a
+# few integer ops. The output stream emits one row per (key, batch) —
+# the live dashboard row.
+# ---------------------------------------------------------------------------
+TWAP_OUTPUT_SCHEMA = (
+    "key string, n_obs long, late long, span_us long, twap_milli long, "
+    "last_value_milli long"
+)
+TWAP_STATE_SCHEMA = (
+    "last_us long, last_cents long, vt string, dur long, n long, late long"
+)
+
+
+def _update_twap_fn(retention_ms: int):
+    def _update_twap(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_us, last_cents, vt_str, dur, n, late = (
+            state.get if state.exists else (-1, 0, "0", 0, 0, 0)
+        )
+        vt = int(vt_str)
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("offset")
+        for us, cents in zip(
+            rows["us"].astype("int64").tolist(),
+            rows["cents"].astype("int64").tolist(),
+        ):
+            us, cents = int(us), int(cents)
+            if last_us >= 0:
+                if us < last_us:
+                    late += 1
+                    continue
+                vt += last_cents * (us - last_us)
+                dur += us - last_us
+            last_us, last_cents = us, cents
+            n += 1
+        state.update((last_us, last_cents, str(vt), dur, n, late))
+        state.setTimeoutDuration(retention_ms)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_obs": [n],
+                "late": [late],
+                "span_us": [dur],
+                # cents * 1000 / 100 = x10: milli-value units, exact DIV
+                "twap_milli": [vt * 10 // dur if dur else -1],
+                "last_value_milli": [last_cents * 10],
+            }
+        )
+
+    return _update_twap
+
+
+def twap_tracker(
+    observations: DataFrame, retention_ms: int = DEFAULT_IDLE_RETENTION_MS
+) -> DataFrame:
+    """Streaming per-key TWAP. `observations` must carry
+    (key string, us long, cents long, offset long); the caller maps its
+    envelope into that shape (see tests for the payload form)."""
+    return observations.groupBy("key").applyInPandasWithState(
+        _update_twap_fn(retention_ms),
+        outputStructType=TWAP_OUTPUT_SCHEMA,
+        stateStructType=TWAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

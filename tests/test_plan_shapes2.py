@@ -1112,6 +1112,18 @@ def test_x34_cuped_folds_to_one_row_no_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_t65_containment_is_banded_never_all_pairs(spark):
+    # Same staging discipline as t02: candidates come from the band
+    # equi-join (never a cartesian); shingle sets re-join once per
+    # candidate; containments are integer ppm expressions.
+    from squonk2_fastapi_ws_event_stream_spark.operators import dedup
+    dedup.unpersist_lsh_cache()
+    plan = explain(QUERIES["t65_containment_dedup"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "band_key" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q55_balance_is_two_aggregates_no_corpus_window(spark):
     # max_by rides the (custkey, month) aggregate — never a row_number
     # window over orders; the only window (MoM lag) orders the

@@ -465,3 +465,87 @@ def test_funnel_tracker_prefix_rule_and_restart(spark, tmp_path):
     rows2 = {r["user"]: r for r in run_once("second")}
     assert rows2["u2"]["converted"] and rows2["u2"]["stage"] == 3
     assert rows2["u2"]["conv_ms"] == 89_000  # signup at +1s, purchase at +90s
+
+
+def test_twap_tracker_integral_exactness_late_skip_and_restart(spark, tmp_path):
+    """The streaming TWAP must equal the hand-computed integral, skip
+    time-regressing observations, and carry the integral across a
+    checkpoint restart (the e41 batch-twin semantics)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        twap_tracker,
+    )
+
+    root = str(tmp_path / "twaplog")
+    w = EventLogWriter(root, "s1")
+    # (event-time us, value cents): 10.00 for 4s, 20.00 for 2s, then a
+    # LATE reading (event time regresses) that must be skipped, then
+    # 40.00 closing the 20.00 segment after 2 more seconds.
+    obs = [
+        (1_000_000, 1000),
+        (5_000_000, 2000),
+        (3_000_000, 9999),  # late: arrives after the 5s reading
+        (7_000_000, 4000),
+    ]
+    for i, (us, cents) in enumerate(obs):
+        w.publish(json.dumps({"us": us, "cents": cents}), BASE_TS + i * 1000)
+    spark.dataSource.register(EventStreamDataSource)
+
+    def shaped():
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "s1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        parsed = env.select(
+            "key",
+            "offset",
+            F.get_json_object(F.col("value").cast("string"), "$.us")
+            .cast("long")
+            .alias("us"),
+            F.get_json_object(F.col("value").cast("string"), "$.cents")
+            .cast("long")
+            .alias("cents"),
+        )
+        return twap_tracker(parsed)
+
+    first: list = []
+    q = (
+        shaped()
+        .writeStream.foreachBatch(lambda df, _id: first.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "twapckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    row = first[-1]
+    # integral: 1000c x 4s + 2000c x 2s = 8_000_000 cents-us... in us units:
+    # vt = 1000*4e6 + 2000*2e6 = 8e9; dur = 6e6; twap = 8e9*10 // 6e6 = 13333
+    assert row["n_obs"] == 3 and row["late"] == 1
+    assert row["span_us"] == 6_000_000
+    assert row["twap_milli"] == 13333  # 13.333: 10.00 weighted 2x vs 20.00
+    assert row["last_value_milli"] == 40_000
+
+    # Restart: 40.00 holds 6 more seconds -> vt += 4000*6e6 = 2.4e10.
+    w.publish(json.dumps({"us": 13_000_000, "cents": 1000}), BASE_TS + 9000)
+    second: list = []
+    q2 = (
+        shaped()
+        .writeStream.foreachBatch(lambda df, _id: second.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "twapckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    row2 = second[-1]
+    assert row2["n_obs"] == 4 and row2["late"] == 1
+    assert row2["span_us"] == 12_000_000
+    # vt = 8e9 + 4000*6e6 = 3.2e10; twap = 3.2e10*10 // 12e6 = 26666
+    assert row2["twap_milli"] == 26666
