@@ -3057,3 +3057,108 @@ GROUP BY 1, 2
 
 QUERIES["e42_watermark_lateness"] = e42_watermark_lateness
 ORACLES["e42_watermark_lateness"] = ORACLE_E42
+
+
+# ---------------------------------------------------------------------------
+# e43 — point-in-time (PIT) feature join: every purchase event joined to
+# the user's STATUS that was valid AT THAT MOMENT — the feature-store
+# correctness primitive (training a model on the status as-of-now
+# instead of as-of-the-event is label leakage). The dimension is e30's
+# SCD2 changelog (a user's status = their latest event type); a probe
+# must match the interval containing it, never a later one.
+#
+# Scale — no range join, no interval explosion: the classic union trick
+# (e11's as-of discipline) generalized to an SCD2 dimension. Status
+# CHANGE rows and purchase PROBE rows union into one stream; a single
+# (user_id) fine-keyed window ordered by (us, event_id, is_probe DESC)
+# with last(ignorenulls) carries the current status onto each probe.
+# The probe sorts BEFORE its own event's change row (a purchase is
+# itself a status change — seeing it would be self-leakage, the exact
+# bug PIT joins exist to prevent): each purchase reads the status from
+# STRICTLY EARLIER events only.
+#
+# Cross-engine determinism: pure integer microseconds + strings; the
+# oracle reproduces the same union-window walk (DuckDB's ASOF JOIN
+# rounds ties differently, so the oracle mirrors the exact window).
+# ---------------------------------------------------------------------------
+def e43_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    # SCD2 change rows (e30's change detection): rows where the user's
+    # status differs from their previous event.
+    w_u = Window.partitionBy("user_id").orderBy("us", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type", 1).over(w_u))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            "us",
+            F.lit(0).alias("is_probe"),
+            "event_id",
+            F.col("event_type").alias("status"),
+            F.lit(None).cast("long").alias("probe_id"),
+        )
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "us",
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        F.lit(None).cast("string").alias("status"),
+        F.col("event_id").alias("probe_id"),
+    )
+    merged = changes.unionByName(probes)
+    w_pit = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc(), F.col("is_probe").desc()
+    )
+    joined = merged.withColumn(
+        "pit_status", F.last("status", ignorenulls=True).over(w_pit)
+    ).filter(F.col("is_probe") == 1)
+    return joined.select(
+        F.col("probe_id").alias("purchase_id"),
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        F.coalesce(F.col("pit_status"), F.lit("none")).alias("status_at_purchase"),
+    )
+
+
+ORACLE_E43 = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+changes AS (
+  SELECT user_id, us, 0 AS is_probe, event_id, event_type AS status,
+         CAST(NULL AS BIGINT) AS probe_id
+  FROM (
+    SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS prev_type
+    FROM ev
+  ) WHERE prev_type IS NULL OR prev_type <> event_type
+),
+probes AS (
+  SELECT user_id, us, 1 AS is_probe, event_id,
+         CAST(NULL AS VARCHAR) AS status, event_id AS probe_id
+  FROM ev WHERE event_type = 'purchase'
+),
+merged AS (
+  SELECT * FROM changes UNION ALL SELECT * FROM probes
+),
+walked AS (
+  SELECT *,
+         last_value(status IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us ASC, event_id ASC, is_probe DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pit_status
+  FROM merged
+)
+SELECT probe_id AS purchase_id, user_id, us AS purchase_us,
+       COALESCE(pit_status, 'none') AS status_at_purchase
+FROM walked WHERE is_probe = 1
+"""
+
+
+QUERIES["e43_pit_feature_join"] = e43_pit_feature_join
+ORACLES["e43_pit_feature_join"] = ORACLE_E43

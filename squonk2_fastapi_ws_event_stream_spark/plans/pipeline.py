@@ -2585,3 +2585,115 @@ FROM scored
 
 QUERIES["x34_cuped_adjustment"] = x34_cuped_adjustment
 ORACLES["x34_cuped_adjustment"] = ORACLE_X34
+
+
+# ---------------------------------------------------------------------------
+# x35 — Welch's t-test on a CONTINUOUS metric (revenue per user),
+# completing the experimentation suite: x32 tests proportions, x34
+# derisks with a covariate, x35 answers the most common question —
+# "did mean revenue move?" — without assuming equal variances.
+#
+#   t^2 = (mean_b - mean_a)^2 / (var_a/n_a + var_b/n_b)
+#
+# Cross-engine determinism: per-arm (n, Σx, Σx²) fold as exact
+# DECIMAL(38,0) integer cents; t² is a fixed-order IEEE-double
+# expression over those scale-0 integers (the x32/x34 rule: no sum
+# order, no libm → bit-portable); the verdict compares the unrounded
+# t² to the z²_crit 3.8416 (Welch dof is large at any realistic n;
+# the normal critical value is the standard large-sample reading).
+# Sample variances use the n-1 denominator: var = (n·Σx² − (Σx)²) /
+# (n·(n−1)).
+#
+# Scale: one (user_id) aggregate with map-side combine, then a 1-row
+# conditional aggregate. No join, no window.
+# ---------------------------------------------------------------------------
+def x35_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    users = ev.groupBy("user_id").agg(F.sum("cents").alias("x")).withColumn(
+        "arm",
+        (((F.col("user_id") % X32_P) * X32_A + X32_B) % X32_P % 2).cast("int"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    m = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, d("x"))).alias("s_a"),
+        F.sum(F.when(F.col("arm") == 0, d("x") * d("x"))).alias("q_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, d("x"))).alias("s_b"),
+        F.sum(F.when(F.col("arm") == 1, d("x") * d("x"))).alias("q_b"),
+    )
+    dbl = lambda c: F.col(c).cast("double")
+    mean_a = dbl("s_a") / dbl("n_a")
+    mean_b = dbl("s_b") / dbl("n_b")
+    # var/n = (n*q - s^2) / (n * (n-1) * n)
+    se2_a = (dbl("n_a") * dbl("q_a") - dbl("s_a") * dbl("s_a")) / (
+        dbl("n_a") * (dbl("n_a") - 1.0) * dbl("n_a")
+    )
+    se2_b = (dbl("n_b") * dbl("q_b") - dbl("s_b") * dbl("s_b")) / (
+        dbl("n_b") * (dbl("n_b") - 1.0) * dbl("n_b")
+    )
+    t2 = (mean_b - mean_a) * (mean_b - mean_a) / (se2_a + se2_b)
+    return m.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(mean_a / 100.0, 4).alias("mean_a"),
+        F.round(mean_b / 100.0, 4).alias("mean_b"),
+        F.round(t2, 6).alias("t_sq"),
+        (t2 > F.lit(X32_Z2_CRIT_95)).alias("significant_95"),
+    )
+
+
+ORACLE_X35 = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(CAST(ROUND(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+users AS (
+  SELECT user_id, SUM(cents) AS x,
+         CAST((((user_id % {X32_P}) * {X32_A} + {X32_B}) % {X32_P}) % 2
+              AS INTEGER) AS arm
+  FROM ev GROUP BY user_id
+),
+m AS (
+  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) END) AS s_a,
+         SUM(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) * x END) AS q_a,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) END) AS s_b,
+         SUM(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) * x END) AS q_b
+  FROM users
+),
+scored AS (
+  SELECT *,
+         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+         (CAST(n_a AS DOUBLE) * CAST(q_a AS DOUBLE)
+          - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)
+            * CAST(n_a AS DOUBLE)) AS se2_a,
+         (CAST(n_b AS DOUBLE) * CAST(q_b AS DOUBLE)
+          - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+         / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)
+            * CAST(n_b AS DOUBLE)) AS se2_b
+  FROM m
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       ROUND(mean_a / 100.0, 4) AS mean_a,
+       ROUND(mean_b / 100.0, 4) AS mean_b,
+       ROUND((mean_b - mean_a) * (mean_b - mean_a) / (se2_a + se2_b), 6)
+         AS t_sq,
+       (mean_b - mean_a) * (mean_b - mean_a) / (se2_a + se2_b)
+         > {X32_Z2_CRIT_95} AS significant_95
+FROM scored
+"""
+
+
+QUERIES["x35_welch_ttest"] = x35_welch_ttest
+ORACLES["x35_welch_ttest"] = ORACLE_X35

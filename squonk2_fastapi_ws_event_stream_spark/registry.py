@@ -65,6 +65,8 @@ NON_SQL_QUERIES = frozenset(missing)
 # cover ALL queries regardless of this order.
 _NEW_OR_CHANGED = (
     # round 6 NEW:
+    "x35_welch_ttest",
+    "e43_pit_feature_join",
     "t65_containment_dedup",
     "q57_rolling_median_revenue",
     "x34_cuped_adjustment",

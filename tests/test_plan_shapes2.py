@@ -1124,6 +1124,26 @@ def test_t65_containment_is_banded_never_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_x35_welch_folds_to_one_row_no_join(spark):
+    # Same shape contract as x34: one user_id fold, then a 1-row
+    # conditional aggregate; no join, no window.
+    plan = explain(QUERIES["x35_welch_ttest"](spark, SF), mode="simple")
+    assert "hashpartitioning(user_id" in plan
+    assert "partial_sum" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_e43_pit_join_is_union_window_not_range_join(spark):
+    # The PIT lookup must be the union + last(ignorenulls) walk on ONE
+    # fine user_id window — never a range/interval join (no Join node at
+    # all) and never a per-interval explosion.
+    plan = explain(QUERIES["e43_pit_feature_join"](spark, SF), mode="simple")
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" in plan
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+
+
 def test_q55_balance_is_two_aggregates_no_corpus_window(spark):
     # max_by rides the (custkey, month) aggregate — never a row_number
     # window over orders; the only window (MoM lag) orders the
