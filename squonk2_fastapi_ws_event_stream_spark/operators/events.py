@@ -3162,3 +3162,95 @@ FROM walked WHERE is_probe = 1
 
 QUERIES["e43_pit_feature_join"] = e43_pit_feature_join
 ORACLES["e43_pit_feature_join"] = ORACLE_E43
+
+
+# ---------------------------------------------------------------------------
+# e44 — interval coverage (merge overlapping intervals): each event
+# opens a 5-minute activity interval [ts, ts+5m); overlapping intervals
+# per user merge into maximal COVERAGE SPANS — the classic uptime/
+# activity-coverage primitive (SLA "covered minutes", multi-device
+# session splicing, sensor dead-time). Output: per user, each merged
+# span with how many raw intervals it absorbed, plus the covered
+# microseconds — the number naive per-event summing over-counts
+# whenever intervals overlap.
+#
+# Scale — the textbook sweep as TWO fine-keyed windows, no self-join:
+# (1) running max of interval ends per user (ordered by start): a new
+# island starts exactly where start > max(all previous ends); (2) a
+# running sum of the island flags labels each row's span. Both windows
+# ride ONE (user_id) exchange (fine key — thousands of rows per user,
+# never a corpus partition); the per-span rollup is a plain aggregate.
+#
+# Cross-engine determinism: pure integer microseconds; island labels
+# are integer running sums over a total (start, event_id) order.
+# ---------------------------------------------------------------------------
+E44_INTERVAL_US = 300_000_000  # each event covers [ts, ts + 5 min)
+
+
+def e44_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + E44_INTERVAL_US).alias("e"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    w_prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = ev.withColumn("prev_max_e", F.max("e").over(w_prev)).withColumn(
+        "new_island",
+        (
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e"))
+        ).cast("int"),
+    )
+    labeled = flagged.withColumn("island", F.sum("new_island").over(w_order))
+    return (
+        labeled.groupBy("user_id", "island")
+        .agg(
+            F.min("s").alias("span_start_us"),
+            F.max("e").alias("span_end_us"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .select(
+            "user_id",
+            F.col("island").cast("long").alias("span_no"),
+            F.col("span_start_us").cast("long").alias("span_start_us"),
+            F.col("span_end_us").cast("long").alias("span_end_us"),
+            (F.col("span_end_us") - F.col("span_start_us")).alias("covered_us"),
+            F.col("n_intervals").cast("long").alias("n_intervals"),
+        )
+    )
+
+
+ORACLE_E44 = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + {E44_INTERVAL_US} AS e
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM ev
+),
+labeled AS (
+  SELECT *, SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT user_id,
+       CAST(island AS BIGINT) AS span_no,
+       CAST(MIN(s) AS BIGINT) AS span_start_us,
+       CAST(MAX(e) AS BIGINT) AS span_end_us,
+       CAST(MAX(e) - MIN(s) AS BIGINT) AS covered_us,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM labeled
+GROUP BY user_id, island
+"""
+
+
+QUERIES["e44_interval_coverage"] = e44_interval_coverage
+ORACLES["e44_interval_coverage"] = ORACLE_E44

@@ -2697,3 +2697,109 @@ FROM scored
 
 QUERIES["x35_welch_ttest"] = x35_welch_ttest
 ORACLES["x35_welch_ttest"] = ORACLE_X35
+
+
+# ---------------------------------------------------------------------------
+# x36 — sample-ratio-mismatch (SRM) check: is the experiment's traffic
+# split actually the 50/50 the assignment hash promises? A skewed split
+# invalidates x32/x34/x35 before any metric is read — every
+# experimentation platform runs this guardrail first. Chi-square
+# goodness-of-fit of the PER-DAY arm counts against the pooled split,
+# plus the overall one-degree test — per-day because SRM usually comes
+# from a deploy mid-experiment, visible only in the daily series.
+#
+# Cross-engine determinism: the x33 discipline — chi-square terms as
+# integer micro-units via decimal DIV against the expected half
+# (2*obs - n)^2 / n algebraically, scaled: for a 50/50 split the
+# one-dof statistic is (n_a - n_b)^2 / (n_a + n_b); per day it sums.
+# All integers until the final /1e6 display division.
+#
+# Scale: one (user_id, day) aggregate (map-side combine) folds the
+# corpus to per-user first-seen rows; the daily SRM table is
+# calendar-bounded. No join except the calendar-bounded verdict window.
+# ---------------------------------------------------------------------------
+X36_CHI2_1DOF_CRIT_MICRO = 3_841_460  # alpha = 0.05, 1 dof, x1e6
+
+
+def x36_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    # a user enters the experiment on their FIRST active day
+    entry = ev.groupBy("user_id").agg(F.min("day").alias("day")).withColumn(
+        "arm",
+        (((F.col("user_id") % X32_P) * X32_A + X32_B) % X32_P % 2).cast("int"),
+    )
+    daily = entry.groupBy("day").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+    )
+    # chi2_micro = 1e6 * (n_a - n_b)^2 / (n_a + n_b), integer DIV
+    chi = F.expr(
+        "CAST((n_a - n_b) * (n_a - n_b) AS DECIMAL(38,0)) * 1000000"
+        " DIV CAST(n_a + n_b AS DECIMAL(38,0))"
+    )
+    w_all = Window.partitionBy()
+    return (
+        daily.withColumn("day_chi2_micro", chi.cast("long"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "day_chi2_micro",
+            (F.col("day_chi2_micro") > X36_CHI2_1DOF_CRIT_MICRO).alias(
+                "day_srm_flag"
+            ),
+            F.expr(
+                "CAST(SUM(n_a) OVER () - SUM(n_b) OVER () AS DECIMAL(38,0))"
+                " * (SUM(n_a) OVER () - SUM(n_b) OVER ()) * 1000000"
+                " DIV CAST(SUM(n_a) OVER () + SUM(n_b) OVER () AS DECIMAL(38,0))"
+            )
+            .cast("long")
+            .alias("overall_chi2_micro"),
+        )
+        .withColumn(
+            "overall_srm_flag",
+            F.col("overall_chi2_micro") > X36_CHI2_1DOF_CRIT_MICRO,
+        )
+    )
+
+
+ORACLE_X36 = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+),
+entry AS (
+  SELECT user_id, MIN(day) AS day,
+         CAST((((user_id % {X32_P}) * {X32_A} + {X32_B}) % {X32_P}) % 2
+              AS INTEGER) AS arm
+  FROM ev GROUP BY user_id
+),
+daily AS (
+  SELECT day,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM entry GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(CAST((n_a - n_b) * (n_a - n_b) AS HUGEINT) * 1000000
+            // CAST(n_a + n_b AS HUGEINT) AS BIGINT) AS day_chi2_micro,
+       CAST((n_a - n_b) * (n_a - n_b) AS HUGEINT) * 1000000
+         // CAST(n_a + n_b AS HUGEINT) > {X36_CHI2_1DOF_CRIT_MICRO}
+         AS day_srm_flag,
+       CAST(CAST(SUM(n_a) OVER () - SUM(n_b) OVER () AS HUGEINT)
+            * (SUM(n_a) OVER () - SUM(n_b) OVER ()) * 1000000
+            // CAST(SUM(n_a) OVER () + SUM(n_b) OVER () AS HUGEINT) AS BIGINT)
+         AS overall_chi2_micro,
+       CAST(SUM(n_a) OVER () - SUM(n_b) OVER () AS HUGEINT)
+         * (SUM(n_a) OVER () - SUM(n_b) OVER ()) * 1000000
+         // CAST(SUM(n_a) OVER () + SUM(n_b) OVER () AS HUGEINT)
+         > {X36_CHI2_1DOF_CRIT_MICRO} AS overall_srm_flag
+FROM daily
+"""
+
+
+QUERIES["x36_srm_check"] = x36_srm_check
+ORACLES["x36_srm_check"] = ORACLE_X36

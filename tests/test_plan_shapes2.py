@@ -1144,6 +1144,24 @@ def test_e43_pit_join_is_union_window_not_range_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_e44_coverage_sweep_is_windows_on_one_user_exchange(spark):
+    # The merge-overlapping-intervals sweep is two windows + one rollup
+    # riding a single user_id exchange — no self-join, no cartesian.
+    plan = explain(QUERIES["e44_interval_coverage"](spark, SF), mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_x36_srm_daily_table_is_calendar_bounded(spark):
+    # Corpus folds on user_id (first-seen day); the SRM stats live on the
+    # calendar-bounded daily table; no join anywhere.
+    plan = explain(QUERIES["x36_srm_check"](spark, SF), mode="simple")
+    assert "hashpartitioning(user_id" in plan
+    assert "hashpartitioning(day" in plan
+    assert "Join" not in plan
+
+
 def test_q55_balance_is_two_aggregates_no_corpus_window(spark):
     # max_by rides the (custkey, month) aggregate — never a row_number
     # window over orders; the only window (MoM lag) orders the
