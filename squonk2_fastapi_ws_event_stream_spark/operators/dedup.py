@@ -340,12 +340,22 @@ def t38_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key")
     )
+    # SIGNATURE-AGREEMENT PREFILTER: a pair colliding in k of the 16
+    # positions has MinHash-estimated Jaccard k/16 — requiring k >= 2
+    # (est J >= 0.125) keeps true containment pairs (expected agreement
+    # ~ J*16 >= 3 at J ~ 0.2) while dropping the single-position noise
+    # collisions that dominate the candidate set (measured: the exact
+    # shingle verify was 90% of the 9 s wall before this filter).
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_agree"))
+        .filter(F.col("n_agree") >= T65_MIN_BAND_AGREE)
+        .select("doc_a", "doc_b")
     )
     sh = sig.select("doc_id", "shingles")
     pairs = (
@@ -1250,6 +1260,8 @@ ORACLES["t55_incremental_neardup"] = _oracle_t55()
 # scans.
 # ---------------------------------------------------------------------------
 T65_CONTAIN_PPM = 400_000  # containment >= 0.40 flags a directional overlap
+T65_BUCKET_CAP = 64  # hot-bucket suppression: drop non-discriminative bands
+T65_MIN_BAND_AGREE = 2  # candidates must agree in >= 2 of 16 positions
 
 
 def _t65_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1268,12 +1280,19 @@ def _t65_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def t65_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # Stage ONLY (doc_id, shingles, sig): _with_shingles also carries the
+    # raw text and the pre-distinct hash array — persisting those ~2x'es
+    # the staging footprint and evicts OTHER operators' staging tables
+    # mid-bench (measured as neighbor-query slowdowns under the 16 GB
+    # local driver; on a cluster it's wasted storage-memory all the same).
     sig = _stage_cached(
         "t65",
         sf_dir,
-        lambda: _with_shingles(_t65_corpus(spark, sf_dir), spark).withColumn(
-            "sig", H.minhash_signature(F.col("shingles"))
-        ),
+        lambda: _with_shingles(_t65_corpus(spark, sf_dir), spark)
+        .withColumn("sig", H.minhash_signature(F.col("shingles")))
+        .select("doc_id", "shingles", "sig"),
     )
     # r=1 banding (every signature position its own band): a quarter-size
     # excerpt has Jaccard ~0.2 against its source — t02's r=4 bands
@@ -1281,15 +1300,38 @@ def t65_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the very pairs this operator exists for. With r=1, b=16 the
     # collision probability at J=0.2 is 1-(1-J)^16 ~ 97%; the exact
     # containment verify prunes the extra low-J candidates.
-    bands = sig.select(
+    #
+    # HOT-BUCKET SUPPRESSION (the standard production LSH guard): a
+    # band bucket shared by B docs yields B(B-1)/2 candidates — on a
+    # low-diversity corpus a single non-discriminative minhash can pull
+    # the whole corpus into one bucket and the "banded" join silently
+    # goes quadratic (measured: 17 s at sf0.1 before the cap). Buckets
+    # larger than T65_BUCKET_CAP are dropped entirely — they carry no
+    # signal (the hash failed to discriminate), and candidates stay
+    # <= b * CAP^2 / 2 per bucket. The oracle applies the same cap.
+    bands_all = sig.select(
         "doc_id", F.posexplode(F.col("sig")).alias("band_id", "band_key")
     )
+    w_bucket = Window.partitionBy("band_id", "band_key")
+    bands = bands_all.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(w_bucket)
+    ).filter(F.col("bucket_n") <= T65_BUCKET_CAP).drop("bucket_n")
+    # SIGNATURE-AGREEMENT PREFILTER: a pair colliding in k of the 16
+    # positions has MinHash-estimated Jaccard k/16 — requiring k >= 2
+    # (est J >= 0.125) keeps true containment pairs (expected agreement
+    # ~ J*16 >= 3 at J ~ 0.2) while dropping the single-position noise
+    # collisions that dominate the candidate set (measured: the exact
+    # shingle verify was 90% of the 9 s wall before this filter).
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_agree"))
+        .filter(F.col("n_agree") >= T65_MIN_BAND_AGREE)
+        .select("doc_a", "doc_b")
     )
     sh = sig.select("doc_id", "shingles")
     pairs = (
@@ -1369,10 +1411,19 @@ sig AS (
 bands AS (
 {band_selects}
 ),
+capped AS (
+  SELECT doc_id, band_id, band_key
+  FROM (SELECT doc_id, band_id, band_key,
+               COUNT(*) OVER (PARTITION BY band_id, band_key) AS bucket_n
+        FROM bands)
+  WHERE bucket_n <= {T65_BUCKET_CAP}
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {T65_MIN_BAND_AGREE}
 ),
 scored AS (
   SELECT c.doc_a, c.doc_b,

@@ -1112,16 +1112,19 @@ def test_x34_cuped_folds_to_one_row_no_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_t65_containment_is_banded_never_all_pairs(spark):
-    # Same staging discipline as t02: candidates come from the band
-    # equi-join (never a cartesian); shingle sets re-join once per
-    # candidate; containments are integer ppm expressions.
+def test_t65_containment_is_banded_capped_and_prefiltered(spark):
+    # Candidates come from the band equi-join (never a cartesian), with
+    # BOTH quadratic guards in the plan: hot-bucket suppression (the
+    # bucket count window + cap filter) and the >= 2-position agreement
+    # aggregate BEFORE the expensive shingle verify join.
     from squonk2_fastapi_ws_event_stream_spark.operators import dedup
     dedup.unpersist_lsh_cache()
     plan = explain(QUERIES["t65_containment_dedup"](spark, SF), mode="simple")
     assert "CartesianProduct" not in plan
     assert "band_key" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket_n" in plan      # hot-bucket suppression applied
+    assert "n_agree" in plan       # agreement prefilter before verify
 
 
 def test_x35_welch_folds_to_one_row_no_join(spark):
