@@ -3254,3 +3254,118 @@ GROUP BY user_id, island
 
 QUERIES["e44_interval_coverage"] = e44_interval_coverage
 ORACLES["e44_interval_coverage"] = ORACLE_E44
+
+
+# ---------------------------------------------------------------------------
+# e45 — metric correlation matrix: Pearson correlation between every
+# PAIR of event types' hourly count series — the incident-correlation /
+# "which metrics move together" readout (errors spiking with clicks is
+# a capacity smell; purchases decoupling from views is a funnel break).
+#
+# Scale: the corpus folds ONCE to the calendar-bounded (type, hour)
+# count table; the type-pair self-join and every moment after it run on
+# that reduced table (|types| x hours rows — thousands, not billions).
+# Missing (type, hour) cells are true zeros: both series densify over
+# the GLOBAL hour span (the e40 grid discipline) so the correlation is
+# over aligned series, not inner-joined nonzero hours.
+#
+# Cross-engine determinism: counts are integers; all five pooled
+# moments fold as DECIMAL(38,0); r^2 and r come from fixed-order double
+# expressions over those scale-0 integers (sign via integer compare).
+# ---------------------------------------------------------------------------
+def e45_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.unix_micros("ts") / 3_600_000_000).alias("h")
+    )
+    counts = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    dense = grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    a = dense.select(
+        F.col("event_type").alias("type_a"), "h", F.col("c").alias("ca")
+    )
+    b = dense.select(
+        F.col("event_type").alias("type_b"), "h", F.col("c").alias("cb")
+    )
+    paired = a.join(b, "h").filter(F.col("type_a") < F.col("type_b"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    m = paired.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("ca")).alias("sa"),
+        F.sum(d("cb")).alias("sb"),
+        F.sum(d("ca") * d("ca")).alias("qa"),
+        F.sum(d("cb") * d("cb")).alias("qb"),
+        F.sum(d("ca") * d("cb")).alias("sab"),
+    )
+    dbl = lambda c: F.col(c).cast("double")
+    cov_n = dbl("n") * dbl("sab") - dbl("sa") * dbl("sb")
+    var_a = dbl("n") * dbl("qa") - dbl("sa") * dbl("sa")
+    var_b = dbl("n") * dbl("qb") - dbl("sb") * dbl("sb")
+    # r = cov / sqrt(var_a * var_b): sqrt is correctly-rounded IEEE —
+    # portable (the t27 rule: sqrt OK, log/pow not).
+    r = cov_n / F.sqrt(var_a * var_b)
+    return m.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("long").alias("n_hours"),
+        F.round(r, 6).alias("pearson_r"),
+        (r > 0.5).alias("strongly_coupled"),
+    )
+
+
+ORACLE_E45 = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events
+),
+counts AS (
+  SELECT event_type, h, COUNT(*) AS c FROM ev GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+grid AS (
+  SELECT t.event_type, unnest(range(bounds.lo, bounds.hi + 1)) AS h
+  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN bounds
+),
+dense AS (
+  SELECT g.event_type, g.h, COALESCE(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c
+    ON g.event_type = c.event_type AND g.h = c.h
+),
+paired AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.c AS ca, b.c AS cb
+  FROM dense a JOIN dense b ON a.h = b.h AND a.event_type < b.event_type
+),
+m AS (
+  SELECT type_a, type_b, COUNT(*) AS n,
+         SUM(CAST(ca AS HUGEINT)) AS sa, SUM(CAST(cb AS HUGEINT)) AS sb,
+         SUM(CAST(ca AS HUGEINT) * ca) AS qa,
+         SUM(CAST(cb AS HUGEINT) * cb) AS qb,
+         SUM(CAST(ca AS HUGEINT) * cb) AS sab
+  FROM paired GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
+       ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(qa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(qb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+         AS pearson_r,
+       (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+       / SQRT((CAST(n AS DOUBLE) * CAST(qa AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(qb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) > 0.5
+         AS strongly_coupled
+FROM m
+"""
+
+
+QUERIES["e45_metric_correlation"] = e45_metric_correlation
+ORACLES["e45_metric_correlation"] = ORACLE_E45

@@ -2803,3 +2803,170 @@ FROM daily
 
 QUERIES["x36_srm_check"] = x36_srm_check
 ORACLES["x36_srm_check"] = ORACLE_X36
+
+
+# ---------------------------------------------------------------------------
+# x37 — Mann-Whitney U test (nonparametric A/B): does arm B's per-user
+# revenue distribution stochastically dominate arm A's? The rank test
+# the experimentation suite needs when x35's t-test assumptions break
+# (heavy-tailed revenue). The textbook computation sorts the combined
+# sample — a corpus-wide single-task global rank. Here it is factored
+# EXACTLY through the value histogram instead:
+#
+#   per distinct value v: (n_a, n_b, t = n_a + n_b); ranks of a tie
+#   group share the midrank cum_before + (t+1)/2, so
+#   2*R_a = sum_v n_a(v) * (2*cum_before(v) + t(v) + 1)  — all integer.
+#
+# The cum_before running sum rides the e42 two-level scan (intra-block
+# window on value DIV 1e6 + prefix over the block summary), so no
+# value-domain-sized single partition exists. Tie-corrected normal
+# approximation:
+#   z^2 = 3*N*(N-1)*d^2 / (n_a*n_b*(N*(N^2-1) - sum(t^3-t))),
+#   d = 2*U_a - n_a*n_b  (integer)
+# evaluated as a fixed-order double over exact decimal integers.
+#
+# Cross-engine determinism: every rank/tie quantity is an exact integer
+# (2x-scaled midranks); the only doubles are the final fixed-order
+# ratio and ROUND.
+# ---------------------------------------------------------------------------
+X37_BLOCK = 1_000_000  # cents per cumsum block ($10k)
+
+
+def x37_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    users = ev.groupBy("user_id").agg(F.sum("cents").alias("x")).withColumn(
+        "arm",
+        (((F.col("user_id") % X32_P) * X32_A + X32_B) % X32_P % 2).cast("int"),
+    )
+    hist = users.groupBy("x").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("na"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("nb"),
+        F.count(F.lit(1)).alias("t"),
+    ).withColumn("blk", F.expr(f"x DIV {X37_BLOCK}"))
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = hist.withColumn("cum_in", F.sum("t").over(w_in))
+    blocks = hist.groupBy("blk").agg(F.sum("t").alias("blk_t"))
+    w_pre = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = blocks.withColumn("cum_pre", F.sum("blk_t").over(w_pre)).select(
+        "blk", "cum_pre"
+    )
+    ranked = intra.join(prefix, "blk").withColumn(
+        "cum_before",
+        F.coalesce(F.col("cum_in"), F.lit(0)) + F.coalesce(F.col("cum_pre"), F.lit(0)),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    m = ranked.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(
+            d38("na") * (2 * d38("cum_before") + d38("t") + 1)
+        ).alias("r2_a"),
+        F.sum(d38("t") * d38("t") * d38("t") - d38("t")).alias("ties3"),
+    )
+    dbl = lambda c: F.col(c).cast("double")
+    n_tot = F.col("n_a") + F.col("n_b")
+    # d = 2*U_a - n_a*n_b where 2*U_a = r2_a - n_a*(n_a+1)
+    d_stat = (
+        F.col("r2_a").cast("decimal(38,0)")
+        - d38("n_a") * (d38("n_a") + 1)
+        - d38("n_a") * d38("n_b")
+    )
+    z2 = (
+        3.0
+        * n_tot.cast("double")
+        * (n_tot - 1).cast("double")
+        * d_stat.cast("double")
+        * d_stat.cast("double")
+    ) / (
+        dbl("n_a")
+        * dbl("n_b")
+        * (
+            n_tot.cast("double")
+            * (n_tot.cast("double") * n_tot.cast("double") - 1.0)
+            - F.col("ties3").cast("double")
+        )
+    )
+    return m.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        ((F.col("r2_a").cast("decimal(38,0)") - d38("n_a") * (d38("n_a") + 1)))
+        .cast("long")
+        .alias("u2_a"),
+        F.col("ties3").cast("long").alias("tie_correction"),
+        F.round(z2, 6).alias("z_sq"),
+        (z2 > F.lit(X32_Z2_CRIT_95)).alias("significant_95"),
+    )
+
+
+ORACLE_X37 = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(CAST(ROUND(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+users AS (
+  SELECT user_id, SUM(cents) AS x,
+         CAST((((user_id % {X32_P}) * {X32_A} + {X32_B}) % {X32_P}) % 2
+              AS INTEGER) AS arm
+  FROM ev GROUP BY user_id
+),
+hist AS (
+  SELECT x,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+         COUNT(*) AS t
+  FROM users GROUP BY x
+),
+ranked AS (
+  SELECT *,
+         COALESCE(SUM(t) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM hist
+),
+m AS (
+  SELECT SUM(na) AS n_a, SUM(nb) AS n_b,
+         SUM(CAST(na AS HUGEINT) * (2 * CAST(cum_before AS HUGEINT) + t + 1))
+           AS r2_a,
+         SUM(CAST(t AS HUGEINT) * t * t - t) AS ties3
+  FROM ranked
+),
+scored AS (
+  SELECT *,
+         n_a + n_b AS n_tot,
+         r2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2_a,
+         r2_a - CAST(n_a AS HUGEINT) * (n_a + 1)
+           - CAST(n_a AS HUGEINT) * n_b AS d_stat
+  FROM m
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(u2_a AS BIGINT) AS u2_a,
+       CAST(ties3 AS BIGINT) AS tie_correction,
+       ROUND((3.0 * CAST(n_tot AS DOUBLE) * CAST(n_tot - 1 AS DOUBLE)
+              * CAST(d_stat AS DOUBLE) * CAST(d_stat AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                * (CAST(n_tot AS DOUBLE)
+                   * (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE) - 1.0)
+                   - CAST(ties3 AS DOUBLE))), 6) AS z_sq,
+       (3.0 * CAST(n_tot AS DOUBLE) * CAST(n_tot - 1 AS DOUBLE)
+        * CAST(d_stat AS DOUBLE) * CAST(d_stat AS DOUBLE))
+       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+          * (CAST(n_tot AS DOUBLE)
+             * (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE) - 1.0)
+             - CAST(ties3 AS DOUBLE))) > {X32_Z2_CRIT_95} AS significant_95
+FROM scored
+"""
+
+
+QUERIES["x37_mann_whitney"] = x37_mann_whitney
+ORACLES["x37_mann_whitney"] = ORACLE_X37

@@ -1165,6 +1165,35 @@ def test_x36_srm_daily_table_is_calendar_bounded(spark):
     assert "Join" not in plan
 
 
+def test_e45_pair_join_rides_the_dense_hourly_rollup(spark):
+    # The corpus folds once to (type, hour) counts; the pair self-join
+    # and moments run on the densified calendar-bounded grid; the 1-row
+    # bounds aggregate broadcasts (audit-clean).
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["e45_metric_correlation"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "hashpartitioning(event_type" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_x37_ranks_factor_through_histogram_two_level(spark):
+    # No corpus-wide rank: midranks come from the value histogram, and
+    # the cum_before running sum is the e42 two-level scan (intra-block
+    # window partitioned by blk + prefix over the block summary).
+    import re
+    plan = explain(QUERIES["x37_mann_whitney"](spark, SF), mode="simple")
+    assert "hashpartitioning(user_id" in plan   # per-user fold
+    assert "hashpartitioning(x#" in plan        # histogram reduce
+    assert "hashpartitioning(blk" in plan       # intra-block window
+    wins = re.findall(r"windowspecdefinition\(([^)]*?specifiedwindowframe)", plan)
+    bad = [w for w in wins if "blk" not in w]
+    assert not bad, f"window without block segmentation: {bad}"
+
+
 def test_q55_balance_is_two_aggregates_no_corpus_window(spark):
     # max_by rides the (custkey, month) aggregate — never a row_number
     # window over orders; the only window (MoM lag) orders the
