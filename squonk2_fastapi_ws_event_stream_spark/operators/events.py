@@ -3369,3 +3369,125 @@ FROM m
 
 QUERIES["e45_metric_correlation"] = e45_metric_correlation
 ORACLES["e45_metric_correlation"] = ORACLE_E45
+
+
+# ---------------------------------------------------------------------------
+# e46 — seasonal-naive forecastability (MASE): forecast each hour of
+# the stream's FINAL day as the same hour one week earlier and score
+# the result with the Mean Absolute Scaled Error — the standard
+# forecast-quality number (MASE > 1 means the final day was harder to
+# predict than a typical train-period day; >> 1 flags an anomalous
+# day before anyone ships a forecast model). The evaluation harness a
+# forecasting pipeline needs BEFORE any model: if seasonal-naive MASE
+# is ~1, the series is boring-predictable and a model is overkill.
+#
+# Cross-engine determinism: hourly counts are integers on the dense
+# calendar grid (missing hours are true zeros — the e40 discipline);
+# absolute errors and both MASE terms are exact integers; the final
+# ratio is one truncating micro DIV.
+#
+# Scale: one corpus fold to (type, hour); the lag join is an equi-join
+# on (type, h-168) over the calendar-bounded dense grid; two bounded
+# aggregates end it.
+# ---------------------------------------------------------------------------
+E46_SEASON_H = 168  # weekly seasonality, hourly grid
+E46_MASE_OK_MICRO = 1_500_000  # final day forecastable if MASE <= 1.5
+
+
+def e46_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.unix_micros("ts") / 3_600_000_000).alias("h")
+    )
+    counts = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("h"), "lo", "hi"
+    )
+    dense = grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        "lo",
+        "hi",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    lagged = dense.alias("now").join(
+        dense.select(
+            F.col("event_type").alias("event_type"),
+            (F.col("h") + E46_SEASON_H).alias("h"),
+            F.col("c").alias("c_lag"),
+        ),
+        ["event_type", "h"],
+    )
+    scored = lagged.select(
+        "event_type",
+        "h",
+        "hi",
+        F.abs(F.col("c") - F.col("c_lag")).alias("abs_err"),
+        (F.col("h") > F.col("hi") - 24).cast("int").alias("is_test"),
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_test") == 1, F.col("abs_err"))).alias("test_err"),
+        F.sum(F.when(F.col("is_test") == 1, 1).otherwise(0)).alias("n_test"),
+        F.sum(F.when(F.col("is_test") == 0, F.col("abs_err"))).alias("train_err"),
+        F.sum(F.when(F.col("is_test") == 0, 1).otherwise(0)).alias("n_train"),
+    )
+    mase_micro = F.expr(
+        "CAST(test_err * n_train AS DECIMAL(38,0)) * 1000000"
+        " DIV CAST(train_err * n_test AS DECIMAL(38,0))"
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_test").cast("long").alias("n_test_hours"),
+        F.col("test_err").cast("long").alias("test_abs_err"),
+        F.col("train_err").cast("long").alias("train_abs_err"),
+        mase_micro.cast("long").alias("mase_micro"),
+        (mase_micro <= E46_MASE_OK_MICRO).alias("forecastable"),
+    )
+
+
+ORACLE_E46 = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events
+),
+counts AS (SELECT event_type, h, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+grid AS (
+  SELECT t.event_type, unnest(range(bounds.lo, bounds.hi + 1)) AS h,
+         bounds.lo AS lo, bounds.hi AS hi
+  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN bounds
+),
+dense AS (
+  SELECT g.event_type, g.h, g.lo, g.hi, COALESCE(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c
+    ON g.event_type = c.event_type AND g.h = c.h
+),
+lagged AS (
+  SELECT n.event_type, n.h, n.hi, ABS(n.c - l.c) AS abs_err,
+         CASE WHEN n.h > n.hi - 24 THEN 1 ELSE 0 END AS is_test
+  FROM dense n JOIN dense l
+    ON n.event_type = l.event_type AND n.h = l.h + {E46_SEASON_H}
+),
+agg AS (
+  SELECT event_type,
+         SUM(CASE WHEN is_test = 1 THEN abs_err END) AS test_err,
+         SUM(CASE WHEN is_test = 1 THEN 1 ELSE 0 END) AS n_test,
+         SUM(CASE WHEN is_test = 0 THEN abs_err END) AS train_err,
+         SUM(CASE WHEN is_test = 0 THEN 1 ELSE 0 END) AS n_train
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_test AS BIGINT) AS n_test_hours,
+       CAST(test_err AS BIGINT) AS test_abs_err,
+       CAST(train_err AS BIGINT) AS train_abs_err,
+       CAST(CAST(test_err AS HUGEINT) * n_train * 1000000
+            // (CAST(train_err AS HUGEINT) * n_test) AS BIGINT) AS mase_micro,
+       CAST(test_err AS HUGEINT) * n_train * 1000000
+         // (CAST(train_err AS HUGEINT) * n_test) <= {E46_MASE_OK_MICRO}
+         AS forecastable
+FROM agg
+"""
+
+
+QUERIES["e46_seasonal_naive_mase"] = e46_seasonal_naive_mase
+ORACLES["e46_seasonal_naive_mase"] = ORACLE_E46

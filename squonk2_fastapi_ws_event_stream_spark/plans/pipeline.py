@@ -2970,3 +2970,101 @@ FROM scored
 
 QUERIES["x37_mann_whitney"] = x37_mann_whitney
 ORACLES["x37_mann_whitney"] = ORACLE_X37
+
+
+# ---------------------------------------------------------------------------
+# x38 — minimum detectable effect (MDE) planner: BEFORE the experiment
+# reads any metric, what's the smallest conversion-rate lift this
+# traffic can detect at alpha=5% / power=80%? The design-stage sibling
+# of x23's sample-size planner, aimed at the x32 proportion test:
+#
+#   MDE_abs = (z_{a/2} + z_b) * sqrt(2 p (1-p) / n_arm)
+#
+# with the normal quantiles HARDCODED (1.96, 0.8416 — no inverse-CDF
+# libm at query time) and p the pooled baseline conversion.
+#
+# Cross-engine determinism: counts are integers; p folds as an exact
+# ppm integer (truncating DIV); sqrt is correctly-rounded IEEE (the
+# t27 rule: sqrt portable, log/pow not); the rest is fixed-order
+# double arithmetic.
+#
+# Scale: one (user_id) fold with map-side combine, then a 1-row
+# aggregate. No join, no window.
+# ---------------------------------------------------------------------------
+X38_Z_HALF_ALPHA = 1.96    # alpha = 0.05, two-sided
+X38_Z_POWER = 0.8416       # power = 0.80
+X38_CONV_K = 15            # conversion = >= 15 purchases (x32's middle K)
+
+
+def x38_mde_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "purchases"
+            )
+        )
+        .withColumn(
+            "arm",
+            (((F.col("user_id") % X32_P) * X32_A + X32_B) % X32_P % 2).cast("int"),
+        )
+    )
+    m = users.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        F.sum((F.col("purchases") >= X38_CONV_K).cast("long")).alias("x_pool"),
+        F.count(F.lit(1)).alias("n_pool"),
+    )
+    dbl = lambda c: F.col(c).cast("double")
+    p = dbl("x_pool") / dbl("n_pool")
+    n_arm = F.least(F.col("n_a"), F.col("n_b")).cast("double")
+    mde_abs = (X38_Z_HALF_ALPHA + X38_Z_POWER) * F.sqrt(
+        2.0 * p * (1.0 - p) / n_arm
+    )
+    return m.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.expr("x_pool * 1000000 DIV n_pool").cast("long").alias("p_pool_ppm"),
+        F.round(mde_abs, 6).alias("mde_abs"),
+        F.round(mde_abs / p, 6).alias("mde_rel"),
+        (mde_abs < 0.05).alias("powered_for_5pp"),
+    )
+
+
+ORACLE_X38 = f"""
+WITH users AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+         CAST((((user_id % {X32_P}) * {X32_A} + {X32_B}) % {X32_P}) % 2
+              AS INTEGER) AS arm
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN purchases >= {X38_CONV_K} THEN 1 ELSE 0 END) AS x_pool,
+         COUNT(*) AS n_pool
+  FROM users
+),
+scored AS (
+  SELECT *,
+         CAST(x_pool AS DOUBLE) / CAST(n_pool AS DOUBLE) AS p,
+         ({X38_Z_HALF_ALPHA} + {X38_Z_POWER})
+           * SQRT(2.0 * (CAST(x_pool AS DOUBLE) / CAST(n_pool AS DOUBLE))
+                  * (1.0 - CAST(x_pool AS DOUBLE) / CAST(n_pool AS DOUBLE))
+                  / CAST(LEAST(n_a, n_b) AS DOUBLE)) AS mde_abs
+  FROM m
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(x_pool * 1000000 // n_pool AS BIGINT) AS p_pool_ppm,
+       ROUND(mde_abs, 6) AS mde_abs,
+       ROUND(mde_abs / p, 6) AS mde_rel,
+       mde_abs < 0.05 AS powered_for_5pp
+FROM scored
+"""
+
+
+QUERIES["x38_mde_planner"] = x38_mde_planner
+ORACLES["x38_mde_planner"] = ORACLE_X38

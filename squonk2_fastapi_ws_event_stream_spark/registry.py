@@ -65,6 +65,8 @@ NON_SQL_QUERIES = frozenset(missing)
 # cover ALL queries regardless of this order.
 _NEW_OR_CHANGED = (
     # round 6 NEW:
+    "x38_mde_planner",
+    "e46_seasonal_naive_mase",
     "e45_metric_correlation",
     "x37_mann_whitney",
     "e44_interval_coverage",

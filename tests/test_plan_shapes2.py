@@ -1194,6 +1194,27 @@ def test_x37_ranks_factor_through_histogram_two_level(spark):
     assert not bad, f"window without block segmentation: {bad}"
 
 
+def test_x38_mde_is_one_fold_one_row(spark):
+    plan = explain(QUERIES["x38_mde_planner"](spark, SF), mode="simple")
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_e46_lag_join_rides_the_dense_hourly_grid(spark):
+    # The seasonal lag is an equi-join on (type, h-168) over the
+    # calendar-bounded dense grid — never a window over raw events.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["e46_seasonal_naive_mase"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "hashpartitioning(event_type" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q55_balance_is_two_aggregates_no_corpus_window(spark):
     # max_by rides the (custkey, month) aggregate — never a row_number
     # window over orders; the only window (MoM lag) orders the
