@@ -580,3 +580,81 @@ def twap_tracker(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM drift monitor — the stateful streaming twin of the
+# e32 batch change-point query (operators/events.py): per key, the
+# one-sided CUSUM statistic folds incrementally as
+#
+#   cum_n    = cum_{n-1} + (x_n - target)
+#   stat_n   = cum_n - min(cum_0..cum_n)       (Page's closed form)
+#   alarm at stat_n > threshold, then RESTART (the running min resets
+#   to the current prefix — the standard post-alarm re-arm).
+#
+# Everything is integer cents: prefix sum, running prefix-min, and the
+# threshold compare — a replayed batch after checkpoint restore folds
+# to identical integers (restart-tested). State is four longs + the
+# alarm count; keys idle past retention are evicted like every
+# operator in this module.
+#
+# Scale: O(active keys) state, constant work per message. This is the
+# always-on drift alarm; e32 is its forensic batch replay.
+# ---------------------------------------------------------------------------
+CUSUM_OUTPUT_SCHEMA = (
+    "key string, n_obs long, stat long, n_alarms long, alarmed_in_batch boolean"
+)
+CUSUM_STATE_SCHEMA = "cum long, cum_min long, n long, alarms long"
+
+
+def _update_cusum_fn(target: int, threshold: int, retention_ms: int):
+    def _update_cusum(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cum, cum_min, n, alarms = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        batch_alarm = False
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("offset")
+        for x in rows["cents"].astype("int64").tolist():
+            cum += int(x) - target
+            if cum < cum_min:
+                cum_min = cum
+            if cum - cum_min > threshold:
+                alarms += 1
+                batch_alarm = True
+                cum_min = cum  # re-arm
+            n += 1
+        state.update((cum, cum_min, n, alarms))
+        state.setTimeoutDuration(retention_ms)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_obs": [n],
+                "stat": [cum - cum_min],
+                "n_alarms": [alarms],
+                "alarmed_in_batch": [batch_alarm],
+            }
+        )
+
+    return _update_cusum
+
+
+def cusum_monitor(
+    observations: DataFrame,
+    target_cents: int,
+    threshold_cents: int,
+    retention_ms: int = DEFAULT_IDLE_RETENTION_MS,
+) -> DataFrame:
+    """Streaming per-key CUSUM drift alarms. `observations` must carry
+    (key string, cents long, offset long)."""
+    return observations.groupBy("key").applyInPandasWithState(
+        _update_cusum_fn(int(target_cents), int(threshold_cents), retention_ms),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

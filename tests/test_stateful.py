@@ -549,3 +549,78 @@ def test_twap_tracker_integral_exactness_late_skip_and_restart(spark, tmp_path):
     assert row2["span_us"] == 12_000_000
     # vt = 8e9 + 4000*6e6 = 3.2e10; twap = 3.2e10*10 // 12e6 = 26666
     assert row2["twap_milli"] == 26666
+
+
+def test_cusum_monitor_alarms_rearm_and_restart(spark, tmp_path):
+    """The streaming CUSUM must fold Page's statistic integer-exactly,
+    alarm exactly when the drift crosses the threshold, re-arm after the
+    alarm, and carry (cum, cum_min) across a checkpoint restart."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        cusum_monitor,
+    )
+
+    root = str(tmp_path / "cusumlog")
+    w = EventLogWriter(root, "s1")
+    # target 1000, threshold 500: four on-target readings keep stat 0;
+    # then a +300 drift accumulates 300/600 -> alarm on the 6th message.
+    vals = [1000, 1000, 1000, 1000, 1300, 1300]
+    for i, v in enumerate(vals):
+        w.publish(json.dumps({"cents": v}), BASE_TS + i * 1000)
+    spark.dataSource.register(EventStreamDataSource)
+
+    def shaped():
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "s1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        parsed = env.select(
+            "key",
+            "offset",
+            F.get_json_object(F.col("value").cast("string"), "$.cents")
+            .cast("long")
+            .alias("cents"),
+        )
+        return cusum_monitor(parsed, target_cents=1000, threshold_cents=500)
+
+    first: list = []
+    q = (
+        shaped()
+        .writeStream.foreachBatch(lambda df, _id: first.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cusumckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    row = first[-1]
+    # drift: after 5th msg stat=300 (no alarm); 6th msg stat=600 > 500 ->
+    # alarm, re-arm (stat back to 0).
+    assert row["n_obs"] == 6
+    assert row["n_alarms"] == 1 and row["alarmed_in_batch"]
+    assert row["stat"] == 0  # re-armed at the alarm
+
+    # Restart: two more +300 readings accumulate 300/600 from the
+    # re-armed baseline -> exactly one more alarm, state carried.
+    w.publish(json.dumps({"cents": 1300}), BASE_TS + 7000)
+    w.publish(json.dumps({"cents": 1300}), BASE_TS + 8000)
+    second: list = []
+    q2 = (
+        shaped()
+        .writeStream.foreachBatch(lambda df, _id: second.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cusumckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    row2 = second[-1]
+    assert row2["n_obs"] == 8
+    assert row2["n_alarms"] == 2 and row2["alarmed_in_batch"]
+    assert row2["stat"] == 0
