@@ -836,3 +836,133 @@ FROM framed
 
 QUERIES["q57_rolling_median_revenue"] = q57_rolling_median_revenue
 ORACLES["q57_rolling_median_revenue"] = ORACLE_Q57
+
+
+# ---------------------------------------------------------------------------
+# q58 — revenue concentration (whale analysis): what share of total
+# revenue comes from the top 10% / top 1% of customers, plus the exact
+# Gini coefficient — the 80/20 readout that decides whether churn risk
+# is concentrated in a handful of accounts. The textbook computation
+# sorts customers by revenue (a corpus-wide single-task rank); here
+# every rank quantity factors EXACTLY through the revenue histogram
+# (the x37 discipline): for a tie group (value v, count t, rank offset
+# c = customers with smaller revenue),
+#
+#   sum of i*x over the group = v * (t*c + t*(t+1)/2)   (ranks c+1..c+t)
+#   members above rank r      = max(0, min(t, c + t - r))
+#
+# so Gini = (2*sum(i*x) - (n+1)*S) / (n*S) and both top-k% shares are
+# integer-exact with no global sort. The cum_before running sum rides
+# the e42 two-level scan (intra-block window + block-summary prefix).
+#
+# Cross-engine determinism: integer cents, DECIMAL(38,0) folds,
+# truncating micro DIV everywhere; zero floats in checked columns.
+# ---------------------------------------------------------------------------
+Q58_BLOCK = 1_000_000  # cents per cumsum block
+
+
+def q58_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("x"))
+    )
+    hist = cust.groupBy("x").agg(F.count(F.lit(1)).alias("t")).withColumn(
+        "blk", F.expr(f"x DIV {Q58_BLOCK}")
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = hist.withColumn("cum_in", F.sum("t").over(w_in))
+    blocks = hist.groupBy("blk").agg(F.sum("t").alias("blk_t"))
+    w_pre = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = blocks.withColumn("cum_pre", F.sum("blk_t").over(w_pre)).select(
+        "blk", "cum_pre"
+    )
+    ranked = intra.join(prefix, "blk").withColumn(
+        "c",
+        F.coalesce(F.col("cum_in"), F.lit(0)) + F.coalesce(F.col("cum_pre"), F.lit(0)),
+    )
+    d38 = lambda col: F.col(col).cast("decimal(38,0)")
+    totals = ranked.agg(
+        F.sum("t").alias("n"), F.sum(d38("x") * d38("t")).alias("s")
+    )
+    joined = ranked.crossJoin(F.broadcast(totals)).withColumn(
+        "r90", F.expr("n - n DIV 10")
+    ).withColumn("r99", F.expr("n - n DIV 100"))
+    above = lambda r: F.greatest(
+        F.lit(0), F.least(F.col("t"), F.col("c") + F.col("t") - F.col(r))
+    )
+    m = joined.agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.sum(
+            d38("x") * (2 * d38("t") * d38("c") + d38("t") * d38("t") + d38("t"))
+        ).alias("two_ix"),
+        F.sum(d38("x") * above("r90").cast("decimal(38,0)")).alias("rev_top10"),
+        F.sum(d38("x") * above("r99").cast("decimal(38,0)")).alias("rev_top1"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("s").cast("long").alias("total_cents"),
+        F.expr("CAST(rev_top10 * 1000000 DIV s AS BIGINT)").alias(
+            "share_top10_ppm"
+        ),
+        F.expr("CAST(rev_top1 * 1000000 DIV s AS BIGINT)").alias(
+            "share_top1_ppm"
+        ),
+        F.expr(
+            "CAST((two_ix - (n + 1) * s) * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * s)"
+            " AS BIGINT)"
+        ).alias("gini_micro"),
+    )
+
+
+ORACLE_Q58 = f"""
+WITH cust AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS x
+  FROM orders GROUP BY o_custkey
+),
+hist AS (SELECT x, COUNT(*) AS t FROM cust GROUP BY x),
+ranked AS (
+  SELECT x, t,
+         COALESCE(SUM(t) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM hist
+),
+totals AS (
+  SELECT SUM(t) AS n, SUM(CAST(x AS HUGEINT) * t) AS s FROM ranked
+),
+m AS (
+  SELECT MAX(tt.n) AS n, MAX(tt.s) AS s,
+         SUM(CAST(r.x AS HUGEINT)
+             * (2 * CAST(r.t AS HUGEINT) * r.c + CAST(r.t AS HUGEINT) * r.t
+                + r.t)) AS two_ix,
+         SUM(CAST(r.x AS HUGEINT) * GREATEST(0, LEAST(r.t,
+             r.c + r.t - (tt.n - tt.n // 10)))) AS rev_top10,
+         SUM(CAST(r.x AS HUGEINT) * GREATEST(0, LEAST(r.t,
+             r.c + r.t - (tt.n - tt.n // 100)))) AS rev_top1
+  FROM ranked r CROSS JOIN totals tt
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(s AS BIGINT) AS total_cents,
+       CAST(rev_top10 * 1000000 // s AS BIGINT) AS share_top10_ppm,
+       CAST(rev_top1 * 1000000 // s AS BIGINT) AS share_top1_ppm,
+       CAST((two_ix - (n + 1) * s) * 1000000 // (CAST(n AS HUGEINT) * s)
+            AS BIGINT) AS gini_micro
+FROM m
+"""
+
+
+QUERIES["q58_revenue_concentration"] = q58_revenue_concentration
+ORACLES["q58_revenue_concentration"] = ORACLE_Q58

@@ -1215,6 +1215,25 @@ def test_e46_lag_join_rides_the_dense_hourly_grid(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q58_concentration_has_no_global_sort(spark):
+    # Gini and top-k% shares factor through the revenue histogram: no
+    # corpus-wide Sort/rank; cumsum windows are block-segmented (the
+    # x37 discipline); totals broadcast as a 1-row aggregate.
+    import re
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["q58_revenue_concentration"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "hashpartitioning(o_custkey" in plan
+    assert "hashpartitioning(x#" in plan
+    wins = re.findall(r"windowspecdefinition\(([^)]*?specifiedwindowframe)", plan)
+    bad = [w for w in wins if "blk" not in w]
+    assert not bad, f"window without block segmentation: {bad}"
+
+
 def test_q55_balance_is_two_aggregates_no_corpus_window(spark):
     # max_by rides the (custkey, month) aggregate — never a row_number
     # window over orders; the only window (MoM lag) orders the
