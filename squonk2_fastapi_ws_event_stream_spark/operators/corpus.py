@@ -1714,3 +1714,123 @@ LIMIT {T64_TOP}
 
 QUERIES["t64_pmi_collocations"] = t64_pmi_collocations
 ORACLES["t64_pmi_collocations"] = ORACLE_T64
+
+
+# ---------------------------------------------------------------------------
+# t66 — IDF-weighted SimHash: the production variant of t03's document
+# fingerprint. Unweighted SimHash lets stop words dominate every bit
+# vote (most documents share most of their mass in 'the'/'a'/...), so
+# near-dup fingerprints collapse toward each other and discrimination
+# dies exactly on the corpora where dedup matters. Weighting each
+# token's vote by its rarity — w = bits(N) - bits(cnt), the quantized
+# collection-frequency IDF (t22/t34's no-libm bits trick) — restores
+# the signal: rare content terms decide the bits, boilerplate doesn't.
+#
+#   bit j  =  1  iff  2 * sum_{tokens} w * bit_j(hash(token)) > sum w
+#
+# (a weighted majority; hash = the t34 padded-word closed form, bits
+# above 29 re-mixed exactly like H.simhash so all 32 bits carry
+# signal).
+#
+# Cross-engine determinism: weights and votes are exact integers; the
+# majority compare is integer; the fingerprint is a packed BIGINT.
+#
+# Scale: tokens explode once; the frequency lookup is the t22
+# HEAD/TAIL split (1024 hottest tokens broadcast-safe by construction,
+# tail shuffle skew-free by construction — never a vocab broadcast,
+# never a hot-key shuffle); the per-doc fold is one aggregate with 33
+# conditional sums, map-side combinable.
+# ---------------------------------------------------------------------------
+T66_BITS = 32
+
+
+def t66_idf_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import head_tail_freq_join
+    from .dedup import _stage_cached
+    from .quality import tokens_table
+
+    toks = tokens_table(spark, sf_dir).select("doc_id", "w")
+    freq = _stage_cached(
+        "t66_freq",
+        sf_dir,
+        lambda: toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")),
+    )
+    n_total = toks.agg(_bits(F.count(F.lit(1))).alias("bits_n"))
+    weighted = head_tail_freq_join(toks, freq, on="w", order_col="cnt")
+    weighted = weighted.crossJoin(F.broadcast(n_total)).select(
+        "doc_id",
+        (F.col("bits_n") - _bits(F.col("cnt"))).alias("wt"),
+        (H.shingle_hash_at(F.rpad(F.col("w"), _PAD_W, " "), F.lit(1), _PAD_W)).alias(
+            "h"
+        ),
+    )
+
+    def bit_of(j: int) -> F.Column:
+        if j < 30:
+            return F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+        return F.shiftright(
+            (F.col("h") * F.lit(j + 1)) % F.lit(H.P), j % 30
+        ).bitwiseAND(F.lit(1))
+
+    agg = weighted.groupBy("doc_id").agg(
+        F.sum("wt").alias("w_sum"),
+        *[
+            F.sum(F.col("wt") * bit_of(j)).alias(f"v{j}")
+            for j in range(T66_BITS)
+        ],
+    )
+    fingerprint = sum(
+        F.when(F.col(f"v{j}") * 2 > F.col("w_sum"), F.lit(1 << j).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for j in range(T66_BITS)
+    )
+    return agg.select(
+        "doc_id",
+        F.col("w_sum").cast("long").alias("idf_mass"),
+        fingerprint.alias("idf_simhash"),
+    )
+
+
+def _oracle_t66() -> str:
+    word_hash = _sql_bucket("w").replace(f" % {DSIR_BUCKETS}", "", 1)
+
+    def bit_src(j: int) -> str:
+        if j < 30:
+            return f"(h >> {j}) & 1"
+        return f"(((h * {j + 1}) % {H.P}) >> {j % 30}) & 1"
+
+    votes = ",\n         ".join(
+        f"SUM(wt * ({bit_src(j)})) AS v{j}" for j in range(T66_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v{j} * 2 > w_sum THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(T66_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+n_total AS (
+  SELECT length(bin(COUNT(*))) - 1 AS bits_n FROM toks
+),
+weighted AS (
+  SELECT t.doc_id,
+         n.bits_n - (length(bin(f.cnt)) - 1) AS wt,
+         {word_hash} AS h
+  FROM toks t JOIN freq f USING (w) CROSS JOIN n_total n
+),
+agg AS (
+  SELECT doc_id, SUM(wt) AS w_sum,
+         {votes}
+  FROM weighted GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(w_sum AS BIGINT) AS idf_mass,
+       CAST({packed} AS BIGINT) AS idf_simhash
+FROM agg
+"""
+
+
+QUERIES["t66_idf_simhash"] = t66_idf_simhash
+ORACLES["t66_idf_simhash"] = _oracle_t66()

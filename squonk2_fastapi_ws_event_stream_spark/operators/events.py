@@ -3491,3 +3491,81 @@ FROM agg
 
 QUERIES["e46_seasonal_naive_mase"] = e46_seasonal_naive_mase
 ORACLES["e46_seasonal_naive_mase"] = ORACLE_E46
+
+
+# ---------------------------------------------------------------------------
+# e47 — peak request rate per user: the maximum number of events any
+# user produced in any 60-second window — the number that SIZES a rate
+# limiter (and the audit that finds who would trip it). Semantics are
+# second-resolution: windows are [sec-59, sec] over whole seconds,
+# evaluated at every occupied second.
+#
+# Scale — NO pair join: the naive per-event interval join (count
+# neighbors within 60 s of every event) goes quadratic on exactly the
+# hot-minute users this query exists to find (1e6 events in a minute =
+# 1e12 pairs). Instead the corpus folds to per-(user, second) counts
+# first, and the sliding sum is ONE integer RANGE frame (59 PRECEDING)
+# per user over those occupied-second rows — bounded by the user's
+# active seconds, never by their event count. The per-user argmax rides
+# the same exchange.
+#
+# Cross-engine determinism: pure integer seconds/counts; the peak pick
+# is (rate DESC, sec ASC) — a total order.
+# ---------------------------------------------------------------------------
+E47_WINDOW_S = 60
+
+
+def e47_peak_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) DIV 1000000").alias("sec")
+    )
+    per_sec = ev.groupBy("user_id", "sec").agg(F.count(F.lit(1)).alias("c"))
+    w_slide = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-(E47_WINDOW_S - 1), 0)
+    )
+    rated = per_sec.withColumn("rate60", F.sum("c").over(w_slide))
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.col("rate60").desc(), F.col("sec").asc()
+    )
+    return (
+        rated.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("rate60").cast("long").alias("peak_per_min"),
+            F.col("sec").cast("long").alias("peak_at_sec"),
+        )
+    )
+
+
+ORACLE_E47 = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events
+),
+per_sec AS (
+  SELECT user_id, sec, COUNT(*) AS c FROM ev GROUP BY 1, 2
+),
+rated AS (
+  SELECT user_id, sec,
+         SUM(c) OVER (PARTITION BY user_id ORDER BY sec
+                      RANGE BETWEEN {E47_WINDOW_S - 1} PRECEDING
+                            AND CURRENT ROW) AS rate60
+  FROM per_sec
+),
+picked AS (
+  SELECT user_id, rate60, sec,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY rate60 DESC, sec ASC) AS rn
+  FROM rated
+)
+SELECT user_id,
+       CAST(rate60 AS BIGINT) AS peak_per_min,
+       CAST(sec AS BIGINT) AS peak_at_sec
+FROM picked WHERE rn = 1
+"""
+
+
+QUERIES["e47_peak_rate"] = e47_peak_rate
+ORACLES["e47_peak_rate"] = ORACLE_E47

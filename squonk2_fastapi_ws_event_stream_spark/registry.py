@@ -65,6 +65,8 @@ NON_SQL_QUERIES = frozenset(missing)
 # cover ALL queries regardless of this order.
 _NEW_OR_CHANGED = (
     # round 6 NEW:
+    "t66_idf_simhash",
+    "e47_peak_rate",
     "q58_revenue_concentration",
     "x38_mde_planner",
     "e46_seasonal_naive_mase",

@@ -1234,6 +1234,33 @@ def test_q58_concentration_has_no_global_sort(spark):
     assert not bad, f"window without block segmentation: {bad}"
 
 
+def test_t66_idf_votes_use_head_tail_split_no_vocab_broadcast(spark):
+    # The frequency lookup is the t22 head/tail split: a fixed-1024
+    # broadcast head plus a skew-free shuffled tail — never a vocab-sized
+    # broadcast; the per-doc vote fold is one map-side-combined aggregate.
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.operators import dedup
+    dedup.unpersist_lsh_cache()
+    df = QUERIES["t66_idf_simhash"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "hashpartitioning(doc_id" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_e47_sliding_rate_is_range_frame_no_pair_join(spark):
+    # The 60-s sliding count is a RANGE frame over per-second aggregates
+    # on one user exchange — never the quadratic per-event interval join.
+    plan = explain(QUERIES["e47_peak_rate"](spark, SF), mode="simple")
+    assert "Join" not in plan
+    assert "RangeFrame" in plan or "specifiedwindowframe(RangeFrame" in plan
+    assert "hashpartitioning(user_id" in plan
+
+
 def test_q55_balance_is_two_aggregates_no_corpus_window(spark):
     # max_by rides the (custkey, month) aggregate — never a row_number
     # window over orders; the only window (MoM lag) orders the
