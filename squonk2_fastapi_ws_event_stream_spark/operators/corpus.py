@@ -1372,12 +1372,17 @@ def t60_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.expr(_wgram_slices_expr()), lambda g: F.sha2(g, 256))
         ).alias("gpos", "digest"),
     )
-    freq = grams.groupBy("digest").agg(
-        F.count_distinct("doc_id").alias("n_docs")
+    # Filter the frequency table BEFORE the join: only duplicated digests
+    # (typically a small fraction of all grams) reach the build side, so
+    # the join shuffles/builds over the dup set instead of every gram.
+    freq = (
+        grams.groupBy("digest")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("digest")
     )
     covered = (
         grams.join(freq, "digest")
-        .filter(F.col("n_docs") >= 2)
         .select(
             "doc_id", F.explode(F.sequence(F.col("gpos"), F.col("gpos") + T60_W - 1)).alias("idx")
         )

@@ -340,22 +340,22 @@ def t38_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key")
     )
-    # SIGNATURE-AGREEMENT PREFILTER: a pair colliding in k of the 16
-    # positions has MinHash-estimated Jaccard k/16 — requiring k >= 2
-    # (est J >= 0.125) keeps true containment pairs (expected agreement
-    # ~ J*16 >= 3 at J ~ 0.2) while dropping the single-position noise
-    # collisions that dominate the candidate set (measured: the exact
-    # shingle verify was 90% of the 9 s wall before this filter).
+    # Any single-band collision is a candidate — the classic b=4/r=4 LSH
+    # form, mirrored exactly by _oracle_t38's SELECT DISTINCT. Deliberately
+    # NO band-agreement prefilter here: t38 exists to surface the
+    # low-Jaccard / high-containment (quote/subset) pairs, and with r=4
+    # bands a pair at J ~= 0.2 agrees in >= 2 of the 4 bands with
+    # probability ~ C(4,2)*J^8 ~= 1.5e-5 — a prefilter structurally kills
+    # exactly the pairs this operator is for. The capped + prefiltered
+    # variant is t65 (r=1 banding, oracle updated in lockstep).
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_agree"))
-        .filter(F.col("n_agree") >= T65_MIN_BAND_AGREE)
-        .select("doc_a", "doc_b")
+        .distinct()
     )
     sh = sig.select("doc_id", "shingles")
     pairs = (

@@ -64,6 +64,19 @@ NON_SQL_QUERIES = frozenset(missing)
 # <= ~3 rounds old in steady state. Local oracle-parity tests still
 # cover ALL queries regardless of this order.
 _NEW_OR_CHANGED = (
+    # round 7 CHANGED plans: t38's candidate stage reverted to the plain
+    # .distinct() band-collision form its oracle computes (the round-6
+    # t65 prefilter was wrongly applied to it — judge-confirmed oracle
+    # divergence at sf0.01); t60's duplicate-gram filter pushed into the
+    # frequency table before the join (same result, smaller build side).
+    "t38_shingle_containment",
+    "t60_dup_span_removal",
+)
+
+# Round-6 head, kept for the ledger's history (no longer sampled first —
+# all have green r6 driver rows where sampled; the 28 never-sampled r6
+# registrations lead this round via _stalest_order, per VERDICT task #4).
+_ROUND6_HEAD = (
     # round 6 NEW:
     "t66_idf_simhash",
     "e47_peak_rate",
