@@ -400,11 +400,22 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 # ---------------------------------------------------------------------------
 def q11_quarter_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    quarters = (
-        orders.select(F.date_trunc("quarter", F.col("o_orderdate")).alias("q_start"))
-        .distinct()
-        .withColumn("q_end", F.col("q_start") + F.expr("INTERVAL 3 MONTHS"))
+    # Derive the quarter dim from min/max, not DISTINCT: a min/max agg is
+    # map-side partial to ONE row (no wide shuffle of every order's
+    # quarter), and `sequence()` expands it to the dim rows. The join is
+    # INNER, so the superset of quarters between min and max is
+    # result-identical to the oracle's DISTINCT form — empty quarters
+    # match no orders and vanish. (Round 7: the DISTINCT derivation was
+    # ~40% of q11's wall at sf0.1.)
+    bounds = orders.agg(
+        F.date_trunc("quarter", F.min("o_orderdate")).alias("q_min"),
+        F.date_trunc("quarter", F.max("o_orderdate")).alias("q_max"),
     )
+    quarters = bounds.select(
+        F.explode(
+            F.sequence("q_min", "q_max", F.expr("INTERVAL 3 MONTHS"))
+        ).alias("q_start")
+    ).withColumn("q_end", F.col("q_start") + F.expr("INTERVAL 3 MONTHS"))
     return (
         orders.join(
             F.broadcast(quarters),

@@ -71,6 +71,11 @@ _NEW_OR_CHANGED = (
     # frequency table before the join (same result, smaller build side).
     "t38_shingle_containment",
     "t60_dup_span_removal",
+    # q11: quarter dim derived from min/max + sequence() instead of a
+    # DISTINCT shuffle over every order (inner join makes the superset
+    # result-identical; the r5-vs-HEAD "creep" itself was host drift —
+    # see SCALING.md round-7 attribution).
+    "q11_quarter_range_join",
 )
 
 # Round-6 head, kept for the ledger's history (no longer sampled first —
