@@ -1305,6 +1305,179 @@ ORACLES["x25_column_stats"] = _oracle_x25()
 
 
 # ---------------------------------------------------------------------------
+# x25b — the 100 TB form of x25's NDV column: per-column KMV
+# (k-minimum-values) distinct sketches, the exact swap x25's docstring
+# names. x25's exact multi-NDV is an Expand plan whose shuffle carries
+# every distinct (column, value) group — the honest exact form at sf0.1
+# but NDV-proportional state at 100 TB. KMV state is K hashes per
+# column, period.
+#
+# Plan: ONE scan explodes each row into (col_tag, int_key) pairs →
+# distinct (tag, hash) [one shuffle, map-side combine] → bottom-K per
+# tag in TWO window phases: first within (tag, h % SALT) salted groups
+# (each sorts ~NDV/SALT rows — no single-reducer-per-tag skew), then
+# over the ≤ SALT·K survivors per tag. Estimate = (K−1)·P / h_(K) with
+# the small-n exact branch (flags have NDV 2–3 — the sketch holds the
+# whole hash set).
+#
+# Keys are integers so the x13 affine hash stays cross-engine exact:
+# native integer columns pass through; doubles that are integral by
+# construction (quantity, discount·100) go through ROUND-then-CAST
+# (CAST alone truncates in Spark and rounds in DuckDB — the 0.07·100 =
+# 7.000…001 class); 1-char flag strings key on ascii().
+#
+# Verdict column: the estimate's relative error vs the exact NDV (the
+# oracle-checkable arm, computed with x25's one-scan Expand) within
+# 2/√(K−1) ≈ 25% — 2σ of the KMV estimator. All columns, including the
+# estimate itself, are hash-compared: both engines compute identical
+# hashes, so the sketch is bit-deterministic, not just bounded.
+# ---------------------------------------------------------------------------
+X25B_K = 64
+X25B_SALT = 8
+_X25B_P = 1_000_000_007
+_X25B_A = 2654435761 % _X25B_P
+_X25B_B = 1723
+# (column tag, Spark integer-key expr, DuckDB integer-key expr)
+X25B_KEYS = (
+    ("l_orderkey", "l_orderkey", "l_orderkey"),
+    ("l_partkey", "l_partkey", "l_partkey"),
+    ("l_suppkey", "l_suppkey", "l_suppkey"),
+    ("l_linenumber", "l_linenumber", "l_linenumber"),
+    ("l_quantity", "CAST(ROUND(l_quantity) AS BIGINT)",
+     "CAST(ROUND(l_quantity) AS BIGINT)"),
+    ("l_discount", "CAST(ROUND(l_discount * 100) AS BIGINT)",
+     "CAST(ROUND(l_discount * 100) AS BIGINT)"),
+    ("l_returnflag", "ascii(l_returnflag)", "ascii(l_returnflag)"),
+    ("l_linestatus", "ascii(l_linestatus)", "ascii(l_linestatus)"),
+)
+
+
+def x25b_column_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        *[c for c, _, _ in X25B_KEYS]
+    )
+    keyed = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.expr(sk).cast("long").alias("k"),
+                    )
+                    for c, sk, _ in X25B_KEYS
+                ]
+            )
+        ).alias("s")
+    ).select("s.col_name", "s.k").filter(F.col("k").isNotNull())
+    hashed = keyed.select(
+        "col_name",
+        (
+            ((F.col("k") % _X25B_P) * _X25B_A + _X25B_B) % _X25B_P
+        ).alias("h"),
+    ).distinct()
+    w_salt = Window.partitionBy("col_name", F.col("h") % X25B_SALT).orderBy("h")
+    pruned = (
+        hashed.withColumn("rn", F.row_number().over(w_salt))
+        .filter(F.col("rn") <= X25B_K)
+        .drop("rn")
+    )
+    w_tag = Window.partitionBy("col_name").orderBy("h")
+    kmin = (
+        pruned.withColumn("rn", F.row_number().over(w_tag))
+        .filter(F.col("rn") <= X25B_K)
+    )
+    sketch = kmin.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("k_kept"),
+        F.max("h").cast("long").alias("kth_min_hash"),
+    )
+    exact = (
+        li.agg(
+            *[
+                F.count_distinct(F.col(c)).alias(f"{c}__ndv")
+                for c, _, _ in X25B_KEYS
+            ]
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_name"),
+                            F.col(f"{c}__ndv").cast("long").alias("exact_ndv"),
+                        )
+                        for c, _, _ in X25B_KEYS
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+    est = F.when(
+        F.col("k_kept") < X25B_K, F.col("k_kept").cast("double")
+    ).otherwise(
+        F.round(
+            (F.col("k_kept") - 1) * F.lit(float(_X25B_P)) / F.col("kth_min_hash"),
+            4,
+        )
+    )
+    joined = sketch.join(F.broadcast(exact), "col_name").withColumn(
+        "kmv_estimate", est
+    )
+    return joined.select(
+        "col_name",
+        "k_kept",
+        "kth_min_hash",
+        "kmv_estimate",
+        "exact_ndv",
+        F.round(
+            F.abs(F.col("kmv_estimate") - F.col("exact_ndv"))
+            / F.col("exact_ndv"),
+            6,
+        ).alias("rel_err"),
+        (
+            F.abs(F.col("kmv_estimate") - F.col("exact_ndv"))
+            / F.col("exact_ndv")
+            <= 2.0 / (X25B_K - 1) ** 0.5
+        ).alias("within_bound"),
+    )
+
+
+def _oracle_x25b() -> str:
+    bound = 2.0 / (X25B_K - 1) ** 0.5
+    branches = []
+    for c, _, dk in X25B_KEYS:
+        branches.append(f"""
+  SELECT '{c}' AS col_name,
+         CAST(s.k_kept AS BIGINT) AS k_kept,
+         CAST(s.kth_min_hash AS BIGINT) AS kth_min_hash,
+         CASE WHEN s.k_kept < {X25B_K} THEN CAST(s.k_kept AS DOUBLE)
+              ELSE ROUND((s.k_kept - 1) * CAST({_X25B_P} AS DOUBLE) / s.kth_min_hash, 4)
+         END AS kmv_estimate,
+         e.exact_ndv,
+         ROUND(ABS(CASE WHEN s.k_kept < {X25B_K} THEN CAST(s.k_kept AS DOUBLE)
+                        ELSE ROUND((s.k_kept - 1) * CAST({_X25B_P} AS DOUBLE) / s.kth_min_hash, 4)
+                   END - e.exact_ndv) / e.exact_ndv, 6) AS rel_err,
+         (ABS(CASE WHEN s.k_kept < {X25B_K} THEN CAST(s.k_kept AS DOUBLE)
+                   ELSE ROUND((s.k_kept - 1) * CAST({_X25B_P} AS DOUBLE) / s.kth_min_hash, 4)
+              END - e.exact_ndv) / e.exact_ndv) <= {bound!r} AS within_bound
+  FROM (
+    SELECT COUNT(*) AS k_kept, MAX(h) AS kth_min_hash FROM (
+      SELECT DISTINCT ((CAST({dk} AS BIGINT) % {_X25B_P}) * {_X25B_A} + {_X25B_B}) % {_X25B_P} AS h
+      FROM lineitem WHERE {c} IS NOT NULL
+      ORDER BY h ASC LIMIT {X25B_K}
+    )
+  ) s
+  CROSS JOIN (
+    SELECT CAST(COUNT(DISTINCT {c}) AS BIGINT) AS exact_ndv FROM lineitem
+  ) e""")
+    return " UNION ALL ".join(branches)
+
+
+QUERIES["x25b_column_stats_sketch"] = x25b_column_stats_sketch
+ORACLES["x25b_column_stats_sketch"] = _oracle_x25b()
+
+
+# ---------------------------------------------------------------------------
 # x26 — distribution DRIFT detection: compare a numeric column's
 # distribution between two periods (the train/serve or week-over-week
 # shift monitor every feature pipeline runs). Both periods fold into

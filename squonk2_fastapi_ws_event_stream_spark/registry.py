@@ -76,6 +76,8 @@ _NEW_OR_CHANGED = (
     # result-identical; the r5-vs-HEAD "creep" itself was host drift —
     # see SCALING.md round-7 attribution).
     "q11_quarter_range_join",
+    # round 7 NEW:
+    "x25b_column_stats_sketch",
 )
 
 # Round-6 head, kept for the ledger's history (no longer sampled first —

@@ -1270,3 +1270,16 @@ def test_q55_balance_is_two_aggregates_no_corpus_window(spark):
     assert "hashpartitioning(o_custkey" in plan
     assert "row_number" not in plan
     assert "Join" not in plan
+
+
+def test_x25b_kmv_sketch_is_salted_bottom_k_one_scan(spark):
+    # The 100 TB swap for x25's exact NDVs: state is K hashes per column,
+    # bottom-K runs in a SALTED window phase before the per-tag merge (no
+    # single-reducer-per-tag exchange over the full distinct-hash set),
+    # and the 8-row exact side broadcasts.
+    plan = explain(QUERIES["x25b_column_stats_sketch"](spark, SF), mode="simple")
+    # salted phase partitions on (col_name, h % SALT) BEFORE the per-tag one
+    assert "hashpartitioning(col_name" in plan
+    assert plan.count("row_number") >= 2  # two-phase bottom-K
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
