@@ -45,6 +45,9 @@ FP_SF_DIR = "/root/testdata/sf0.001"
 
 _NORMALIZERS = (
     (re.compile(r"#\d+"), "#"),  # expression ids
+    # higher-order-function lambda variables (x_19, y_3, ...) draw from a
+    # session-global counter: building OTHER queries first shifts them
+    (re.compile(r"\blambda ([a-zA-Z]+)_\d+"), r"lambda \1"),
     (re.compile(r"plan_id=\d+"), "plan_id="),
     (re.compile(r"@[0-9a-fA-F]{6,}"), "@"),  # JVM object addresses
     (re.compile(r"/root/testdata/sf[0-9.]+"), "<SF>"),  # per-SF paths

@@ -1839,3 +1839,208 @@ FROM agg
 
 QUERIES["t66_idf_simhash"] = t66_idf_simhash
 ORACLES["t66_idf_simhash"] = _oracle_t66()
+
+
+# ---------------------------------------------------------------------------
+# t67 — code-vs-prose detection: the corpus-routing gate every mixed web
+# crawl needs before tokenizer/quality decisions (code gets different
+# filters, dedup granularity, and mixture weights than prose). Signals
+# are pure per-row counting — symbol density, assignment operators,
+# bracket pairs — so the whole operator is one codegen projection; the
+# verdict is an integer-ppm threshold on symbol density.
+#
+# Fixture (the t41/t65 discipline — the word-salad corpus contains no
+# code): every 40th doc re-enters (id + 60000) "code-ified" — each space
+# becomes '(); ' and a ' = (1);' tail is appended — so planted docs are
+# provably dense in code symbols while originals score 0 and the
+# threshold provably separates them.
+#
+# Cross-engine determinism: counts are exact integers (length
+# differences after replace/regexp_replace); density is integer ppm via
+# BIGINT truncating division; the verdict compares integers.
+#
+# Scale: no joins, no windows, no shuffles beyond the final pass-through
+# — a per-row expression chain on the scan, embarrassingly parallel at
+# any SF.
+# ---------------------------------------------------------------------------
+T67_SYM_PPM = 60_000  # >= 6% code symbols => code
+
+
+def _t67_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    code = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 60000).alias("doc_id"),
+        F.concat(
+            F.regexp_replace("text", " ", "\\(\\); "), F.lit(" = (1);")
+        ).alias("text"),
+    )
+    return docs.unionByName(code)
+
+
+def t67_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t67_corpus(spark, sf_dir)
+    n_chars = F.length("text")
+    # count of chars in the code-symbol class: length delta after
+    # deleting them (regexp_replace replaces ALL matches in both engines;
+    # DuckDB needs the explicit 'g' flag — mirrored in the oracle).
+    n_sym = n_chars - F.length(F.regexp_replace("text", r"[(){};=\[\]<>]", ""))
+    n_assign = n_chars - F.length(F.regexp_replace("text", "=", ""))
+    n_open = n_chars - F.length(F.regexp_replace("text", r"\(", ""))
+    n_close = n_chars - F.length(F.regexp_replace("text", r"\)", ""))
+    scored = docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_sym.cast("long").alias("n_sym"),
+        n_assign.cast("long").alias("n_assign"),
+        (n_open == n_close).alias("brackets_balanced"),
+    ).withColumn("sym_ppm", F.expr("n_sym * 1000000 DIV n_chars"))
+    return scored.select(
+        "doc_id",
+        "n_chars",
+        "n_sym",
+        "sym_ppm",
+        "n_assign",
+        "brackets_balanced",
+        (F.col("sym_ppm") >= T67_SYM_PPM).alias("is_code"),
+    )
+
+
+ORACLE_T67 = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 60000 AS doc_id,
+         regexp_replace(text, ' ', '(); ', 'g') || ' = (1);' AS text
+  FROM documents WHERE doc_id % 40 = 0
+),
+scored AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[(){{}};=\\[\\]<>]', '', 'g')) AS BIGINT) AS n_sym,
+         CAST(length(text) - length(regexp_replace(text, '=', '', 'g')) AS BIGINT) AS n_assign,
+         (length(text) - length(regexp_replace(text, '\\(', '', 'g')))
+           = (length(text) - length(regexp_replace(text, '\\)', '', 'g'))) AS brackets_balanced
+  FROM corpus
+)
+SELECT doc_id, n_chars, n_sym,
+       n_sym * 1000000 // n_chars AS sym_ppm,
+       n_assign, brackets_balanced,
+       (n_sym * 1000000 // n_chars) >= {T67_SYM_PPM} AS is_code
+FROM scored
+"""
+
+
+QUERIES["t67_code_detection"] = t67_code_detection
+ORACLES["t67_code_detection"] = ORACLE_T67
+
+
+# ---------------------------------------------------------------------------
+# t68 — content-defined chunking (CDC) dedup: the storage-level dedup
+# primitive (LBFS/rsync/FastCDC family). Fixed-size blocks miss
+# duplicates after any insertion shifts the alignment; CDC cuts chunk
+# boundaries where a cheap per-word hash hits a mod condition, so
+# boundaries travel WITH content and shared spans dedup regardless of
+# position. Word-level gear variant: boundary words open a new chunk
+# when hash(w) % 8 == 0 (expected chunk ~8 words); chunks are digested
+# (md5) and duplicated digests aggregated across the corpus.
+#
+# Spark-first shape: per-word boundary flags are one codegen
+# projection; chunk ids are a running SUM window PARTITIONED BY doc_id
+# (bounded by document length — never a corpus-wide window); chunk
+# reassembly is one (doc_id, chunk_id) aggregate; the dedup table is
+# digest-keyed — the t60/t05 single-shuffle discipline, no pair joins
+# anywhere.
+#
+# Cross-engine determinism: the boundary hash is integer arithmetic on
+# ascii()/length() (no engine hash builtins); md5 hex is identical in
+# both engines; counts are exact integers.
+#
+# Scale: every stage keys on (doc, position), (doc, chunk) or digest —
+# uniform, SF-proportional, with AQE skew-split available on hot
+# digests (the word-salad corpus's repeated spans are exactly that).
+# ---------------------------------------------------------------------------
+T68_MOD = 8  # expected words per chunk
+
+
+def t68_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    h = (
+        F.ascii("w") * 131
+        + F.length("w") * 7
+        + F.ascii(F.substring("w", -1, 1))
+    )
+    flagged = words.withColumn(
+        "b", F.when(h % T68_MOD == 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunks = flagged.withColumn("chunk_id", F.sum("b").over(w_doc))
+    ctext = chunks.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s.w,
+            ),
+        ).alias("chunk_text"),
+    )
+    dig = ctext.select(
+        "doc_id", F.md5("chunk_text").alias("digest"), "n_words"
+    )
+    return (
+        dig.groupBy("digest")
+        .agg(
+            F.max("n_words").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+
+
+ORACLE_T68 = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+words AS (
+  SELECT doc_id, u.i - 1 AS pos, words[u.i] AS w
+  FROM d, unnest(range(1, len(words) + 1)) AS u(i)
+),
+flagged AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN (ascii(w) * 131 + length(w) * 7 + ascii(substr(w, -1, 1)))
+                   % {T68_MOD} = 0 THEN 1 ELSE 0 END AS b
+  FROM words
+),
+chunks AS (
+  SELECT doc_id, pos, w,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+  FROM flagged
+),
+ctext AS (
+  SELECT doc_id, chunk_id, COUNT(*) AS n_words,
+         string_agg(w, ' ' ORDER BY pos) AS chunk_text
+  FROM chunks GROUP BY doc_id, chunk_id
+),
+dig AS (
+  SELECT doc_id, md5(chunk_text) AS digest, n_words FROM ctext
+)
+SELECT digest,
+       CAST(MAX(n_words) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM dig GROUP BY digest HAVING COUNT(*) >= 2
+"""
+
+
+QUERIES["t68_cdc_chunk_dedup"] = t68_cdc_chunk_dedup
+ORACLES["t68_cdc_chunk_dedup"] = ORACLE_T68

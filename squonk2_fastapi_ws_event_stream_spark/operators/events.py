@@ -3569,3 +3569,95 @@ FROM picked WHERE rn = 1
 
 QUERIES["e47_peak_rate"] = e47_peak_rate
 ORACLES["e47_peak_rate"] = ORACLE_E47
+
+
+# ---------------------------------------------------------------------------
+# e48 — bitmap retention curve: classic N-day retention computed through
+# per-user activity BITMASKS (the roaring-bitmap trick, scalar-sized).
+# Each user's activity collapses to ONE BIGINT — bit d set iff the user
+# was active d days after their own first event — so the retention
+# question "active in week w?" becomes a bitwise AND against a constant
+# mask instead of a per-(user, week) join or re-scan. Per-user state is
+# 8 bytes regardless of event volume, the canonical engagement-analytics
+# representation at warehouse scale.
+#
+# Plan: distinct (user, day) [one shuffle], first-day aggregate + join
+# both keyed on user_id (exchange reuse), bit_or mask aggregate, then a
+# constant 9-row week explode and one final small aggregate. No window
+# functions, nothing keyed wider than user_id.
+#
+# Cross-engine determinism: masks are exact BIGINT bit math (shifts
+# capped at bit 62 — never the sign bit); retention is integer ppm via
+# truncating division.
+# ---------------------------------------------------------------------------
+E48_WEEKS = 9  # weeks 0..8 cover activity days 0..62 (bits 0..62)
+
+
+def e48_retention_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+    )
+    firsts = days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    nums = (
+        days.join(firsts, "user_id")
+        .select("user_id", F.datediff("d", "d0").alias("day_num"))
+        .filter(F.col("day_num") < 63)
+    )
+    masks = nums.groupBy("user_id").agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(day_num AS INT)))"
+        ).alias("mask")
+    )
+    week_structs = F.array(
+        *[
+            F.struct(
+                F.lit(w).cast("long").alias("week"),
+                (
+                    F.col("mask").bitwiseAND(F.lit(127 << (7 * w))) != 0
+                ).alias("active"),
+            )
+            for w in range(E48_WEEKS)
+        ]
+    )
+    exploded = masks.select(F.explode(week_structs).alias("s")).select("s.*")
+    return (
+        exploded.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cohort"),
+            F.sum(F.col("active").cast("int")).cast("long").alias("n_active"),
+        )
+        .withColumn(
+            "retained_ppm", F.expr("n_active * 1000000 DIV n_cohort")
+        )
+    )
+
+
+ORACLE_E48 = f"""
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+),
+firsts AS (SELECT user_id, MIN(d) AS d0 FROM days GROUP BY user_id),
+nums AS (
+  SELECT d.user_id, date_diff('day', f.d0, d.d) AS day_num
+  FROM days d JOIN firsts f USING (user_id)
+  WHERE date_diff('day', f.d0, d.d) < 63
+),
+masks AS (
+  SELECT user_id, bit_or(1::BIGINT << CAST(day_num AS INTEGER)) AS mask
+  FROM nums GROUP BY user_id
+),
+weeks AS (SELECT CAST(u.w AS BIGINT) AS week FROM unnest(range(0, {E48_WEEKS})) AS u(w))
+SELECT w.week,
+       CAST(COUNT(*) AS BIGINT) AS n_cohort,
+       CAST(SUM(CASE WHEN (m.mask & (127::BIGINT << CAST(7 * w.week AS INTEGER))) != 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN (m.mask & (127::BIGINT << CAST(7 * w.week AS INTEGER))) != 0
+                THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS retained_ppm
+FROM masks m CROSS JOIN weeks w GROUP BY w.week
+"""
+
+
+QUERIES["e48_retention_bitmaps"] = e48_retention_bitmaps
+ORACLES["e48_retention_bitmaps"] = ORACLE_E48

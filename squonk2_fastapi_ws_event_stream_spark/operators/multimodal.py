@@ -1838,3 +1838,96 @@ FROM stats
 
 QUERIES["m16_exposure_stats"] = m16_exposure_stats
 ORACLES["m16_exposure_stats"] = ORACLE_M16
+
+
+# ---------------------------------------------------------------------------
+# m17 — audio clipping detection: count samples at/near digital full
+# scale (|s| >= CLIP_T on 16-bit PCM). Clipped audio is distorted at the
+# source — a training-data audio pipeline gates on clipping ratio before
+# spending feature-extraction compute, exactly like t09 gates text on
+# punctuation ratios. Rides the honest WAV tier: the Pandas UDF walks
+# the real RIFF chunks and reads the real int16 samples (Arrow-batched,
+# the m09/m13 plumbing); the oracle reconstructs the deterministic
+# synthetic samples analytically from the fixture's fill formula.
+#
+# Scale: embarrassingly parallel per asset — no shuffle at all until
+# the output pass-through; payload bytes stream through mapInPandas in
+# Arrow batches.
+# ---------------------------------------------------------------------------
+M17_CLIP_T = 32700  # |sample| >= this counts as clipped (full scale 32768)
+M17_CLIP_PPM = 10_000  # >= 1% clipped samples => asset flagged
+M17_SCHEMA = (
+    "doc_id long, n_samples long, n_clipped long, max_abs long, "
+    "clipped_ppm long, is_clipped boolean"
+)
+
+
+def m17_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "n_clipped", "max_abs",
+                "clipped_ppm", "is_clipped",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+                    continue
+                pos, data_off, data_len = 12, None, None
+                while pos + 8 <= len(payload):
+                    cid = payload[pos : pos + 4]
+                    (clen,) = struct.unpack_from("<I", payload, pos + 4)
+                    if cid == b"data":
+                        data_off, data_len = pos + 8, clen
+                        break
+                    pos += 8 + clen + (clen & 1)
+                n = data_len // 2
+                s = np.abs(
+                    np.frombuffer(
+                        payload, dtype="<i2", count=n, offset=data_off
+                    ).astype(np.int64)
+                )
+                n_clip = int((s >= M17_CLIP_T).sum())
+                ppm = n_clip * 1_000_000 // n
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["n_clipped"].append(n_clip)
+                out["max_abs"].append(int(s.max()) if n else 0)
+                out["clipped_ppm"].append(ppm)
+                out["is_clipped"].append(ppm >= M17_CLIP_PPM)
+            yield pd.DataFrame(out)
+
+    return attach_media_payload(docs).mapInPandas(run, schema=M17_SCHEMA)
+
+
+ORACLE_M17 = f"""
+WITH params AS (
+  SELECT doc_id,
+         200 + doc_id % 30 AS ns,
+         doc_id % 251 AS fill
+  FROM documents WHERE doc_id % 10 = 7
+),
+samples AS (
+  SELECT doc_id, ns,
+         list_transform(range(0, ns),
+                        i -> abs(((fill + 7 * i) % 65536) - 32768)) AS mags
+  FROM params
+),
+scored AS (
+  SELECT doc_id,
+         CAST(ns AS BIGINT) AS n_samples,
+         CAST(len(list_filter(mags, m -> m >= {M17_CLIP_T})) AS BIGINT)
+           AS n_clipped,
+         CAST(list_max(mags) AS BIGINT) AS max_abs
+  FROM samples
+)
+SELECT doc_id, n_samples, n_clipped, max_abs,
+       n_clipped * 1000000 // n_samples AS clipped_ppm,
+       (n_clipped * 1000000 // n_samples) >= {M17_CLIP_PPM} AS is_clipped
+FROM scored
+"""
+
+
+QUERIES["m17_audio_clipping"] = m17_audio_clipping
+ORACLES["m17_audio_clipping"] = ORACLE_M17

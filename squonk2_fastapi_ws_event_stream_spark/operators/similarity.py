@@ -3187,3 +3187,64 @@ FROM agg
 
 QUERIES["v36_dimension_health"] = v36_dimension_health
 ORACLES["v36_dimension_health"] = ORACLE_V36
+
+
+# ---------------------------------------------------------------------------
+# v37 — hubness audit: the k-occurrence distribution of the kNN graph
+# (Radovanovic et al. 2010). High-dimensional ANN indexes degrade when a
+# few "hub" vectors appear in everyone's top-k (they dominate retrieval)
+# while "antihubs" are never returned at all (they become unsearchable)
+# — THE standing data-quality check on an embedding corpus before
+# semdedup / retrieval decisions. N_k(x) = how many other vectors list x
+# in their k nearest; this emits the full k-occurrence histogram with
+# hub (N_k >= 2k) and antihub (N_k = 0) verdicts per bucket.
+#
+# Plan: rides v33's staged IVF kNN edges verbatim (equi-join candidate
+# generation — never all-pairs), then ONE count aggregate keyed on
+# nbr_id, a left join against the vector list for the zero bucket
+# (AQE-broadcast of the in-degree side at small SF; both sides keyed on
+# vec_id at scale), and a bounded histogram aggregate.
+#
+# Determinism: in-degrees and bucket counts are exact integers; cosine
+# values never leave v33's rank stage.
+# ---------------------------------------------------------------------------
+def v37_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = v33_knn_graph(spark, sf_dir)
+    indeg = edges.groupBy(F.col("nbr_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("k_occ")
+    )
+    vecs = table(spark, sf_dir, "embeddings").select("vec_id")
+    occ = vecs.join(indeg, "vec_id", "left").select(
+        F.coalesce("k_occ", F.lit(0)).cast("long").alias("k_occurrence")
+    )
+    return (
+        occ.groupBy("k_occurrence")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .select(
+            "k_occurrence",
+            "n_vectors",
+            (F.col("k_occurrence") >= 2 * V33_K).alias("is_hub_bucket"),
+            (F.col("k_occurrence") == 0).alias("is_antihub_bucket"),
+        )
+    )
+
+
+ORACLE_V37 = f"""
+WITH knn AS ({ORACLE_V33}),
+indeg AS (
+  SELECT nbr_id AS vec_id, COUNT(*) AS k_occ FROM knn GROUP BY nbr_id
+),
+occ AS (
+  SELECT COALESCE(i.k_occ, 0) AS k_occurrence
+  FROM embeddings e LEFT JOIN indeg i USING (vec_id)
+)
+SELECT CAST(k_occurrence AS BIGINT) AS k_occurrence,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       k_occurrence >= {2 * V33_K} AS is_hub_bucket,
+       k_occurrence = 0 AS is_antihub_bucket
+FROM occ GROUP BY k_occurrence
+"""
+
+
+QUERIES["v37_hubness_audit"] = v37_hubness_audit
+ORACLES["v37_hubness_audit"] = ORACLE_V37

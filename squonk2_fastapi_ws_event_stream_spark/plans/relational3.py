@@ -966,3 +966,246 @@ FROM m
 
 QUERIES["q58_revenue_concentration"] = q58_revenue_concentration
 ORACLES["q58_revenue_concentration"] = ORACLE_Q58
+
+
+# ---------------------------------------------------------------------------
+# x39 — chi-squared test of independence: is event_type independent of
+# day-of-week? The categorical association test every experimentation /
+# data-quality stack keeps next to the z-test (x32) and SRM check
+# (x36) — e.g. "did the crawler's error mix shift by weekday".
+#
+# Exact integer form (the x33/x37 discipline): with O the cell count,
+# R/C the margins and N the total, each cell's chi-squared contribution
+# (O - RC/N)^2 / (RC/N) equals (O*N - R*C)^2 / (N*R*C) — an all-integer
+# rational. It is evaluated in DECIMAL(38,0) fixed point scaled to e6
+# with truncating DIV (Spark decimal DIV == DuckDB HUGEINT //, the
+# x33/v36 lesson), summed as integers: bit-identical across engines, no
+# doubles anywhere near the statistic. At 1e12-row N the (O*N - R*C)^2
+# numerator would need rescaling (divide margins by a common 10^k
+# first) — noted, not needed below ~1e9 rows per cell.
+#
+# Significance: critical value at alpha=0.05 via the one-sided normal
+# approximation df + 1.645*sqrt(2*df) (sqrt is IEEE-correctly-rounded
+# in both engines; FLOOR not ROUND so the e6 fixed-point cast cannot
+# straddle a half). The verdict compares integers.
+#
+# Plan: one scan -> (type, dow) cell counts; margins re-aggregate the
+# CELL table (at most |types|x7 rows — never a second scan); AQE
+# broadcasts the tiny margin tables; one final single-row aggregate.
+# ---------------------------------------------------------------------------
+def x39_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    # Margins via windows OVER THE CELL TABLE (bounded by construction:
+    # |event-type enum| x 7 rows), so the events scan runs exactly once —
+    # re-deriving margins from `cells` as separate aggregates re-scans
+    # the fact table per margin (measured: 8 scans in the naive plan).
+    # The empty-partition window is safe here for the same reason the
+    # t20/t21 contamination sets allow it: the input is a fixed-domain
+    # grid, not SF-scaled data.
+    joined = (
+        cells.withColumn(
+            "r", F.sum("o").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("c", F.sum("o").over(Window.partitionBy("dow")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    contrib = joined.withColumn(
+        "contrib_e6",
+        F.expr(
+            "CAST((CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"
+            " - CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))"
+            " * (CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"
+            " - CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))"
+            " * 1000000 DIV (CAST(n AS DECIMAL(38,0))"
+            " * CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS BIGINT)"
+        ),
+    )
+    agg = contrib.agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count_distinct("dow").alias("n_dows"),
+        F.sum("contrib_e6").cast("long").alias("chi2_e6"),
+    )
+    return agg.select(
+        "n_events",
+        ((F.col("n_types") - 1) * (F.col("n_dows") - 1))
+        .cast("long")
+        .alias("df"),
+        "chi2_e6",
+        F.expr(
+            "CAST(FLOOR(((n_types - 1) * (n_dows - 1)"
+            " + 1.645 * sqrt(2.0 * (n_types - 1) * (n_dows - 1)))"
+            " * 1000000) AS BIGINT)"
+        ).alias("critical_e6"),
+        (
+            F.col("chi2_e6")
+            > F.expr(
+                "CAST(FLOOR(((n_types - 1) * (n_dows - 1)"
+                " + 1.645 * sqrt(2.0 * (n_types - 1) * (n_dows - 1)))"
+                " * 1000000) AS BIGINT)"
+            )
+        ).alias("reject_independence"),
+    )
+
+
+ORACLE_X39 = """
+WITH ev AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow FROM events
+),
+cells AS (
+  SELECT event_type, dow, COUNT(*) AS o FROM ev GROUP BY event_type, dow
+),
+rows_m AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY event_type),
+cols_m AS (SELECT dow, SUM(o) AS c FROM cells GROUP BY dow),
+total AS (SELECT SUM(o) AS n FROM cells),
+contrib AS (
+  SELECT CAST((CAST(o AS HUGEINT) * CAST(n AS HUGEINT)
+               - CAST(r AS HUGEINT) * CAST(c AS HUGEINT))
+              * (CAST(o AS HUGEINT) * CAST(n AS HUGEINT)
+                 - CAST(r AS HUGEINT) * CAST(c AS HUGEINT))
+              * 1000000 // (CAST(n AS HUGEINT) * CAST(r AS HUGEINT)
+                            * CAST(c AS HUGEINT)) AS BIGINT) AS contrib_e6,
+         n, event_type, dow
+  FROM cells JOIN rows_m USING (event_type) JOIN cols_m USING (dow)
+  CROSS JOIN total
+),
+agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+         COUNT(DISTINCT event_type) AS n_types,
+         COUNT(DISTINCT dow) AS n_dows,
+         CAST(SUM(contrib_e6) AS BIGINT) AS chi2_e6
+  FROM contrib
+)
+SELECT n_events,
+       CAST((n_types - 1) * (n_dows - 1) AS BIGINT) AS df,
+       chi2_e6,
+       CAST(FLOOR(((n_types - 1) * (n_dows - 1)
+            + 1.645 * sqrt(2.0 * (n_types - 1) * (n_dows - 1)))
+            * 1000000) AS BIGINT) AS critical_e6,
+       chi2_e6 > CAST(FLOOR(((n_types - 1) * (n_dows - 1)
+                 + 1.645 * sqrt(2.0 * (n_types - 1) * (n_dows - 1)))
+                 * 1000000) AS BIGINT) AS reject_independence
+FROM agg
+"""
+
+
+QUERIES["x39_chi2_independence"] = x39_chi2_independence
+ORACLES["x39_chi2_independence"] = ORACLE_X39
+
+
+# ---------------------------------------------------------------------------
+# q59 — ABC inventory classification (the Pareto 80/15/5 split): parts
+# ranked by discounted revenue; class A = parts before the 80% cumulative
+# revenue line, B = before 95%, C = the tail. The warehouse/merchandising
+# twin of q58's whale analysis — and like q58, computed with NO
+# corpus-wide sort: every rank quantity factors through the revenue
+# HISTOGRAM (group by exact revenue value), whose cumulative sums ride
+# the e42/q58 two-level block scan (intra-block window + block-summary
+# prefix; never a single-task global window). A tie group's class is
+# decided by the revenue strictly ABOVE it (cum_above): deterministic
+# under ties in both engines.
+#
+# Cross-engine determinism: revenue is exact integer centi-cents
+# (cents * (100 - discount-in-percent) — no division, no doubles),
+# folds in DECIMAL(38,0)/HUGEINT, shares in truncating-ppm.
+# ---------------------------------------------------------------------------
+Q59_BLOCK = 10_000_000  # centi-cents per cumsum block
+
+
+def q59_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+        ).alias("cc"),
+    )
+    parts = li.groupBy("l_partkey").agg(F.sum("cc").alias("x"))
+    hist = parts.groupBy("x").agg(F.count(F.lit(1)).alias("t")).withColumn(
+        "blk", F.expr(f"x DIV {Q59_BLOCK}")
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    rev = hist.withColumn("g_rev", F.expr("CAST(x AS DECIMAL(38,0)) * t"))
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = rev.withColumn("cum_in", F.sum("g_rev").over(w_in))
+    blocks = rev.groupBy("blk").agg(F.sum("g_rev").alias("blk_rev"))
+    w_pre = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = blocks.withColumn(
+        "cum_pre", F.sum("blk_rev").over(w_pre)
+    ).select("blk", "cum_pre")
+    ranked = intra.join(prefix, "blk").withColumn(
+        "cum_asc",
+        F.coalesce(F.col("cum_in"), F.lit(0).cast("decimal(38,0)"))
+        + F.coalesce(F.col("cum_pre"), F.lit(0).cast("decimal(38,0)")),
+    )
+    totals = ranked.agg(F.sum("g_rev").alias("s"))
+    classed = (
+        ranked.crossJoin(F.broadcast(totals))
+        # revenue strictly above this tie group (descending-rank prefix)
+        .withColumn("cum_above", F.col("s") - F.col("cum_asc") - F.col("g_rev"))
+        .withColumn("above_ppm", F.expr("CAST(cum_above * 1000000 DIV s AS BIGINT)"))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("above_ppm") < 800_000, "A")
+            .when(F.col("above_ppm") < 950_000, "B")
+            .otherwise("C"),
+        )
+    )
+    out = classed.groupBy("abc_class").agg(
+        F.sum("t").cast("long").alias("n_parts"),
+        F.sum("g_rev").alias("class_rev"),
+        F.max("s").alias("s"),
+    )
+    return out.select(
+        "abc_class",
+        "n_parts",
+        F.expr("CAST(class_rev * 1000000 DIV s AS BIGINT)").alias(
+            "revenue_share_ppm"
+        ),
+    )
+
+
+ORACLE_Q59 = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS cc
+  FROM lineitem
+),
+parts AS (SELECT l_partkey, SUM(cc) AS x FROM li GROUP BY l_partkey),
+hist AS (SELECT x, COUNT(*) AS t FROM parts GROUP BY x),
+ranked AS (
+  SELECT x, t, CAST(x AS HUGEINT) * t AS g_rev,
+         COALESCE(SUM(CAST(x AS HUGEINT) * t) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             CAST(0 AS HUGEINT)) AS cum_asc
+  FROM hist
+),
+totals AS (SELECT SUM(g_rev) AS s FROM ranked),
+classed AS (
+  SELECT r.*, tt.s,
+         CAST((tt.s - r.cum_asc - r.g_rev) * 1000000 // tt.s AS BIGINT)
+           AS above_ppm
+  FROM ranked r CROSS JOIN totals tt
+)
+SELECT CASE WHEN above_ppm < 800000 THEN 'A'
+            WHEN above_ppm < 950000 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(SUM(t) AS BIGINT) AS n_parts,
+       CAST(SUM(g_rev) * 1000000 // MAX(s) AS BIGINT) AS revenue_share_ppm
+FROM classed
+GROUP BY 1
+"""
+
+
+QUERIES["q59_abc_classification"] = q59_abc_classification
+ORACLES["q59_abc_classification"] = ORACLE_Q59

@@ -78,6 +78,13 @@ _NEW_OR_CHANGED = (
     "q11_quarter_range_join",
     # round 7 NEW:
     "x25b_column_stats_sketch",
+    "t67_code_detection",
+    "t68_cdc_chunk_dedup",
+    "e48_retention_bitmaps",
+    "x39_chi2_independence",
+    "v37_hubness_audit",
+    "m17_audio_clipping",
+    "q59_abc_classification",
 )
 
 # Round-6 head, kept for the ledger's history (no longer sampled first —

@@ -1283,3 +1283,65 @@ def test_x25b_kmv_sketch_is_salted_bottom_k_one_scan(spark):
     assert plan.count("row_number") >= 2  # two-phase bottom-K
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_t67_code_detection_is_pure_projection(spark):
+    # Per-row counting only: no joins, no windows, no aggregates — the
+    # whole operator is one codegen expression chain on the scan.
+    plan = explain(QUERIES["t67_code_detection"](spark, SF), mode="simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_t68_cdc_windows_partition_by_doc_never_corpus(spark):
+    # Chunk-id running sums partition by doc_id (bounded by doc length);
+    # dedup is digest-keyed aggregation — no pair joins anywhere.
+    plan = explain(QUERIES["t68_cdc_chunk_dedup"](spark, SF), mode="simple")
+    assert "hashpartitioning(doc_id" in plan
+    assert "hashpartitioning(digest" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_e48_bitmap_retention_is_user_keyed_no_window(spark):
+    # Masks are a bit_or aggregate per user; the only joins key on
+    # user_id; the week expansion is a constant 9-element explode.
+    plan = explain(QUERIES["e48_retention_bitmaps"](spark, SF), mode="simple")
+    assert "hashpartitioning(user_id" in plan
+    assert "bit_or" in plan
+    assert "Window" not in plan
+
+
+def test_x39_chi2_margins_are_windows_over_bounded_cells(spark):
+    # The events fact table is scanned exactly ONCE: margins are windows
+    # over the bounded (|event-type enum| x 7) cell table, never separate
+    # re-aggregations of the scan.
+    df = QUERIES["x39_chi2_independence"](spark, SF)
+    plan = explain(df, mode="formatted")
+    # formatted mode prints each scan twice (tree node + detail block);
+    # Location: lines count physical scans exactly once
+    assert plan.count("Location:") == 1, plan.count("Location:")
+    assert "Window" in plan
+
+
+def test_v37_hubness_rides_staged_ivf_not_allpairs(spark):
+    # In-degree aggregation over v33's banded IVF candidates: the plan
+    # must contain no cartesian product and key the final aggregate on
+    # the bounded k_occurrence domain.
+    from squonk2_fastapi_ws_event_stream_spark.operators import dedup
+    dedup.unpersist_lsh_cache()
+    plan = explain(QUERIES["v37_hubness_audit"](spark, SF), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(k_occurrence" in plan
+
+
+def test_q59_abc_has_no_global_sort(spark):
+    # The q58 discipline: rank quantities factor through the revenue
+    # histogram; cumsum windows are block-segmented.
+    import re
+    plan = explain(QUERIES["q59_abc_classification"](spark, SF), mode="simple")
+    assert "hashpartitioning(l_partkey" in plan
+    wins = re.findall(r"windowspecdefinition\(([^)]*?specifiedwindowframe)", plan)
+    bad = [w for w in wins if "blk" not in w]
+    assert not bad, f"window without block segmentation: {bad}"
