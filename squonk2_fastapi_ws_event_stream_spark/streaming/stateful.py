@@ -658,3 +658,96 @@ def cusum_monitor(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming gap sessionizer — the stateful streaming twin of the e10
+# batch sessionize (operators/events.py): a user's events belong to one
+# session until a silence longer than SESSION_GAP_MS splits it. Batch
+# sessionization re-derives sessions from the full log; this carries the
+# OPEN session per key in the state store and emits each session exactly
+# once, WHEN IT CLOSES — either a later event arrives past the gap
+# (closed_by='gap') or the key idles past retention and the timeout
+# flushes the still-open session before eviction (closed_by='timeout').
+# That emit-on-timeout is the piece batch plans can't express: the last
+# session of a churned user is still delivered, bounded-state.
+#
+# State per key is three scalars (start_ms, last_ms, n_events); events
+# fold in offset order within a batch; an event whose time regresses
+# below the session's last event extends the session without moving its
+# end (the e42 lateness class — counted, not dropped, since session
+# membership is unaffected by intra-session reordering).
+#
+# Scale: O(active keys) state; per-message work is two comparisons. The
+# output stream is append-mode closed sessions — the exact shape a
+# downstream session-metrics aggregation (or the reference's relay)
+# consumes.
+# ---------------------------------------------------------------------------
+SESSION_GAP_MS = 1_800_000  # 30 min, the analytics default
+SESSION_OUTPUT_SCHEMA = (
+    "user string, session_start_ms long, session_end_ms long, "
+    "n_events long, closed_by string"
+)
+SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n long"
+
+
+def _update_session_fn(gap_ms: int, retention_ms: int):
+    def _update_session(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        closed: list[tuple[int, int, int, str]] = []
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user": [key[0]],
+                    "session_start_ms": [start_ms],
+                    "session_end_ms": [last_ms],
+                    "n_events": [n],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        start_ms, last_ms, n = state.get if state.exists else (-1, -1, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("offset")
+        for ms in rows["ms"]:
+            ms = int(ms)
+            if n == 0:
+                start_ms, last_ms, n = ms, ms, 1
+            elif ms - last_ms > gap_ms:
+                closed.append((start_ms, last_ms, n, "gap"))
+                start_ms, last_ms, n = ms, ms, 1
+            else:
+                last_ms, n = max(last_ms, ms), n + 1
+        state.update((start_ms, last_ms, n))
+        state.setTimeoutDuration(retention_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user": [key[0]] * len(closed),
+                    "session_start_ms": [c[0] for c in closed],
+                    "session_end_ms": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "closed_by": [c[3] for c in closed],
+                }
+            )
+
+    return _update_session
+
+
+def session_tracker(
+    events: DataFrame,
+    gap_ms: int = SESSION_GAP_MS,
+    retention_ms: int = DEFAULT_IDLE_RETENTION_MS,
+) -> DataFrame:
+    """Streaming gap sessionization. `events` must carry
+    (user string, ms long, offset long); emits one row per CLOSED
+    session (gap-split or timeout-flushed)."""
+    return events.groupBy("user").applyInPandasWithState(
+        _update_session_fn(gap_ms, retention_ms),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

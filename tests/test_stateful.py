@@ -624,3 +624,94 @@ def test_cusum_monitor_alarms_rearm_and_restart(spark, tmp_path):
     assert row2["n_obs"] == 8
     assert row2["n_alarms"] == 2 and row2["alarmed_in_batch"]
     assert row2["stat"] == 0
+
+
+def test_session_tracker_gap_split_restart_and_timeout_flush(spark, tmp_path):
+    """Gap-split sessions emit exactly once with exact bounds; the open
+    session survives a checkpoint restart; an idle key's open session is
+    FLUSHED by the timeout (closed_by='timeout') before eviction."""
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        session_tracker,
+    )
+
+    root = str(tmp_path / "slog")
+    w = EventLogWriter(root, "s1")
+    GAP = 10_000
+    # u1: two events 3s apart, then a 60s silence, then one more event ->
+    # first session [0, 3s] n=2 closes when the post-gap event arrives.
+    # u2: one event only — stays OPEN (no emission in run 1).
+    seq = [
+        ("u1", 0),
+        ("u2", 1_000),
+        ("u1", 3_000),
+        ("u1", 63_000),
+    ]
+    for user, dt in seq:
+        w.publish(f"{user}", BASE_TS + dt)
+    spark.dataSource.register(EventStreamDataSource)
+
+    def events_df():
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "s1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        return env.selectExpr(
+            "cast(value as string) as user",
+            "unix_millis(timestamp) as ms",
+            "offset",
+        )
+
+    def run_once(retention_ms: int) -> list:
+        got: list = []
+        q = (
+            session_tracker(events_df(), gap_ms=GAP, retention_ms=retention_ms)
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "sckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    rows = run_once(retention_ms=3_600_000)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user"] == "u1" and r["closed_by"] == "gap"
+    assert r["session_start_ms"] == BASE_TS and r["session_end_ms"] == BASE_TS + 3_000
+    assert r["n_events"] == 2
+
+    # Restart: u1's open session (started at +63s) gains an in-gap event
+    # and a regressing (late) event — both extend membership, the late
+    # one must not move the end. A fresh gap event then closes it.
+    w.publish("u1", BASE_TS + 70_000)
+    w.publish("u1", BASE_TS + 65_000)   # late: session end stays 70s
+    w.publish("u1", BASE_TS + 95_000)   # > GAP after 70s: closes
+    rows2 = run_once(retention_ms=3_600_000)
+    assert len(rows2) == 1
+    r2 = rows2[0]
+    assert r2["user"] == "u1" and r2["closed_by"] == "gap"
+    assert r2["session_start_ms"] == BASE_TS + 63_000
+    assert r2["session_end_ms"] == BASE_TS + 70_000
+    assert r2["n_events"] == 3
+
+    # Timeout flush: a key must be ARMED with the short retention in a
+    # batch it participates in (timeouts fire off the timestamp set when
+    # the key was last seen — re-running with a smaller retention does
+    # not rearm idle keys). Arm u4 at 1 ms, let wall time pass, then any
+    # next batch fires hasTimedOut and flushes u4's open session.
+    import time
+
+    w.publish("u4", BASE_TS + 150_000)
+    rows3 = run_once(retention_ms=1)  # arms u4's timeout at +1 ms
+    assert not [r for r in rows3 if r["user"] == "u4"]  # still open
+    time.sleep(1.2)
+    w.publish("u5", BASE_TS + 200_000)  # any traffic to trigger a batch
+    rows4 = run_once(retention_ms=1)
+    flushed = {r["user"]: r for r in rows4 if r["closed_by"] == "timeout"}
+    assert "u4" in flushed and flushed["u4"]["n_events"] == 1
+    assert flushed["u4"]["session_start_ms"] == BASE_TS + 150_000
+    assert flushed["u4"]["session_end_ms"] == BASE_TS + 150_000
