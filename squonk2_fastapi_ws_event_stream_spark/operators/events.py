@@ -3661,3 +3661,80 @@ FROM masks m CROSS JOIN weeks w GROUP BY w.week
 
 QUERIES["e48_retention_bitmaps"] = e48_retention_bitmaps
 ORACLES["e48_retention_bitmaps"] = ORACLE_E48
+
+
+# ---------------------------------------------------------------------------
+# e49 — at-least-once duplicate audit: consecutive events from the same
+# user with the same type, identical value, and interarrival <= 5 s are
+# the signature of producer retries / at-least-once delivery — the data
+# bug every idempotency layer exists to hide, quantified per event type
+# so the fix can be prioritized. (The reference's relay is at-least-once
+# on reconnect — SURVEY §4's replay semantics — so the downstream audit
+# is part of the capability surface.)
+#
+# Plan: ONE lag window per user (hashpartitioning(user_id) — the e08
+# gap-detection shape), then a fixed-domain event_type aggregate.
+# Determinism: interarrival compared in exact integer microseconds;
+# value equality is bit-exact double comparison in both engines; ppm by
+# truncating DIV.
+# ---------------------------------------------------------------------------
+E49_DUP_WINDOW_US = 5_000_000  # retry window: 5 s
+
+
+def e49_duplicate_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lagged = ev.select(
+        "event_type",
+        (
+            (F.col("event_type") == F.lag("event_type").over(w))
+            & (F.col("value") == F.lag("value").over(w))
+            & (F.col("us") - F.lag("us").over(w) <= E49_DUP_WINDOW_US)
+        ).alias("is_dup"),
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.coalesce(F.col("is_dup").cast("int"), F.lit(0)))
+            .cast("long")
+            .alias("n_suspect_dups"),
+        )
+        .withColumn(
+            "dup_ppm", F.expr("n_suspect_dups * 1000000 DIV n_events")
+        )
+    )
+
+
+ORACLE_E49 = f"""
+WITH ev AS (
+  SELECT user_id, event_type, value,
+         epoch_us(ts) AS us, event_id
+  FROM events
+),
+lagged AS (
+  SELECT event_type,
+         (event_type = LAG(event_type) OVER w
+          AND value = LAG(value) OVER w
+          AND us - LAG(us) OVER w <= {E49_DUP_WINDOW_US}) AS is_dup
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(COALESCE(CAST(is_dup AS INTEGER), 0)) AS BIGINT)
+         AS n_suspect_dups,
+       CAST(SUM(COALESCE(CAST(is_dup AS INTEGER), 0)) * 1000000 // COUNT(*)
+            AS BIGINT) AS dup_ppm
+FROM lagged GROUP BY event_type
+"""
+
+
+QUERIES["e49_duplicate_event_audit"] = e49_duplicate_event_audit
+ORACLES["e49_duplicate_event_audit"] = ORACLE_E49

@@ -1598,3 +1598,96 @@ GROUP BY n_a, n_b
 
 QUERIES["x26_histogram_drift"] = x26_histogram_drift
 ORACLES["x26_histogram_drift"] = ORACLE_X26
+
+
+# ---------------------------------------------------------------------------
+# x41 — join-key skew audit: the distribution of per-key row counts for
+# the suite's two hottest join keys (lineitem.l_orderkey,
+# orders.o_custkey). Skewed keys are THE scale hazard this repo's plans
+# keep designing around (AQE skew-split, salting, head/tail splits) —
+# this op produces the evidence: max/median key multiplicity, the top
+# key's share, and a skew verdict (max > 10x average), so a pipeline
+# can decide salting BEFORE a join falls over at 100 TB.
+#
+# Every rank quantity factors through the count-of-counts histogram
+# (the q58/x37 discipline): per-key counts are one keyed aggregate; the
+# histogram of those counts is a tiny bounded table (multiplicities,
+# not keys); the median comes from its cumulative sums — no global sort
+# of keys anywhere.
+#
+# Determinism: pure integer counts, truncating-ppm shares.
+# ---------------------------------------------------------------------------
+def x41_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(tbl: str, key: str) -> DataFrame:
+        per_key = (
+            table(spark, sf_dir, tbl)
+            .select(key)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        hist = per_key.groupBy("cnt").agg(F.count(F.lit(1)).alias("t"))
+        w = (
+            Window.orderBy("cnt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = hist.withColumn("cum", F.sum("t").over(w))
+        totals = hist.agg(
+            F.sum("t").alias("n_keys"),
+            F.sum(F.col("cnt") * F.col("t")).alias("total_rows"),
+            F.max("cnt").alias("max_count"),
+        )
+        med = (
+            cum.crossJoin(F.broadcast(totals))
+            .filter(F.col("cum") >= (F.col("n_keys") + 1) / 2)
+            .agg(F.min("cnt").alias("median_count"))
+        )
+        return totals.crossJoin(F.broadcast(med)).select(
+            F.lit(f"{tbl}.{key}").alias("join_key"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("total_rows").cast("long").alias("total_rows"),
+            F.col("max_count").cast("long").alias("max_count"),
+            F.col("median_count").cast("long").alias("median_count"),
+            F.expr("max_count * 1000000 DIV total_rows").alias(
+                "top_share_ppm"
+            ),
+            F.expr("max_count * n_keys > 10 * total_rows").alias("skewed"),
+        )
+
+    return audit("lineitem", "l_orderkey").unionByName(
+        audit("orders", "o_custkey")
+    )
+
+
+def _oracle_x41() -> str:
+    branches = []
+    for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_custkey")):
+        branches.append(f"""
+  SELECT '{tbl}.{key}' AS join_key,
+         CAST(t.n_keys AS BIGINT) AS n_keys,
+         CAST(t.total_rows AS BIGINT) AS total_rows,
+         CAST(t.max_count AS BIGINT) AS max_count,
+         CAST(m.median_count AS BIGINT) AS median_count,
+         CAST(t.max_count * 1000000 // t.total_rows AS BIGINT)
+           AS top_share_ppm,
+         t.max_count * t.n_keys > 10 * t.total_rows AS skewed
+  FROM (
+    SELECT SUM(t) AS n_keys, SUM(cnt * t) AS total_rows, MAX(cnt) AS max_count
+    FROM (SELECT cnt, COUNT(*) AS t
+          FROM (SELECT {key}, COUNT(*) AS cnt FROM {tbl} GROUP BY {key})
+          GROUP BY cnt)
+  ) t CROSS JOIN (
+    SELECT MIN(cnt) AS median_count FROM (
+      SELECT cnt,
+             SUM(t) OVER (ORDER BY cnt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(t) OVER () AS n_keys
+      FROM (SELECT cnt, COUNT(*) AS t
+            FROM (SELECT {key}, COUNT(*) AS cnt FROM {tbl} GROUP BY {key})
+            GROUP BY cnt)
+    ) WHERE cum >= (n_keys + 1) / 2
+  ) m""")
+    return " UNION ALL ".join(branches)
+
+
+QUERIES["x41_join_skew_audit"] = x41_join_skew_audit
+ORACLES["x41_join_skew_audit"] = _oracle_x41()

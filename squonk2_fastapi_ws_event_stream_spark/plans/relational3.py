@@ -1209,3 +1209,98 @@ GROUP BY 1
 
 QUERIES["q59_abc_classification"] = q59_abc_classification
 ORACLES["q59_abc_classification"] = ORACLE_Q59
+
+
+# ---------------------------------------------------------------------------
+# q60 — cohort LTV curve: customers grouped by first-order year, each
+# cohort's CUMULATIVE revenue per member tracked across order years —
+# the lifetime-value readout subscription/retail finance teams put next
+# to q33's retention triangle (retention says who comes back; LTV says
+# what that's worth). ltv_cents = running total of the cohort's revenue
+# through year Y, divided by the FIXED cohort size (members at year 0).
+#
+# Plan: first-order year is one custkey-keyed aggregate; activity joins
+# it on custkey (the q33 exchange-reuse shape); the (cohort_year,
+# order_year) grid is calendar-bounded, so its cumulative window is
+# trivially partition-safe (partition by cohort_year, order by
+# order_year — at most |years| rows each).
+#
+# Determinism: exact integer cents (DECIMAL(18,2)·100), DECIMAL(38,0)
+# folds, truncating DIV for the per-member division.
+# ---------------------------------------------------------------------------
+def q60_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("order_year"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.min("order_year").alias("cohort_year")
+    )
+    sizes = first.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    yearly = (
+        orders.join(first, "o_custkey")
+        .groupBy("cohort_year", "order_year")
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_year")
+        .orderBy("order_year")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = yearly.withColumn("cum_rev", F.sum("rev").over(w))
+    return (
+        cum.join(F.broadcast(sizes), "cohort_year")
+        .select(
+            F.col("cohort_year").cast("long").alias("cohort_year"),
+            F.col("order_year").cast("long").alias("order_year"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.col("cum_rev").cast("long").alias("cum_revenue_cents"),
+            F.expr("CAST(cum_rev DIV cohort_size AS BIGINT)").alias(
+                "ltv_cents_per_customer"
+            ),
+        )
+    )
+
+
+ORACLE_Q60 = """
+WITH orders_c AS (
+  SELECT o_custkey, year(o_orderdate) AS order_year,
+         CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders
+),
+first_o AS (
+  SELECT o_custkey, MIN(order_year) AS cohort_year
+  FROM orders_c GROUP BY o_custkey
+),
+sizes AS (
+  SELECT cohort_year, COUNT(*) AS cohort_size FROM first_o GROUP BY cohort_year
+),
+yearly AS (
+  SELECT f.cohort_year, o.order_year, SUM(CAST(o.cents AS HUGEINT)) AS rev
+  FROM orders_c o JOIN first_o f USING (o_custkey)
+  GROUP BY f.cohort_year, o.order_year
+),
+cum AS (
+  SELECT cohort_year, order_year,
+         SUM(rev) OVER (PARTITION BY cohort_year ORDER BY order_year
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev
+  FROM yearly
+)
+SELECT CAST(c.cohort_year AS BIGINT) AS cohort_year,
+       CAST(c.order_year AS BIGINT) AS order_year,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(c.cum_rev AS BIGINT) AS cum_revenue_cents,
+       CAST(c.cum_rev // s.cohort_size AS BIGINT) AS ltv_cents_per_customer
+FROM cum c JOIN sizes s USING (cohort_year)
+"""
+
+
+QUERIES["q60_cohort_ltv"] = q60_cohort_ltv
+ORACLES["q60_cohort_ltv"] = ORACLE_Q60

@@ -85,6 +85,9 @@ _NEW_OR_CHANGED = (
     "v37_hubness_audit",
     "m17_audio_clipping",
     "q59_abc_classification",
+    "e49_duplicate_event_audit",
+    "q60_cohort_ltv",
+    "x41_join_skew_audit",
 )
 
 # Round-6 head, kept for the ledger's history (no longer sampled first —

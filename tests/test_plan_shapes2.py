@@ -1345,3 +1345,31 @@ def test_q59_abc_has_no_global_sort(spark):
     wins = re.findall(r"windowspecdefinition\(([^)]*?specifiedwindowframe)", plan)
     bad = [w for w in wins if "blk" not in w]
     assert not bad, f"window without block segmentation: {bad}"
+
+
+def test_e49_dup_audit_is_one_user_window_then_fixed_agg(spark):
+    # One lag window partitioned by user_id (the e08 shape), then a
+    # fixed-domain event_type aggregate — no joins.
+    plan = explain(QUERIES["e49_duplicate_event_audit"](spark, SF), mode="simple")
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan
+
+
+def test_q60_ltv_window_is_calendar_bounded(spark):
+    # The cumulative window partitions by cohort_year over the bounded
+    # (cohort_year, order_year) grid; cohort sizes broadcast.
+    plan = explain(QUERIES["q60_cohort_ltv"](spark, SF), mode="simple")
+    assert "hashpartitioning(o_custkey" in plan
+    assert "windowspecdefinition(cohort_year" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_x41_skew_audit_ranks_the_count_histogram_not_keys(spark):
+    # Median/max factor through the count-of-counts histogram: the only
+    # key-wide shuffles are the two per-key aggregates; windows run on
+    # the tiny multiplicity table (hashpartitioning on cnt never appears
+    # — the window input is the bounded histogram).
+    plan = explain(QUERIES["x41_join_skew_audit"](spark, SF), mode="simple")
+    assert "hashpartitioning(l_orderkey" in plan
+    assert "hashpartitioning(o_custkey" in plan
+    assert "CartesianProduct" not in plan
