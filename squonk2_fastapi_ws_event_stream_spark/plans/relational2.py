@@ -1227,9 +1227,10 @@ ORACLES["x24_compaction_planner"] = ORACLE_X24
 #
 # Scale: Expand ×C is a constant factor on the scan, shuffle carries
 # only (column-tag, value) partial-distinct groups. At 100 TB exact NDV
-# is swapped for the x13 KMV sketch per column (bounded state, same
-# one-pass shape) — the exact arm is this query's oracle-checkable
-# verdict, like x20's exact-percentile arm.
+# is swapped for the per-column KMV sketch — SHIPPED as
+# x25b_column_stats_sketch below (bounded state, one-pass, error-bound
+# verdict vs this query's exact NDVs) — the exact arm stays as the
+# oracle-checkable ground truth, like x20's exact-percentile arm.
 # ---------------------------------------------------------------------------
 X25_NUM_COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
                 "l_quantity", "l_discount")
