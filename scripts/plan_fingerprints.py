@@ -48,6 +48,14 @@ _NORMALIZERS = (
     # higher-order-function lambda variables (x_19, y_3, ...) draw from a
     # session-global counter: building OTHER queries first shifts them
     (re.compile(r"\blambda ([a-zA-Z]+)_\d+"), r"lambda \1"),
+    # CTE / recursive-union relation ids are session-global counters too
+    # (every sql() with a WITH clause increments them)
+    (
+        re.compile(
+            r"\b(CTERelationDef|CTERelationRef|UnionLoopRef|UnionLoop) \d+"
+        ),
+        r"\1 ",
+    ),
     (re.compile(r"plan_id=\d+"), "plan_id="),
     (re.compile(r"@[0-9a-fA-F]{6,}"), "@"),  # JVM object addresses
     (re.compile(r"/root/testdata/sf[0-9.]+"), "<SF>"),  # per-SF paths
