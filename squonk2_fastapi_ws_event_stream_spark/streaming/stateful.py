@@ -751,3 +751,87 @@ def session_tracker(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming lateness histogram — e42's (batch watermark-lateness audit)
+# streaming twin: per key, how late do messages arrive relative to the
+# maximum event time already seen on that key? The number that SETS a
+# production watermark delay: run it for a day, read the histogram, pick
+# the delay that bounds loss. Lateness buckets are exponential
+# (on-time, <1 s, <10 s, <100 s, >=100 s) and the counters live in the
+# state store (6 longs per key), so the audit is cumulative across
+# batches and restarts — a batch job can only see one log window.
+#
+# Messages fold in offset order; each message first measures its
+# lateness against the running max event time, THEN advances it — the
+# same order the engine's own watermark would observe.
+# ---------------------------------------------------------------------------
+LATENESS_OUTPUT_SCHEMA = (
+    "key string, n_msgs long, on_time long, lt_1s long, lt_10s long, "
+    "lt_100s long, ge_100s long, max_event_us long"
+)
+LATENESS_STATE_SCHEMA = (
+    "max_us long, n long, b0 long, b1 long, b2 long, b3 long, b4 long"
+)
+_LATENESS_EDGES_US = (0, 1_000_000, 10_000_000, 100_000_000)
+
+
+def _update_lateness_fn(retention_ms: int):
+    def _update_lateness(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        max_us, n, b0, b1, b2, b3, b4 = (
+            state.get if state.exists else (-1, 0, 0, 0, 0, 0, 0)
+        )
+        buckets = [b0, b1, b2, b3, b4]
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("offset")
+        for us in rows["us"]:
+            us = int(us)
+            late = max(0, max_us - us) if max_us >= 0 else 0
+            if late <= _LATENESS_EDGES_US[0]:
+                buckets[0] += 1
+            elif late < _LATENESS_EDGES_US[1]:
+                buckets[1] += 1
+            elif late < _LATENESS_EDGES_US[2]:
+                buckets[2] += 1
+            elif late < _LATENESS_EDGES_US[3]:
+                buckets[3] += 1
+            else:
+                buckets[4] += 1
+            n += 1
+            max_us = max(max_us, us)
+        state.update((max_us, n, *buckets))
+        state.setTimeoutDuration(retention_ms)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_msgs": [n],
+                "on_time": [buckets[0]],
+                "lt_1s": [buckets[1]],
+                "lt_10s": [buckets[2]],
+                "lt_100s": [buckets[3]],
+                "ge_100s": [buckets[4]],
+                "max_event_us": [max_us],
+            }
+        )
+
+    return _update_lateness
+
+
+def lateness_histogram(
+    events: DataFrame, retention_ms: int = DEFAULT_IDLE_RETENTION_MS
+) -> DataFrame:
+    """Streaming per-key lateness histogram. `events` must carry
+    (key string, us long, offset long); emits the cumulative histogram
+    row per (key, batch)."""
+    return events.groupBy("key").applyInPandasWithState(
+        _update_lateness_fn(retention_ms),
+        outputStructType=LATENESS_OUTPUT_SCHEMA,
+        stateStructType=LATENESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

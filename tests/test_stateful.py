@@ -715,3 +715,60 @@ def test_session_tracker_gap_split_restart_and_timeout_flush(spark, tmp_path):
     assert "u4" in flushed and flushed["u4"]["n_events"] == 1
     assert flushed["u4"]["session_start_ms"] == BASE_TS + 150_000
     assert flushed["u4"]["session_end_ms"] == BASE_TS + 150_000
+
+
+def test_lateness_histogram_buckets_and_restart(spark, tmp_path):
+    """Each message's lateness is measured against the running max event
+    time BEFORE advancing it; buckets are cumulative across a restart."""
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        lateness_histogram,
+    )
+
+    root = str(tmp_path / "llog")
+    w = EventLogWriter(root, "l1")
+    # k1 event times (ms): 10_000, then 9_500 (0.5s late), then 12_000
+    # (on time), then 2_000 (10s late -> lt_100s bucket).
+    for dt in (10_000, 9_500, 12_000, 2_000):
+        w.publish("k1", BASE_TS + dt)
+    spark.dataSource.register(EventStreamDataSource)
+
+    def events_df():
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "l1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        return env.selectExpr(
+            "cast(value as string) as key",
+            "unix_micros(timestamp) as us",
+            "offset",
+        )
+
+    def run_once() -> list:
+        got: list = []
+        q = (
+            lateness_histogram(events_df())
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "lckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    r = {x["key"]: x for x in run_once()}["k1"]
+    assert r["n_msgs"] == 4
+    assert r["on_time"] == 2      # first message + 12_000
+    assert r["lt_1s"] == 1        # 9_500 is 0.5 s late
+    assert r["lt_10s"] == 0
+    assert r["lt_100s"] == 1      # 2_000 is 10 s late (edge: 10s in [10,100))
+    assert r["max_event_us"] == (BASE_TS + 12_000) * 1000
+
+    # Restart: one more very-late message lands in ge_100s cumulatively.
+    w.publish("k1", BASE_TS - 200_000)
+    r2 = {x["key"]: x for x in run_once()}["k1"]
+    assert r2["n_msgs"] == 5 and r2["ge_100s"] == 1
+    assert r2["on_time"] == 2 and r2["lt_1s"] == 1 and r2["lt_100s"] == 1
