@@ -2044,3 +2044,163 @@ FROM dig GROUP BY digest HAVING COUNT(*) >= 2
 
 QUERIES["t68_cdc_chunk_dedup"] = t68_cdc_chunk_dedup
 ORACLES["t68_cdc_chunk_dedup"] = ORACLE_T68
+
+
+# ---------------------------------------------------------------------------
+# t69 — language-conditional perplexity bucketing (the CCNet filtering
+# stage, Wenzek et al. 2020): score every document with the unigram LM
+# (t22's integer floor-log2 bits-per-token), then decile WITHIN EACH
+# LANGUAGE — a global perplexity cut would throw away whole low-resource
+# languages, so CCNet buckets per-lang and keeps the head/middle
+# deciles. Output is the per-(lang, decile) table a mixture sampler
+# (t25/t44) consumes: doc counts, score range, and the keep verdict.
+#
+# No corpus-wide (or language-wide) sort: a document's decile factors
+# through the per-lang SCORE HISTOGRAM (group by exact integer score),
+# whose cumulative counts ride the q58/e42 two-level block scan — the
+# windows partition by (lang, blk) and (lang), both bounded (the lang
+# domain is fixed; the per-lang block table is |distinct scores|, and
+# each tie group assigns its decile from its START rank, deterministic
+# under ties in both engines).
+#
+# Determinism: per-word surprisal is the piecewise-linear log2 in
+# integer MILLI-bits — b = floor(log2 cnt) via binary-string length
+# (the t22 trick) plus the linear fraction (cnt − 2^b)·1000 DIV 2^b —
+# so the doc score has real resolution without any libm call (t22's
+# plain floor collapses 95% of this corpus onto one tie group: every
+# common word rounds to the same whole bit count). Deciles are integer
+# rank arithmetic; no doubles anywhere.
+# ---------------------------------------------------------------------------
+T69_KEEP_MAX_DECILE = 6  # CCNet keeps head+middle: deciles 0..6
+T69_BLOCK = 1_000  # milli-bits per cumsum block
+
+
+def t69_lang_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality import tokens_table
+
+    toks = tokens_table(spark, sf_dir).select("doc_id", "w")
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # milli-bit surprisal proxy: b*1000 + (cnt - 2^b)*1000 DIV 2^b
+    bits = freq.select(
+        "w",
+        "cnt",
+        F.expr(
+            "CAST((length(regexp_replace(bin(cnt), '^0+', '')) - 1) * 1000"
+            " + (cnt - shiftleft(CAST(1 AS BIGINT),"
+            "      CAST(length(regexp_replace(bin(cnt), '^0+', '')) - 1 AS INT)))"
+            "   * 1000 DIV shiftleft(CAST(1 AS BIGINT),"
+            "      CAST(length(regexp_replace(bin(cnt), '^0+', '')) - 1 AS INT))"
+            " AS BIGINT)"
+        ).alias("bits_milli"),
+    )
+    # vocab lookup joins are Zipf-skewed — ride the t22/t66 head/tail
+    # split (fixed-1024 broadcast head + skew-free shuffled tail)
+    from ..functions.skew import head_tail_freq_join
+
+    scored = (
+        head_tail_freq_join(toks, bits, "w", "cnt")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("SUM(bits_milli) DIV COUNT(1)").alias("score_milli")
+        )
+    )
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = scored.join(langs, "doc_id")
+    hist = docs.groupBy("lang", "score_milli").agg(
+        F.count(F.lit(1)).alias("t")
+    ).withColumn("blk", F.expr(f"score_milli DIV {T69_BLOCK}"))
+    w_in = (
+        Window.partitionBy("lang", "blk")
+        .orderBy("score_milli")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = hist.withColumn("cum_in", F.sum("t").over(w_in))
+    blocks = hist.groupBy("lang", "blk").agg(F.sum("t").alias("blk_t"))
+    w_pre = (
+        Window.partitionBy("lang")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = blocks.withColumn("cum_pre", F.sum("blk_t").over(w_pre)).select(
+        "lang", "blk", "cum_pre"
+    )
+    totals = hist.groupBy("lang").agg(F.sum("t").alias("n_lang"))
+    ranked = (
+        intra.join(prefix, ["lang", "blk"])
+        .withColumn(
+            "c",
+            F.coalesce(F.col("cum_in"), F.lit(0))
+            + F.coalesce(F.col("cum_pre"), F.lit(0)),
+        )
+        .join(F.broadcast(totals), "lang")
+        .withColumn("decile", F.expr("c * 10 DIV n_lang"))
+    )
+    return (
+        ranked.groupBy("lang", "decile")
+        .agg(
+            F.sum("t").cast("long").alias("n_docs"),
+            F.min("score_milli").cast("long").alias("min_score_milli"),
+            F.max("score_milli").cast("long").alias("max_score_milli"),
+        )
+        .withColumn("keep", F.col("decile") <= T69_KEEP_MAX_DECILE)
+        .select(
+            "lang",
+            F.col("decile").cast("long").alias("decile"),
+            "n_docs",
+            "min_score_milli",
+            "max_score_milli",
+            "keep",
+        )
+    )
+
+
+ORACLE_T69 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (
+  SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+),
+bits AS (
+  SELECT w,
+         CAST((length(bin(cnt)) - 1) * 1000
+              + (cnt - (1::BIGINT << (length(bin(cnt)) - 1))) * 1000
+                // (1::BIGINT << (length(bin(cnt)) - 1)) AS BIGINT)
+           AS bits_milli
+  FROM freq
+),
+scored AS (
+  SELECT t.doc_id,
+         SUM(b.bits_milli) // COUNT(*) AS score_milli
+  FROM toks t JOIN bits b USING (w) GROUP BY t.doc_id
+),
+docs AS (
+  SELECT s.doc_id, s.score_milli, d.lang
+  FROM scored s JOIN documents d USING (doc_id)
+),
+hist AS (
+  SELECT lang, score_milli, COUNT(*) AS t
+  FROM docs GROUP BY lang, score_milli
+),
+ranked AS (
+  SELECT lang, score_milli, t,
+         COALESCE(SUM(t) OVER (PARTITION BY lang ORDER BY score_milli
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c,
+         SUM(t) OVER (PARTITION BY lang) AS n_lang
+  FROM hist
+),
+classed AS (
+  SELECT lang, score_milli, t, c * 10 // n_lang AS decile FROM ranked
+)
+SELECT lang,
+       CAST(decile AS BIGINT) AS decile,
+       CAST(SUM(t) AS BIGINT) AS n_docs,
+       CAST(MIN(score_milli) AS BIGINT) AS min_score_milli,
+       CAST(MAX(score_milli) AS BIGINT) AS max_score_milli,
+       decile <= {T69_KEEP_MAX_DECILE} AS keep
+FROM classed GROUP BY lang, decile
+"""
+
+
+QUERIES["t69_lang_perplexity_buckets"] = t69_lang_perplexity_buckets
+ORACLES["t69_lang_perplexity_buckets"] = ORACLE_T69

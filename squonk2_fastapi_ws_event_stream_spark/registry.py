@@ -88,6 +88,7 @@ _NEW_OR_CHANGED = (
     "e49_duplicate_event_audit",
     "q60_cohort_ltv",
     "x41_join_skew_audit",
+    "t69_lang_perplexity_buckets",
 )
 
 # Round-6 head, kept for the ledger's history (no longer sampled first —

@@ -1373,3 +1373,23 @@ def test_x41_skew_audit_ranks_the_count_histogram_not_keys(spark):
     assert "hashpartitioning(l_orderkey" in plan
     assert "hashpartitioning(o_custkey" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_t69_ccnet_buckets_use_head_tail_and_blocked_windows(spark):
+    # The vocab lookup is the t22 head/tail split (fixed-1024 broadcast
+    # head, never a vocab-sized broadcast); decile windows partition by
+    # (lang, blk) / (lang) over the score histogram — block-segmented,
+    # never a language-wide row window.
+    import re
+    from squonk2_fastapi_ws_event_stream_spark.operators import dedup
+    dedup.unpersist_lsh_cache()
+    from squonk2_fastapi_ws_event_stream_spark.functions.plan_guard import (
+        broadcast_hint_audit,
+    )
+    df = QUERIES["t69_lang_perplexity_buckets"](spark, SF)
+    audit = broadcast_hint_audit(df)
+    assert not audit["unbounded"] and not audit["workload"]
+    plan = explain(df, mode="simple")
+    assert "hashpartitioning(doc_id" in plan
+    wins = re.findall(r"windowspecdefinition\(lang([^)]*?specifiedwindowframe)", plan)
+    assert wins, "expected lang-partitioned histogram windows"
