@@ -91,7 +91,37 @@ FROM documents
 # ---------------------------------------------------------------------------
 # t09 — quality scoring: word count, avg word length, stopword ratio,
 # composite score + bucket.
+#
+# The composite is computed in EXACT INTEGER MICROS, not floating point:
+# the round-7 sf0.1 parity sweep caught one row whose double composite
+# landed exactly on a ROUND(x, 6) half boundary, where Spark and DuckDB
+# round the same double differently (0.824974 vs 0.824975 — the 1-ulp
+# class the cross-engine rules exist for). With
+#   score_micro = 3000·least(n_words, 100)                 [0.3·min(n/100,1)]
+#               + 400000 − stop_micro·2 DIV 5              [0.4·(1−ratio)]
+#               + least(awl_micro, 6000000) DIV 20         [0.3·min(awl/6,1)]
+# every term is integer arithmetic (truncating DIV ≡ DuckDB //), the
+# bucket thresholds compare integers, and the published double is the
+# SAME integer divided by 1e6 in both engines. The rounded 6-dp ratio
+# columns recover their micro integers exactly via ROUND(x·1e6).
 # ---------------------------------------------------------------------------
+def quality_score_micro_expr() -> "F.Column":
+    """Exact-integer composite score in micros; expects columns
+    n_words, stopword_ratio, avg_word_len (the t09 published ratios)."""
+    return F.expr(
+        "3000 * least(n_words, 100)"
+        " + 400000 - CAST(ROUND(stopword_ratio * 1000000) AS BIGINT) * 2 DIV 5"
+        " + least(CAST(ROUND(avg_word_len * 1000000) AS BIGINT), 6000000) DIV 20"
+    )
+
+
+SQL_QUALITY_MICRO = (
+    "3000 * LEAST(n_words, 100)"
+    " + 400000 - CAST(ROUND(stopword_ratio * 1000000) AS BIGINT) * 2 // 5"
+    " + LEAST(CAST(ROUND(avg_word_len * 1000000) AS BIGINT), 6000000) // 20"
+)
+
+
 def t09_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     n_words = F.size(F.split(F.col("text"), " ")).cast("long")
@@ -101,19 +131,22 @@ def t09_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     avg_word_len = F.round((F.col("n_chars") - (n_words - 1)) / n_words, 6)
     stop_ratio = F.round(stop_hits / n_words, 6)
-    score = F.round(
-        0.3 * F.least(n_words / 100.0, F.lit(1.0))
-        + 0.4 * (1.0 - stop_ratio)
-        + 0.3 * F.least(avg_word_len / 6.0, F.lit(1.0)),
-        6,
-    )
-    return docs.select(
+    base = docs.select(
         "doc_id",
         n_words.alias("n_words"),
         avg_word_len.alias("avg_word_len"),
         stop_ratio.alias("stopword_ratio"),
-        score.alias("quality_score"),
-        F.when(score >= 0.8, "high").when(score >= 0.6, "medium").otherwise("low").alias("quality_bucket"),
+    ).withColumn("score_micro", quality_score_micro_expr())
+    return base.select(
+        "doc_id",
+        "n_words",
+        "avg_word_len",
+        "stopword_ratio",
+        (F.col("score_micro") / 1_000_000.0).alias("quality_score"),
+        F.when(F.col("score_micro") >= 800_000, "high")
+        .when(F.col("score_micro") >= 600_000, "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
     )
 
 
@@ -132,19 +165,18 @@ m AS (
          ROUND((n_chars - (n_words - 1)) / n_words, 6) AS avg_word_len,
          ROUND(stop_hits / n_words, 6) AS stopword_ratio
   FROM base
+),
+s AS (
+  SELECT doc_id, n_words, avg_word_len, stopword_ratio,
+         {SQL_QUALITY_MICRO} AS score_micro
+  FROM m
 )
 SELECT doc_id, n_words, avg_word_len, stopword_ratio,
-       ROUND(0.3 * LEAST(n_words / 100.0, 1.0)
-             + 0.4 * (1.0 - stopword_ratio)
-             + 0.3 * LEAST(avg_word_len / 6.0, 1.0), 6) AS quality_score,
-       CASE WHEN ROUND(0.3 * LEAST(n_words / 100.0, 1.0)
-                       + 0.4 * (1.0 - stopword_ratio)
-                       + 0.3 * LEAST(avg_word_len / 6.0, 1.0), 6) >= 0.8 THEN 'high'
-            WHEN ROUND(0.3 * LEAST(n_words / 100.0, 1.0)
-                       + 0.4 * (1.0 - stopword_ratio)
-                       + 0.3 * LEAST(avg_word_len / 6.0, 1.0), 6) >= 0.6 THEN 'medium'
+       score_micro / 1000000.0 AS quality_score,
+       CASE WHEN score_micro >= 800000 THEN 'high'
+            WHEN score_micro >= 600000 THEN 'medium'
             ELSE 'low' END AS quality_bucket
-FROM m
+FROM s
 """
 
 

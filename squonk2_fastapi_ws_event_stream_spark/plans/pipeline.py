@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import davg
-from ..operators.textstats import BPE_ISH_PATTERN, _occurrences, _sql_occurrences
+from ..operators.textstats import (
+    BPE_ISH_PATTERN,
+    SQL_QUALITY_MICRO,
+    _occurrences,
+    _sql_occurrences,
+)
 from ..tables import register_views, table
 
 # ---------------------------------------------------------------------------
@@ -273,26 +278,30 @@ def t15_pipeline_quality_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFr
     )
     avg_word_len = F.round((F.col("n_chars") - (n_words - 1)) / n_words, 6)
     stop_ratio = F.round(stop_hits / n_words, 6)
-    score = F.round(
-        0.3 * F.least(n_words / 100.0, F.lit(1.0))
-        + 0.4 * (1.0 - stop_ratio)
-        + 0.3 * F.least(avg_word_len / 6.0, F.lit(1.0)),
-        6,
-    )
     bpe_tokens = F.size(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), F.lit(0))
     ).cast("long")
-    scored = kept.select("doc_id", "lang", score.alias("q"), bpe_tokens.alias("toks"))
+    # exact-integer micro score (the t09 round-7 fix: doubles at a
+    # ROUND half boundary round differently across engines)
+    from ..operators.textstats import quality_score_micro_expr
+
+    scored = kept.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        bpe_tokens.alias("toks"),
+    ).withColumn("q_micro", quality_score_micro_expr())
     return (
-        scored.filter(F.col("q") >= QUALITY_MIN)
+        scored.filter(F.col("q_micro") >= int(QUALITY_MIN * 1_000_000))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("toks").alias("total_tokens"),
-            F.round(
-                F.sum(F.col("q").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+            # exact: integer sum, truncating per-member micro average
+            (
+                F.expr("SUM(q_micro) DIV COUNT(1)") / 1_000_000.0
             ).alias("avg_quality"),
         )
     )
@@ -322,18 +331,19 @@ base AS (
   FROM kept
 ),
 m AS (
-  SELECT doc_id, lang, toks,
-         ROUND(0.3 * LEAST(n_words / 100.0, 1.0)
-               + 0.4 * (1.0 - ROUND(stop_hits / n_words, 6))
-               + 0.3 * LEAST(ROUND((n_chars - (n_words - 1)) / n_words, 6) / 6.0, 1.0),
-               6) AS q
+  SELECT doc_id, lang, toks, n_words,
+         ROUND(stop_hits / n_words, 6) AS stopword_ratio,
+         ROUND((n_chars - (n_words - 1)) / n_words, 6) AS avg_word_len
   FROM base
+),
+s AS (
+  SELECT doc_id, lang, toks, {SQL_QUALITY_MICRO} AS q_micro FROM m
 )
 SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(toks) AS BIGINT) AS total_tokens,
-       ROUND(CAST(SUM(CAST(q AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
-FROM m WHERE q >= {QUALITY_MIN}
+       (SUM(q_micro) // COUNT(*)) / 1000000.0 AS avg_quality
+FROM s WHERE q_micro >= {int(QUALITY_MIN * 1_000_000)}
 GROUP BY lang
 """
 

@@ -89,6 +89,13 @@ _NEW_OR_CHANGED = (
     "q60_cohort_ltv",
     "x41_join_skew_audit",
     "t69_lang_perplexity_buckets",
+    # round 7 CHANGED (sf0.1 parity sweep): t09's composite moved to
+    # exact integer micros — one sf0.1 row hit a cross-engine ROUND(x,6)
+    # half-boundary on the double form; t15 inlines the formula and v30
+    # composes t09, so both plans changed with it.
+    "t09_quality_score",
+    "t15_pipeline_quality_dedup_stats",
+    "v30_retrieval_quality",
 )
 
 # Round-6 head, kept for the ledger's history (no longer sampled first —
