@@ -835,3 +835,84 @@ def lateness_histogram(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct-count — x13's (batch KMV sketch) streaming
+# twin: per key, the K smallest distinct hash values of everything ever
+# seen, carried as an ARRAY state column. Exact distinct counting in a
+# stream buffers every value forever; the KMV sketch is K longs per key,
+# mergeable, and its estimate (K−1)·P/h_(K) is the same closed form the
+# batch/x13 oracle checks — so a dashboard's "unique users on this
+# stream" stays O(K) state at any volume.
+#
+# Hash is the x13 affine family (overflow-safe: both factors reduced
+# mod P before multiplying), so a batch KMV over the same log computes
+# the IDENTICAL sketch — the streaming and batch answers are
+# bit-comparable, not just statistically similar (tested).
+# ---------------------------------------------------------------------------
+KMV_K = 64
+_KMV_P = 1_000_000_007
+_KMV_A = 2654435761 % _KMV_P
+_KMV_B = 1723
+KMV_OUTPUT_SCHEMA = (
+    "key string, n_seen long, k_kept long, kth_min_hash long, "
+    "kmv_estimate double"
+)
+KMV_STATE_SCHEMA = "n_seen long, mins array<long>"
+
+
+def _update_kmv_fn(retention_ms: int):
+    def _update_kmv(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_seen, mins = state.get if state.exists else (0, [])
+        kept = set(mins)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        for v in rows["value_id"]:
+            n_seen += 1
+            h = ((int(v) % _KMV_P) * _KMV_A + _KMV_B) % _KMV_P
+            if h in kept:
+                continue
+            if len(kept) < KMV_K:
+                kept.add(h)
+            else:
+                worst = max(kept)
+                if h < worst:
+                    kept.discard(worst)
+                    kept.add(h)
+        mins = sorted(kept)
+        state.update((n_seen, mins))
+        state.setTimeoutDuration(retention_ms)
+        k = len(mins)
+        kth = mins[-1] if mins else 0
+        est = float(k) if k < KMV_K else round((k - 1) * float(_KMV_P) / kth, 4)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_seen": [n_seen],
+                "k_kept": [k],
+                "kth_min_hash": [kth],
+                "kmv_estimate": [est],
+            }
+        )
+
+    return _update_kmv
+
+
+def kmv_distinct(
+    events: DataFrame, retention_ms: int = DEFAULT_IDLE_RETENTION_MS
+) -> DataFrame:
+    """Streaming per-key KMV distinct sketch. `events` must carry
+    (key string, value_id long); emits the cumulative sketch row per
+    (key, batch)."""
+    return events.groupBy("key").applyInPandasWithState(
+        _update_kmv_fn(retention_ms),
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

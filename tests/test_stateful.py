@@ -772,3 +772,69 @@ def test_lateness_histogram_buckets_and_restart(spark, tmp_path):
     r2 = {x["key"]: x for x in run_once()}["k1"]
     assert r2["n_msgs"] == 5 and r2["ge_100s"] == 1
     assert r2["on_time"] == 2 and r2["lt_1s"] == 1 and r2["lt_100s"] == 1
+
+
+def test_streaming_kmv_matches_batch_kmv_bit_for_bit(spark, tmp_path):
+    """The streaming sketch over the whole log must equal the batch x13
+    computation on the same ids — same hashes, same k-mins, same
+    estimate — including across a checkpoint restart."""
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        KMV_K,
+        _KMV_A,
+        _KMV_B,
+        _KMV_P,
+        kmv_distinct,
+    )
+
+    root = str(tmp_path / "klog")
+    w = EventLogWriter(root, "k1")
+    ids1 = [i * 37 % 501 for i in range(300)]  # dups on purpose
+    for v in ids1:
+        w.publish(str(v), BASE_TS)
+    spark.dataSource.register(EventStreamDataSource)
+
+    def events_df():
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "k1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        return env.selectExpr(
+            "'k1' as key", "CAST(cast(value as string) AS BIGINT) as value_id"
+        )
+
+    def run_once() -> list:
+        got: list = []
+        q = (
+            kmv_distinct(events_df())
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "kckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    def batch_kmv(ids):
+        hs = sorted({((v % _KMV_P) * _KMV_A + _KMV_B) % _KMV_P for v in ids})
+        mins = hs[:KMV_K]
+        k, kth = len(mins), mins[-1]
+        est = float(k) if k < KMV_K else round((k - 1) * float(_KMV_P) / kth, 4)
+        return k, kth, est
+
+    r = run_once()[-1]
+    k, kth, est = batch_kmv(ids1)
+    assert (r["k_kept"], r["kth_min_hash"]) == (k, kth)
+    assert r["kmv_estimate"] == est and r["n_seen"] == 300
+
+    # restart with more ids — the sketch must merge, not reset
+    ids2 = [1000 + i * 13 % 400 for i in range(200)]
+    for v in ids2:
+        w.publish(str(v), BASE_TS + 1000)
+    r2 = run_once()[-1]
+    k2, kth2, est2 = batch_kmv(ids1 + ids2)
+    assert (r2["k_kept"], r2["kth_min_hash"]) == (k2, kth2)
+    assert r2["kmv_estimate"] == est2 and r2["n_seen"] == 500
