@@ -1409,9 +1409,13 @@ def t60_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_words",
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.round(
-                (F.col("n_words") - F.coalesce("n_kept", F.lit(0))) / F.col("n_words"),
-                6,
+            # integer micros, not float ROUND (the t09 half-boundary
+            # class): same integer / 1e6 is the same double in both engines
+            (
+                F.expr(
+                    "(n_words - COALESCE(n_kept, 0)) * 1000000 DIV n_words"
+                )
+                / 1_000_000.0
             ).alias("removed_frac"),
             F.length(F.coalesce("cleaned", F.lit(""))).cast("long").alias("cleaned_chars"),
             F.substring(F.coalesce("cleaned", F.lit("")), 1, 40).alias("cleaned_prefix"),
@@ -1455,8 +1459,8 @@ totals AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id)
 SELECT t.doc_id,
        CAST(t.n_words AS BIGINT) AS n_words,
        CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept,
-       ROUND((t.n_words - COALESCE(c.n_kept, 0)) * 1.0 / t.n_words, 6)
-         AS removed_frac,
+       ((t.n_words - COALESCE(c.n_kept, 0)) * 1000000 // t.n_words)
+         / 1000000.0 AS removed_frac,
        CAST(length(COALESCE(c.cleaned, '')) AS BIGINT) AS cleaned_chars,
        substr(COALESCE(c.cleaned, ''), 1, 40) AS cleaned_prefix
 FROM totals t LEFT JOIN cleaned c ON t.doc_id = c.doc_id
