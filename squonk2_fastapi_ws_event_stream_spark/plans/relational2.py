@@ -1413,54 +1413,63 @@ def x25b_column_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s.*")
     )
-    est = F.when(
-        F.col("k_kept") < X25B_K, F.col("k_kept").cast("double")
-    ).otherwise(
-        F.round(
-            (F.col("k_kept") - 1) * F.lit(float(_X25B_P)) / F.col("kth_min_hash"),
-            4,
+    # estimate and error in EXACT integer fixed point (the t09
+    # half-boundary class: float ROUND of a quotient is engine-unsafe):
+    # est_e4 = (K-1)*P*1e4 DIV h_K; rel_err_ppm vs exact NDV in e4 units.
+    bound_ppm = int(2.0 / (X25B_K - 1) ** 0.5 * 1_000_000)
+    joined = (
+        sketch.join(F.broadcast(exact), "col_name")
+        .withColumn(
+            "est_e4",
+            F.expr(
+                f"CASE WHEN k_kept < {X25B_K} THEN k_kept * 10000"
+                f" ELSE CAST((CAST(k_kept AS DECIMAL(38,0)) - 1)"
+                f"      * {_X25B_P} * 10000"
+                f"      DIV kth_min_hash AS BIGINT) END"
+            ),
         )
-    )
-    joined = sketch.join(F.broadcast(exact), "col_name").withColumn(
-        "kmv_estimate", est
+        .withColumn(
+            "rel_err_ppm",
+            F.expr(
+                "abs(est_e4 - exact_ndv * 10000) * 1000000"
+                " DIV (exact_ndv * 10000)"
+            ),
+        )
     )
     return joined.select(
         "col_name",
         "k_kept",
         "kth_min_hash",
-        "kmv_estimate",
+        (F.col("est_e4") / 10_000.0).alias("kmv_estimate"),
         "exact_ndv",
-        F.round(
-            F.abs(F.col("kmv_estimate") - F.col("exact_ndv"))
-            / F.col("exact_ndv"),
-            6,
-        ).alias("rel_err"),
-        (
-            F.abs(F.col("kmv_estimate") - F.col("exact_ndv"))
-            / F.col("exact_ndv")
-            <= 2.0 / (X25B_K - 1) ** 0.5
-        ).alias("within_bound"),
+        (F.col("rel_err_ppm") / 1_000_000.0).alias("rel_err"),
+        (F.col("rel_err_ppm") <= bound_ppm).alias("within_bound"),
     )
 
 
 def _oracle_x25b() -> str:
-    bound = 2.0 / (X25B_K - 1) ** 0.5
+    bound_ppm = int(2.0 / (X25B_K - 1) ** 0.5 * 1_000_000)
     branches = []
     for c, _, dk in X25B_KEYS:
         branches.append(f"""
   SELECT '{c}' AS col_name,
          CAST(s.k_kept AS BIGINT) AS k_kept,
          CAST(s.kth_min_hash AS BIGINT) AS kth_min_hash,
-         CASE WHEN s.k_kept < {X25B_K} THEN CAST(s.k_kept AS DOUBLE)
-              ELSE ROUND((s.k_kept - 1) * CAST({_X25B_P} AS DOUBLE) / s.kth_min_hash, 4)
-         END AS kmv_estimate,
+         (CASE WHEN s.k_kept < {X25B_K} THEN s.k_kept * 10000
+               ELSE CAST((CAST(s.k_kept AS HUGEINT) - 1) * {_X25B_P} * 10000
+                         // s.kth_min_hash AS BIGINT) END) / 10000.0
+           AS kmv_estimate,
          e.exact_ndv,
-         ROUND(ABS(CASE WHEN s.k_kept < {X25B_K} THEN CAST(s.k_kept AS DOUBLE)
-                        ELSE ROUND((s.k_kept - 1) * CAST({_X25B_P} AS DOUBLE) / s.kth_min_hash, 4)
-                   END - e.exact_ndv) / e.exact_ndv, 6) AS rel_err,
-         (ABS(CASE WHEN s.k_kept < {X25B_K} THEN CAST(s.k_kept AS DOUBLE)
-                   ELSE ROUND((s.k_kept - 1) * CAST({_X25B_P} AS DOUBLE) / s.kth_min_hash, 4)
-              END - e.exact_ndv) / e.exact_ndv) <= {bound!r} AS within_bound
+         (ABS((CASE WHEN s.k_kept < {X25B_K} THEN s.k_kept * 10000
+                    ELSE CAST((CAST(s.k_kept AS HUGEINT) - 1) * {_X25B_P} * 10000
+                              // s.kth_min_hash AS BIGINT) END)
+              - e.exact_ndv * 10000) * 1000000
+          // (e.exact_ndv * 10000)) / 1000000.0 AS rel_err,
+         (ABS((CASE WHEN s.k_kept < {X25B_K} THEN s.k_kept * 10000
+                    ELSE CAST((CAST(s.k_kept AS HUGEINT) - 1) * {_X25B_P} * 10000
+                              // s.kth_min_hash AS BIGINT) END)
+              - e.exact_ndv * 10000) * 1000000
+          // (e.exact_ndv * 10000)) <= {bound_ppm} AS within_bound
   FROM (
     SELECT COUNT(*) AS k_kept, MAX(h) AS kth_min_hash FROM (
       SELECT DISTINCT ((CAST({dk} AS BIGINT) % {_X25B_P}) * {_X25B_A} + {_X25B_B}) % {_X25B_P} AS h
