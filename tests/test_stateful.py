@@ -838,3 +838,57 @@ def test_streaming_kmv_matches_batch_kmv_bit_for_bit(spark, tmp_path):
     k2, kth2, est2 = batch_kmv(ids1 + ids2)
     assert (r2["k_kept"], r2["kth_min_hash"]) == (k2, kth2)
     assert r2["kmv_estimate"] == est2 and r2["n_seen"] == 500
+
+
+def test_rate_limiter_event_time_bucket_exact_and_restart(spark, tmp_path):
+    """Token-bucket decisions are exact integer arithmetic on event
+    time: a 25-message burst against burst=20 accepts exactly 20; after
+    1 s of event time at rate=10 exactly 10 more fit; the bucket level
+    survives a checkpoint restart."""
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        rate_limiter,
+    )
+
+    root = str(tmp_path / "rlog")
+    w = EventLogWriter(root, "r1")
+    for i in range(25):  # all at the same event time: pure burst
+        w.publish("r1", BASE_TS)
+    spark.dataSource.register(EventStreamDataSource)
+
+    def events_df():
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "r1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        return env.selectExpr(
+            "cast(value as string) as key",
+            "unix_micros(timestamp) as us",
+            "offset",
+        )
+
+    def run_once() -> list:
+        got: list = []
+        q = (
+            rate_limiter(events_df(), rate_per_sec=10, burst=20)
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "rckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    r = run_once()[-1]
+    assert (r["n_msgs"], r["n_accepted"], r["n_throttled"]) == (25, 20, 5)
+    assert r["tokens_milli"] == 0
+
+    # +1 s of event time refills 10 tokens; 12 arrivals -> 10 accepted.
+    for i in range(12):
+        w.publish("r1", BASE_TS + 1000)
+    r2 = run_once()[-1]
+    assert (r2["n_msgs"], r2["n_accepted"], r2["n_throttled"]) == (12, 10, 2)
+    assert r2["tokens_milli"] == 0
