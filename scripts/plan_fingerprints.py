@@ -21,9 +21,18 @@ re-checked t38. This module makes changed-plan detection mechanical:
   ``registry._NEW_OR_CHANGED`` — so acknowledging a plan change forces
   the query into the driver's fresh-sampling head in the same commit.
 
+Round-8 hardening: the refusal now also covers REMOVED ledger entries
+(deleting or renaming a query must be acknowledged in
+``registry._REMOVED``), and ``--snapshot N`` copies the verified ledger
+to ``PLAN_FINGERPRINTS_r{N}.json`` at round close so
+``tests/test_plan_fingerprints.py`` can diff the live ledger against the
+prior round's committed state — a hand-edited ledger entry for an
+unlisted query now goes red in pytest instead of bypassing the script.
+
 Usage:
     python scripts/plan_fingerprints.py            # regenerate (guarded)
     python scripts/plan_fingerprints.py --check    # report drift, no write
+    python scripts/plan_fingerprints.py --snapshot 8   # round-close copy
 """
 
 from __future__ import annotations
@@ -96,8 +105,17 @@ def diff_ledger(current: dict[str, str]) -> tuple[list[str], list[str], list[str
 
 def main(argv: list[str]) -> int:
     check_only = "--check" in argv
+    if "--snapshot" in argv:
+        rnd = int(argv[argv.index("--snapshot") + 1])
+        snap = ROOT / f"PLAN_FINGERPRINTS_r{rnd:02d}.json"
+        snap.write_text(LEDGER.read_text())
+        print(f"wrote {snap}")
+        return 0
 
-    from squonk2_fastapi_ws_event_stream_spark.registry import _NEW_OR_CHANGED
+    from squonk2_fastapi_ws_event_stream_spark.registry import (
+        _NEW_OR_CHANGED,
+        _REMOVED,
+    )
     from squonk2_fastapi_ws_event_stream_spark.session import get_spark
 
     spark = get_spark("plan-fingerprints")
@@ -108,6 +126,11 @@ def main(argv: list[str]) -> int:
     listed = set(_NEW_OR_CHANGED)
     unlisted_changed = [] if bootstrap else [n for n in changed if n not in listed]
     unlisted_added = [] if bootstrap else [n for n in added if n not in listed]
+    # Deletions can't be acknowledged via _NEW_OR_CHANGED (registry import
+    # rejects names absent from QUERIES) — they get their own ledger.
+    unlisted_removed = (
+        [] if bootstrap else [n for n in removed if n not in set(_REMOVED)]
+    )
 
     print(
         f"{len(current)} queries; {len(changed)} changed, "
@@ -116,17 +139,20 @@ def main(argv: list[str]) -> int:
     if check_only:
         return 1 if (changed or added or removed) else 0
 
-    if unlisted_changed or unlisted_added:
+    if unlisted_changed or unlisted_added or unlisted_removed:
         print(
             "REFUSING to update fingerprints for queries not in "
             "registry._NEW_OR_CHANGED — add them there first (they need "
-            "fresh driver rows) or revert the plan change:",
+            "fresh driver rows) or revert the plan change; deletions must "
+            "be acknowledged in registry._REMOVED:",
             file=sys.stderr,
         )
         for n in unlisted_changed:
             print(f"  changed-but-unlisted: {n}", file=sys.stderr)
         for n in unlisted_added:
             print(f"  new-but-unlisted:     {n}", file=sys.stderr)
+        for n in unlisted_removed:
+            print(f"  removed-but-unlisted: {n}", file=sys.stderr)
         return 1
 
     LEDGER.write_text(json.dumps(current, indent=1, sort_keys=True) + "\n")

@@ -98,6 +98,14 @@ _NEW_OR_CHANGED = (
     "v30_retrieval_quality",
 )
 
+# Deliberately-deleted queries, acknowledged by name (round-8 guard):
+# scripts/plan_fingerprints.py refuses to drop a ledger entry unless the
+# query is listed here, and tests/test_plan_fingerprints.py requires the
+# same for entries that disappear vs the prior round's snapshot. A query
+# can't be in _NEW_OR_CHANGED once deleted (registry import validates
+# those names against QUERIES), so deletions get their own ledger.
+_REMOVED: tuple[str, ...] = ()
+
 # Round-6 head, kept for the ledger's history (no longer sampled first —
 # all have green r6 driver rows where sampled; the 28 never-sampled r6
 # registrations lead this round via _stalest_order, per VERDICT task #4).

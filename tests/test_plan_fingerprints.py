@@ -18,6 +18,7 @@ import pytest
 
 from squonk2_fastapi_ws_event_stream_spark.registry import (
     _NEW_OR_CHANGED,
+    _REMOVED,
     QUERIES,
 )
 
@@ -75,6 +76,44 @@ def test_guard_canary_catches_the_d5cc579_class():
     # the script's refusal predicate: changed and unlisted
     unlisted = [n for n in changed if n not in set(_NEW_OR_CHANGED)]
     assert victim in unlisted, "guard would not have refused the update"
+
+
+def test_ledger_diff_vs_prior_round_snapshot_is_acknowledged(ledger):
+    """Round-8 VERDICT task #2: close the ledger-bypass hole.
+
+    The regeneration script refuses unlisted changes, but a commit that
+    hand-edits PLAN_FINGERPRINTS.json directly (alongside the plan change)
+    used to pass CI without the query entering the driver head. This test
+    diffs the live ledger against the LATEST committed per-round snapshot
+    (PLAN_FINGERPRINTS_r{N}.json, written at round close via
+    ``scripts/plan_fingerprints.py --snapshot N``): every entry that
+    changed or appeared since that snapshot must be in _NEW_OR_CHANGED,
+    and every entry that disappeared must be in _REMOVED — no matter HOW
+    the ledger file was produced.
+    """
+    snaps = sorted(ROOT.glob("PLAN_FINGERPRINTS_r*.json"))
+    assert snaps, "no per-round fingerprint snapshot committed"
+    prior = json.loads(snaps[-1].read_text())
+
+    listed = set(_NEW_OR_CHANGED)
+    unlisted_changed = sorted(
+        n for n in ledger
+        if n in prior and prior[n] != ledger[n] and n not in listed
+    )
+    unlisted_added = sorted(ledger.keys() - prior.keys() - listed)
+    unlisted_removed = sorted(prior.keys() - ledger.keys() - set(_REMOVED))
+    assert not unlisted_changed, (
+        f"ledger entries changed since {snaps[-1].name} without "
+        f"_NEW_OR_CHANGED acknowledgement: {unlisted_changed}"
+    )
+    assert not unlisted_added, (
+        f"ledger entries added since {snaps[-1].name} without "
+        f"_NEW_OR_CHANGED acknowledgement: {unlisted_added}"
+    )
+    assert not unlisted_removed, (
+        f"ledger entries removed since {snaps[-1].name} without "
+        f"_REMOVED acknowledgement: {unlisted_removed}"
+    )
 
 
 def test_normalizer_strips_session_noise():
