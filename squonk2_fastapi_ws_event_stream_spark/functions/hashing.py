@@ -43,6 +43,18 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 
 SIMHASH_BITS = 32
 
+# k-minimum-values sketch family — the SINGLE source for both the batch
+# column-NDV sketch (plans/relational2.py x25b) and the streaming
+# kmv_distinct operator (streaming/stateful.py). Their documented
+# bit-compatibility guarantee (a batch KMV over the same log computes the
+# identical sketch) holds exactly because neither re-declares these.
+# Affine hash h(k) = ((k mod P)·A + B) mod P with both factors reduced
+# mod P first, so k up to 2^63 never overflows int64.
+KMV_P = P
+KMV_A = 2654435761 % KMV_P  # Knuth multiplicative constant
+KMV_B = 1723
+KMV_K = 64
+
 
 # ---------------------------------------------------------------------------
 # Spark expression builders

@@ -2082,21 +2082,29 @@ T69_BLOCK = 1_000  # milli-bits per cumsum block
 def t69_lang_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .quality import tokens_table
 
+    from .dedup import _stage_cached
+
     toks = tokens_table(spark, sf_dir).select("doc_id", "w")
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     # milli-bit surprisal proxy: b*1000 + (cnt - 2^b)*1000 DIV 2^b
-    bits = freq.select(
-        "w",
-        "cnt",
-        F.expr(
-            "CAST((length(regexp_replace(bin(cnt), '^0+', '')) - 1) * 1000"
-            " + (cnt - shiftleft(CAST(1 AS BIGINT),"
-            "      CAST(length(regexp_replace(bin(cnt), '^0+', '')) - 1 AS INT)))"
-            "   * 1000 DIV shiftleft(CAST(1 AS BIGINT),"
-            "      CAST(length(regexp_replace(bin(cnt), '^0+', '')) - 1 AS INT))"
-            " AS BIGINT)"
-        ).alias("bits_milli"),
-    )
+    # Staged per head_tail_freq_join's contract: the LUT is referenced
+    # three times (head top-k, head anti-split, tail join) — unstaged,
+    # the token-frequency aggregate + this projection recompute up to 3×.
+    def _build_bits(freq=freq):
+        return freq.select(
+            "w",
+            "cnt",
+            F.expr(
+                "CAST((length(regexp_replace(bin(cnt), '^0+', '')) - 1) * 1000"
+                " + (cnt - shiftleft(CAST(1 AS BIGINT),"
+                "      CAST(length(regexp_replace(bin(cnt), '^0+', '')) - 1 AS INT)))"
+                "   * 1000 DIV shiftleft(CAST(1 AS BIGINT),"
+                "      CAST(length(regexp_replace(bin(cnt), '^0+', '')) - 1 AS INT))"
+                " AS BIGINT)"
+            ).alias("bits_milli"),
+        )
+
+    bits = _stage_cached("t69_bits", sf_dir, _build_bits)
     # vocab lookup joins are Zipf-skewed — ride the t22/t66 head/tail
     # split (fixed-1024 broadcast head + skew-free shuffled tail)
     from ..functions.skew import head_tail_freq_join

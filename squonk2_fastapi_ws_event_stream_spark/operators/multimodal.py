@@ -1882,6 +1882,12 @@ def m17_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                         data_off, data_len = pos + 8, clen
                         break
                     pos += 8 + clen + (clen & 1)
+                # A payload can pass the RIFF/WAVE magic check yet carry no
+                # usable 'data' chunk — skip the row (same per-row skip as
+                # the non-WAV case) instead of dying on None // 2 or a
+                # zero-sample ppm division.
+                if data_off is None or data_len < 2:
+                    continue
                 n = data_len // 2
                 s = np.abs(
                     np.frombuffer(

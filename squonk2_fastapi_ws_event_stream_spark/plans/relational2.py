@@ -1333,11 +1333,14 @@ ORACLES["x25_column_stats"] = _oracle_x25()
 # estimate itself, are hash-compared: both engines compute identical
 # hashes, so the sketch is bit-deterministic, not just bounded.
 # ---------------------------------------------------------------------------
-X25B_K = 64
+from ..functions.hashing import (  # noqa: E402 — section-local import
+    KMV_A as _X25B_A,
+    KMV_B as _X25B_B,
+    KMV_K as X25B_K,
+    KMV_P as _X25B_P,
+)
+
 X25B_SALT = 8
-_X25B_P = 1_000_000_007
-_X25B_A = 2654435761 % _X25B_P
-_X25B_B = 1723
 # (column tag, Spark integer-key expr, DuckDB integer-key expr)
 X25B_KEYS = (
     ("l_orderkey", "l_orderkey", "l_orderkey"),

@@ -851,10 +851,13 @@ def lateness_histogram(
 # the IDENTICAL sketch — the streaming and batch answers are
 # bit-comparable, not just statistically similar (tested).
 # ---------------------------------------------------------------------------
-KMV_K = 64
-_KMV_P = 1_000_000_007
-_KMV_A = 2654435761 % _KMV_P
-_KMV_B = 1723
+from ..functions.hashing import (  # noqa: E402 — section-local import
+    KMV_A as _KMV_A,
+    KMV_B as _KMV_B,
+    KMV_K,
+    KMV_P as _KMV_P,
+)
+
 KMV_OUTPUT_SCHEMA = (
     "key string, n_seen long, k_kept long, kth_min_hash long, "
     "kmv_estimate double"
