@@ -146,7 +146,7 @@ HEADLINE = [
     "q17_revenue_share",
     "q18_grouping_sets",
     "t08_lang_id",
-    "t13_sentence_udtf",
+    "t13_udtf_demo",
     "t14_string_ops",
     "v06_l2_normalize",
     "m02_multimodal_resize",

@@ -245,20 +245,28 @@ HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) >
 
 
 # ---------------------------------------------------------------------------
-# t13 — Python UDTF: sentence segmentation as a table function (one row per
-# fragment). UDTFs are the engine's user-extensible fan-out surface; the
-# segmentation rule (split on ". ") is trivially mirrored in the oracle.
+# t13_udtf_demo — Python UDTF: sentence segmentation as a table function
+# (one row per fragment). UDTFs are the engine's user-extensible fan-out
+# surface; the segmentation rule (split on ". ") is trivially mirrored in
+# the oracle.
+#
+# DEMO, not the production path (round-8 VERDICT task #3): a same-window
+# interleaved A/B at sf0.1 confirmed the UDTF's bench creep is real and
+# entirely the Arrow batch-conversion overhead on tiny docs (useArrow=True
+# ~1.1-1.9 s vs useArrow=False ~0.4 s, 3 interleaved iterations), so the
+# simple-rule segmentation now ships as t13b_sentence_split (pure JVM
+# split+posexplode, ~0.14 s — zero Python). This form stays registered as
+# the user-extensible surface for segmenters a regex can't express.
 # ---------------------------------------------------------------------------
-def t13_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t13_udtf_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
     # useArrow: the UDTF runs as an Arrow-batched stage
     # (ArrowEvalPythonUDTF), not row-at-a-time BatchEvalPython — the same
     # hot-path rule every other Python stage in the engine follows.
-    # Measured tradeoff at sf0.1: Arrow batch conversion costs ~0.5s on
-    # 5k tiny docs (0.3s → 0.8s) — per-batch overhead dominates at toy
-    # scale, while per-row pickling dominates at corpus scale; the Arrow
-    # path is the one that survives 100 TB.
+    # Per-batch overhead dominates at toy scale (the A/B above), while
+    # per-row pickling dominates at corpus scale; the Arrow path is the
+    # one that survives 100 TB.
     @udtf(
         returnType="doc_id bigint, sent_idx int, sentence string, n_chars int",
         useArrow=True,
@@ -521,7 +529,7 @@ QUERIES = {
     "v04_label_centroids": v04_label_centroids,
     "q16_distinct_users_daily": q16_distinct_users_daily,
     "q17_revenue_share": q17_revenue_share,
-    "t13_sentence_udtf": t13_sentence_udtf,
+    "t13_udtf_demo": t13_udtf_demo,
     "t13b_sentence_split": t13b_sentence_split,
     "q18_grouping_sets": q18_grouping_sets,
     "x01_approx_distinct": x01_approx_distinct,
@@ -538,7 +546,7 @@ ORACLES = {
     "v04_label_centroids": ORACLE_V04,
     "q16_distinct_users_daily": ORACLE_Q16,
     "q17_revenue_share": ORACLE_Q17,
-    "t13_sentence_udtf": ORACLE_T13,
+    "t13_udtf_demo": ORACLE_T13,
     "t13b_sentence_split": ORACLE_T13,
     "q18_grouping_sets": ORACLE_Q18,
     "q19_promo_revenue": ORACLE_Q19,

@@ -64,6 +64,16 @@ NON_SQL_QUERIES = frozenset(missing)
 # <= ~3 rounds old in steady state. Local oracle-parity tests still
 # cover ALL queries regardless of this order.
 _NEW_OR_CHANGED = (
+    # round 8 NEW: the UDTF sentence segmenter re-registered as an
+    # explicitly-pedagogical demo (same plan/oracle as the removed
+    # t13_sentence_udtf; production simple-rule path is t13b) — a
+    # same-window A/B attributed its bench creep to Arrow batch overhead
+    # at toy scale (VERDICT r7 task #3).
+    "t13_udtf_demo",
+)
+
+# Round-7 head, kept for the ledger's history (same role as _ROUND6_HEAD).
+_ROUND7_HEAD = (
     # round 7 CHANGED plans: t38's candidate stage reverted to the plain
     # .distinct() band-collision form its oracle computes (the round-6
     # t65 prefilter was wrongly applied to it — judge-confirmed oracle
@@ -104,7 +114,12 @@ _NEW_OR_CHANGED = (
 # same for entries that disappear vs the prior round's snapshot. A query
 # can't be in _NEW_OR_CHANGED once deleted (registry import validates
 # those names against QUERIES), so deletions get their own ledger.
-_REMOVED: tuple[str, ...] = ()
+_REMOVED: tuple[str, ...] = (
+    # round 8: renamed to t13_udtf_demo (the production simple-rule
+    # segmentation is t13b_sentence_split; the UDTF form is the
+    # user-extensible demo surface — VERDICT r7 task #3).
+    "t13_sentence_udtf",
+)
 
 # Round-6 head, kept for the ledger's history (no longer sampled first —
 # all have green r6 driver rows where sampled; the 28 never-sampled r6
