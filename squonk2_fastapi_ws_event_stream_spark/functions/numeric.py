@@ -43,3 +43,37 @@ def davg(col: Column | str, scale: str = "decimal(18,10)", digits: int = 6) -> C
     """Order-independent AVG: exact decimal sum / count, rounded."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(F.sum(c.cast(scale)).cast("double") / F.count(F.lit(1)), digits)
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine float publishers (round-8 conversion, AUDIT_ROUND_DOUBLES.md).
+#
+# ROUND(x, n) on a float-derived double is engine-UNSAFE in a checked
+# column: Spark rounds the exact binary value (BigDecimal HALF_UP) while
+# DuckDB rounds the scaled multiply x*10^n, so a value near a half
+# boundary rounds differently (the t09 incident — one sf0.1 row, green at
+# every smaller SF). floor-of-scaled removes the asymmetry instead of
+# hoping the data stays off the boundary: both engines compute the same
+# double x (per-row IEEE expressions and fixed-order folds are
+# bit-identical — verified exhaustively over all 124,750 sf0.01 cosine
+# pairs and an 80k-pair sf0.1 sample), the same scaled multiply, and
+# floor of the same double is EXACT — no rounding procedure is left to
+# differ. The published value floor(x*10^d)/10^d is an integer-valued
+# double divided by the same power of ten on both engines: same integer,
+# same quotient, same string.
+#
+# For ratios of integers, prefer exact integer micros with truncating
+# division (`x * 1_000_000 DIV y` published as /1e6) — fully exact, no
+# float multiply at all. floor_scaled is for floats with no integer form
+# (cosine/sqrt/norm families).
+# ---------------------------------------------------------------------------
+def floor_scaled(x: Column, digits: int = 6) -> Column:
+    """Publish a float-derived double at `digits` decimals, engine-safely."""
+    scale = F.lit(float(10**digits))
+    return F.floor(x * scale) / scale
+
+
+def sql_floor_scaled(x: str, digits: int = 6) -> str:
+    """DuckDB twin of floor_scaled — textually the same arithmetic."""
+    scale = f"{10**digits}.0"
+    return f"FLOOR(({x}) * {scale}) / {scale}"

@@ -187,9 +187,16 @@ def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    # exact integer micros (round-8 conversion, AUDIT_ROUND_DOUBLES.md):
+    # intersection/union sizes are exact ints, so jaccard publishes as
+    # (inter * 1e6 DIV union) / 1e6 — no float ROUND (the t09 class); the
+    # threshold compares the same truncated value on both engines.
+    jac_micros = F.expr(
+        "CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 1000000"
+        " div size(array_union(sh_a, sh_b))"
+    )
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", jac_micros / F.lit(1e6))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -214,13 +221,15 @@ cand AS (
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
-       ROUND(1.0 * len(list_intersect(sa.shingles, sb.shingles))
-             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) * 1000000
+         // len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+         / 1e6 AS jaccard
 FROM cand c
 JOIN sh sa ON sa.doc_id = c.doc_a
 JOIN sh sb ON sb.doc_id = c.doc_b
-WHERE ROUND(1.0 * len(list_intersect(sa.shingles, sb.shingles))
-            / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) * 1000000
+        // len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+        / 1e6
       >= {JACCARD_THRESHOLD}
 """
 
@@ -267,19 +276,22 @@ def t31_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    true_j = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        6,
+    # exact integer micros throughout (round-8 conversion): both jaccards
+    # are int/int ratios, so the estimate, truth, and their absolute error
+    # are computed on BIGINT micros and published /1e6 — no float ROUND.
+    true_k = F.expr(
+        "CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 1000000"
+        " div size(array_union(sh_a, sh_b))"
     )
-    est_j = F.round(matches / F.lit(H.N_PERM), 6)
+    assert 1_000_000 % H.N_PERM == 0  # est micros are exact integers
+    est_k = matches.cast("long") * F.lit(1_000_000 // H.N_PERM)
     return pairs.select(
         "doc_a",
         "doc_b",
         matches.cast("long").alias("sig_matches"),
-        est_j.alias("est_jaccard"),
-        true_j.alias("true_jaccard"),
-        F.round(F.abs(est_j - true_j), 6).alias("abs_err"),
+        (est_k / F.lit(1e6)).alias("est_jaccard"),
+        (true_k / F.lit(1e6)).alias("true_jaccard"),
+        (F.abs(est_k - true_k) / F.lit(1e6)).alias("abs_err"),
     )
 
 
@@ -292,10 +304,12 @@ def _oracle_t31() -> str:
         "list_sum(list_transform(range(1, "
         f"{H.N_PERM} + 1), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))"
     )
-    true_j = (
-        "ROUND(1.0 * len(list_intersect(sa.shingles, sb.shingles))"
-        " / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)"
+    true_k = (
+        "(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)"
+        " * 1000000"
+        " // len(list_distinct(list_concat(sa.shingles, sb.shingles))))"
     )
+    est_k = f"(CAST({matches} AS BIGINT) * {1_000_000 // H.N_PERM})"
     return f"""
 WITH sh AS ({SQL_SHINGLES}),
 sig AS (
@@ -311,9 +325,9 @@ cand AS (
 )
 SELECT c.doc_a, c.doc_b,
        CAST({matches} AS BIGINT) AS sig_matches,
-       ROUND(1.0 * {matches} / {H.N_PERM}, 6) AS est_jaccard,
-       {true_j} AS true_jaccard,
-       ROUND(ABS(ROUND(1.0 * {matches} / {H.N_PERM}, 6) - {true_j}), 6) AS abs_err
+       {est_k} / 1e6 AS est_jaccard,
+       {true_k} / 1e6 AS true_jaccard,
+       ABS({est_k} - {true_k}) / 1e6 AS abs_err
 FROM cand c
 JOIN sig sa ON sa.doc_id = c.doc_a
 JOIN sig sb ON sb.doc_id = c.doc_b
@@ -369,12 +383,26 @@ def t38_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    # exact integer micros (round-8 conversion): containments are int/int
+    # ratios — publish (shared * 1e6 DIV size) / 1e6, no float ROUND.
     return pairs.select(
         "doc_a",
         "doc_b",
         shared.cast("long").alias("n_shared"),
-        F.round(shared / F.size("sh_a"), 6).alias("containment_a_in_b"),
-        F.round(shared / F.size("sh_b"), 6).alias("containment_b_in_a"),
+        (
+            F.expr(
+                "CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 1000000"
+                " div size(sh_a)"
+            )
+            / F.lit(1e6)
+        ).alias("containment_a_in_b"),
+        (
+            F.expr(
+                "CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 1000000"
+                " div size(sh_b)"
+            )
+            / F.lit(1e6)
+        ).alias("containment_b_in_a"),
     )
 
 
@@ -399,8 +427,10 @@ cand AS (
 )
 SELECT c.doc_a, c.doc_b,
        CAST({shared} AS BIGINT) AS n_shared,
-       ROUND(1.0 * {shared} / len(sa.shingles), 6) AS containment_a_in_b,
-       ROUND(1.0 * {shared} / len(sb.shingles), 6) AS containment_b_in_a
+       CAST({shared} AS BIGINT) * 1000000 // len(sa.shingles) / 1e6
+         AS containment_a_in_b,
+       CAST({shared} AS BIGINT) * 1000000 // len(sb.shingles) / 1e6
+         AS containment_b_in_a
 FROM cand c
 JOIN sig sa ON sa.doc_id = c.doc_a
 JOIN sig sb ON sb.doc_id = c.doc_b
@@ -588,9 +618,14 @@ def t04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    # exact integer micros — same publication as t02 (its LSH twin), so
+    # the ground-truth/LSH comparison stays value-compatible.
+    jac_micros = F.expr(
+        "CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 1000000"
+        " div size(array_union(sh_a, sh_b))"
+    )
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", jac_micros / F.lit(1e6))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -600,11 +635,13 @@ def _oracle_t04() -> str:
     return f"""
 WITH sh AS ({SQL_SHINGLES})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(1.0 * len(list_intersect(a.shingles, b.shingles))
-             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) * 1000000
+         // len(list_distinct(list_concat(a.shingles, b.shingles)))
+         / 1e6 AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE ROUND(1.0 * len(list_intersect(a.shingles, b.shingles))
-            / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) * 1000000
+        // len(list_distinct(list_concat(a.shingles, b.shingles)))
+        / 1e6
       >= {JACCARD_THRESHOLD}
 """
 
@@ -901,11 +938,13 @@ def t52_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.select(F.col("doc_id").alias("eval_id"), F.col("shingles").alias("sh_e")),
         "eval_id",
     )
-    jac = F.size(F.array_intersect("sh_t", "sh_e")) / F.size(
-        F.array_union("sh_t", "sh_e")
+    # exact integer micros (round-8 conversion) — see t02
+    jac_micros = F.expr(
+        "CAST(size(array_intersect(sh_t, sh_e)) AS BIGINT) * 1000000"
+        " div size(array_union(sh_t, sh_e))"
     )
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", jac_micros / F.lit(1e6))
         .filter(F.col("jaccard") >= T52_THRESHOLD)
         .select("train_id", "eval_id", "jaccard")
     )
@@ -943,13 +982,15 @@ cand AS (
    AND t.doc_id < {T52_ID_OFFSET} AND e.doc_id >= {T52_ID_OFFSET}
 )
 SELECT c.train_id, c.eval_id,
-       ROUND(1.0 * len(list_intersect(st.shingles, se.shingles))
-             / len(list_distinct(list_concat(st.shingles, se.shingles))), 6) AS jaccard
+       CAST(len(list_intersect(st.shingles, se.shingles)) AS BIGINT) * 1000000
+         // len(list_distinct(list_concat(st.shingles, se.shingles)))
+         / 1e6 AS jaccard
 FROM cand c
 JOIN sh st ON st.doc_id = c.train_id
 JOIN sh se ON se.doc_id = c.eval_id
-WHERE ROUND(1.0 * len(list_intersect(st.shingles, se.shingles))
-            / len(list_distinct(list_concat(st.shingles, se.shingles))), 6)
+WHERE CAST(len(list_intersect(st.shingles, se.shingles)) AS BIGINT) * 1000000
+        // len(list_distinct(list_concat(st.shingles, se.shingles)))
+        / 1e6
       >= {T52_THRESHOLD}
 """
 
@@ -1139,11 +1180,13 @@ def t55_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.select(F.col("doc_id").alias("existing_id"), F.col("shingles").alias("sh_e")),
         "existing_id",
     )
-    jac = F.size(F.array_intersect("sh_d", "sh_e")) / F.size(
-        F.array_union("sh_d", "sh_e")
+    # exact integer micros (round-8 conversion) — see t02
+    jac_micros = F.expr(
+        "CAST(size(array_intersect(sh_d, sh_e)) AS BIGINT) * 1000000"
+        " div size(array_union(sh_d, sh_e))"
     )
     scored = pairs.select(
-        "doc_id", "existing_id", F.round(jac, 6).alias("jaccard")
+        "doc_id", "existing_id", (jac_micros / F.lit(1e6)).alias("jaccard")
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     w = Window.partitionBy("doc_id").orderBy(
         F.col("jaccard").desc(), F.col("existing_id").asc()
@@ -1205,9 +1248,10 @@ cand AS (
 ),
 scored AS (
   SELECT c.doc_id, c.existing_id,
-         ROUND(1.0 * len(list_intersect(dd.shingles, ee.shingles))
-               / len(list_distinct(list_concat(dd.shingles, ee.shingles))), 6)
-           AS jaccard
+         CAST(len(list_intersect(dd.shingles, ee.shingles)) AS BIGINT)
+           * 1000000
+           // len(list_distinct(list_concat(dd.shingles, ee.shingles)))
+           / 1e6 AS jaccard
   FROM cand c
   JOIN dsh dd ON dd.doc_id = c.doc_id
   JOIN sh ee ON ee.doc_id = c.existing_id

@@ -3738,3 +3738,135 @@ FROM lagged GROUP BY event_type
 
 QUERIES["e49_duplicate_event_audit"] = e49_duplicate_event_audit
 ORACLES["e49_duplicate_event_audit"] = ORACLE_E49
+
+
+# ---------------------------------------------------------------------------
+# e50 — token-bucket REPLAY: the batch twin of the streaming rate_limiter
+# (streaming/stateful.py — reference parity note: the reference relay,
+# app/app.py, serves each WebSocket with no backpressure policy; the rate
+# limiter is the deterministic shed this engine adds, and this query is
+# its audit/backfill form). Replays the EXACT refill arithmetic over the
+# events log per user: tokens refill at E50_RATE_MILLI milli-tokens per
+# second of EVENT time (integer micros x rate // 1e6 — no floats), capped
+# at E50_BURST whole tokens; each message costs 1000 milli-tokens; an
+# event-time regression refills nothing but still charges. Because refill
+# is event-time-driven, replaying the same log yields bit-identical
+# accept/throttle verdicts — which is what makes an oracle possible at
+# all (DuckDB folds the same recurrence with list_reduce).
+#
+# Spark shape: the bucket is a sequential recurrence, so each user's
+# history folds in (us, event_id) order inside ONE JVM higher-order
+# aggregate over the collected per-user array — no Python, no window
+# over the raw log, one shuffle of (user, array). Per-user histories are
+# bounded (thousands of events), so the array form scales; unbounded
+# keys belong to the streaming operator (the production path), with this
+# replay as the offline audit — same split as x25 exact vs x25b sketch.
+# ---------------------------------------------------------------------------
+# Rate is in milli-tokens per 1000 SECONDS of event time (refill =
+# delta_us * rate // 1e9): the testdata's per-user inter-event gaps are
+# tens of thousands of seconds, so a per-second rate could never
+# throttle — 20/ksec refills ~0.8 tokens per mean gap, exercising BOTH
+# the accept and throttle branches (verified non-zero at sf0.001+).
+E50_RATE_MILLI = 20  # milli-tokens per 1000 s of event time
+E50_BURST = 5  # bucket capacity, whole tokens
+
+
+def e50_token_bucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    burst_milli = E50_BURST * 1000
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("us", "event_id"))).alias("log")
+    )
+    # fold state: (tokens_milli, last_us, n_accepted); refill BEFORE the
+    # charge, mirroring streaming/stateful.py _update_rate exactly
+    fold = F.aggregate(
+        F.col("log"),
+        F.struct(
+            F.lit(burst_milli).cast("long").alias("t"),
+            F.lit(-1).cast("long").alias("l"),
+            F.lit(0).cast("long").alias("a"),
+        ),
+        lambda acc, x: F.struct(
+            (
+                F.when(
+                    _e50_refilled(acc, x) >= 1000, _e50_refilled(acc, x) - 1000
+                ).otherwise(_e50_refilled(acc, x))
+            ).alias("t"),
+            F.greatest(acc["l"], x["us"]).alias("l"),
+            (
+                acc["a"]
+                + F.when(_e50_refilled(acc, x) >= 1000, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("a"),
+        ),
+    )
+    return per_user.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.size("log").cast("long").alias("n_msgs"),
+        fold["a"].cast("long").alias("n_accepted"),
+        (F.size("log") - fold["a"]).cast("long").alias("n_throttled"),
+        fold["t"].cast("long").alias("tokens_milli"),
+    )
+
+
+def _e50_refilled(acc, x):
+    """Milli-tokens after the event-time refill for event x (pre-charge):
+    min(burst, t + max(0, us - last) * rate // 1e9); the first event
+    (last = -1) refills nothing, matching the streaming operator.
+
+    The // 1e9 is floor(double) — exact because delta_us * rate_milli is
+    bounded by the log's time span in micros (~1e12-1e15) x a small rate,
+    far under 2^53; HOF lambda scope can't host an F.expr DIV."""
+    burst_milli = F.lit(E50_BURST * 1000).cast("long")
+    refill = F.floor(
+        F.greatest(F.lit(0).cast("long"), x["us"] - acc["l"])
+        * F.lit(E50_RATE_MILLI)
+        / F.lit(1_000_000_000.0)
+    ).cast("long")
+    gated = F.when(acc["l"] >= 0, refill).otherwise(F.lit(0).cast("long"))
+    return F.least(burst_milli, acc["t"] + gated)
+
+
+def _oracle_e50() -> str:
+    burst_milli = E50_BURST * 1000
+    # the refilled-bucket expression (pre-charge), repeated because a
+    # recursive arm cannot bind an intermediate alias
+    refilled = (
+        f"LEAST({burst_milli}, r.t + CASE WHEN r.l >= 0 THEN "
+        f"GREATEST(0, e.us - r.l) * {E50_RATE_MILLI} // 1000000000 "
+        "ELSE 0 END)"
+    )
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+),
+counts AS (SELECT user_id, COUNT(*) AS n FROM ev GROUP BY user_id),
+rec AS (
+  SELECT user_id, 0 AS i, CAST({burst_milli} AS BIGINT) AS t,
+         CAST(-1 AS BIGINT) AS l, CAST(0 AS BIGINT) AS a
+  FROM counts
+  UNION ALL
+  SELECT r.user_id, r.i + 1,
+         CASE WHEN {refilled} >= 1000 THEN {refilled} - 1000
+              ELSE {refilled} END,
+         GREATEST(r.l, e.us),
+         r.a + CASE WHEN {refilled} >= 1000 THEN 1 ELSE 0 END
+  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.i + 1
+)
+SELECT r.user_id,
+       CAST(c.n AS BIGINT) AS n_msgs,
+       r.a AS n_accepted,
+       CAST(c.n - r.a AS BIGINT) AS n_throttled,
+       r.t AS tokens_milli
+FROM rec r JOIN counts c ON r.user_id = c.user_id AND r.i = c.n
+"""
+
+
+QUERIES["e50_token_bucket_replay"] = e50_token_bucket_replay
+ORACLES["e50_token_bucket_replay"] = _oracle_e50()

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import floor_scaled, sql_floor_scaled
 from ..functions.vectors import cosine, dot, norm, sql_cosine, sql_dot, sql_norm
 from ..tables import fan_out, guard_all_pairs, table
 
@@ -110,10 +111,13 @@ def _packed_cells(cents: DataFrame) -> DataFrame:
 
 
 def _cell_cos(emb_col: str, c: "F.Column") -> "F.Column":
-    """cos(row, centroid) with norms factored: round(dot/(row_norm*c_norm), 6)
-    — the same IEEE ops ``cosine`` performs (identical sub-expressions, same
-    final rounding), with each norm computed once instead of once per pair."""
-    return F.round(dot(F.col(emb_col), c.c_emb) / (F.col("_row_norm") * c.c_norm), 6)
+    """cos(row, centroid) with norms factored:
+    floor_scaled(dot/(row_norm*c_norm), 6) — the same IEEE ops ``cosine``
+    performs (identical sub-expressions, same engine-safe publication),
+    with each norm computed once instead of once per pair."""
+    return floor_scaled(
+        dot(F.col(emb_col), c.c_emb) / (F.col("_row_norm") * c.c_norm), 6
+    )
 
 
 def _with_nearest_cell(df: DataFrame, packed: DataFrame, emb_col: str) -> DataFrame:
@@ -285,7 +289,7 @@ def _lloyd_step(emb: DataFrame, cents: DataFrame) -> DataFrame:
         assigned.select("cell_id", F.posexplode("embedding").alias("dim", "val"))
         .groupBy("cell_id", "dim")
         .agg(
-            F.round(
+            floor_scaled(
                 F.sum(F.col("val").cast(_CDEC)).cast("double") / F.count(F.lit(1)), 6
             ).alias("avg_val")
         )
@@ -371,8 +375,8 @@ def _oracle_v07() -> str:
         return f"""{name} AS (
   SELECT cell_id, list(avg_val ORDER BY dim) AS c_emb FROM (
     SELECT cell_id, d.i AS dim,
-           ROUND(CAST(SUM(CAST(embedding[d.i] AS DECIMAL(28,12))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_val
+           FLOOR((CAST(SUM(CAST(embedding[d.i] AS DECIMAL(28,12))) AS DOUBLE)
+                  / COUNT(*)) * 1000000.0) / 1000000.0 AS avg_val
     FROM {assign_cte}, unnest(range(1, len(embedding) + 1)) AS d(i)
     GROUP BY cell_id, d.i
   ) GROUP BY cell_id
@@ -583,7 +587,7 @@ WHERE {sql_cosine('sa.embedding', 'sb.embedding')} >= {COSINE_THRESHOLD}
 
 # ---------------------------------------------------------------------------
 # v09 — int8 scalar-quantized ANN (SQ8): quantize once at ingest
-# (q = round(x * 127/max_abs), a global max computed in one 1-row agg and
+# (q = floor(x * 127/max_abs + 0.5), a global max computed in one 1-row agg
 # broadcast), score candidates with INTEGER dot products (exact in both
 # engines — no FP determinism risk at all), keep a 4x candidate pool per
 # query, then re-rank the pool with exact float cosine. At 100 TB this is
@@ -602,9 +606,17 @@ def v09_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
         ).alias("max_abs")
     )
+    # floor(v + 0.5), not ROUND(v, 0): round-half-up via exact floor — a
+    # quantized value landing exactly on k.5 would round differently across
+    # engines under ROUND (the t09 half-boundary class); floor of the same
+    # double is exact on both. (Exact-half negatives floor to the upper
+    # neighbor instead of away-from-zero — identical on both engines,
+    # which is the property that matters.)
     quantize = F.transform(
         F.col("embedding"),
-        lambda x: F.round(x.cast("double") * (F.lit(127.0) / F.col("max_abs")), 0).cast("long"),
+        lambda x: F.floor(
+            x.cast("double") * (F.lit(127.0) / F.col("max_abs")) + F.lit(0.5)
+        ).cast("long"),
     )
     q = emb.crossJoin(F.broadcast(max_abs)).select(
         "vec_id", "embedding", quantize.alias("qvec")
@@ -644,7 +656,7 @@ WITH mx AS (
 q8 AS (
   SELECT vec_id, embedding,
          list_transform(embedding,
-            x -> CAST(ROUND(CAST(x AS DOUBLE) * (127.0 / mx.max_abs), 0) AS BIGINT)) AS qvec
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / mx.max_abs) + 0.5) AS BIGINT)) AS qvec
   FROM embeddings, mx
 ),
 qs AS (
@@ -698,6 +710,27 @@ SELECT query_id, rank, vec_id, cos, qdot FROM ranked WHERE rank <= {TOP_K}
 _V05_QBC: dict = {}
 
 
+def _seq_dot(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    """All-pairs dot products accumulated dimension-by-dimension,
+    left-to-right — the numpy twin of the JVM fold (F.aggregate) and
+    DuckDB's list_sum, so the resulting doubles are bit-identical to the
+    expression engines'. One vectorized (n_a x n_b) pass per dimension:
+    same flop count as a matmul, deterministic order, no n_a*n_b*d
+    intermediate."""
+    acc = np.zeros((a.shape[0], b.shape[0]))
+    for j in range(a.shape[1]):
+        acc += a[:, j, None] * b[None, :, j]
+    return acc
+
+
+def _seq_self_dot(a: "np.ndarray") -> "np.ndarray":
+    """Per-row self dot product with the same left-to-right fold."""
+    acc = np.zeros(a.shape[0])
+    for j in range(a.shape[1]):
+        acc += a[:, j] * a[:, j]
+    return acc
+
+
 def v05_ann_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
     # The query batch is collected once per corpus and reused across calls
@@ -713,7 +746,7 @@ def v05_ann_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         qids = q_pdf["query_id"].to_numpy()
         Q = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
-        q_norms = np.linalg.norm(Q, axis=1)
+        q_norms = np.sqrt(_seq_self_dot(Q))
         bc = spark.sparkContext.broadcast((qids, Q, q_norms))
         _V05_QBC[cache_key] = bc
 
@@ -725,11 +758,20 @@ def v05_ann_pandas_udf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
-            # same op order as the expression form: dot / (|a| * |q|),
-            # rounded once — round(6) absorbs summation-order ulp noise
-            cos = np.round(
-                (A @ b_q.T) / (np.linalg.norm(A, axis=1)[:, None] * b_qn[None, :]), 6
+            # BIT-IDENTICAL op order to the expression form (round-8
+            # conversion): a BLAS matmul accumulates in an unspecified
+            # order, which was fine under round(6) (absorbs ulp noise off
+            # the half boundary) but NOT under the engine-safe
+            # floor(x*1e6)/1e6 publication — exact-duplicate vectors land
+            # cosine exactly ON the 1e-6 grid, where a 1-ulp
+            # accumulation difference flips the floor. _seq_dot folds
+            # dimensions left-to-right, matching F.aggregate and DuckDB
+            # list_sum exactly, so the published doubles are identical.
+            cos = _seq_dot(A, b_q) / (
+                np.sqrt(_seq_self_dot(A))[:, None] * b_qn[None, :]
             )
+            np.floor(cos * 1e6, out=cos)
+            cos /= 1e6
             nb = A.shape[0]
             vec = pdf["vec_id"].to_numpy()
             f = pd.DataFrame(
@@ -786,8 +828,8 @@ def v06_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.select(
         "vec_id",
         "dim",
-        F.round(F.col("val").cast("double") / F.col("l2"), 6).alias("unit_val"),
-        F.round("l2", 6).alias("l2_norm"),
+        floor_scaled(F.col("val").cast("double") / F.col("l2"), 6).alias("unit_val"),
+        floor_scaled(F.col("l2"), 6).alias("l2_norm"),
     )
 
 
@@ -796,8 +838,8 @@ from ..functions.vectors import sql_norm
 ORACLE_V06 = f"""
 SELECT vec_id,
        CAST(d.i - 1 AS INTEGER) AS dim,
-       ROUND(CAST(embedding[d.i] AS DOUBLE) / {sql_norm('embedding')}, 6) AS unit_val,
-       ROUND({sql_norm('embedding')}, 6) AS l2_norm
+       {sql_floor_scaled(f"CAST(embedding[d.i] AS DOUBLE) / {sql_norm('embedding')}")} AS unit_val,
+       {sql_floor_scaled(sql_norm('embedding'))} AS l2_norm
 FROM embeddings, unnest(range(1, len(embedding) + 1)) AS d(i)
 """
 
@@ -847,7 +889,9 @@ def v10_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("n_returned").cast("long").alias("n_returned"),
         F.col("n_hits").cast("long").alias("n_hits"),
-        F.round(F.col("n_hits") / F.lit(TOP_K) * 1.0, 6).alias("recall_at_k"),
+        # exact integer micros, not float ROUND (t09 half-boundary class):
+        # same integer both engines -> same published double
+        (F.expr(f"n_hits * 1000000 div {TOP_K}") / F.lit(1e6)).alias("recall_at_k"),
     )
 
 
@@ -862,7 +906,7 @@ hits AS (
 SELECT p.query_id,
        CAST(COUNT(*) AS BIGINT) AS n_returned,
        CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS BIGINT) AS n_hits,
-       ROUND(1.0 * COALESCE(ANY_VALUE(h.n_hits), 0) / {TOP_K}, 6) AS recall_at_k
+       COALESCE(ANY_VALUE(h.n_hits), 0) * 1000000 // {TOP_K} / 1e6 AS recall_at_k
 FROM approx p LEFT JOIN hits h ON p.query_id = h.query_id
 GROUP BY p.query_id
 """
@@ -981,7 +1025,7 @@ def v11_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = encoded.join(
         F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-    ).withColumn("approx_l2", F.round(approx_l2, 6))
+    ).withColumn("approx_l2", floor_scaled(approx_l2, 6))
     pool_w = Window.partitionBy("query_id").orderBy(
         F.col("approx_l2").asc(), F.col("vec_id").asc()
     )
@@ -1027,10 +1071,10 @@ qs AS (
 ),
 scored AS (
   SELECT qs.query_id, en.vec_id, en.embedding, qs.q_emb,
-         ROUND(list_sum(list_transform(range(1, 65), i ->
+         FLOOR(list_sum(list_transform(range(1, 65), i ->
              (CAST(qs.q_emb[i] AS DOUBLE) - CAST(en.recon[i] AS DOUBLE))
-             * (CAST(qs.q_emb[i] AS DOUBLE) - CAST(en.recon[i] AS DOUBLE)))), 6)
-           AS approx_l2
+             * (CAST(qs.q_emb[i] AS DOUBLE) - CAST(en.recon[i] AS DOUBLE))))
+           * 1000000.0) / 1000000.0 AS approx_l2
   FROM encoded en JOIN qs ON en.vec_id <> qs.query_id
 ),
 pool AS (
@@ -1083,7 +1127,7 @@ def v14_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         encoded.join(probes, "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("approx_l2", F.round(approx_l2, 6))
+        .withColumn("approx_l2", floor_scaled(approx_l2, 6))
     )
     pool_w = Window.partitionBy("query_id").orderBy(
         F.col("approx_l2").asc(), F.col("vec_id").asc()
@@ -1153,10 +1197,10 @@ probes AS (
 ),
 scored AS (
   SELECT p.query_id, en.vec_id, en.embedding, p.q_emb,
-         ROUND(list_sum(list_transform(range(1, 65), i ->
+         FLOOR(list_sum(list_transform(range(1, 65), i ->
              (CAST(p.q_emb[i] AS DOUBLE) - CAST(en.recon[i] AS DOUBLE))
-             * (CAST(p.q_emb[i] AS DOUBLE) - CAST(en.recon[i] AS DOUBLE)))), 6)
-           AS approx_l2
+             * (CAST(p.q_emb[i] AS DOUBLE) - CAST(en.recon[i] AS DOUBLE))))
+           * 1000000.0) / 1000000.0 AS approx_l2
   FROM encoded en JOIN probes p ON en.cell_id = p.cell_id
   WHERE en.vec_id <> p.query_id
 ),
@@ -1277,14 +1321,13 @@ def v13_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("other_id"))
         .withColumn("cos", cosine(F.col("emb_a"), F.col("emb_b")))
         .groupBy("cell_id", "vec_id")
-        # exact-decimal sum before the divide (the v04 mean recipe):
-        # double addition is order-sensitive and could flip the 6th
-        # decimal under different partitionings/engines
+        # exact integer micros: published cosines are k/1e6 exact, so
+        # recover k (ROUND fixes the *1e6 ulp), sum as BIGINT, truncating
+        # DIV by the count — no float ROUND anywhere (t09 class)
         .agg(
-            F.round(
-                F.sum(F.col("cos").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+            (
+                F.expr("SUM(CAST(ROUND(cos * 1000000) AS BIGINT)) DIV COUNT(1)")
+                / F.lit(1e6)
             ).alias("mean_cos")
         )
     )
@@ -1320,8 +1363,8 @@ assigned AS (
 ),
 centrality AS (
   SELECT a.cell_id, a.vec_id,
-         ROUND(CAST(SUM(CAST({sql_cosine('a.embedding', 'b.embedding')}
-                            AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS mean_cos
+         SUM(CAST(ROUND(({sql_cosine('a.embedding', 'b.embedding')})
+                        * 1000000) AS BIGINT)) // COUNT(*) / 1e6 AS mean_cos
   FROM assigned a JOIN assigned b
     ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
   GROUP BY a.cell_id, a.vec_id
@@ -1391,7 +1434,7 @@ def v15_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("n_returned").cast("long").alias("n_returned"),
             F.col("n_hits").cast("long").alias("n_hits"),
-            F.round(F.col("n_hits") / F.lit(TOP_K) * 1.0, 6).alias("recall_mrl"),
+            (F.expr(f"n_hits * 1000000 div {TOP_K}") / F.lit(1e6)).alias("recall_mrl"),
         )
     )
 
@@ -1422,7 +1465,7 @@ hits AS (
 SELECT p.query_id,
        CAST(COUNT(*) AS BIGINT) AS n_returned,
        CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS BIGINT) AS n_hits,
-       ROUND(1.0 * COALESCE(ANY_VALUE(h.n_hits), 0) / {TOP_K}, 6) AS recall_mrl
+       COALESCE(ANY_VALUE(h.n_hits), 0) * 1000000 // {TOP_K} / 1e6 AS recall_mrl
 FROM approx p LEFT JOIN hits h ON p.query_id = h.query_id
 GROUP BY p.query_id
 """
@@ -1510,7 +1553,7 @@ def v16_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("n_returned").cast("long").alias("n_returned"),
             F.col("n_hits").cast("long").alias("n_hits"),
-            F.round(F.col("n_hits") / F.lit(TOP_K) * 1.0, 6).alias("recall"),
+            (F.expr(f"n_hits * 1000000 div {TOP_K}") / F.lit(1e6)).alias("recall"),
         )
     )
 
@@ -1523,7 +1566,7 @@ def _oracle_v16() -> str:
 SELECT CAST({p} AS INTEGER) AS n_probe, a.query_id,
        CAST(COUNT(*) AS BIGINT) AS n_returned,
        CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS BIGINT) AS n_hits,
-       ROUND(1.0 * COALESCE(ANY_VALUE(h.n_hits), 0) / {TOP_K}, 6) AS recall
+       COALESCE(ANY_VALUE(h.n_hits), 0) * 1000000 // {TOP_K} / 1e6 AS recall
 FROM (SELECT query_id, vec_id FROM ({_oracle_v03_probe(p)})) a
 LEFT JOIN (
   SELECT x.query_id, COUNT(*) AS n_hits
@@ -1591,7 +1634,9 @@ def v17_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_label",
             F.col("n_queries").cast("long").alias("n_queries"),
             F.col("n_correct").cast("long").alias("n_correct"),
-            F.round(F.col("n_correct") / F.col("n_queries"), 6).alias("accuracy"),
+            (F.expr("n_correct * 1000000 div n_queries") / F.lit(1e6)).alias(
+                "accuracy"
+            ),
         )
     )
 
@@ -1628,8 +1673,8 @@ SELECT true_label,
        CAST(COUNT(*) AS BIGINT) AS n_queries,
        CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
          AS n_correct,
-       ROUND(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
-             / COUNT(*), 6) AS accuracy
+       SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+         * 1000000 // COUNT(*) / 1e6 AS accuracy
 FROM predicted GROUP BY true_label
 """
 
@@ -1837,8 +1882,9 @@ def v20_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(mname).alias("method"),
                 F.col("n_queries").cast("long").alias("n_queries"),
                 F.col("total_hits").cast("long").alias("total_hits"),
-                F.round(
-                    F.col("total_hits") / (F.col("n_queries") * TOP_K) * 1.0, 6
+                (
+                    F.expr(f"total_hits * 1000000 div (n_queries * {TOP_K})")
+                    / F.lit(1e6)
                 ).alias("macro_recall"),
             )
         )
@@ -1861,8 +1907,8 @@ SELECT '{mname}' AS method,
        CAST(COUNT(DISTINCT a.query_id) AS BIGINT) AS n_queries,
        CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS total_hits,
-       ROUND(1.0 * SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-             / (COUNT(DISTINCT a.query_id) * {TOP_K}), 6) AS macro_recall
+       SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         * 1000000 // (COUNT(DISTINCT a.query_id) * {TOP_K}) / 1e6 AS macro_recall
 FROM (SELECT query_id, vec_id FROM ({oracle})) a
 LEFT JOIN (SELECT query_id, vec_id FROM ({ORACLE_V02})) e
   ON a.query_id = e.query_id AND a.vec_id = e.vec_id"""
@@ -1899,11 +1945,8 @@ def v21_ann_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "true_vec_id",
         F.coalesce(F.col("a_rank"), F.lit(0)).cast("int").alias("found_rank"),
-        F.round(
-            F.when(F.col("a_rank").isNull(), F.lit(0.0)).otherwise(
-                F.lit(1.0) / F.col("a_rank")
-            ),
-            6,
+        (
+            F.coalesce(F.expr("1000000 div a_rank"), F.lit(0)) / F.lit(1e6)
         ).alias("reciprocal_rank"),
     )
 
@@ -1915,8 +1958,7 @@ WITH truth1 AS (
 approx AS (SELECT query_id, rank, vec_id FROM ({ORACLE_V03}))
 SELECT t.query_id, t.true_vec_id,
        CAST(COALESCE(a.rank, 0) AS INTEGER) AS found_rank,
-       ROUND(CASE WHEN a.rank IS NULL THEN 0.0 ELSE 1.0 / a.rank END, 6)
-         AS reciprocal_rank
+       COALESCE(1000000 // a.rank, 0) / 1e6 AS reciprocal_rank
 FROM truth1 t
 LEFT JOIN approx a
   ON a.query_id = t.query_id AND a.vec_id = t.true_vec_id
@@ -1960,19 +2002,25 @@ def v22_ivf_cell_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("other_cos"),
         )
     )
-    dec = "decimal(18,10)"
+    # exact integer micros: the 6dp cosines are k/1e6 exact, so recover
+    # the integers, sum as BIGINT, truncating DIV (t09-safe — no float
+    # ROUND in any checked column)
     return scored.groupBy("cell_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
-        F.round(
-            F.sum(F.col("own_cos").cast(dec)).cast("double") / F.count(F.lit(1)), 6
+        (
+            F.expr("SUM(CAST(ROUND(own_cos * 1000000) AS BIGINT)) DIV COUNT(1)")
+            / F.lit(1e6)
         ).alias("avg_own_cos"),
-        F.round(
-            F.sum(F.col("other_cos").cast(dec)).cast("double") / F.count(F.lit(1)), 6
+        (
+            F.expr("SUM(CAST(ROUND(other_cos * 1000000) AS BIGINT)) DIV COUNT(1)")
+            / F.lit(1e6)
         ).alias("avg_other_cos"),
-        F.round(
-            F.sum((F.col("own_cos") - F.col("other_cos")).cast(dec)).cast("double")
-            / F.count(F.lit(1)),
-            6,
+        (
+            F.expr(
+                "SUM(CAST(ROUND(own_cos * 1000000) AS BIGINT)"
+                " - CAST(ROUND(other_cos * 1000000) AS BIGINT)) DIV COUNT(1)"
+            )
+            / F.lit(1e6)
         ).alias("separation"),
     )
 
@@ -2000,12 +2048,13 @@ other AS (
 )
 SELECT a.own_cell AS cell_id,
        CAST(COUNT(*) AS BIGINT) AS n_vectors,
-       ROUND(CAST(SUM(CAST(a.own_cos AS DECIMAL(18,10))) AS DOUBLE)
-             / COUNT(*), 6) AS avg_own_cos,
-       ROUND(CAST(SUM(CAST(o.other_cos AS DECIMAL(18,10))) AS DOUBLE)
-             / COUNT(*), 6) AS avg_other_cos,
-       ROUND(CAST(SUM(CAST(a.own_cos - o.other_cos AS DECIMAL(18,10)))
-                  AS DOUBLE) / COUNT(*), 6) AS separation
+       SUM(CAST(ROUND(a.own_cos * 1000000) AS BIGINT))
+         // COUNT(*) / 1e6 AS avg_own_cos,
+       SUM(CAST(ROUND(o.other_cos * 1000000) AS BIGINT))
+         // COUNT(*) / 1e6 AS avg_other_cos,
+       SUM(CAST(ROUND(a.own_cos * 1000000) AS BIGINT)
+           - CAST(ROUND(o.other_cos * 1000000) AS BIGINT))
+         // COUNT(*) / 1e6 AS separation
 FROM assigned a JOIN other o ON a.vec_id = o.vec_id
 GROUP BY a.own_cell
 """
@@ -2035,22 +2084,29 @@ def v23_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("val").cast(dec)).alias("s1"),
             F.sum((F.col("val") * F.col("val")).cast(dec)).alias("s2"),
-            F.round(F.min("val"), 6).alias("min_val"),
-            F.round(F.max("val"), 6).alias("max_val"),
+            floor_scaled(F.min("val"), 6).alias("min_val"),
+            floor_scaled(F.max("val"), 6).alias("max_val"),
         )
     )
     mean = F.col("s1").cast("double") / F.col("n")
     var = F.col("s2").cast("double") / F.col("n") - mean * mean
     stats = by_dim.select(
         "dim",
-        F.round(mean, 6).alias("mean_val"),
-        F.round(var, 6).alias("variance"),
+        floor_scaled(mean, 6).alias("mean_val"),
+        floor_scaled(var, 6).alias("variance"),
         "min_val",
         "max_val",
     )
-    w = Window.partitionBy()
-    return stats.withColumn(
-        "var_share", F.round(F.col("variance") / F.sum("variance").over(w), 6)
+    # var_share as exact integer micros of the published 6dp variances:
+    # recover each variance's integer k_i (ROUND fixes the *1e6 ulp),
+    # micros = k_i * 1e6 DIV sum(k) — a float-free ratio (t09-safe)
+    return (
+        stats.withColumn("_k", F.expr("CAST(ROUND(variance * 1000000) AS BIGINT)"))
+        .withColumn(
+            "var_share",
+            F.expr("_k * 1000000 div sum(_k) over ()") / F.lit(1e6),
+        )
+        .drop("_k")
     )
 
 
@@ -2063,21 +2119,23 @@ by_dim AS (
   SELECT dim, COUNT(*) AS n,
          SUM(CAST(val AS DECIMAL(28,12))) AS s1,
          SUM(CAST(val * val AS DECIMAL(28,12))) AS s2,
-         ROUND(MIN(val), 6) AS min_val,
-         ROUND(MAX(val), 6) AS max_val
+         FLOOR(MIN(val) * 1000000.0) / 1000000.0 AS min_val,
+         FLOOR(MAX(val) * 1000000.0) / 1000000.0 AS max_val
   FROM vals GROUP BY dim
 ),
 stats AS (
   SELECT CAST(dim AS INTEGER) AS dim,
-         ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_val,
-         ROUND(CAST(s2 AS DOUBLE) / n
-               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 6)
-           AS variance,
+         FLOOR((CAST(s1 AS DOUBLE) / n) * 1000000.0) / 1000000.0 AS mean_val,
+         FLOOR((CAST(s2 AS DOUBLE) / n
+                - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+               * 1000000.0) / 1000000.0 AS variance,
          min_val, max_val
   FROM by_dim
 )
 SELECT dim, mean_val, variance, min_val, max_val,
-       ROUND(variance / SUM(variance) OVER (), 6) AS var_share
+       CAST(ROUND(variance * 1000000) AS BIGINT) * 1000000
+         // SUM(CAST(ROUND(variance * 1000000) AS BIGINT)) OVER () / 1e6
+         AS var_share
 FROM stats
 """
 
@@ -2103,7 +2161,7 @@ def v24_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("embedding").alias("dim", "val"),
     )
     means = exploded.groupBy("label", "half", "dim").agg(
-        F.round(
+        floor_scaled(
             F.sum(F.col("val").cast("double").cast("decimal(18,12)")).cast("double")
             / F.count(F.lit(1)),
             6,
@@ -2126,13 +2184,18 @@ def v24_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("m0") * F.col("m1")).cast(dec)).alias("dot"),
             F.sum((F.col("m0") * F.col("m0")).cast(dec)).alias("s0"),
             F.sum((F.col("m1") * F.col("m1")).cast(dec)).alias("s1"),
-            F.max(F.abs(F.col("m0") - F.col("m1"))).alias("max_shift"),
+            F.max(
+                F.abs(
+                    F.expr("CAST(ROUND(m0 * 1000000) AS BIGINT)")
+                    - F.expr("CAST(ROUND(m1 * 1000000) AS BIGINT)")
+                )
+            ).alias("max_shift_k"),
         )
         .select(
             "label",
             "n_half0",
             "n_half1",
-            F.round(
+            floor_scaled(
                 F.col("dot").cast("double")
                 / (
                     F.sqrt(F.col("s0").cast("double"))
@@ -2140,7 +2203,8 @@ def v24_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("centroid_cos"),
-            F.round("max_shift", 6).alias("max_dim_shift"),
+            # the means are 6dp grid doubles: recover integers, exact diff
+            (F.col("max_shift_k") / F.lit(1e6)).alias("max_dim_shift"),
         )
     )
 
@@ -2148,8 +2212,8 @@ def v24_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_V24 = """
 WITH means AS (
   SELECT label, vec_id % 2 AS half, CAST(d.i - 1 AS INTEGER) AS dim,
-         ROUND(CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(18,12)))
-                    AS DOUBLE) / COUNT(*), 6) AS m,
+         FLOOR((CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(18,12)))
+                     AS DOUBLE) / COUNT(*)) * 1000000.0) / 1000000.0 AS m,
          COUNT(*) AS n
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS d(i)
   GROUP BY label, half, dim
@@ -2163,11 +2227,12 @@ joined AS (
 SELECT label,
        CAST(MAX(n0) AS BIGINT) AS n_half0,
        CAST(MAX(n1) AS BIGINT) AS n_half1,
-       ROUND(CAST(SUM(CAST(m0 * m1 AS DECIMAL(28,14))) AS DOUBLE)
-             / (sqrt(CAST(SUM(CAST(m0 * m0 AS DECIMAL(28,14))) AS DOUBLE))
-                * sqrt(CAST(SUM(CAST(m1 * m1 AS DECIMAL(28,14))) AS DOUBLE))),
-             6) AS centroid_cos,
-       ROUND(MAX(ABS(m0 - m1)), 6) AS max_dim_shift
+       FLOOR((CAST(SUM(CAST(m0 * m1 AS DECIMAL(28,14))) AS DOUBLE)
+              / (sqrt(CAST(SUM(CAST(m0 * m0 AS DECIMAL(28,14))) AS DOUBLE))
+                 * sqrt(CAST(SUM(CAST(m1 * m1 AS DECIMAL(28,14))) AS DOUBLE))))
+             * 1000000.0) / 1000000.0 AS centroid_cos,
+       MAX(ABS(CAST(ROUND(m0 * 1000000) AS BIGINT)
+               - CAST(ROUND(m1 * 1000000) AS BIGINT))) / 1e6 AS max_dim_shift
 FROM joined GROUP BY label
 """
 
@@ -2205,7 +2270,7 @@ def v25_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label_a",
             "label_b",
-            F.round(
+            floor_scaled(
                 F.col("dot").cast("double")
                 / (
                     F.sqrt(F.col("sa").cast("double"))
@@ -2220,16 +2285,16 @@ def v25_label_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_V25 = """
 WITH cents AS (
   SELECT label, CAST(d.i - 1 AS INTEGER) AS dim,
-         ROUND(CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(18,12)))
-                    AS DOUBLE) / COUNT(*), 6) AS m
+         FLOOR((CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(18,12)))
+                     AS DOUBLE) / COUNT(*)) * 1000000.0) / 1000000.0 AS m
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS d(i)
   GROUP BY label, d.i
 )
 SELECT a.label AS label_a, b.label AS label_b,
-       ROUND(CAST(SUM(CAST(a.m * b.m AS DECIMAL(28,14))) AS DOUBLE)
-             / (sqrt(CAST(SUM(CAST(a.m * a.m AS DECIMAL(28,14))) AS DOUBLE))
-                * sqrt(CAST(SUM(CAST(b.m * b.m AS DECIMAL(28,14))) AS DOUBLE))),
-             6) AS centroid_cos
+       FLOOR((CAST(SUM(CAST(a.m * b.m AS DECIMAL(28,14))) AS DOUBLE)
+              / (sqrt(CAST(SUM(CAST(a.m * a.m AS DECIMAL(28,14))) AS DOUBLE))
+                 * sqrt(CAST(SUM(CAST(b.m * b.m AS DECIMAL(28,14))) AS DOUBLE))))
+             * 1000000.0) / 1000000.0 AS centroid_cos
 FROM cents a JOIN cents b ON a.dim = b.dim AND a.label < b.label
 GROUP BY a.label, b.label
 """
@@ -2254,8 +2319,11 @@ def v26_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_vectors").cast("long").alias("n_vectors_total"),
         F.min("n_vectors").cast("long").alias("min_occupancy"),
         F.max("n_vectors").cast("long").alias("max_occupancy"),
-        F.round(
-            F.max("n_vectors") * F.count(F.lit(1)) / F.sum("n_vectors"), 6
+        (
+            F.expr(
+                "MAX(n_vectors) * COUNT(1) * 1000000 div SUM(n_vectors)"
+            )
+            / F.lit(1e6)
         ).alias("imbalance_factor"),
     )
 
@@ -2277,7 +2345,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
        CAST(SUM(n_vectors) AS BIGINT) AS n_vectors_total,
        CAST(MIN(n_vectors) AS BIGINT) AS min_occupancy,
        CAST(MAX(n_vectors) AS BIGINT) AS max_occupancy,
-       ROUND(MAX(n_vectors) * COUNT(*) * 1.0 / SUM(n_vectors), 6)
+       MAX(n_vectors) * COUNT(*) * 1000000 // SUM(n_vectors) / 1e6
          AS imbalance_factor
 FROM occ
 """
@@ -2477,7 +2545,7 @@ def v28_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_dim.groupBy("cell_id")
         .agg(
             F.max("n").alias("n_members"),
-            F.round(F.sqrt(F.sum("sq").cast("double")), 6).alias("centroid_drift"),
+            floor_scaled(F.sqrt(F.sum("sq").cast("double")), 6).alias("centroid_drift"),
         )
         .select(
             F.col("cell_id").cast("long").alias("cell_id"),
@@ -2516,8 +2584,9 @@ old AS (
 )
 SELECT CAST(m.cell_id AS BIGINT) AS cell_id,
        CAST(MAX(m.n) AS BIGINT) AS n_members,
-       ROUND(SQRT(CAST(SUM(CAST((m.new_val - o.old_val) * (m.new_val - o.old_val)
-                               AS DECIMAL(30,15))) AS DOUBLE)), 6) AS centroid_drift
+       FLOOR(SQRT(CAST(SUM(CAST((m.new_val - o.old_val) * (m.new_val - o.old_val)
+                               AS DECIMAL(30,15))) AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS centroid_drift
 FROM means m JOIN old o ON m.cell_id = o.cell_id AND m.dim = o.dim
 GROUP BY m.cell_id
 """
@@ -2775,7 +2844,7 @@ def v32_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("rank").cast("int").alias("rank"),
         "vec_id",
-        F.round("ip", 6).alias("inner_product"),
+        floor_scaled(F.col("ip"), 6).alias("inner_product"),
         (F.col("rank") == F.col("rank_direct")).alias("agrees_with_direct"),
     )
 
@@ -2801,7 +2870,7 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
-       ROUND(ip, 6) AS inner_product,
+       FLOOR(ip * 1000000.0) / 1000000.0 AS inner_product,
        rank = rank_direct AS agrees_with_direct
 FROM ranked WHERE rank <= {TOP_K}
 """
@@ -3041,9 +3110,9 @@ def v35_matryoshka_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("n_returned").cast("long").alias("n_returned"),
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(TOP_K) * 1.0, 6).alias(
-                "recall_twostage"
-            ),
+            (
+                F.expr(f"COALESCE(n_hits, 0) * 1000000 div {TOP_K}") / F.lit(1e6)
+            ).alias("recall_twostage"),
         )
     )
 
@@ -3091,7 +3160,7 @@ hits AS (
 SELECT p.query_id,
        CAST(COUNT(*) AS BIGINT) AS n_returned,
        CAST(COALESCE(ANY_VALUE(h.n_hits), 0) AS BIGINT) AS n_hits,
-       ROUND(1.0 * COALESCE(ANY_VALUE(h.n_hits), 0) / {TOP_K}, 6)
+       COALESCE(ANY_VALUE(h.n_hits), 0) * 1000000 // {TOP_K} / 1e6
          AS recall_twostage
 FROM final p LEFT JOIN hits h ON p.query_id = h.query_id
 GROUP BY p.query_id
@@ -3147,12 +3216,14 @@ def v36_dimension_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("dim").cast("int").alias("dim"),
         F.col("n").cast("long").alias("n_vectors"),
-        F.round(
-            F.col("s8").cast("double") / F.col("n").cast("double") / 1e8, 8
+        # s8 is an exact integer sum: truncating decimal DIV (== DuckDB
+        # HUGEINT //) gives the e8-units mean exactly — no float quotient
+        (
+            F.expr("s8 DIV CAST(n AS DECIMAL(38,0))").cast("long") / F.lit(1e8)
         ).alias("mean_val"),
         var_e16.cast("long").alias("var_e16"),
-        F.round(F.col("mn").cast("double"), 6).alias("min_val"),
-        F.round(F.col("mx").cast("double"), 6).alias("max_val"),
+        floor_scaled(F.col("mn").cast("double"), 6).alias("min_val"),
+        floor_scaled(F.col("mx").cast("double"), 6).alias("max_val"),
         (var_e16 < F.lit(V36_DEAD_VAR_E16)).alias("is_dead"),
     )
 
@@ -3174,11 +3245,11 @@ agg AS (
 )
 SELECT CAST(dim AS INTEGER) AS dim,
        CAST(n AS BIGINT) AS n_vectors,
-       ROUND(CAST(s8 AS DOUBLE) / CAST(n AS DOUBLE) / 1e8, 8) AS mean_val,
+       CAST(s8 // CAST(n AS HUGEINT) AS BIGINT) / 1e8 AS mean_val,
        CAST((n * sq16 - s8 * s8) // (CAST(n AS HUGEINT) * n) AS BIGINT)
          AS var_e16,
-       ROUND(CAST(mn AS DOUBLE), 6) AS min_val,
-       ROUND(CAST(mx AS DOUBLE), 6) AS max_val,
+       FLOOR(CAST(mn AS DOUBLE) * 1000000.0) / 1000000.0 AS min_val,
+       FLOOR(CAST(mx AS DOUBLE) * 1000000.0) / 1000000.0 AS max_val,
        (n * sq16 - s8 * s8) // (CAST(n AS HUGEINT) * n) < {V36_DEAD_VAR_E16}
          AS is_dead
 FROM agg

@@ -166,8 +166,13 @@ def v04_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select(
         "label", F.posexplode(F.col("embedding")).alias("dim", "val")
     )
+    from ..functions.numeric import floor_scaled
+
+    # floor-of-scaled, not ROUND: the decimal sum is exact but the /count
+    # quotient is a float — ROUND of it is the t09 cross-engine
+    # half-boundary class (AUDIT_ROUND_DOUBLES.md).
     return exploded.groupBy("label", "dim").agg(
-        F.round(
+        floor_scaled(
             F.sum(F.col("val").cast("double").cast("decimal(18,12)")).cast("double")
             / F.count(F.lit(1)),
             6,
@@ -178,8 +183,8 @@ def v04_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_V04 = """
 SELECT label, CAST(d.i - 1 AS INTEGER) AS dim,
-       ROUND(CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)
-             / COUNT(*), 6) AS mean_val,
+       FLOOR((CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)
+              / COUNT(*)) * 1000000.0) / 1000000.0 AS mean_val,
        COUNT(*) AS n_vectors
 FROM embeddings, unnest(range(1, len(embedding) + 1)) AS d(i)
 GROUP BY label, d.i

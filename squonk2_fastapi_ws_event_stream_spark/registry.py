@@ -70,6 +70,66 @@ _NEW_OR_CHANGED = (
     # same-window A/B attributed its bench creep to Arrow batch overhead
     # at toy scale (VERDICT r7 task #3).
     "t13_udtf_demo",
+    # round 8 NEW: batch replay twin of the streaming rate_limiter
+    # (VERDICT r7 task #4) — bit-identical verdicts tested across paths.
+    "e50_token_bucket_replay",
+    # round 8 CHANGED (VERDICT r7 task #1, AUDIT_ROUND_DOUBLES.md class-2
+    # conversion): every float ROUND(x, n) in a checked column replaced by
+    # the engine-safe floor(x*1e6)/1e6 (cosines/norms/dots — identical
+    # expression both engines, floor of the same double is exact) or by
+    # exact integer micros with truncating DIV (recalls, accuracies,
+    # jaccards, containments, MRR, imbalance — int/int ratios). The
+    # shared cosine()/sql_cosine() helper edit changed every v-query plan;
+    # the dedup jaccard family changed with its own micros rewrite.
+    "t02_dedup_minhash_lsh",
+    "t04_ngram_jaccard_pairs",
+    "t31_minhash_estimate_eval",
+    "t38_shingle_containment",
+    "t52_fuzzy_decontamination",
+    "t55_incremental_neardup",
+    "v01_neardup_cosine",
+    "v02_ann_bruteforce_topk",
+    "v03_ann_ivf_topk",
+    "v04_label_centroids",
+    "v06_l2_normalize",
+    "v07_ann_kmeans_topk",
+    "v08_neardup_srp_lsh",
+    "v09_ann_sq8_topk",
+    "v10_ann_recall_at_k",
+    "v11_ann_pq_topk",
+    "v12_semdedup",
+    "v13_cluster_representatives",
+    "v14_ann_ivf_pq_topk",
+    "v15_matryoshka_recall",
+    "v16_nprobe_recall_curve",
+    "v17_knn_label_accuracy",
+    "v18_ann_hamming_topk",
+    "v19_ann_filtered_topk",
+    "v20_quantization_recall",
+    "v21_ann_mrr_eval",
+    "v22_ivf_cell_quality",
+    "v23_dim_stats",
+    "v24_embedding_drift",
+    "v25_label_affinity",
+    "v26_ivf_cell_balance",
+    "v27_ivf_incremental_add",
+    "v28_kmeans_iteration",
+    "v29_embedding_outliers",
+    "v30_retrieval_quality",
+    "v31_ivf_delete_maintenance",
+    "v32_mips_topk",
+    "v33_knn_graph",
+    "v34_range_search",
+    "v35_matryoshka_twostage",
+    "v36_dimension_health",
+    "v37_hubness_audit",
+    # round 8 CHANGED, fingerprint-INVISIBLE (Python UDF bodies — the
+    # analyzed plan cannot see them, so these are hand-listed): v05's
+    # pandas scorer now folds dimensions left-to-right and floor-publishes
+    # (bit-identical to the expression engines); m17 skips WAV payloads
+    # with no 'data' chunk instead of raising.
+    "v05_ann_pandas_udf_topk",
+    "m17_audio_clipping",
 )
 
 # Round-7 head, kept for the ledger's history (same role as _ROUND6_HEAD).

@@ -931,10 +931,14 @@ def kmv_distinct(
 # yields the same accept/throttle verdict per message (tested exactly).
 #
 # State per key is two longs: (tokens_milli, last_us). Refill is exact
-# integer arithmetic — rate_per_sec·1000 milli-tokens per second of
-# event-time delta, capped at burst — and each message costs 1000
+# integer arithmetic — rate_milli_per_ksec milli-tokens per 1000 s of
+# event-time delta (delta_us · rate // 1e9; rate_per_sec=R is the
+# coarse form R·1e6), capped at burst — and each message costs 1000
 # milli-tokens. Messages fold in offset order; an event-time regression
 # refills nothing (delta clamps at 0) but still charges the message.
+# The batch replay twin (operators/events.py e50_token_bucket_replay)
+# folds the IDENTICAL recurrence over the events table, so replaying a
+# log through either path yields bit-identical verdicts (tested).
 # ---------------------------------------------------------------------------
 RATE_OUTPUT_SCHEMA = (
     "key string, n_msgs long, n_accepted long, n_throttled long, "
@@ -943,7 +947,7 @@ RATE_OUTPUT_SCHEMA = (
 RATE_STATE_SCHEMA = "tokens_milli long, last_us long"
 
 
-def _update_rate_fn(rate_per_sec: int, burst: int, retention_ms: int):
+def _update_rate_fn(rate_milli_per_ksec: int, burst: int, retention_ms: int):
     burst_milli = burst * 1000
 
     def _update_rate(
@@ -960,7 +964,8 @@ def _update_rate_fn(rate_per_sec: int, burst: int, retention_ms: int):
             if last_us >= 0:
                 delta = max(0, us - last_us)
                 tokens = min(
-                    burst_milli, tokens + delta * rate_per_sec * 1000 // 1_000_000
+                    burst_milli,
+                    tokens + delta * rate_milli_per_ksec // 1_000_000_000,
                 )
             last_us = max(last_us, us)
             n += 1
@@ -987,12 +992,20 @@ def rate_limiter(
     rate_per_sec: int = 10,
     burst: int = 20,
     retention_ms: int = DEFAULT_IDLE_RETENTION_MS,
+    rate_milli_per_ksec: int | None = None,
 ) -> DataFrame:
     """Streaming per-key event-time token bucket. `events` must carry
     (key string, us long, offset long); emits per-(key, batch) accept /
-    throttle counts and the remaining bucket."""
+    throttle counts and the remaining bucket.
+
+    `rate_milli_per_ksec` is the fine-grained rate (milli-tokens per
+    1000 s of event time) the batch replay twin e50 uses — pass it to get
+    bit-identical accept/throttle verdicts over the same log (tested);
+    `rate_per_sec=R` is exactly `rate_milli_per_ksec=R*1_000_000`."""
+    if rate_milli_per_ksec is None:
+        rate_milli_per_ksec = rate_per_sec * 1_000_000
     return events.groupBy("key").applyInPandasWithState(
-        _update_rate_fn(rate_per_sec, burst, retention_ms),
+        _update_rate_fn(rate_milli_per_ksec, burst, retention_ms),
         outputStructType=RATE_OUTPUT_SCHEMA,
         stateStructType=RATE_STATE_SCHEMA,
         outputMode="append",

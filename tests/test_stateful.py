@@ -892,3 +892,80 @@ def test_rate_limiter_event_time_bucket_exact_and_restart(spark, tmp_path):
     r2 = run_once()[-1]
     assert (r2["n_msgs"], r2["n_accepted"], r2["n_throttled"]) == (12, 10, 2)
     assert r2["tokens_milli"] == 0
+
+
+def test_rate_limiter_matches_e50_batch_replay_bit_for_bit(spark, tmp_path):
+    """VERDICT r7 task #4: the streaming token bucket and its batch
+    replay twin (e50_token_bucket_replay) must produce bit-identical
+    accept/throttle verdicts over the same log. Feed one user's sf0.001
+    event history (same (us, event_id) order) through the streaming
+    operator with e50's fine-grained rate and compare the final row to
+    e50's output for that user."""
+    from squonk2_fastapi_ws_event_stream_spark.operators.events import (
+        E50_BURST,
+        E50_RATE_MILLI,
+        e50_token_bucket_replay,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        rate_limiter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r["user_id"]: r
+        for r in e50_token_bucket_replay(spark, sf).collect()
+    }
+    user = sorted(batch)[0]
+    from squonk2_fastapi_ws_event_stream_spark.tables import table
+
+    ev = (
+        table(spark, sf, "events")
+        .selectExpr("user_id", "unix_micros(ts) as us", "event_id")
+        .where(f"user_id = {user}")
+        .orderBy("us", "event_id")
+        .collect()
+    )
+
+    root = str(tmp_path / "e50log")
+    w = EventLogWriter(root, "u")
+    for r in ev:
+        w.publish(str(user), r["us"] // 1000)  # publish ts is millis
+    spark.dataSource.register(EventStreamDataSource)
+
+    env = (
+        spark.readStream.format("eventstream")
+        .option("path", root)
+        .option("stream", "u")
+        .option("startingOrdinal", 0)
+        .load()
+    )
+    events = env.selectExpr(
+        "cast(value as string) as key", "unix_micros(timestamp) as us", "offset"
+    )
+    got: list = []
+    q = (
+        rate_limiter(
+            events,
+            burst=E50_BURST,
+            rate_milli_per_ksec=E50_RATE_MILLI,
+        )
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "e50ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    r = got[-1]
+    b = batch[user]
+    assert (
+        r["n_msgs"],
+        r["n_accepted"],
+        r["n_throttled"],
+        r["tokens_milli"],
+    ) == (
+        b["n_msgs"],
+        b["n_accepted"],
+        b["n_throttled"],
+        b["tokens_milli"],
+    )
