@@ -1630,6 +1630,10 @@ ORACLES["x26_histogram_drift"] = ORACLE_X26
 #
 # Determinism: pure integer counts, truncating-ppm shares.
 # ---------------------------------------------------------------------------
+X41_SHUFFLE_P = 200  # modeled reducer count (spark.sql.shuffle.partitions)
+X41_SKEW_FACTOR = 5  # AQE default skewedPartitionFactor
+
+
 def x41_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     def audit(tbl: str, key: str) -> DataFrame:
         per_key = (
@@ -1654,6 +1658,16 @@ def x41_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cum") >= (F.col("n_keys") + 1) / 2)
             .agg(F.min("cnt").alias("median_count"))
         )
+        # AQE advisory (round-8 task): model Spark's skew-join trigger —
+        # a shuffle partition is split when its size exceeds
+        # skewedPartitionFactor (default 5) x the median partition. With
+        # hash partitioning into X41_SHUFFLE_P reducers, the hot key's
+        # partition holds >= max_count rows plus its 1/P share of the
+        # rest; the median partition holds ~total/P. All-integer model,
+        # so the advisory is oracle-checkable and scale-invariant (row
+        # RATIOS don't change when every key grows 100x uniformly —
+        # which is why the boolean is the knob-setting answer for the
+        # 100 TB cluster, not just this SF).
         return totals.crossJoin(F.broadcast(med)).select(
             F.lit(f"{tbl}.{key}").alias("join_key"),
             F.col("n_keys").cast("long").alias("n_keys"),
@@ -1664,6 +1678,17 @@ def x41_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "top_share_ppm"
             ),
             F.expr("max_count * n_keys > 10 * total_rows").alias("skewed"),
+            F.expr(
+                f"max_count + (total_rows - max_count) DIV {X41_SHUFFLE_P}"
+            ).alias("hot_partition_rows"),
+            F.expr(f"total_rows DIV {X41_SHUFFLE_P}").alias(
+                "median_partition_rows"
+            ),
+            F.expr(
+                f"(max_count + (total_rows - max_count) DIV {X41_SHUFFLE_P})"
+                f" > {X41_SKEW_FACTOR}"
+                f" * GREATEST(total_rows DIV {X41_SHUFFLE_P}, 1)"
+            ).alias("trips_aqe_skew_split"),
         )
 
     return audit("lineitem", "l_orderkey").unionByName(
@@ -1682,7 +1707,12 @@ def _oracle_x41() -> str:
          CAST(m.median_count AS BIGINT) AS median_count,
          CAST(t.max_count * 1000000 // t.total_rows AS BIGINT)
            AS top_share_ppm,
-         t.max_count * t.n_keys > 10 * t.total_rows AS skewed
+         t.max_count * t.n_keys > 10 * t.total_rows AS skewed,
+         CAST(t.max_count + (t.total_rows - t.max_count) // 200 AS BIGINT)
+           AS hot_partition_rows,
+         CAST(t.total_rows // 200 AS BIGINT) AS median_partition_rows,
+         (t.max_count + (t.total_rows - t.max_count) // 200)
+           > 5 * GREATEST(t.total_rows // 200, 1) AS trips_aqe_skew_split
   FROM (
     SELECT SUM(t) AS n_keys, SUM(cnt * t) AS total_rows, MAX(cnt) AS max_count
     FROM (SELECT cnt, COUNT(*) AS t

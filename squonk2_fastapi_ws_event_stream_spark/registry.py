@@ -130,6 +130,10 @@ _NEW_OR_CHANGED = (
     # with no 'data' chunk instead of raising.
     "v05_ann_pandas_udf_topk",
     "m17_audio_clipping",
+    # round 8 CHANGED: x41 gained the AQE skew-split advisory columns
+    # (hot/median modeled partition rows + trips_aqe_skew_split) its
+    # docstring promised (VERDICT r7 task #8).
+    "x41_join_skew_audit",
 )
 
 # Round-7 head, kept for the ledger's history (same role as _ROUND6_HEAD).
