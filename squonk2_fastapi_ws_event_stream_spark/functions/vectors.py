@@ -9,7 +9,7 @@ across engines (verified exhaustively over all 124,750 sf0.01 pairs, all
 sample).
 
 Publication discipline (round 8, AUDIT_ROUND_DOUBLES.md): cosines publish
-as floor(x*1e6)/1e6, NOT ROUND(x, 6) — Spark rounds the exact binary
+as floor(x*1e6)/1e6, NOT the float ROUND form — Spark rounds the exact binary
 value while DuckDB rounds the scaled multiply, so ROUND of a float double
 diverges at half boundaries (the t09 class); floor of the same double is
 exact on both engines, leaving no rounding procedure to differ.
