@@ -969,3 +969,82 @@ def test_rate_limiter_matches_e50_batch_replay_bit_for_bit(spark, tmp_path):
         b["n_throttled"],
         b["tokens_milli"],
     )
+
+
+def test_streaming_ddsketch_matches_batch_x20_bit_for_bit(spark, tmp_path):
+    """The streaming DDSketch over the whole log must equal the batch
+    x20 computation on the same values — same power-of-2 histogram,
+    same ceil(q*n) ranks, same chosen buckets — including across a
+    checkpoint restart. The batch side here is the x20 plan's own
+    expressions (length(bin(v))-1, ceil(q*n)) run through Spark SQL."""
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        DDS_QS,
+        ddsketch_quantiles,
+    )
+
+    root = str(tmp_path / "dlog")
+    w = EventLogWriter(root, "d1")
+    vals1 = [((i * 7919) % 100000) + 1 for i in range(400)]
+    for v in vals1:
+        w.publish(str(v), BASE_TS)
+    spark.dataSource.register(EventStreamDataSource)
+
+    def events_df():
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "d1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        return env.selectExpr(
+            "'d1' as key", "CAST(cast(value as string) AS BIGINT) as value_id"
+        )
+
+    def run_once() -> list:
+        got: list = []
+        q = (
+            ddsketch_quantiles(events_df())
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "dckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    def batch_x20(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        df.createOrReplaceTempView("dds_vals")
+        hist = {
+            r["bucket"]: r["c"]
+            for r in spark.sql(
+                "SELECT length(bin(v)) - 1 AS bucket, COUNT(*) AS c "
+                "FROM dds_vals GROUP BY 1"
+            ).collect()
+        }
+        n = len(vals)
+        chosen = []
+        for q in DDS_QS:
+            rank = spark.sql(f"SELECT CEIL({q} * {n}) AS r").collect()[0]["r"]
+            cum = 0
+            for b in sorted(hist):
+                cum += hist[b]
+                if cum >= rank:
+                    chosen.append(b)
+                    break
+        return chosen
+
+    r = run_once()[-1]
+    assert r["n_seen"] == 400
+    assert [r["b50"], r["b95"], r["b99"]] == batch_x20(vals1)
+    assert r["est50_x2"] == 3 << r["b50"]
+
+    # restart with more values — the sketch must merge, not reset
+    vals2 = [((i * 104729) % 4000) + 1 for i in range(250)]
+    for v in vals2:
+        w.publish(str(v), BASE_TS + 1000)
+    r2 = run_once()[-1]
+    assert r2["n_seen"] == 650
+    assert [r2["b50"], r2["b95"], r2["b99"]] == batch_x20(vals1 + vals2)
