@@ -67,13 +67,18 @@ def davg(col: Column | str, scale: str = "decimal(18,10)", digits: int = 6) -> C
 # float multiply at all. floor_scaled is for floats with no integer form
 # (cosine/sqrt/norm families).
 # ---------------------------------------------------------------------------
+# The trailing `+ 0.0` normalizes IEEE negative zero: DuckDB's FLOOR
+# returns a double (FLOOR(-0.0) = -0.0, and -0.0/1e6 = -0.0) while
+# Spark's floor returns a LONG (0), so a -0.0 input would publish
+# "-0.0" vs "0.0" and hash-mismatch. -0.0 + 0.0 = +0.0 and y + 0.0 = y
+# otherwise, so the term is exact everywhere (hypothesis-tested).
 def floor_scaled(x: Column, digits: int = 6) -> Column:
     """Publish a float-derived double at `digits` decimals, engine-safely."""
     scale = F.lit(float(10**digits))
-    return F.floor(x * scale) / scale
+    return F.floor(x * scale) / scale + F.lit(0.0)
 
 
 def sql_floor_scaled(x: str, digits: int = 6) -> str:
     """DuckDB twin of floor_scaled — textually the same arithmetic."""
     scale = f"{10**digits}.0"
-    return f"FLOOR(({x}) * {scale}) / {scale}"
+    return f"(FLOOR(({x}) * {scale}) / {scale} + 0.0)"

@@ -376,7 +376,7 @@ def _oracle_v07() -> str:
   SELECT cell_id, list(avg_val ORDER BY dim) AS c_emb FROM (
     SELECT cell_id, d.i AS dim,
            FLOOR((CAST(SUM(CAST(embedding[d.i] AS DECIMAL(28,12))) AS DOUBLE)
-                  / COUNT(*)) * 1000000.0) / 1000000.0 AS avg_val
+                  / COUNT(*)) * 1000000.0) / 1000000.0 + 0.0 AS avg_val
     FROM {assign_cte}, unnest(range(1, len(embedding) + 1)) AS d(i)
     GROUP BY cell_id, d.i
   ) GROUP BY cell_id
@@ -1074,7 +1074,7 @@ scored AS (
          FLOOR(list_sum(list_transform(range(1, 65), i ->
              (CAST(qs.q_emb[i] AS DOUBLE) - CAST(en.recon[i] AS DOUBLE))
              * (CAST(qs.q_emb[i] AS DOUBLE) - CAST(en.recon[i] AS DOUBLE))))
-           * 1000000.0) / 1000000.0 AS approx_l2
+           * 1000000.0) / 1000000.0 + 0.0 AS approx_l2
   FROM encoded en JOIN qs ON en.vec_id <> qs.query_id
 ),
 pool AS (
@@ -1200,7 +1200,7 @@ scored AS (
          FLOOR(list_sum(list_transform(range(1, 65), i ->
              (CAST(p.q_emb[i] AS DOUBLE) - CAST(en.recon[i] AS DOUBLE))
              * (CAST(p.q_emb[i] AS DOUBLE) - CAST(en.recon[i] AS DOUBLE))))
-           * 1000000.0) / 1000000.0 AS approx_l2
+           * 1000000.0) / 1000000.0 + 0.0 AS approx_l2
   FROM encoded en JOIN probes p ON en.cell_id = p.cell_id
   WHERE en.vec_id <> p.query_id
 ),
@@ -2119,16 +2119,16 @@ by_dim AS (
   SELECT dim, COUNT(*) AS n,
          SUM(CAST(val AS DECIMAL(28,12))) AS s1,
          SUM(CAST(val * val AS DECIMAL(28,12))) AS s2,
-         FLOOR(MIN(val) * 1000000.0) / 1000000.0 AS min_val,
-         FLOOR(MAX(val) * 1000000.0) / 1000000.0 AS max_val
+         FLOOR(MIN(val) * 1000000.0) / 1000000.0 + 0.0 AS min_val,
+         FLOOR(MAX(val) * 1000000.0) / 1000000.0 + 0.0 AS max_val
   FROM vals GROUP BY dim
 ),
 stats AS (
   SELECT CAST(dim AS INTEGER) AS dim,
-         FLOOR((CAST(s1 AS DOUBLE) / n) * 1000000.0) / 1000000.0 AS mean_val,
+         FLOOR((CAST(s1 AS DOUBLE) / n) * 1000000.0) / 1000000.0 + 0.0 AS mean_val,
          FLOOR((CAST(s2 AS DOUBLE) / n
                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-               * 1000000.0) / 1000000.0 AS variance,
+               * 1000000.0) / 1000000.0 + 0.0 AS variance,
          min_val, max_val
   FROM by_dim
 )
@@ -2213,7 +2213,7 @@ ORACLE_V24 = """
 WITH means AS (
   SELECT label, vec_id % 2 AS half, CAST(d.i - 1 AS INTEGER) AS dim,
          FLOOR((CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(18,12)))
-                     AS DOUBLE) / COUNT(*)) * 1000000.0) / 1000000.0 AS m,
+                     AS DOUBLE) / COUNT(*)) * 1000000.0) / 1000000.0 + 0.0 AS m,
          COUNT(*) AS n
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS d(i)
   GROUP BY label, half, dim
@@ -2230,7 +2230,7 @@ SELECT label,
        FLOOR((CAST(SUM(CAST(m0 * m1 AS DECIMAL(28,14))) AS DOUBLE)
               / (sqrt(CAST(SUM(CAST(m0 * m0 AS DECIMAL(28,14))) AS DOUBLE))
                  * sqrt(CAST(SUM(CAST(m1 * m1 AS DECIMAL(28,14))) AS DOUBLE))))
-             * 1000000.0) / 1000000.0 AS centroid_cos,
+             * 1000000.0) / 1000000.0 + 0.0 AS centroid_cos,
        MAX(ABS(CAST(ROUND(m0 * 1000000) AS BIGINT)
                - CAST(ROUND(m1 * 1000000) AS BIGINT))) / 1e6 AS max_dim_shift
 FROM joined GROUP BY label
@@ -2286,7 +2286,7 @@ ORACLE_V25 = """
 WITH cents AS (
   SELECT label, CAST(d.i - 1 AS INTEGER) AS dim,
          FLOOR((CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(18,12)))
-                     AS DOUBLE) / COUNT(*)) * 1000000.0) / 1000000.0 AS m
+                     AS DOUBLE) / COUNT(*)) * 1000000.0) / 1000000.0 + 0.0 AS m
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS d(i)
   GROUP BY label, d.i
 )
@@ -2294,7 +2294,7 @@ SELECT a.label AS label_a, b.label AS label_b,
        FLOOR((CAST(SUM(CAST(a.m * b.m AS DECIMAL(28,14))) AS DOUBLE)
               / (sqrt(CAST(SUM(CAST(a.m * a.m AS DECIMAL(28,14))) AS DOUBLE))
                  * sqrt(CAST(SUM(CAST(b.m * b.m AS DECIMAL(28,14))) AS DOUBLE))))
-             * 1000000.0) / 1000000.0 AS centroid_cos
+             * 1000000.0) / 1000000.0 + 0.0 AS centroid_cos
 FROM cents a JOIN cents b ON a.dim = b.dim AND a.label < b.label
 GROUP BY a.label, b.label
 """
@@ -2586,7 +2586,7 @@ SELECT CAST(m.cell_id AS BIGINT) AS cell_id,
        CAST(MAX(m.n) AS BIGINT) AS n_members,
        FLOOR(SQRT(CAST(SUM(CAST((m.new_val - o.old_val) * (m.new_val - o.old_val)
                                AS DECIMAL(30,15))) AS DOUBLE))
-             * 1000000.0) / 1000000.0 AS centroid_drift
+             * 1000000.0) / 1000000.0 + 0.0 AS centroid_drift
 FROM means m JOIN old o ON m.cell_id = o.cell_id AND m.dim = o.dim
 GROUP BY m.cell_id
 """
@@ -2870,7 +2870,7 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
-       FLOOR(ip * 1000000.0) / 1000000.0 AS inner_product,
+       FLOOR(ip * 1000000.0) / 1000000.0 + 0.0 AS inner_product,
        rank = rank_direct AS agrees_with_direct
 FROM ranked WHERE rank <= {TOP_K}
 """
@@ -3248,8 +3248,8 @@ SELECT CAST(dim AS INTEGER) AS dim,
        CAST(s8 // CAST(n AS HUGEINT) AS BIGINT) / 1e8 AS mean_val,
        CAST((n * sq16 - s8 * s8) // (CAST(n AS HUGEINT) * n) AS BIGINT)
          AS var_e16,
-       FLOOR(CAST(mn AS DOUBLE) * 1000000.0) / 1000000.0 AS min_val,
-       FLOOR(CAST(mx AS DOUBLE) * 1000000.0) / 1000000.0 AS max_val,
+       FLOOR(CAST(mn AS DOUBLE) * 1000000.0) / 1000000.0 + 0.0 AS min_val,
+       FLOOR(CAST(mx AS DOUBLE) * 1000000.0) / 1000000.0 + 0.0 AS max_val,
        (n * sq16 - s8 * s8) // (CAST(n AS HUGEINT) * n) < {V36_DEAD_VAR_E16}
          AS is_dead
 FROM agg

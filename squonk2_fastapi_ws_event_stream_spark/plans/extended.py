@@ -184,7 +184,7 @@ def v04_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_V04 = """
 SELECT label, CAST(d.i - 1 AS INTEGER) AS dim,
        FLOOR((CAST(SUM(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)
-              / COUNT(*)) * 1000000.0) / 1000000.0 AS mean_val,
+              / COUNT(*)) * 1000000.0) / 1000000.0 + 0.0 AS mean_val,
        COUNT(*) AS n_vectors
 FROM embeddings, unnest(range(1, len(embedding) + 1)) AS d(i)
 GROUP BY label, d.i
