@@ -1862,6 +1862,40 @@ M17_SCHEMA = (
 )
 
 
+def wav_clip_stats(payload: bytes) -> tuple | None:
+    """(n_samples, n_clipped, max_abs, clipped_ppm, is_clipped) from a
+    real RIFF/int16 parse, or None for rows m17 must SKIP: non-WAV
+    payloads, and WAV-magic payloads with no usable 'data' chunk (the
+    advisory case — a bare-magic payload used to die on None // 2 or a
+    zero-sample ppm division and kill the whole Spark task).
+    Module-level so the skip contract is directly unit-testable."""
+    if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+        return None
+    pos, data_off, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"data":
+            data_off, data_len = pos + 8, clen
+            break
+        pos += 8 + clen + (clen & 1)
+    if data_off is None or data_len < 2:
+        return None
+    # clamp to the bytes actually present (a declared length past EOF
+    # would make frombuffer raise)
+    n = min(data_len, len(payload) - data_off) // 2
+    if n < 1:
+        return None
+    s = np.abs(
+        np.frombuffer(payload, dtype="<i2", count=n, offset=data_off).astype(
+            np.int64
+        )
+    )
+    n_clip = int((s >= M17_CLIP_T).sum())
+    ppm = n_clip * 1_000_000 // n
+    return n, n_clip, int(s.max()), ppm, ppm >= M17_CLIP_PPM
+
+
 def m17_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
 
@@ -1872,36 +1906,16 @@ def m17_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "clipped_ppm", "is_clipped",
             )}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+                stats = wav_clip_stats(payload)
+                if stats is None:
                     continue
-                pos, data_off, data_len = 12, None, None
-                while pos + 8 <= len(payload):
-                    cid = payload[pos : pos + 4]
-                    (clen,) = struct.unpack_from("<I", payload, pos + 4)
-                    if cid == b"data":
-                        data_off, data_len = pos + 8, clen
-                        break
-                    pos += 8 + clen + (clen & 1)
-                # A payload can pass the RIFF/WAVE magic check yet carry no
-                # usable 'data' chunk — skip the row (same per-row skip as
-                # the non-WAV case) instead of dying on None // 2 or a
-                # zero-sample ppm division.
-                if data_off is None or data_len < 2:
-                    continue
-                n = data_len // 2
-                s = np.abs(
-                    np.frombuffer(
-                        payload, dtype="<i2", count=n, offset=data_off
-                    ).astype(np.int64)
-                )
-                n_clip = int((s >= M17_CLIP_T).sum())
-                ppm = n_clip * 1_000_000 // n
+                n, n_clip, max_abs, ppm, clipped = stats
                 out["doc_id"].append(doc_id)
                 out["n_samples"].append(n)
                 out["n_clipped"].append(n_clip)
-                out["max_abs"].append(int(s.max()) if n else 0)
+                out["max_abs"].append(max_abs)
                 out["clipped_ppm"].append(ppm)
-                out["is_clipped"].append(ppm >= M17_CLIP_PPM)
+                out["is_clipped"].append(clipped)
             yield pd.DataFrame(out)
 
     return attach_media_payload(docs).mapInPandas(run, schema=M17_SCHEMA)

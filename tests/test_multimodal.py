@@ -233,3 +233,47 @@ def test_m15_border_detector_reads_pixel_bytes():
     t2 = bytearray(make_boxed_bmp(21, 10, 2, 2, 0, 0, 7))
     t2[54 + 9 * pad_stride + 3 * 21] = 200
     assert detect_borders(bytes(t2)) == (21, 10, 2, 2, 0, 0)
+
+
+def test_m17_wav_clip_stats_skips_malformed_payloads():
+    """Round-7 advisory: a payload passing the RIFF/WAVE magic check but
+    carrying no usable 'data' chunk must be SKIPPED (None), not raise
+    TypeError (None // 2) or ZeroDivisionError — one poisoned payload
+    used to kill the whole Spark task."""
+    import struct as _struct
+
+    from squonk2_fastapi_ws_event_stream_spark.operators.multimodal import (
+        M17_CLIP_T,
+        make_wav,
+        wav_clip_stats,
+    )
+
+    # non-WAV → skip
+    assert wav_clip_stats(b"not a wav at all") is None
+    # bare magic, no chunks at all → skip (the advisory's exact case)
+    assert wav_clip_stats(b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE") is None
+    # magic + only a junk chunk, no 'data' → skip
+    junk = b"JUNK" + _struct.pack("<I", 4) + b"\x00" * 4
+    assert wav_clip_stats(b"RIFF" + _struct.pack("<I", 16) + b"WAVE" + junk) is None
+    # 'data' chunk with zero declared length → skip (ppm division guard)
+    empty = b"data" + _struct.pack("<I", 0)
+    assert wav_clip_stats(b"RIFF" + _struct.pack("<I", 16) + b"WAVE" + empty) is None
+    # 'data' length declared PAST the payload end → clamp, not crash
+    over = b"data" + _struct.pack("<I", 1 << 20) + _struct.pack("<h", 100)
+    got = wav_clip_stats(b"RIFF" + _struct.pack("<I", 20) + b"WAVE" + over)
+    assert got == (1, 0, 100, 0, False)
+
+    # a real WAV still parses: all-clipped samples flag the asset
+    real = wav_clip_stats(make_wav(8000, 50, 17))
+    assert real is not None and real[0] == 50
+
+    loud = bytearray(make_wav(8000, 4, 0))
+    # overwrite the 4 samples with full-scale values
+    data_pos = loud.rfind(b"data") + 8
+    for i in range(4):
+        _struct.pack_into("<h", loud, data_pos + 2 * i, 32760)
+    got = wav_clip_stats(bytes(loud))
+    assert got is not None
+    n, n_clip, max_abs, ppm, clipped = got
+    assert (n, n_clip, max_abs, ppm, clipped) == (4, 4, 32760, 1_000_000, True)
+    assert 32760 >= M17_CLIP_T
