@@ -1393,3 +1393,16 @@ def test_t69_ccnet_buckets_use_head_tail_and_blocked_windows(spark):
     assert "hashpartitioning(doc_id" in plan
     wins = re.findall(r"windowspecdefinition\(lang([^)]*?specifiedwindowframe)", plan)
     assert wins, "expected lang-partitioned histogram windows"
+
+
+def test_e50_token_bucket_fold_is_jvm_one_user_shuffle(spark):
+    # The replay is a JVM higher-order aggregate over the collected
+    # per-user array: exactly one key-wide shuffle (the user groupBy),
+    # no Python stage, no window over the raw event log, and the fold
+    # itself shows up as the aggregate HOF.
+    plan = explain(QUERIES["e50_token_bucket_replay"](spark, SF), mode="simple")
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert "Window" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, py
+    assert "aggregate(" in plan  # the sequential token-bucket fold
