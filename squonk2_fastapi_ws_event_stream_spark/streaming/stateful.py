@@ -1110,3 +1110,104 @@ def ddsketch_quantiles(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming histogram drift — x26's (batch period-over-period binned
+# KS/L1 drift) streaming twin: per key, TWO fixed 64-bucket integer
+# histograms in state (reference = last closed period, current = the
+# open one). When the event-time period advances, current rolls into
+# reference and every subsequent batch emits the drift between them —
+# the data-drift monitor a feature pipeline runs beside its ingest.
+#
+# Same bucketing as batch x26 (clamped (v - lo) // width) and the same
+# exact integer cross-scaled statistics: KS = max |cum_c·n_r − cum_r·n_c|
+# and L1 = Σ |c_c·n_r − c_r·n_c|, published in ppm via Python
+# arbitrary-precision ints then // (n_r·n_c) — no floats anywhere, so a
+# replay computes bit-identical drift (tested against the batch bucket
+# expression + formula on the same values, incl. checkpoint restart).
+# State is 2·64 longs + 1 per key, idle-evicted.
+# ---------------------------------------------------------------------------
+DRIFT_BUCKETS = 64
+DRIFT_OUTPUT_SCHEMA = (
+    "key string, period long, n_ref long, n_cur long, "
+    "ks_ppm long, l1_ppm long"
+)
+DRIFT_STATE_SCHEMA = "period long, ref array<long>, cur array<long>"
+
+
+def _drift_ppm(ref: list, cur: list) -> tuple:
+    """Exact integer (ks_ppm, l1_ppm) between two histograms, or
+    (-1, -1) while either period is empty."""
+    n_r, n_c = sum(ref), sum(cur)
+    if n_r == 0 or n_c == 0:
+        return -1, -1
+    cum_r = cum_c = 0
+    ks_num = l1_num = 0
+    for r, c in zip(ref, cur):
+        cum_r += r
+        cum_c += c
+        ks_num = max(ks_num, abs(cum_c * n_r - cum_r * n_c))
+        l1_num += abs(c * n_r - r * n_c)
+    denom = n_r * n_c
+    return ks_num * 1_000_000 // denom, l1_num * 1_000_000 // denom
+
+
+def _update_drift_fn(lo: int, width: int, retention_ms: int):
+    def _update_drift(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            period, ref, cur = state.get
+            ref, cur = list(ref), list(cur)
+        else:
+            period, ref, cur = -1, [0] * DRIFT_BUCKETS, [0] * DRIFT_BUCKETS
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("period")
+        for p, v in zip(rows["period"], rows["value_id"]):
+            p, v = int(p), int(v)
+            if p > period:
+                # roll: an ADJACENT advance closes the open period into
+                # the reference; a gap means the closed period is empty
+                ref = cur if period >= 0 and p == period + 1 else [0] * DRIFT_BUCKETS
+                cur = [0] * DRIFT_BUCKETS
+                period = p
+            if p == period:  # stale (late) periods don't reopen history
+                b = min(max((v - lo) // width, 0), DRIFT_BUCKETS - 1)
+                cur[b] += 1
+        state.update((period, ref, cur))
+        state.setTimeoutDuration(retention_ms)
+        ks_ppm, l1_ppm = _drift_ppm(ref, cur)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "period": [period],
+                "n_ref": [sum(ref)],
+                "n_cur": [sum(cur)],
+                "ks_ppm": [ks_ppm],
+                "l1_ppm": [l1_ppm],
+            }
+        )
+
+    return _update_drift
+
+
+def histogram_drift(
+    events: DataFrame,
+    lo: int = 0,
+    width: int = 1000,
+    retention_ms: int = DEFAULT_IDLE_RETENTION_MS,
+) -> DataFrame:
+    """Streaming per-key period-over-period histogram drift. `events`
+    must carry (key string, period long, value_id long); emits the
+    reference-vs-current KS and L1 distances in exact integer ppm per
+    (key, batch)."""
+    return events.groupBy("key").applyInPandasWithState(
+        _update_drift_fn(lo, width, retention_ms),
+        outputStructType=DRIFT_OUTPUT_SCHEMA,
+        stateStructType=DRIFT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

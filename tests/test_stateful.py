@@ -1048,3 +1048,94 @@ def test_streaming_ddsketch_matches_batch_x20_bit_for_bit(spark, tmp_path):
     r2 = run_once()[-1]
     assert r2["n_seen"] == 650
     assert [r2["b50"], r2["b95"], r2["b99"]] == batch_x20(vals1 + vals2)
+
+
+def test_streaming_histogram_drift_matches_batch_x26_math(spark, tmp_path):
+    """The streaming drift monitor must reproduce batch x26's math over
+    the same values: identical clamped bucketing (verified through the
+    batch plan's own SQL expression) and identical exact-integer
+    cross-scaled KS/L1, here in ppm — including rolling the open period
+    into the reference across a checkpoint RESTART."""
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        DRIFT_BUCKETS,
+        histogram_drift,
+    )
+
+    LO, W = 100, 50
+    p0 = [(i * 37) % 2000 + 100 for i in range(300)]
+    p1 = [(i * 53) % 2600 + 400 for i in range(260)]  # shifted: real drift
+
+    root = str(tmp_path / "hlog")
+    w = EventLogWriter(root, "h1")
+    for v in p0:
+        w.publish(f"0:{v}", BASE_TS)
+    for v in p1:
+        w.publish(f"1:{v}", BASE_TS + 1000)
+    spark.dataSource.register(EventStreamDataSource)
+
+    def events_df():
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "h1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        return env.selectExpr(
+            "'h1' as key",
+            "CAST(split(cast(value as string), ':')[0] AS BIGINT) as period",
+            "CAST(split(cast(value as string), ':')[1] AS BIGINT) as value_id",
+        )
+
+    def run_once() -> list:
+        got: list = []
+        q = (
+            histogram_drift(events_df(), lo=LO, width=W)
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "hckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    def batch_hist(vals):
+        """Histogram via the batch x26 bucket expression run through
+        Spark SQL — proves the streaming bucketing is the same rule."""
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        df.createOrReplaceTempView("drift_vals")
+        rows = spark.sql(
+            f"SELECT LEAST(GREATEST((v - {LO}) div {W}, 0),"
+            f" {DRIFT_BUCKETS - 1}) AS b, COUNT(*) AS c"
+            " FROM drift_vals GROUP BY 1"
+        ).collect()
+        h = [0] * DRIFT_BUCKETS
+        for r in rows:
+            h[r["b"]] = r["c"]
+        return h
+
+    def ppm(ref, cur):
+        n_r, n_c = sum(ref), sum(cur)
+        cum_r = cum_c = ks = l1 = 0
+        for r, c in zip(ref, cur):
+            cum_r += r
+            cum_c += c
+            ks = max(ks, abs(cum_c * n_r - cum_r * n_c))
+            l1 += abs(c * n_r - r * n_c)
+        return ks * 1_000_000 // (n_r * n_c), l1 * 1_000_000 // (n_r * n_c)
+
+    r = run_once()[-1]
+    want_ks, want_l1 = ppm(batch_hist(p0), batch_hist(p1))
+    assert (r["period"], r["n_ref"], r["n_cur"]) == (1, 300, 260)
+    assert (r["ks_ppm"], r["l1_ppm"]) == (want_ks, want_l1)
+    assert r["ks_ppm"] > 0  # the shift is real drift, not a degenerate 0
+
+    # restart: period 2 arrives — period 1 must roll into the reference
+    p2 = [(i * 29) % 1500 + 200 for i in range(180)]
+    for v in p2:
+        w.publish(f"2:{v}", BASE_TS + 2000)
+    r2 = run_once()[-1]
+    want_ks2, want_l12 = ppm(batch_hist(p1), batch_hist(p2))
+    assert (r2["period"], r2["n_ref"], r2["n_cur"]) == (2, 260, 180)
+    assert (r2["ks_ppm"], r2["l1_ppm"]) == (want_ks2, want_l12)
