@@ -106,10 +106,38 @@ def diff_ledger(current: dict[str, str]) -> tuple[list[str], list[str], list[str
 def main(argv: list[str]) -> int:
     check_only = "--check" in argv
     if "--snapshot" in argv:
-        rnd = int(argv[argv.index("--snapshot") + 1])
+        # ADVICE r8: a snapshot is the next round's acknowledgment
+        # baseline — never copy a ledger that drifts from the live plans,
+        # and reject a missing/non-numeric round number with a usage
+        # error instead of an IndexError.
+        idx = argv.index("--snapshot")
+        if idx + 1 >= len(argv) or not argv[idx + 1].isdigit():
+            print(
+                "usage: plan_fingerprints.py --snapshot <round-number>",
+                file=sys.stderr,
+            )
+            return 2
+        rnd = int(argv[idx + 1])
+        if not LEDGER.exists():
+            print(f"no ledger at {LEDGER} — regenerate first", file=sys.stderr)
+            return 2
+        from squonk2_fastapi_ws_event_stream_spark.session import get_spark
+
+        spark = get_spark("plan-fingerprints")
+        changed, added, removed = diff_ledger(compute_all(spark))
+        if changed or added or removed:
+            print(
+                f"REFUSING snapshot: ledger drifts from live plans "
+                f"({len(changed)} changed, {len(added)} added, "
+                f"{len(removed)} removed) — regenerate first",
+                file=sys.stderr,
+            )
+            for n in changed + added + removed:
+                print(f"  drift: {n}", file=sys.stderr)
+            return 1
         snap = ROOT / f"PLAN_FINGERPRINTS_r{rnd:02d}.json"
         snap.write_text(LEDGER.read_text())
-        print(f"wrote {snap}")
+        print(f"wrote {snap} (drift-free, verified)")
         return 0
 
     from squonk2_fastapi_ws_event_stream_spark.registry import (

