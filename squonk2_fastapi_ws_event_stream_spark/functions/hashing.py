@@ -55,6 +55,17 @@ KMV_A = 2654435761 % KMV_P  # Knuth multiplicative constant
 KMV_B = 1723
 KMV_K = 64
 
+# AMS F2 sign-hash family (Alon–Matias–Szegedy '96) — the SINGLE source
+# for both the batch second-moment sketch (plans/pipeline.py x27) and the
+# streaming ams_f2 operator (streaming/stateful.py), the same
+# one-declaration discipline as the KMV block above: their bit-identity
+# guarantee holds exactly because neither re-declares these.
+# s_i(key) = 1 - 2·((key·A_i + B_i) mod P mod 2) ∈ {±1}.
+AMS_D = 8
+AMS_A = [4973, 6203, 7369, 8539, 9679, 10837, 11953, 13147]
+AMS_B = [911, 1723, 2617, 3469, 4397, 5281, 6133, 7027]
+AMS_P = P
+
 
 # ---------------------------------------------------------------------------
 # Spark expression builders

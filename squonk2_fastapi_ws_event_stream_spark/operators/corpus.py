@@ -89,7 +89,7 @@ def t33_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("n_grams").cast("long").alias("n_grams"),
             F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
-            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
+            (F.expr("n_dup_grams * 1000000 div n_grams") / F.lit(1e6)).alias("dup_frac"),
         )
     )
 
@@ -114,8 +114,8 @@ SELECT g.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_grams,
        CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dup_grams,
-       ROUND(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6)
-         AS dup_frac
+       SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+         / 1e6 AS dup_frac
 FROM grams g JOIN freq f USING (digest)
 GROUP BY g.doc_id
 """
@@ -191,7 +191,7 @@ def t34_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("dsir_score").cast("long").alias("dsir_score"),
-            F.round(F.col("dsir_score") / F.col("n_tokens"), 6).alias("avg_bits"),
+            (F.expr("dsir_score * 1000000 div n_tokens") / F.lit(1e6)).alias("avg_bits"),
         )
     )
 
@@ -216,7 +216,7 @@ tgt AS (
 SELECT t.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(COALESCE(g.bits_t, 0) - r.bits_r) AS BIGINT) AS dsir_score,
-       ROUND(SUM(COALESCE(g.bits_t, 0) - r.bits_r) / COUNT(*), 6) AS avg_bits
+       SUM(COALESCE(g.bits_t, 0) - r.bits_r) * 1000000 // COUNT(*) / 1e6 AS avg_bits
 FROM toks t
 JOIN raw r USING (bucket)
 LEFT JOIN tgt g USING (bucket)
@@ -451,7 +451,7 @@ freq AS (
   FROM toks GROUP BY w
 ),
 scored AS (
-  SELECT t.doc_id, ROUND(SUM(f.bits) / COUNT(*), 6) AS avg_bits
+  SELECT t.doc_id, SUM(f.bits) * 1000000 // COUNT(*) / 1e6 AS avg_bits
   FROM toks t JOIN freq f USING (w) GROUP BY t.doc_id
 ),
 bucketed AS (
@@ -520,7 +520,7 @@ scored AS (
     SELECT w, CAST(length(bin(COUNT(*))) - 1 AS BIGINT) AS bits
     FROM toks GROUP BY w
   )
-  SELECT t.doc_id, ROUND(SUM(f.bits) / COUNT(*), 6) AS avg_bits
+  SELECT t.doc_id, SUM(f.bits) * 1000000 // COUNT(*) / 1e6 AS avg_bits
   FROM toks t JOIN freq f USING (w) GROUP BY t.doc_id
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY dup_frac DESC, avg_bits ASC, doc_id ASC)
@@ -588,7 +588,7 @@ freq AS (
   FROM toks GROUP BY w
 ),
 scored AS (
-  SELECT t.doc_id, ROUND(SUM(f.bits) / COUNT(*), 6) AS avg_bits
+  SELECT t.doc_id, SUM(f.bits) * 1000000 // COUNT(*) / 1e6 AS avg_bits
   FROM toks t JOIN freq f USING (w) GROUP BY t.doc_id
 ),
 ranked AS (
@@ -627,13 +627,16 @@ def t43_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("source")
-    return hist.select(
-        "source",
-        "log2_bucket",
-        F.col("n_docs").cast("long").alias("n_docs"),
-        F.col("min_chars").cast("long").alias("min_chars"),
-        F.col("max_chars").cast("long").alias("max_chars"),
-        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
+    return (
+        hist.withColumn("src_total", F.sum("n_docs").over(w))
+        .select(
+            "source",
+            "log2_bucket",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("min_chars").cast("long").alias("min_chars"),
+            F.col("max_chars").cast("long").alias("max_chars"),
+            (F.expr("n_docs * 1000000 div src_total") / F.lit(1e6)).alias("share"),
+        )
     )
 
 
@@ -650,7 +653,7 @@ SELECT source, log2_bucket,
        CAST(n_docs AS BIGINT) AS n_docs,
        CAST(min_chars AS BIGINT) AS min_chars,
        CAST(max_chars AS BIGINT) AS max_chars,
-       ROUND(n_docs * 1.0 / SUM(n_docs) OVER (PARTITION BY source), 6) AS share
+       n_docs * 1000000 // SUM(n_docs) OVER (PARTITION BY source) / 1e6 AS share
 FROM hist
 """
 
@@ -672,35 +675,62 @@ T44_BUDGET = 1_000_000  # sampled-token budget
 
 
 def t44_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import floor_scaled
+
     docs = table(spark, sf_dir, "documents").select("source", "text")
     counts = docs.groupBy("source").agg(
         F.sum(F.size(F.split("text", " "))).alias("n_tokens")
     )
-    w = Window.partitionBy()
-    weight = F.sqrt(F.col("n_tokens")) / F.sum(F.sqrt(F.col("n_tokens"))).over(w)
-    return counts.select(
+    # The normalizer was SUM(sqrt) OVER () — an ORDER-DEPENDENT float sum
+    # (partition merge order leaks into the last ulps).  It now folds
+    # left-to-right over the value-sorted count list (|sources| entries,
+    # one tiny row), the same fold DuckDB's list_sum performs over the
+    # same list_sort — bit-identical denominators, and the published
+    # floats floor-publish instead of the t09-class float ROUND.
+    den = counts.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("n_tokens")),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x),
+        ).alias("den")
+    )
+    weight = F.sqrt(F.col("n_tokens")) / F.col("den")
+    return counts.crossJoin(F.broadcast(den)).select(
         "source",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round(weight, 6).alias("mix_weight"),
-        F.round(weight * T44_BUDGET, 2).alias("expected_tokens"),
-        F.round(weight * T44_BUDGET / F.col("n_tokens"), 6).alias("effective_epochs"),
+        floor_scaled(weight, 6).alias("mix_weight"),
+        floor_scaled(weight * T44_BUDGET, 2).alias("expected_tokens"),
+        floor_scaled(weight * T44_BUDGET / F.col("n_tokens"), 6).alias(
+            "effective_epochs"
+        ),
     )
 
 
-ORACLE_T44 = f"""
+def _oracle_t44() -> str:
+    from ..functions.numeric import sql_floor_scaled
+
+    w = "sqrt(n_tokens) / den"
+    return f"""
 WITH counts AS (
   SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
   FROM documents GROUP BY source
+),
+d AS (
+  SELECT list_sum(list_transform(list_sort(list(n_tokens)),
+                                 x -> sqrt(x))) AS den
+  FROM counts
 )
 SELECT source,
        CAST(n_tokens AS BIGINT) AS n_tokens,
-       ROUND(sqrt(n_tokens) / SUM(sqrt(n_tokens)) OVER (), 6) AS mix_weight,
-       ROUND(sqrt(n_tokens) / SUM(sqrt(n_tokens)) OVER () * {T44_BUDGET}, 2)
-         AS expected_tokens,
-       ROUND(sqrt(n_tokens) / SUM(sqrt(n_tokens)) OVER () * {T44_BUDGET}
-             / n_tokens, 6) AS effective_epochs
-FROM counts
+       {sql_floor_scaled(w, 6)} AS mix_weight,
+       {sql_floor_scaled(f"{w} * {T44_BUDGET}", 2)} AS expected_tokens,
+       {sql_floor_scaled(f"{w} * {T44_BUDGET} / n_tokens", 6)}
+         AS effective_epochs
+FROM counts, d
 """
+
+
+ORACLE_T44 = _oracle_t44()
 
 
 # ---------------------------------------------------------------------------
@@ -742,7 +772,7 @@ def t46_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "canary",
         F.col("n_docs_hit").cast("long").alias("n_docs_hit"),
-        F.round(F.col("n_docs_hit") / F.col("n_docs"), 6).alias("hit_frac"),
+        (F.expr("n_docs_hit * 1000000 div n_docs") / F.lit(1e6)).alias("hit_frac"),
     )
 
 
@@ -751,8 +781,8 @@ def _oracle_t46() -> str:
         f"""SELECT '{c}' AS canary,
        CAST(SUM(CASE WHEN contains(text, '{c}') THEN 1 ELSE 0 END) AS BIGINT)
          AS n_docs_hit,
-       ROUND(SUM(CASE WHEN contains(text, '{c}') THEN 1 ELSE 0 END) * 1.0
-             / COUNT(*), 6) AS hit_frac
+       SUM(CASE WHEN contains(text, '{c}') THEN 1 ELSE 0 END) * 1000000
+         // COUNT(*) / 1e6 AS hit_frac
 FROM documents"""
         for c in T46_CANARIES
     ]

@@ -236,12 +236,26 @@ def e07_message_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2 byte-stats analog (app/app.py:424-426,499-501; ws_listener.py:43-48)."""
     ev = table(spark, sf_dir, "events")
     blen = F.length(F.col("props"))
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("total_messages"),
-        F.sum(blen.cast("long")).alias("total_bytes"),
-        F.min(blen).alias("min_bytes"),
-        F.max(blen).alias("max_bytes"),
-        F.round(F.sum(blen.cast("long")) / F.count(F.lit(1)), 6).alias("avg_bytes"),
+    # avg_bytes publishes as exact integer micros / 1e6, not float ROUND
+    # (the t09 half-boundary class): same integer both engines.
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("total_messages"),
+            F.sum(blen.cast("long")).alias("total_bytes"),
+            F.min(blen).alias("min_bytes"),
+            F.max(blen).alias("max_bytes"),
+        )
+        .select(
+            "event_type",
+            "total_messages",
+            "total_bytes",
+            "min_bytes",
+            "max_bytes",
+            (F.expr("total_bytes * 1000000 div total_messages") / F.lit(1e6)).alias(
+                "avg_bytes"
+            ),
+        )
     )
 
 
@@ -251,7 +265,7 @@ SELECT event_type,
        CAST(SUM(length(props)) AS BIGINT) AS total_bytes,
        CAST(MIN(length(props)) AS INTEGER) AS min_bytes,
        CAST(MAX(length(props)) AS INTEGER) AS max_bytes,
-       ROUND(CAST(SUM(length(props)) AS BIGINT) / COUNT(*), 6) AS avg_bytes
+       CAST(SUM(length(props)) AS BIGINT) * 1000000 // COUNT(*) / 1e6 AS avg_bytes
 FROM events GROUP BY event_type
 """
 
@@ -556,7 +570,9 @@ def e14_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             # by a TRUNCATED key and could elect a different winner than
             # this full-history pass.
             F.unix_micros("ts").alias("last_ts_us"),
-            F.round(F.col("value"), 6).alias("last_value"),
+            # raw parquet double: both engines read the same bytes — no
+            # rounding procedure to differ (t09 class eliminated)
+            F.col("value").alias("last_value"),
         )
     )
 
@@ -580,7 +596,9 @@ def compact_incremental(prev: DataFrame, new_events: DataFrame) -> DataFrame:
             "event_type",
             F.col("event_id").alias("last_event_id"),
             F.unix_micros("ts").alias("last_ts_us"),
-            F.round(F.col("value"), 6).alias("last_value"),
+            # raw parquet double: both engines read the same bytes — no
+            # rounding procedure to differ (t09 class eliminated)
+            F.col("value").alias("last_value"),
         )
     )
     unioned = prev.unionByName(new_compact)
@@ -600,7 +618,7 @@ ORACLE_E14 = """
 SELECT user_id, event_type,
        event_id AS last_event_id,
        epoch_us(ts) AS last_ts_us,
-       ROUND(value, 6) AS last_value
+       value AS last_value
 FROM (
   SELECT user_id, event_type, event_id, ts, value,
          ROW_NUMBER() OVER (PARTITION BY user_id, event_type
@@ -764,7 +782,7 @@ def e17_out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n_events").cast("long").alias("n_events"),
             F.col("n_out_of_order").cast("long").alias("n_out_of_order"),
-            F.round(F.col("n_out_of_order") / F.col("n_events"), 6).alias("ooo_frac"),
+            (F.expr("n_out_of_order * 1000000 div n_events") / F.lit(1e6)).alias("ooo_frac"),
             F.col("max_regression_ms").cast("long").alias("max_regression_ms"),
         )
     )
@@ -786,7 +804,7 @@ flagged AS (
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(ooo) AS BIGINT) AS n_out_of_order,
-       ROUND(SUM(ooo) / COUNT(*), 6) AS ooo_frac,
+       SUM(ooo) * 1000000 // COUNT(*) / 1e6 AS ooo_frac,
        CAST(MAX(regress_ms) AS BIGINT) AS max_regression_ms
 FROM flagged GROUP BY event_type
 """
@@ -831,9 +849,9 @@ def e18_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.expr(
             "stack(3,"
-            " 1, 'signup', n_signup, round(n_signup / n_users, 6),"
-            " 2, 'click_after_signup', n_click, round(n_click / n_signup, 6),"
-            " 3, 'purchase_after_click', n_purchase, round(n_purchase / n_click, 6))"
+            " 1, 'signup', n_signup, n_signup * 1000000 div n_users / 1e6,"
+            " 2, 'click_after_signup', n_click, n_click * 1000000 div n_signup / 1e6,"
+            " 3, 'purchase_after_click', n_purchase, n_purchase * 1000000 div n_click / 1e6)"
         ).alias("step_idx", "step", "n_users", "conv_from_prev")
     ).select(
         "step_idx",
@@ -867,13 +885,13 @@ agg AS (
          (SELECT COUNT(*) FROM p) AS n_purchase
 )
 SELECT 1 AS step_idx, 'signup' AS step, CAST(n_signup AS BIGINT) AS n_users,
-       ROUND(n_signup / n_users, 6) AS conv_from_prev FROM agg
+       n_signup * 1000000 // n_users / 1e6 AS conv_from_prev FROM agg
 UNION ALL
 SELECT 2, 'click_after_signup', CAST(n_click AS BIGINT),
-       ROUND(n_click / n_signup, 6) FROM agg
+       n_click * 1000000 // n_signup / 1e6 FROM agg
 UNION ALL
 SELECT 3, 'purchase_after_click', CAST(n_purchase AS BIGINT),
-       ROUND(n_purchase / n_click, 6) FROM agg
+       n_purchase * 1000000 // n_click / 1e6 FROM agg
 """
 
 
@@ -980,7 +998,7 @@ def e20_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.col("dau").cast("long").alias("dau"),
             F.col("mau").cast("long").alias("mau"),
-            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+            (F.expr("dau * 1000000 div mau") / F.lit(1e6)).alias("stickiness"),
         )
     )
 
@@ -995,7 +1013,7 @@ mau AS (SELECT month, COUNT(DISTINCT user_id) AS mau FROM d GROUP BY month)
 SELECT strftime(dau.day, '%Y-%m-%d') AS day,
        CAST(dau.dau AS BIGINT) AS dau,
        CAST(mau.mau AS BIGINT) AS mau,
-       ROUND(dau.dau / mau.mau, 6) AS stickiness
+       dau.dau * 1000000 // mau.mau / 1e6 AS stickiness
 FROM dau JOIN mau USING (month)
 """
 
@@ -1036,7 +1054,7 @@ def e21_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("hour_no").cast("long").alias("hour_no"),
         F.col("n_events").cast("long").alias("n_events"),
-        F.round(F.col("n_events") * 6 / F.col("trail_sum"), 6).alias("ratio"),
+        (F.expr("n_events * 6000000 div trail_sum") / F.lit(1e6)).alias("ratio"),
     )
 
 
@@ -1057,7 +1075,7 @@ trailed AS (
 )
 SELECT event_type, CAST(hour_no AS BIGINT) AS hour_no,
        CAST(n_events AS BIGINT) AS n_events,
-       ROUND(n_events * 6 / trail_sum, 6) AS ratio
+       n_events * 6000000 // trail_sum / 1e6 AS ratio
 FROM trailed
 WHERE trail_n = 6 AND n_events * 6 * {E21_DEN} >= trail_sum * {E21_NUM}
 """
@@ -1089,7 +1107,7 @@ def e22_event_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "next_type",
             F.col("n_transitions").cast("long").alias("n_transitions"),
-            F.round(F.col("n_transitions") / F.col("src_total"), 6).alias("p_next"),
+            (F.expr("n_transitions * 1000000 div src_total") / F.lit(1e6)).alias("p_next"),
         )
     )
 
@@ -1108,8 +1126,8 @@ counted AS (
 )
 SELECT event_type, next_type,
        CAST(n_transitions AS BIGINT) AS n_transitions,
-       ROUND(n_transitions * 1.0 /
-             SUM(n_transitions) OVER (PARTITION BY event_type), 6) AS p_next
+       n_transitions * 1000000 //
+             SUM(n_transitions) OVER (PARTITION BY event_type) / 1e6 AS p_next
 FROM counted
 """
 
@@ -1152,9 +1170,9 @@ def e23_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("n_gaps").cast("long").alias("n_gaps"),
-            F.round(F.col("p50") / 1000, 3).alias("p50_ms"),
-            F.round(F.col("p95") / 1000, 3).alias("p95_ms"),
-            F.round(F.col("p99") / 1000, 3).alias("p99_ms"),
+            (F.floor(F.col("p50")) / F.lit(1000.0)).alias("p50_ms"),
+            (F.floor(F.col("p95")) / F.lit(1000.0)).alias("p95_ms"),
+            (F.floor(F.col("p99")) / F.lit(1000.0)).alias("p99_ms"),
             F.col("max_gap").cast("long").alias("max_gap_us"),
         )
     )
@@ -1170,9 +1188,9 @@ WITH gaps AS (
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_gaps,
-       ROUND(quantile_cont(gap_us, 0.5) / 1000, 3) AS p50_ms,
-       ROUND(quantile_cont(gap_us, 0.95) / 1000, 3) AS p95_ms,
-       ROUND(quantile_cont(gap_us, 0.99) / 1000, 3) AS p99_ms,
+       FLOOR(quantile_cont(gap_us, 0.5)) / 1000.0 AS p50_ms,
+       FLOOR(quantile_cont(gap_us, 0.95)) / 1000.0 AS p95_ms,
+       FLOOR(quantile_cont(gap_us, 0.99)) / 1000.0 AS p99_ms,
        CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
 FROM gaps WHERE gap_us IS NOT NULL
 GROUP BY event_type

@@ -444,8 +444,15 @@ ORACLES["t40_triangle_count"] = _oracle_t40()
 # the exact ranks (no recursive CTE needed at fixed depth).
 # ---------------------------------------------------------------------------
 PR_ITERS = 5
-PR_DAMP = 0.85
-_PR_DEC = "decimal(28,14)"
+# Damping 0.85 as the exact rational 17/20; ranks iterate in e12
+# fixed-point BIGINT so every step is integer arithmetic (truncating
+# div == DuckDB //) — no float ROUND anywhere in the loop, hence no
+# t09-class half-boundary exposure per iteration.  e12 units keep the
+# per-node mass sum under int64 through ~1e6 nodes; a 100-TB graph run
+# would drop to e6 units (same recipe, wider headroom).
+PR_DAMP_NUM, PR_DAMP_DEN = 17, 20
+PR_E12 = 1_000_000_000_000
+PR_BASE_E12 = PR_E12 - PR_E12 * PR_DAMP_NUM // PR_DAMP_DEN  # (1-d) in e12
 
 
 def t45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,26 +467,25 @@ def t45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = (
         out_edges.select(F.col("s").alias("node"))
         .distinct()
-        .withColumn("r", F.lit(1.0))
+        .withColumn("r", F.lit(PR_E12).cast("long"))
     )
     for _ in range(PR_ITERS):
         ranks = (
             out_edges.join(ranks, out_edges.s == ranks.node)
             .groupBy("d")
-            .agg(
-                F.round(
-                    (1 - PR_DAMP)
-                    + PR_DAMP
-                    * F.sum((F.col("r") / F.col("deg")).cast(_PR_DEC)).cast("double"),
-                    8,
-                ).alias("r")
+            .agg(F.sum(F.expr("r div deg")).alias("contrib"))
+            .select(
+                F.col("d").alias("node"),
+                (
+                    F.lit(PR_BASE_E12)
+                    + F.expr(f"contrib * {PR_DAMP_NUM} div {PR_DAMP_DEN}")
+                ).alias("r"),
             )
-            .select(F.col("d").alias("node"), "r")
             .localCheckpoint(eager=True)
         )
     return ranks.select(
         F.col("node").cast("long").alias("doc_id"),
-        F.round("r", 6).alias("pagerank"),
+        (F.expr("r div 1000000") / F.lit(1e6)).alias("pagerank"),
     )
 
 
@@ -490,8 +496,7 @@ def _oracle_t45() -> str:
         iters.append(
             f"""r{i} AS (
   SELECT e.d AS node,
-         ROUND({1 - PR_DAMP} + {PR_DAMP} * CAST(SUM(
-             CAST(p.r / e.deg AS DECIMAL(28,14))) AS DOUBLE), 8) AS r
+         {PR_BASE_E12} + SUM(p.r // e.deg) * {PR_DAMP_NUM} // {PR_DAMP_DEN} AS r
   FROM out_edges e JOIN {prev} p ON e.s = p.node
   GROUP BY e.d
 )"""
@@ -515,9 +520,9 @@ und AS (
 ),
 deg AS (SELECT s, COUNT(*) AS deg FROM und GROUP BY s),
 out_edges AS (SELECT u.s, u.d, dg.deg FROM und u JOIN deg dg ON u.s = dg.s),
-r0 AS (SELECT DISTINCT s AS node, 1.0 AS r FROM und),
+r0 AS (SELECT DISTINCT s AS node, CAST(1000000000000 AS BIGINT) AS r FROM und),
 {",".join(iters)}
-SELECT node AS doc_id, ROUND(r, 6) AS pagerank FROM {prev}
+SELECT node AS doc_id, r // 1000000 / 1e6 AS pagerank FROM {prev}
 """
 
 

@@ -77,11 +77,14 @@ def t17_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("n_words").cast("long").alias("n_words"),
             F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
-            F.round(
-                (F.col("n_words") - F.col("n_distinct_words")) / F.col("n_words") * 1.0, 6
+            (
+                F.expr("(n_words - n_distinct_words) * 1000000 div n_words")
+                / F.lit(1e6)
             ).alias("dup_word_frac"),
-            F.round(F.col("top_word_n") / F.col("n_words") * 1.0, 6).alias("top_word_frac"),
-            F.round(F.col("top_bigram_n") / F.col("n_bigrams") * 1.0, 6).alias(
+            (F.expr("top_word_n * 1000000 div n_words") / F.lit(1e6)).alias(
+                "top_word_frac"
+            ),
+            (F.expr("top_bigram_n * 1000000 div n_bigrams") / F.lit(1e6)).alias(
                 "top_bigram_frac"
             ),
         )
@@ -111,9 +114,9 @@ bs AS (SELECT doc_id, SUM(n) AS n_bigrams, MAX(n) AS top_bigram_n FROM bc GROUP 
 SELECT ws.doc_id,
        CAST(ws.n_words AS BIGINT) AS n_words,
        CAST(ws.n_distinct_words AS BIGINT) AS n_distinct_words,
-       ROUND(1.0 * (ws.n_words - ws.n_distinct_words) / ws.n_words, 6) AS dup_word_frac,
-       ROUND(1.0 * ws.top_word_n / ws.n_words, 6) AS top_word_frac,
-       ROUND(1.0 * bs.top_bigram_n / bs.n_bigrams, 6) AS top_bigram_frac
+       (ws.n_words - ws.n_distinct_words) * 1000000 // ws.n_words / 1e6 AS dup_word_frac,
+       ws.top_word_n * 1000000 // ws.n_words / 1e6 AS top_word_frac,
+       bs.top_bigram_n * 1000000 // bs.n_bigrams / 1e6 AS top_bigram_frac
 FROM ws JOIN bs ON ws.doc_id = bs.doc_id
 """
 
@@ -521,7 +524,7 @@ def t22_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("sum_bits").cast("long").alias("sum_bits"),
-        F.round(F.col("sum_bits") / F.col("n_tokens"), 6).alias("avg_bits"),
+        (F.expr("sum_bits * 1000000 div n_tokens") / F.lit(1e6)).alias("avg_bits"),
     )
 
 
@@ -536,7 +539,7 @@ freq AS (
 SELECT t.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(f.bits) AS BIGINT) AS sum_bits,
-       ROUND(SUM(f.bits) / COUNT(*), 6) AS avg_bits
+       SUM(f.bits) * 1000000 // COUNT(*) / 1e6 AS avg_bits
 FROM toks t JOIN freq f USING (w)
 GROUP BY t.doc_id
 """
@@ -1002,31 +1005,51 @@ GROUP BY 1, 2
 # a map-side filter — the exact window form here IS the oracle for that
 # scale path. (doc_id tiebreak → total order → engine-stable ranks.)
 # ---------------------------------------------------------------------------
-T29_KEEP_FRACTION = 0.5
+T29_KEEP_NUM, T29_KEEP_DEN = 1, 2  # keep the top half, as an exact rational
 
 
 def t29_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # percent_rank is (rank-1)/(n-1); the order key (n_chars, doc_id) is
+    # UNIQUE, so rank == row_number and both the published percentile and
+    # the keep verdict compute in exact integers (t09 class eliminated:
+    # the verdict compares cross-multiplied integers, never a float).
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    pct = F.percent_rank().over(w)
-    return docs.select(
+    staged = docs.select(
         "doc_id",
         "source",
         "n_chars",
-        F.round(pct, 6).alias("source_pct"),
-        (pct >= T29_KEEP_FRACTION).alias("keep"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_src"),
+    )
+    return staged.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(F.col("n_src") == 1, F.lit(0.0))
+        .otherwise(F.expr("(rn - 1) * 1000000 div (n_src - 1)") / F.lit(1e6))
+        .alias("source_pct"),
+        (
+            (F.col("rn") - 1) * T29_KEEP_DEN >= (F.col("n_src") - 1) * T29_KEEP_NUM
+        ).alias("keep"),
     )
 
 
 ORACLE_T29 = f"""
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM documents
+)
 SELECT doc_id, source, n_chars,
-       ROUND(percent_rank() OVER (PARTITION BY source
-                                  ORDER BY n_chars, doc_id), 6) AS source_pct,
-       percent_rank() OVER (PARTITION BY source
-                            ORDER BY n_chars, doc_id) >= {T29_KEEP_FRACTION} AS keep
-FROM documents
+       CASE WHEN n_src = 1 THEN 0.0
+            ELSE (rn - 1) * 1000000 // (n_src - 1) / 1e6 END AS source_pct,
+       (rn - 1) * {T29_KEEP_DEN} >= (n_src - 1) * {T29_KEEP_NUM} AS keep
+FROM r
 """
 
 

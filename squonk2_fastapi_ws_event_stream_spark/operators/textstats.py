@@ -323,7 +323,7 @@ def t32_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             F.col("n_correct").cast("long").alias("n_correct"),
             F.col("n_total").cast("long").alias("n_total"),
-            F.round(F.col("n_correct") / F.col("n_total"), 6).alias("accuracy"),
+            (F.expr("n_correct * 1000000 div n_total") / F.lit(1e6)).alias("accuracy"),
         )
     )
 
@@ -343,7 +343,7 @@ totals AS (
 SELECT c.lang, c.predicted_lang, c.n_docs,
        CAST(t.n_correct AS BIGINT) AS n_correct,
        CAST(t.n_total AS BIGINT) AS n_total,
-       ROUND(1.0 * t.n_correct / t.n_total, 6) AS accuracy
+       t.n_correct * 1000000 // t.n_total / 1e6 AS accuracy
 FROM cells c JOIN totals t USING (lang)
 """
 

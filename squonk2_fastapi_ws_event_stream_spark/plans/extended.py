@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import floor_scaled, sql_floor_scaled
 from ..tables import fan_out, table
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -26,7 +27,7 @@ def q12_richest_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
     return spark.sql(
         """
-        SELECT n_name, c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+        SELECT n_name, c_custkey, c_name, c_acctbal AS acctbal
         FROM v_customer c JOIN v_nation n ON c.c_nationkey = n.n_nationkey
         WHERE c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM v_customer c2
                              WHERE c2.c_nationkey = c.c_nationkey)
@@ -35,7 +36,7 @@ def q12_richest_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q12 = """
-SELECT n_name, c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+SELECT n_name, c_custkey, c_name, c_acctbal AS acctbal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
                      WHERE c2.c_nationkey = c.c_nationkey)
@@ -77,18 +78,18 @@ FROM events GROUP BY 1
 def q14_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        floor_scaled(F.expr("percentile(value, 0.5)")).alias("p50"),
+        floor_scaled(F.expr("percentile(value, 0.9)")).alias("p90"),
+        floor_scaled(F.expr("percentile(value, 0.99)")).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
-ORACLE_Q14 = """
+ORACLE_Q14 = f"""
 SELECT event_type,
-       ROUND(quantile_cont(value, 0.5), 6) AS p50,
-       ROUND(quantile_cont(value, 0.9), 6) AS p90,
-       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       {sql_floor_scaled(f"quantile_cont(value, 0.5)")} AS p50,
+       {sql_floor_scaled(f"quantile_cont(value, 0.9)")} AS p90,
+       {sql_floor_scaled(f"quantile_cont(value, 0.99)")} AS p99,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """
@@ -425,7 +426,9 @@ def x02_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     PCTS = (0.5, 0.9, 0.99)
     agg = ev.groupBy("event_type").agg(
         *[
-            F.round(F.expr(f"percentile(value, {p})"), 6).alias(f"p{int(p * 100)}_exact")
+            floor_scaled(F.expr(f"percentile(value, {p})")).alias(
+                f"p{int(p * 100)}_exact"
+            )
             for p in PCTS
         ],
         *[
@@ -466,11 +469,11 @@ def x02_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_X02 = """
+ORACLE_X02 = f"""
 SELECT event_type,
-       ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
-       ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
-       ROUND(quantile_cont(value, 0.99), 6) AS p99_exact,
+       {sql_floor_scaled(f"quantile_cont(value, 0.5)")} AS p50_exact,
+       {sql_floor_scaled(f"quantile_cont(value, 0.9)")} AS p90_exact,
+       {sql_floor_scaled(f"quantile_cont(value, 0.99)")} AS p99_exact,
        TRUE AS p50_ok,
        TRUE AS p90_ok,
        TRUE AS p99_ok,

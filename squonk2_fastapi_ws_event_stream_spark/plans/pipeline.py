@@ -233,7 +233,7 @@ def x04_skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.round(F.col("sum_qty").cast("double"), 4).alias("sum_qty"),
         "n_items",
-        F.round("max_price", 4).alias("max_price"),
+        F.col("max_price").alias("max_price"),
     )
 
 
@@ -241,7 +241,7 @@ ORACLE_X04 = """
 SELECT l_returnflag,
        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,10))) AS DOUBLE), 4) AS sum_qty,
        COUNT(*) AS n_items,
-       ROUND(MAX(l_extendedprice), 4) AS max_price
+       MAX(l_extendedprice) AS max_price
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -396,8 +396,8 @@ SELECT c_custkey,
             WHEN c_acctbal > 0 THEN 'mid'
             ELSE 'low' END AS bal_bucket,
        COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
-       ROUND(GREATEST(c_acctbal, 0.0), 4) AS bal_floor0,
-       ROUND(LEAST(c_acctbal, 1000.0), 4) AS bal_cap1000,
+       GREATEST(c_acctbal, 0.0) AS bal_floor0,
+       LEAST(c_acctbal, 1000.0) AS bal_cap1000,
        (NULLIF(c_acctbal, c_acctbal) IS NULL) AS nullif_self_is_null,
        CASE WHEN c_nationkey % 2 = 0 THEN c_nationkey ELSE -c_nationkey END
          AS signed_nation
@@ -1617,10 +1617,9 @@ ORACLES["x23_sample_size_planner"] = ORACLE_X23
 # the exact arm's per-key count aggregate (NDV-bounded shuffle) exists
 # only as the oracle-checkable verdict, like x20's exact percentiles.
 # ---------------------------------------------------------------------------
-AMS_D = 8
-AMS_A = [4973, 6203, 7369, 8539, 9679, 10837, 11953, 13147]
-AMS_B = [911, 1723, 2617, 3469, 4397, 5281, 6133, 7027]
-AMS_P = 1_000_000_007
+# Sign-hash family hoisted to functions/hashing.py (one source shared
+# with the streaming ams_f2 twin, the KMV discipline).
+from ..functions.hashing import AMS_A, AMS_B, AMS_D, AMS_P  # noqa: E402
 
 
 def x27_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,12 +45,18 @@ def q25_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-30, 0)
     )
     w_rows3 = w_total.rowsBetween(-2, 0)
-    return orders.select(
+    # percent_rank/cume_dist are int/int ratios; the ordering key
+    # (day_num, o_orderkey) is UNIQUE (o_orderkey is the orders PK), so
+    # rank == row_number and the peer group is always 1 — both publish as
+    # exact integer micros instead of the t09-class float ROUND.
+    staged = orders.select(
         "o_orderkey",
         "o_custkey",
         "day_num",
-        F.round(F.percent_rank().over(w_total), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w_total), 6).alias("cume_dist"),
+        F.row_number().over(w_total).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_custkey"))
+        .alias("n_part"),
         F.ntile(4).over(w_total).alias("quartile"),
         # Sums aggregate in DECIMAL (order-insensitive, exact); the final
         # cast to rounded DOUBLE is display-only, so pandas dtypes agree
@@ -60,6 +66,20 @@ def q25_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("price").over(w_rows3).cast("double"), 2).alias("last3_sum"),
         F.round(F.sum("price").over(w_range30).cast("double"), 2).alias("trailing30d_sum"),
     )
+    return staged.select(
+        "o_orderkey",
+        "o_custkey",
+        "day_num",
+        F.when(F.col("n_part") == 1, F.lit(0.0))
+        .otherwise(F.expr("(rn - 1) * 1000000 div (n_part - 1)") / F.lit(1e6))
+        .alias("pct_rank"),
+        (F.expr("rn * 1000000 div n_part") / F.lit(1e6)).alias("cume_dist"),
+        "quartile",
+        "first_price",
+        "second_price",
+        "last3_sum",
+        "trailing30d_sum",
+    )
 
 
 ORACLE_Q25 = f"""
@@ -68,20 +88,28 @@ WITH o AS (
          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
          datediff('day', DATE '{EPOCH}', CAST(o_orderdate AS DATE)) AS day_num
   FROM orders WHERE o_custkey % 50 = 0
+),
+r AS (
+  SELECT o_orderkey, o_custkey, day_num,
+         ROW_NUMBER() OVER w_total AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_part,
+         ntile(4) OVER w_total AS quartile,
+         ROUND(CAST(first_value(price) OVER w_total AS DOUBLE), 2) AS first_price,
+         ROUND(CAST(nth_value(price, 2) OVER w_total AS DOUBLE), 2) AS second_price,
+         ROUND(CAST(SUM(price) OVER (w_total ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE), 2) AS last3_sum,
+         ROUND(CAST(SUM(price) OVER (PARTITION BY o_custkey ORDER BY day_num
+                                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE), 2) AS trailing30d_sum
+  FROM o
+  WINDOW w_total AS (PARTITION BY o_custkey ORDER BY day_num, o_orderkey)
 )
 SELECT o_orderkey, o_custkey, day_num,
-       ROUND(percent_rank() OVER w_total, 6) AS pct_rank,
-       ROUND(cume_dist() OVER w_total, 6) AS cume_dist,
-       ntile(4) OVER w_total AS quartile,
-       ROUND(CAST(first_value(price) OVER w_total AS DOUBLE), 2) AS first_price,
-       ROUND(CAST(nth_value(price, 2) OVER w_total AS DOUBLE), 2) AS second_price,
-       ROUND(CAST(SUM(price) OVER (w_total ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                  AS DOUBLE), 2) AS last3_sum,
-       ROUND(CAST(SUM(price) OVER (PARTITION BY o_custkey ORDER BY day_num
-                                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
-                  AS DOUBLE), 2) AS trailing30d_sum
-FROM o
-WINDOW w_total AS (PARTITION BY o_custkey ORDER BY day_num, o_orderkey)
+       CASE WHEN n_part = 1 THEN 0.0
+            ELSE (rn - 1) * 1000000 // (n_part - 1) / 1e6 END AS pct_rank,
+       rn * 1000000 // n_part / 1e6 AS cume_dist,
+       quartile, first_price, second_price, last3_sum, trailing30d_sum
+FROM r
 """
 
 
@@ -232,7 +260,7 @@ SQL_Q26 = """
 SELECT c.c_custkey, o.o_orderkey, o.price, o.rk
 FROM customer c,
 LATERAL (
-  SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+  SELECT o_orderkey, o_totalprice AS price,
          ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
   FROM orders WHERE o_custkey = c.c_custkey
   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
@@ -311,7 +339,7 @@ def q27_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double").alias("n_customers"),
             F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
             .alias("total_balance"),
-            F.round(F.max("c_acctbal"), 2).alias("max_balance"),
+            F.max("c_acctbal").alias("max_balance"),
         )
     )
     return wide.unpivot(
@@ -327,7 +355,7 @@ WITH wide AS (
   SELECT c_mktsegment,
          CAST(COUNT(*) AS DOUBLE) AS n_customers,
          ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_balance,
-         ROUND(MAX(c_acctbal), 2) AS max_balance
+         MAX(c_acctbal) AS max_balance
   FROM customer GROUP BY c_mktsegment
 )
 SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS value FROM wide
@@ -524,7 +552,7 @@ def q30_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "o_orderkey",
-            F.round(F.col("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+            F.col("o_totalprice").alias("o_totalprice"),
             "total_qty",
         )
     )
@@ -538,7 +566,7 @@ WITH big AS (
   HAVING ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) > {Q30_MIN_QTY}
 )
 SELECT c.c_custkey, c.c_name, o.o_orderkey,
-       ROUND(CAST(o.o_totalprice AS DOUBLE), 2) AS o_totalprice,
+       o.o_totalprice AS o_totalprice,
        b.total_qty
 FROM orders o
 JOIN big b ON o.o_orderkey = b.l_orderkey

@@ -475,7 +475,7 @@ def q33_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_year",
             F.col("n_active").cast("long").alias("n_active"),
             F.col("cohort_size").cast("long").alias("cohort_size"),
-            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+            (F.expr("n_active * 1000000 div cohort_size") / F.lit(1e6)).alias("retention"),
         )
     )
 
@@ -498,7 +498,7 @@ active AS (
 SELECT a.cohort_year, a.order_year,
        CAST(a.n_active AS BIGINT) AS n_active,
        CAST(s.cohort_size AS BIGINT) AS cohort_size,
-       ROUND(a.n_active / s.cohort_size, 6) AS retention
+       a.n_active * 1000000 // s.cohort_size / 1e6 AS retention
 FROM active a JOIN sizes s USING (cohort_year)
 """
 
@@ -634,10 +634,15 @@ def q36_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_name",
             F.col("n_suppliers").cast("long").alias("n_suppliers"),
-            F.round(
-                F.col("sq_cents").cast("double")
-                / (F.col("total_cents").cast("double") * F.col("total_cents").cast("double")),
-                6,
+            # exact integer micros via decimal DIV (== DuckDB HUGEINT //):
+            # both numerator and denominator are exact integer cents, so
+            # no float enters until the final /1e6 of the same integer
+            (
+                F.expr(
+                    "CAST(sq_cents * 1000000 div (total_cents * total_cents)"
+                    " AS BIGINT)"
+                )
+                / F.lit(1e6)
             ).alias("hhi"),
         )
     )
@@ -658,9 +663,8 @@ per_nation AS (
 )
 SELECT n.n_name,
        CAST(p.n_suppliers AS BIGINT) AS n_suppliers,
-       ROUND(CAST(p.sq_cents AS DOUBLE)
-             / (CAST(p.total_cents AS DOUBLE) * CAST(p.total_cents AS DOUBLE)),
-             6) AS hhi
+       CAST(p.sq_cents * 1000000 // (p.total_cents * p.total_cents)
+            AS BIGINT) / 1e6 AS hhi
 FROM per_nation p JOIN nation n ON p.s_nationkey = n.n_nationkey
 """
 
@@ -768,7 +772,7 @@ def q38_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").cast("long").alias("c_custkey"),
         "c_name",
         "revenue",
-        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.col("c_acctbal").alias("c_acctbal"),
         F.col("n_name").alias("nation"),
     )
 
@@ -790,7 +794,7 @@ WITH agg AS (
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey ASC)
             AS INTEGER) AS rank,
        CAST(c_custkey AS BIGINT) AS c_custkey, c_name, revenue,
-       ROUND(c_acctbal, 2) AS c_acctbal, n_name AS nation
+       c_acctbal, n_name AS nation
 FROM agg
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT {Q38_TOP}

@@ -71,6 +71,51 @@ _NEW_OR_CHANGED = (
     # and the streaming twin now holds at any gap the product's int64
     # bound allows (~14,600 years).
     "e50_token_bucket_replay",
+    # round 9 CHANGED (VERDICT r8 task #2, AUDIT_ROUND_DOUBLES.md class-3/4
+    # conversion, first ~30 of the 93-query worklist, stalest first):
+    # int/int ratio ROUNDs -> exact integer micros with truncating DIV;
+    # raw-parquet-double ROUNDs -> raw passthrough (same bytes both
+    # engines); interpolated quantiles -> floor of the bit-identical
+    # double; t44's order-dependent SUM(sqrt) OVER () -> sorted
+    # left-to-right fold + floor_scaled; t45's per-iteration float ROUND
+    # -> e12 fixed-point integer ranks (no float in the loop at all).
+    # t37/t39/t42 change via the shared t22 avg_bits publisher and t33
+    # dup_frac they stage.
+    "e07_message_stats",
+    "e14_log_compaction",
+    "e17_out_of_order_stats",
+    "e18_conversion_funnel",
+    "e20_dau_mau_stickiness",
+    "e21_hourly_anomalies",
+    "e22_event_type_markov",
+    "e23_interarrival_stats",
+    "q12_richest_per_nation",
+    "q14_value_percentiles",
+    "q24_conditional_functions",
+    "q25_window_frames",
+    "q26_lateral_topn",
+    "q27_unpivot_metrics",
+    "q30_large_volume_customers",
+    "q33_cohort_retention",
+    "q36_supplier_concentration",
+    "q38_returned_items",
+    "x04_skew_two_phase_agg",
+    "t17_repetition_stats",
+    "t22_unigram_logprob",
+    "t29_quality_calibration",
+    "t32_langid_confusion",
+    "t33_dup_ngram_spans",
+    "t34_dsir_importance",
+    "t37_quality_bucket_stats",
+    "t39_removal_priority",
+    "t42_canonical_selection",
+    "t43_length_histogram",
+    "t44_temperature_mixture",
+    "t45_pagerank",
+    "t46_canary_scan",
+    # x02's exact columns share the q14 percentile recipe — converted in
+    # the same commit (its oracle text also matched the q14 replacement).
+    "x02_approx_percentiles",
 )
 
 # Round-8 head, kept for the ledger's history (same role as _ROUND7_HEAD).

@@ -852,6 +852,10 @@ def lateness_histogram(
 # bit-comparable, not just statistically similar (tested).
 # ---------------------------------------------------------------------------
 from ..functions.hashing import (  # noqa: E402 — section-local import
+    AMS_A,
+    AMS_B,
+    AMS_D,
+    AMS_P,
     KMV_A as _KMV_A,
     KMV_B as _KMV_B,
     KMV_K,
@@ -1208,6 +1212,83 @@ def histogram_drift(
         _update_drift_fn(lo, width, retention_ms),
         outputStructType=DRIFT_OUTPUT_SCHEMA,
         stateStructType=DRIFT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming AMS F2 — x27's (batch second-frequency-moment sketch)
+# streaming twin: per stream key, the 8 signed counters Z_i = Σ s_i(v)
+# live in state and fold one event at a time — the self-join-size /
+# skew monitor a planner reads continuously instead of rescanning the
+# log. Signs come from the SAME affine-parity family as batch x27
+# (functions/hashing.py AMS_*, one declaration — the KMV discipline), so
+# a batch x27-style fold over the same log computes bit-identical
+# counters (tested, incl. checkpoint restart).
+#
+# All-integer state and output: the median estimate publishes as
+# est_median_x2 = e[3] + e[4] of the sorted squared counters (×2, exact
+# — the ddsketch est*_x2 trick), never a float. Python arbitrary-
+# precision squares cannot overflow; state is AMS_D+1 longs per key
+# (Z_i ≤ n ≤ 3e9 at any realistic per-key volume, squared fits the
+# published long after the ×2 trick up to |Z| ~ 2.1e9), idle-evicted.
+# ---------------------------------------------------------------------------
+AMS_OUTPUT_SCHEMA = (
+    "key string, n_events long, est_min long, est_median_x2 long, est_max long"
+)
+AMS_STATE_SCHEMA = "n long, zs array<long>"
+
+
+def _ams_sign(v: int, i: int) -> int:
+    return 1 - 2 * ((v * AMS_A[i] + AMS_B[i]) % AMS_P % 2)
+
+
+def _update_ams_fn(retention_ms: int):
+    def _update_ams(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            n, zs = state.get
+            zs = list(zs)
+        else:
+            n, zs = 0, [0] * AMS_D
+        for pdf in pdfs:
+            for v in pdf["value_id"]:
+                v = int(v)
+                n += 1
+                for i in range(AMS_D):
+                    zs[i] += _ams_sign(v, i)
+        state.update((n, zs))
+        state.setTimeoutDuration(retention_ms)
+        sq = sorted(z * z for z in zs)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_events": [n],
+                "est_min": [sq[0]],
+                "est_median_x2": [sq[AMS_D // 2 - 1] + sq[AMS_D // 2]],
+                "est_max": [sq[AMS_D - 1]],
+            }
+        )
+
+    return _update_ams
+
+
+def ams_f2(
+    events: DataFrame, retention_ms: int = DEFAULT_IDLE_RETENTION_MS
+) -> DataFrame:
+    """Streaming per-key AMS F2 sketch. `events` must carry (key string,
+    value_id long); emits the cumulative sketch's min / median×2 / max
+    squared counters per (key, batch) — exact integers, bit-identical to
+    a batch fold over the same prefix of the log."""
+    return events.groupBy("key").applyInPandasWithState(
+        _update_ams_fn(retention_ms),
+        outputStructType=AMS_OUTPUT_SCHEMA,
+        stateStructType=AMS_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -1139,3 +1139,80 @@ def test_streaming_histogram_drift_matches_batch_x26_math(spark, tmp_path):
     want_ks2, want_l12 = ppm(batch_hist(p1), batch_hist(p2))
     assert (r2["period"], r2["n_ref"], r2["n_cur"]) == (2, 260, 180)
     assert (r2["ks_ppm"], r2["l1_ppm"]) == (want_ks2, want_l12)
+
+
+def test_streaming_ams_f2_matches_batch_x27_fold_bit_for_bit(spark, tmp_path):
+    """The seventh batch/stream twin (VERDICT r8 task #7): the streaming
+    AMS F2 sketch must reproduce batch x27's fold over the same log —
+    identical signed counters through the SHARED sign-hash family
+    (functions/hashing.py AMS_*, one declaration), hence identical
+    min / median(×2) / max squared-counter estimates — including across a
+    checkpoint RESTART."""
+    from squonk2_fastapi_ws_event_stream_spark.functions.hashing import (
+        AMS_A,
+        AMS_B,
+        AMS_D,
+        AMS_P,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import ams_f2
+
+    vals0 = [(i * 37) % 97 + 3 for i in range(400)]  # skewed small domain
+    vals1 = [(i * 53) % 211 + 11 for i in range(250)]
+
+    root = str(tmp_path / "amslog")
+    w = EventLogWriter(root, "a1")
+    for v in vals0:
+        w.publish(str(v), BASE_TS)
+    spark.dataSource.register(EventStreamDataSource)
+
+    def events_df():
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "a1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        return env.selectExpr(
+            "'a1' as key", "CAST(cast(value as string) AS BIGINT) as value_id"
+        )
+
+    def run_once() -> list:
+        got: list = []
+        q = (
+            ams_f2(events_df())
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "amsckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    def batch_fold(vals):
+        """Batch x27's sketch expressions run through Spark SQL over the
+        same values — proves the streaming counters are the same fold."""
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        exprs = ", ".join(
+            f"SUM(1 - 2 * ((v * {AMS_A[i]} + {AMS_B[i]}) % {AMS_P} % 2)) AS z{i}"
+            for i in range(AMS_D)
+        )
+        df.createOrReplaceTempView("ams_vals")
+        row = spark.sql(f"SELECT {exprs} FROM ams_vals").collect()[0]
+        sq = sorted(int(row[f"z{i}"]) ** 2 for i in range(AMS_D))
+        return sq[0], sq[AMS_D // 2 - 1] + sq[AMS_D // 2], sq[AMS_D - 1]
+
+    r = run_once()[-1]
+    want = batch_fold(vals0)
+    assert r["n_events"] == len(vals0)
+    assert (r["est_min"], r["est_median_x2"], r["est_max"]) == want
+
+    # restart: more events — the counters must CONTINUE from state, so
+    # the post-restart sketch equals one batch fold over the full prefix
+    for v in vals1:
+        w.publish(str(v), BASE_TS + 1000)
+    r2 = run_once()[-1]
+    want2 = batch_fold(vals0 + vals1)
+    assert r2["n_events"] == len(vals0) + len(vals1)
+    assert (r2["est_min"], r2["est_median_x2"], r2["est_max"]) == want2
