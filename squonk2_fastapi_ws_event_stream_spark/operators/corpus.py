@@ -364,12 +364,15 @@ def t36_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("n").cast("long").alias("n_types"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
-            6,
+        (
+            F.expr(
+                "(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
+            )
+            / F.lit(1e6)
         ).alias("zipf_slope"),
-        F.round(F.col("max_cnt") / F.col("n_tokens"), 6).alias("top1_share"),
+        (F.expr("max_cnt * 1000000 div n_tokens") / F.lit(1e6)).alias(
+            "top1_share"
+        ),
     )
 
 
@@ -387,9 +390,9 @@ ranked AS (
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
        CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-       ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1.0 /
-             (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS zipf_slope,
-       ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top1_share
+       (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1000000 //
+             (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) / 1e6 AS zipf_slope,
+       MAX(cnt) * 1000000 // SUM(cnt) / 1e6 AS top1_share
 FROM ranked
 """
 

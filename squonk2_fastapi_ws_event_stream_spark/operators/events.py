@@ -1320,12 +1320,13 @@ def e25_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a").alias("type_a"),
             F.col("b").alias("type_b"),
             F.col("n_both").cast("long").alias("n_both"),
-            F.round(
-                F.col("n_both") * F.col("n_sessions")
-                / (F.col("n_a") * F.col("n_b")),
-                6,
+            (
+                F.expr("n_both * n_sessions * 1000000 div (n_a * n_b)")
+                / F.lit(1e6)
             ).alias("lift"),
-            F.round(F.col("n_both") / F.col("n_sessions"), 6).alias("support"),
+            (F.expr("n_both * 1000000 div n_sessions") / F.lit(1e6)).alias(
+                "support"
+            ),
         )
     )
 
@@ -1351,8 +1352,8 @@ total AS (
 )
 SELECT b.a AS type_a, b.b AS type_b,
        CAST(b.n_both AS BIGINT) AS n_both,
-       ROUND(b.n_both * t.n_sessions * 1.0 / (sa.n_t * sb.n_t), 6) AS lift,
-       ROUND(b.n_both * 1.0 / t.n_sessions, 6) AS support
+       b.n_both * t.n_sessions * 1000000 // (sa.n_t * sb.n_t) / 1e6 AS lift,
+       b.n_both * 1000000 // t.n_sessions / 1e6 AS support
 FROM pair_counts b
 JOIN singles sa ON sa.t = b.a
 JOIN singles sb ON sb.t = b.b
@@ -1397,8 +1398,8 @@ def e26_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flagged.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_hours"),
-        F.round(F.max("med"), 1).alias("median_count"),
-        F.round(F.max("mad"), 1).alias("mad"),
+        F.max("med").alias("median_count"),
+        F.max("mad").alias("mad"),
         F.sum("is_anom").cast("long").alias("n_anomalous_hours"),
         F.max("cnt").cast("long").alias("max_count"),
     )
@@ -1421,8 +1422,8 @@ mad AS (
 )
 SELECT d.event_type,
        CAST(COUNT(*) AS BIGINT) AS n_hours,
-       ROUND(MAX(d.med), 1) AS median_count,
-       ROUND(MAX(m.mad), 1) AS mad,
+       MAX(d.med) AS median_count,
+       MAX(m.mad) AS mad,
        CAST(SUM(CASE WHEN d.adev > {E26_K} * m.mad THEN 1 ELSE 0 END)
             AS BIGINT) AS n_anomalous_hours,
        CAST(MAX(d.cnt) AS BIGINT) AS max_count
@@ -1455,14 +1456,14 @@ def e27_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("lat_us", F.col("p_us") - F.col("s_us"))
     return lat.agg(
         F.count(F.lit(1)).cast("long").alias("n_converting_users"),
-        F.round(F.expr("percentile(lat_us, 0.5)") / 60_000_000, 3).alias(
+        (F.floor(F.expr("percentile(lat_us, 0.5)")) / F.lit(60_000_000.0)).alias(
             "p50_minutes"
         ),
-        F.round(F.expr("percentile(lat_us, 0.9)") / 60_000_000, 3).alias(
+        (F.floor(F.expr("percentile(lat_us, 0.9)")) / F.lit(60_000_000.0)).alias(
             "p90_minutes"
         ),
-        F.round(F.min("lat_us") / 60_000_000, 3).alias("min_minutes"),
-        F.round(F.max("lat_us") / 60_000_000, 3).alias("max_minutes"),
+        (F.min("lat_us") / F.lit(60_000_000.0)).alias("min_minutes"),
+        (F.max("lat_us") / F.lit(60_000_000.0)).alias("max_minutes"),
     )
 
 
@@ -1478,10 +1479,10 @@ lat AS (
   WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us > s_us
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_converting_users,
-       ROUND(quantile_cont(lat_us, 0.5) / 60000000, 3) AS p50_minutes,
-       ROUND(quantile_cont(lat_us, 0.9) / 60000000, 3) AS p90_minutes,
-       ROUND(MIN(lat_us) / 60000000, 3) AS min_minutes,
-       ROUND(MAX(lat_us) / 60000000, 3) AS max_minutes
+       FLOOR(quantile_cont(lat_us, 0.5)) / 60000000.0 AS p50_minutes,
+       FLOOR(quantile_cont(lat_us, 0.9)) / 60000000.0 AS p90_minutes,
+       MIN(lat_us) / 60000000.0 AS min_minutes,
+       MAX(lat_us) / 60000000.0 AS max_minutes
 FROM lat
 """
 
@@ -1681,8 +1682,9 @@ def e29_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("rank"),
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
-        F.round(
-            F.col("w_sum").cast("double") / F.pow(F.lit(2.0), F.lit(E29_SHIFT)), 6
+        (
+            F.expr(f"CAST(w_sum * 1000000 div {2 ** E29_SHIFT} AS BIGINT)")
+            / F.lit(1e6)
         ).alias("decayed_score"),
     )
 
@@ -1709,7 +1711,7 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY w_sum DESC, event_type ASC) AS INTEGER)
          AS rank,
        event_type,
        CAST(n_events AS BIGINT) AS n_events,
-       ROUND(CAST(w_sum AS DOUBLE) / POWER(2.0, {E29_SHIFT}), 6) AS decayed_score
+       CAST(CAST(w_sum AS HUGEINT) * 1000000 // {2 ** E29_SHIFT} AS BIGINT) / 1e6 AS decayed_score
 FROM scored
 """
 

@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import floor_scaled, sql_floor_scaled
 from ..tables import fan_out, table
 
 ADLER_MOD = 65521
@@ -937,7 +938,7 @@ def m09_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id",
         "n_samples",
-        F.round(F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6).alias("rms"),
+        floor_scaled(F.sqrt(F.col("sum_sq") / F.col("n_samples"))).alias("rms"),
         "peak_abs",
         "zero_crossings",
     )
@@ -946,7 +947,7 @@ def m09_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle: sample i of doc d is ((fill + 7i) % 65536) - 32768 with
 # fill = d % 251 — re-derived arithmetically, so a stride/offset bug in
 # the real parser breaks every column.
-ORACLE_M09 = """
+ORACLE_M09 = f"""
 WITH params AS (
   SELECT doc_id, 200 + doc_id % 30 AS ns, doc_id % 251 AS fill
   FROM documents WHERE doc_id % 10 = 7
@@ -959,7 +960,7 @@ samples AS (
 )
 SELECT doc_id,
        CAST(ns AS BIGINT) AS n_samples,
-       ROUND(SQRT(list_sum(list_transform(s, x -> x * x)) * 1.0 / ns), 6) AS rms,
+       {sql_floor_scaled('SQRT(list_sum(list_transform(s, x -> x * x)) * 1.0 / ns)')} AS rms,
        CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS peak_abs,
        CAST(list_sum(list_transform(range(0, ns - 1),
               i -> CASE WHEN s[i + 1] * s[i + 2] < 0 THEN 1 ELSE 0 END))

@@ -877,12 +877,8 @@ def t27_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))  # 1-row aggregate: hint is safe
         .withColumn(
             "tfidf",
-            F.round(
-                F.col("tf")
-                * (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5)),
-                6,
-            ),
+            F.expr("tf * (2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1)")
+            / F.lit(1e6),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
@@ -904,7 +900,7 @@ df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
   SELECT t.doc_id, t.term,
-         ROUND(t.tf * (n.n_docs - d.df + 0.5) / (d.df + 0.5), 6) AS tfidf
+         t.tf * (2 * n.n_docs - 2 * d.df + 1) * 1000000 // (2 * d.df + 1) / 1e6 AS tfidf
   FROM tf t JOIN df d USING (term) CROSS JOIN n
 )
 SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf FROM (
@@ -1117,7 +1113,7 @@ def t30_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("n_bigrams").cast("long").alias("n_bigrams"),
             F.col("sum_bits").cast("long").alias("sum_bits"),
-            F.round(F.col("sum_bits") / F.col("n_bigrams"), 6).alias("avg_surprisal"),
+            (F.expr("sum_bits * 1000000 div n_bigrams") / F.lit(1e6)).alias("avg_surprisal"),
         )
     )
 
@@ -1141,7 +1137,7 @@ f1b AS (
 SELECT g.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(f1.bits1 - f2.bits2) AS BIGINT) AS sum_bits,
-       ROUND(SUM(f1.bits1 - f2.bits2) / COUNT(*), 6) AS avg_surprisal
+       SUM(f1.bits1 - f2.bits2) * 1000000 // COUNT(*) / 1e6 AS avg_surprisal
 FROM bg g
 JOIN freq2 f2 USING (b)
 JOIN f1b f1 ON split_part(g.b, ' ', 1) = f1.w1

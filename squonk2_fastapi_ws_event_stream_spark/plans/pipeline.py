@@ -749,53 +749,81 @@ ORACLES["x10_hll_set_intersection"] = ORACLE_X10
 # (functions/numeric.py) so both engines agree bit-for-bit.
 # ---------------------------------------------------------------------------
 def x11_sample_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # Averages in e10 fixed-point BIGINT: per-row values quantize to
+    # DECIMAL(18,10) exactly-as-rounded (same both engines), sum exactly,
+    # and the micro-average is one truncating DIV — so exact_avg,
+    # sample_avg AND their abs_err are the same integers on both engines
+    # (the old ROUND(double-quotient, 6) was the t09 class; value >= 0 in
+    # this corpus, so DIV == // here).  floor(floor(a/b)/c) == floor(a/bc)
+    # makes the one-step e10 -> micro division exact.
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,10)") * F.lit(10_000_000_000))
+        .cast("decimal(38,0)")
+        .alias("v_e10"),
+    )
     in_sample = ((F.col("event_id") * _MIX) % 1_000_003) % 100 < SAMPLE_PCT
     exact = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_total"),
-        davg("value").alias("exact_avg"),
+        F.sum("v_e10").alias("se"),
     )
     sampled = (
         ev.filter(in_sample)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            davg("value").alias("sample_avg"),
+            F.sum("v_e10").alias("ss"),
         )
     )
-    return (
-        exact.join(sampled, "event_type")
-        .select(
-            "event_type",
-            F.col("n_total").cast("long").alias("n_total"),
-            F.col("n_sampled").cast("long").alias("n_sampled"),
-            "exact_avg",
-            "sample_avg",
-            F.round(F.abs(F.col("exact_avg") - F.col("sample_avg")), 6).alias(
-                "abs_err"
-            ),
-        )
+    staged = exact.join(sampled, "event_type").select(
+        "event_type",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+        F.expr("CAST(se div (n_total * 10000) AS BIGINT)").alias("ea_micro"),
+        F.expr("CAST(ss div (n_sampled * 10000) AS BIGINT)").alias("sa_micro"),
+    )
+    return staged.select(
+        "event_type",
+        "n_total",
+        "n_sampled",
+        (F.col("ea_micro") / F.lit(1e6)).alias("exact_avg"),
+        (F.col("sa_micro") / F.lit(1e6)).alias("sample_avg"),
+        (F.abs(F.col("ea_micro") - F.col("sa_micro")) / F.lit(1e6)).alias(
+            "abs_err"
+        ),
     )
 
 
 ORACLE_X11 = f"""
-WITH exact AS (
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,10)) * 10000000000 AS HUGEINT) AS v_e10
+  FROM events
+),
+exact AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,10))) AS DOUBLE)
-               / COUNT(*), 6) AS exact_avg
-  FROM events GROUP BY event_type
+         SUM(v_e10) AS se
+  FROM ev GROUP BY event_type
 ),
 sampled AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,10))) AS DOUBLE)
-               / COUNT(*), 6) AS sample_avg
-  FROM events
+         SUM(v_e10) AS ss
+  FROM ev
   WHERE ((event_id * {_MIX}) % 1000003) % 100 < {SAMPLE_PCT}
   GROUP BY event_type
+),
+staged AS (
+  SELECT e.event_type, e.n_total, s.n_sampled,
+         CAST(e.se // (e.n_total * 10000) AS BIGINT) AS ea_micro,
+         CAST(s.ss // (s.n_sampled * 10000) AS BIGINT) AS sa_micro
+  FROM exact e JOIN sampled s USING (event_type)
 )
-SELECT e.event_type, e.n_total, s.n_sampled, e.exact_avg, s.sample_avg,
-       ROUND(ABS(e.exact_avg - s.sample_avg), 6) AS abs_err
-FROM exact e JOIN sampled s USING (event_type)
+SELECT event_type, n_total, n_sampled,
+       ea_micro / 1e6 AS exact_avg,
+       sa_micro / 1e6 AS sample_avg,
+       ABS(ea_micro - sa_micro) / 1e6 AS abs_err
+FROM staged
 """
 
 
@@ -909,10 +937,10 @@ def x13_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         # count is exact, and (K−1)·P/h_(K) would wildly overshoot.
         F.when(F.col("k_kept") < X13_K, F.col("k_kept").cast("double"))
         .otherwise(
-            F.round(
-                (F.col("k_kept") - 1) * F.lit(float(_X13_P)) / F.col("kth_min_hash"),
-                4,
+            F.expr(
+                f"(k_kept - 1) * {_X13_P} * 10000 div kth_min_hash"
             )
+            / F.lit(1e4)
         )
         .alias("kmv_estimate"),
         F.col("exact_users").cast("long").alias("exact_users"),
@@ -928,7 +956,7 @@ sketch AS (SELECT COUNT(*) AS k_kept, MAX(h) AS kth_min_hash FROM kmin)
 SELECT CAST(k_kept AS BIGINT) AS k_kept,
        CAST(kth_min_hash AS BIGINT) AS kth_min_hash,
        CASE WHEN k_kept < {X13_K} THEN CAST(k_kept AS DOUBLE)
-            ELSE ROUND((k_kept - 1) * CAST({_X13_P} AS DOUBLE) / kth_min_hash, 4)
+            ELSE (k_kept - 1) * {_X13_P} * 10000 // kth_min_hash / 1e4
        END AS kmv_estimate,
        (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_users
 FROM sketch

@@ -897,11 +897,11 @@ def q40_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select(
             F.col("c_mktsegment").alias("segment"),
-            F.round(F.col("cents").cast("double") / 100, 2).alias(
+            (F.col("cents").cast("double") / F.lit(100.0)).alias(
                 "weighted_median_price"
             ),
-            F.round(
-                F.col("cum").cast("double") / F.col("total").cast("double"), 6
+            (
+                F.expr("CAST(cum * 1000000 div total AS BIGINT)") / F.lit(1e6)
             ).alias("cum_share_at_median"),
             F.col("n_orders").cast("long").alias("n_orders"),
         )
@@ -930,8 +930,8 @@ crossed AS (
   FROM cum WHERE cum * 2 >= total
 )
 SELECT c_mktsegment AS segment,
-       ROUND(CAST(cents AS DOUBLE) / 100, 2) AS weighted_median_price,
-       ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+       CAST(cents AS DOUBLE) / 100.0 AS weighted_median_price,
+       CAST(cum * 1000000 // total AS BIGINT) / 1e6
          AS cum_share_at_median,
        CAST(n_orders AS BIGINT) AS n_orders
 FROM crossed WHERE rn = 1
@@ -966,11 +966,10 @@ def q41_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("prev_revenue"), F.lit(0.0)).alias("prev_revenue"),
             F.when(F.col("prev_revenue").isNull(), F.lit(0.0))
             .otherwise(
-                F.round(
-                    (F.col("revenue") - F.col("prev_revenue"))
-                    / F.col("prev_revenue"),
-                    6,
+                F.expr(
+                    "CAST((CAST(ROUND(revenue * 100) AS DECIMAL(38,0)) - CAST(ROUND(prev_revenue * 100) AS DECIMAL(38,0))) * 1000000 div CAST(ROUND(prev_revenue * 100) AS DECIMAL(38,0)) AS BIGINT)"
                 )
+                / F.lit(1e6)
             )
             .alias("yoy_growth"),
         )
@@ -996,7 +995,10 @@ lagged AS (
 SELECT n_name AS nation, CAST(o_year AS INTEGER) AS o_year, revenue,
        COALESCE(prev_revenue, 0.0) AS prev_revenue,
        CASE WHEN prev_revenue IS NULL THEN 0.0
-            ELSE ROUND((revenue - prev_revenue) / prev_revenue, 6)
+            ELSE CAST((CAST(ROUND(revenue * 100) AS HUGEINT)
+                       - CAST(ROUND(prev_revenue * 100) AS HUGEINT)) * 1000000
+                      // CAST(ROUND(prev_revenue * 100) AS HUGEINT) AS BIGINT)
+                 / 1e6
        END AS yoy_growth
 FROM lagged
 """
@@ -1180,7 +1182,7 @@ def q43_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("version") != "deleted"))
         .select(
             "o_orderkey",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_totalprice",
             "version",
         )
     )
@@ -1209,7 +1211,7 @@ ranked AS (
                                ORDER BY src DESC, version ASC) AS rn
   FROM unioned
 )
-SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, version
+SELECT o_orderkey, o_totalprice, version
 FROM ranked WHERE rn = 1 AND version <> 'deleted'
 """
 
@@ -1397,16 +1399,17 @@ def q48_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = base.join(
         merged, base.o_orderkey == merged.m_key, "full_outer"
     ).select(
+        # q43 now publishes the raw parquet double, so the diff compares
+        # raw vs raw — no float ROUND procedure on either side (the old
+        # ROUND(b, 2) was itself a t09-class cross-engine comparison)
         F.when(F.col("o_orderkey").isNull(), "added")
         .when(F.col("m_key").isNull(), "removed")
-        .when(
-            F.round("o_totalprice", 2) != F.col("m_price"), "changed"
-        )
+        .when(F.col("o_totalprice") != F.col("m_price"), "changed")
         .otherwise("unchanged")
         .alias("diff_class"),
         F.abs(
             F.coalesce(F.col("m_price"), F.lit(0.0))
-            - F.coalesce(F.round("o_totalprice", 2), F.lit(0.0))
+            - F.coalesce(F.col("o_totalprice"), F.lit(0.0))
         ).alias("delta"),
     )
     return joined.groupBy("diff_class").agg(
@@ -1426,10 +1429,10 @@ base AS (SELECT o_orderkey, o_totalprice FROM orders),
 joined AS (
   SELECT CASE WHEN b.o_orderkey IS NULL THEN 'added'
               WHEN m.m_key IS NULL THEN 'removed'
-              WHEN ROUND(b.o_totalprice, 2) <> m.m_price THEN 'changed'
+              WHEN b.o_totalprice <> m.m_price THEN 'changed'
               ELSE 'unchanged' END AS diff_class,
          ABS(COALESCE(m.m_price, 0.0)
-             - COALESCE(ROUND(b.o_totalprice, 2), 0.0)) AS delta
+             - COALESCE(b.o_totalprice, 0.0)) AS delta
   FROM base b FULL OUTER JOIN merged m ON b.o_orderkey = m.m_key
 )
 SELECT diff_class,

@@ -116,6 +116,31 @@ _NEW_OR_CHANGED = (
     # x02's exact columns share the q14 percentile recipe — converted in
     # the same commit (its oracle text also matched the q14 replacement).
     "x02_approx_percentiles",
+    # round 9 CHANGED, second conversion batch (next-stalest cohort):
+    # e25/e22-style int-ratio micros (e25 lift/support, t30 surprisal,
+    # t36 zipf slope + top1, t27 tfidf via the x2 idf trick, q40 share,
+    # x13 e4-units estimate matching x25b's form), raw-double passthrough
+    # (q43, e26's exact .0/.5 medians, e27/q40 exact-int divisions),
+    # floor-of-quantile (e27), floor_scaled (m09 rms), decimal-DIV micros
+    # (e29 decayed score, q41 growth from recovered cents, x11 e10
+    # fixed-point averages and abs_err).
+    "e25_session_cooccurrence",
+    "e26_mad_anomalies",
+    "e27_funnel_latency",
+    "e29_decayed_trending",
+    "m09_audio_features",
+    "q40_weighted_median",
+    "q41_yoy_revenue_growth",
+    "q43_cdc_merge",
+    "t27_tfidf_top_terms",
+    "t30_bigram_lm",
+    "t36_zipf_stats",
+    "x11_sample_error_bounds",
+    "x13_kmv_distinct",
+    # q48 composes q43 (the fingerprint guard caught the coupling) and
+    # its own ROUND(b,2)-vs-merged comparison was the same t09 class —
+    # converted to raw-vs-raw in the same commit.
+    "q48_snapshot_diff",
 )
 
 # Round-8 head, kept for the ledger's history (same role as _ROUND7_HEAD).

@@ -896,7 +896,9 @@ def _update_kmv_fn(retention_ms: int):
         state.setTimeoutDuration(retention_ms)
         k = len(mins)
         kth = mins[-1] if mins else 0
-        est = float(k) if k < KMV_K else round((k - 1) * float(_KMV_P) / kth, 4)
+        # e4 fixed-point integer estimate (the x13/x25b published form):
+        # same integer on any engine, no float round procedure
+        est = float(k) if k < KMV_K else ((k - 1) * _KMV_P * 10000 // kth) / 1e4
         yield pd.DataFrame(
             {
                 "key": [key[0]],

@@ -822,7 +822,7 @@ def test_streaming_kmv_matches_batch_kmv_bit_for_bit(spark, tmp_path):
         hs = sorted({((v % _KMV_P) * _KMV_A + _KMV_B) % _KMV_P for v in ids})
         mins = hs[:KMV_K]
         k, kth = len(mins), mins[-1]
-        est = float(k) if k < KMV_K else round((k - 1) * float(_KMV_P) / kth, 4)
+        est = float(k) if k < KMV_K else ((k - 1) * _KMV_P * 10000 // kth) / 1e4
         return k, kth, est
 
     r = run_once()[-1]
