@@ -1216,3 +1216,159 @@ def test_streaming_ams_f2_matches_batch_x27_fold_bit_for_bit(spark, tmp_path):
     want2 = batch_fold(vals0 + vals1)
     assert r2["n_events"] == len(vals0) + len(vals1)
     assert (r2["est_min"], r2["est_median_x2"], r2["est_max"]) == want2
+
+
+def test_streaming_funnel_matches_batch_e18_bit_for_bit(spark, tmp_path):
+    """The eighth batch/stream twin: per-user streaming funnel states,
+    aggregated, must reproduce batch e18_conversion_funnel's published
+    step counts AND its exact integer-micros conversion rates over the
+    same event log — including across a checkpoint restart mid-log.
+
+    Semantics note (why greedy-in-order == e18's min-after-previous):
+    e18 takes t_s = MIN(signup ts), t_c = MIN(click ts >= t_s),
+    t_p = MIN(purchase ts >= t_c). Feeding the log ordered by
+    (ts, funnel-stage-rank, event_id) makes the tracker's first-match
+    scan find exactly those minima: any qualifying click sorts after
+    the signup that qualifies it (the stage-rank tiebreak covers
+    ts-equality, where e18's >= still counts the click).
+
+    At sf0.001 every real user fully converts (15/15/15 — degenerate),
+    so the log is AUGMENTED with adversarial users that exercise each
+    gate: steps before signup, purchase without click, a purchase
+    BETWEEN signup and click (must be ignored), exact-ts ties, and a
+    step-free user. e18 runs on the same augmented table written to a
+    tmp sf-dir, so both paths see identical data."""
+    from squonk2_fastapi_ws_event_stream_spark.operators.events import (
+        e18_conversion_funnel,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        FUNNEL_STEPS,
+        funnel_tracker,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    T = BASE_TS
+    # (user_id, event_type, ms) — expected final stages in EXPECT below
+    adversarial = [
+        (9001, "click", T), (9001, "signup", T + 1_000),
+        (9002, "signup", T), (9002, "purchase", T + 1_000),
+        (9003, "signup", T), (9003, "purchase", T + 1_000),
+        (9003, "click", T + 2_000), (9003, "purchase", T + 3_000),
+        (9004, "view", T),
+        (9005, "signup", T), (9005, "click", T), (9005, "purchase", T),
+        (9006, "click", T), (9006, "purchase", T + 1_000),
+        (9006, "signup", T + 2_000), (9006, "click", T + 3_000),
+        (9007, "signup", T), (9007, "purchase", T + 1_000),
+        (9007, "click", T + 2_000),
+    ]
+    EXPECT = {9001: 1, 9002: 1, 9003: 3, 9004: 0, 9005: 3, 9006: 2, 9007: 2}
+
+    aug_dir = str(tmp_path / "augsf")
+    real = table(spark, sf, "events")
+    synth = spark.createDataFrame(
+        [
+            (10_000 + i, ms, uid, et, 0.0, "{}")
+            for i, (uid, et, ms) in enumerate(adversarial)
+        ],
+        "event_id long, ms long, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "timestamp_millis(ms) as ts", "user_id", "event_type",
+        "value", "props",
+    )
+    real.select(*synth.columns).unionByName(synth).write.parquet(
+        aug_dir + "/events.parquet"
+    )
+
+    batch = {
+        r["step"]: r for r in e18_conversion_funnel(spark, aug_dir).collect()
+    }
+
+    rank = {s: i for i, s in enumerate(FUNNEL_STEPS)}
+    ev = (
+        table(spark, aug_dir, "events")
+        .selectExpr(
+            "user_id",
+            "event_type",
+            "unix_micros(ts) as us",
+            "unix_millis(ts) as ms",
+            "event_id",
+        )
+        .collect()
+    )
+    # full-precision (us) ordering: a sub-ms ts difference must win over
+    # the stage-rank tiebreak, or the tracker could count a click whose
+    # true ts is BEFORE the signup e18 anchors on
+    ev.sort(key=lambda r: (r["us"], rank.get(r["event_type"], 99), r["event_id"]))
+    n_users = len({r["user_id"] for r in ev})
+
+    root = str(tmp_path / "funlog")
+    w = EventLogWriter(root, "f1")
+    spark.dataSource.register(EventStreamDataSource)
+
+    def run_once(states: dict) -> None:
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "f1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        events = env.selectExpr(
+            r"split(cast(value as string), '\\|')[0] as user",
+            r"split(cast(value as string), '\\|')[1] as step",
+            "unix_millis(timestamp) as ms",
+            "offset",
+        )
+
+        def keep_last(df, _id):
+            for row in df.collect():
+                states[row["user"]] = row
+
+        q = (
+            funnel_tracker(events)
+            .writeStream.foreachBatch(keep_last)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "funckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # first half, run, then the rest, run again from the SAME checkpoint:
+    # per-user stage state must survive the restart for the totals to match
+    half = len(ev) // 2
+    for r in ev[:half]:
+        w.publish(f"{r['user_id']}|{r['event_type']}", r["ms"])
+    states: dict = {}
+    run_once(states)
+    for r in ev[half:]:
+        w.publish(f"{r['user_id']}|{r['event_type']}", r["ms"])
+    run_once(states)
+
+    assert len(states) == n_users
+    # the adversarial users hit exactly the expected gate each
+    for uid, stage in EXPECT.items():
+        assert states[str(uid)]["stage"] == stage, uid
+    n_signup = sum(1 for s in states.values() if s["stage"] >= 1)
+    n_click = sum(1 for s in states.values() if s["stage"] >= 2)
+    n_purchase = sum(1 for s in states.values() if s["stage"] == 3)
+    assert n_signup == batch["signup"]["n_users"]
+    assert n_click == batch["click_after_signup"]["n_users"]
+    assert n_purchase == batch["purchase_after_click"]["n_users"]
+    # the published rates are integer micros / 1e6 — recompute the SAME
+    # integers from the streaming counts: identical doubles, not approx
+    assert batch["signup"]["conv_from_prev"] == (
+        n_signup * 1_000_000 // n_users / 1e6
+    )
+    assert batch["click_after_signup"]["conv_from_prev"] == (
+        n_click * 1_000_000 // n_signup / 1e6
+    )
+    assert batch["purchase_after_click"]["conv_from_prev"] == (
+        n_purchase * 1_000_000 // n_click / 1e6
+    )
+    # converted users carry an exact signup->purchase latency in state
+    assert all(
+        s["conv_ms"] >= 0 for s in states.values() if s["stage"] == 3
+    )
