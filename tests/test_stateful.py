@@ -1372,3 +1372,102 @@ def test_streaming_funnel_matches_batch_e18_bit_for_bit(spark, tmp_path):
     assert all(
         s["conv_ms"] >= 0 for s in states.values() if s["stage"] == 3
     )
+
+
+def test_streaming_twap_matches_batch_e41_fold_bit_for_bit(spark, tmp_path):
+    """The ninth batch/stream twin: the streaming TWAP's integer state
+    (value-time integral, held duration, observation counts) must equal
+    e41_time_weighted_avg's fold over the same log, per event_type —
+    including across a checkpoint restart mid-log.
+
+    e41's day-partitioned windows + calendar stitching are algebraically
+    one global (us, event_id)-ordered integral per event_type; the twin
+    recomputes that global form inline (exact decimal cents x micros)
+    and also cross-checks the two exact columns e41 itself publishes
+    (n_obs, span_us). The published twap double is ROUND-bearing until
+    the round-10 conversion, so the integral is compared in integers —
+    twap_milli = vt x 10 DIV dur — not through the float."""
+    from squonk2_fastapi_ws_event_stream_spark.operators.events import (
+        e41_time_weighted_avg,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        twap_tracker,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        table(spark, sf, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(ts) as us",
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) as cents",
+            "event_id",
+        )
+        .collect()
+    )
+    ev.sort(key=lambda r: (r["us"], r["event_id"]))
+
+    # inline global fold of e41's integral (its day windows + stitching
+    # are equivalence-tested elsewhere; per key this is the same sum)
+    want: dict = {}
+    for r in ev:
+        k = r["event_type"]
+        last_us, last_cents, vt, dur, n = want.get(k, (-1, 0, 0, 0, 0))
+        if last_us >= 0:
+            vt += last_cents * (r["us"] - last_us)
+            dur += r["us"] - last_us
+        want[k] = (r["us"], r["cents"], vt, dur, n + 1)
+
+    batch = {r["event_type"]: r for r in e41_time_weighted_avg(spark, sf).collect()}
+
+    root = str(tmp_path / "twaplog")
+    w = EventLogWriter(root, "w1")
+    spark.dataSource.register(EventStreamDataSource)
+
+    def run_once(states: dict) -> None:
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "w1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        obs = env.selectExpr(
+            r"split(cast(value as string), '\\|')[0] as key",
+            r"CAST(split(cast(value as string), '\\|')[1] AS BIGINT) as cents",
+            r"CAST(split(cast(value as string), '\\|')[2] AS BIGINT) as us",
+            "offset",
+        )
+
+        def keep_last(df, _id):
+            for row in df.collect():
+                states[row["key"]] = row
+
+        q = (
+            twap_tracker(obs)
+            .writeStream.foreachBatch(keep_last)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "twapckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(ev) // 2
+    states: dict = {}
+    for r in ev[:half]:
+        w.publish(f"{r['event_type']}|{r['cents']}|{r['us']}", r["us"] // 1000)
+    run_once(states)
+    for r in ev[half:]:
+        w.publish(f"{r['event_type']}|{r['cents']}|{r['us']}", r["us"] // 1000)
+    run_once(states)
+
+    assert set(states) == set(want) == set(batch)
+    for k, (last_us, last_cents, vt, dur, n) in want.items():
+        s = states[k]
+        assert s["late"] == 0
+        assert s["n_obs"] == n == batch[k]["n_obs"]
+        assert s["span_us"] == dur == batch[k]["span_us"]
+        assert s["twap_milli"] == vt * 10 // dur
+        assert s["last_value_milli"] == last_cents * 10
