@@ -594,28 +594,40 @@ def twap_tracker(
 #
 # Everything is integer cents: prefix sum, running prefix-min, and the
 # threshold compare — a replayed batch after checkpoint restore folds
-# to identical integers (restart-tested). State is four longs + the
-# alarm count; keys idle past retention are evicted like every
-# operator in this module.
+# to identical integers (restart-tested). State is five longs; keys
+# idle past retention are evicted like every operator in this module.
+#
+# rearm=False switches to e32's forensic form: the running min is NOT
+# reset after an alarm, so `n_alarms` counts every observation whose
+# statistic exceeds the threshold — exactly e32's n_alarm_days when fed
+# the same day-ordered integer series — and `first_alarm_n` (1-based
+# observation index, 0 = none) identifies e32's first_alarm_day. The
+# default rearm=True stays the operational alarm (one count per
+# excursion, re-armed).
 #
 # Scale: O(active keys) state, constant work per message. This is the
 # always-on drift alarm; e32 is its forensic batch replay.
 # ---------------------------------------------------------------------------
 CUSUM_OUTPUT_SCHEMA = (
-    "key string, n_obs long, stat long, n_alarms long, alarmed_in_batch boolean"
+    "key string, n_obs long, stat long, n_alarms long, "
+    "first_alarm_n long, alarmed_in_batch boolean"
 )
-CUSUM_STATE_SCHEMA = "cum long, cum_min long, n long, alarms long"
+CUSUM_STATE_SCHEMA = (
+    "cum long, cum_min long, n long, alarms long, first_alarm_n long"
+)
 
 
-def _update_cusum_fn(target: int, threshold: int, retention_ms: int):
+def _update_cusum_fn(
+    target: int, threshold: int, retention_ms: int, rearm: bool
+):
     def _update_cusum(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
-        cum, cum_min, n, alarms = (
-            state.get if state.exists else (0, 0, 0, 0)
+        cum, cum_min, n, alarms, first_alarm_n = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
         )
         batch_alarm = False
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("offset")
@@ -623,12 +635,15 @@ def _update_cusum_fn(target: int, threshold: int, retention_ms: int):
             cum += int(x) - target
             if cum < cum_min:
                 cum_min = cum
+            n += 1
             if cum - cum_min > threshold:
                 alarms += 1
                 batch_alarm = True
-                cum_min = cum  # re-arm
-            n += 1
-        state.update((cum, cum_min, n, alarms))
+                if first_alarm_n == 0:
+                    first_alarm_n = n
+                if rearm:
+                    cum_min = cum  # re-arm
+        state.update((cum, cum_min, n, alarms, first_alarm_n))
         state.setTimeoutDuration(retention_ms)
         yield pd.DataFrame(
             {
@@ -636,6 +651,7 @@ def _update_cusum_fn(target: int, threshold: int, retention_ms: int):
                 "n_obs": [n],
                 "stat": [cum - cum_min],
                 "n_alarms": [alarms],
+                "first_alarm_n": [first_alarm_n],
                 "alarmed_in_batch": [batch_alarm],
             }
         )
@@ -648,11 +664,14 @@ def cusum_monitor(
     target_cents: int,
     threshold_cents: int,
     retention_ms: int = DEFAULT_IDLE_RETENTION_MS,
+    rearm: bool = True,
 ) -> DataFrame:
     """Streaming per-key CUSUM drift alarms. `observations` must carry
     (key string, cents long, offset long)."""
     return observations.groupBy("key").applyInPandasWithState(
-        _update_cusum_fn(int(target_cents), int(threshold_cents), retention_ms),
+        _update_cusum_fn(
+            int(target_cents), int(threshold_cents), retention_ms, rearm
+        ),
         outputStructType=CUSUM_OUTPUT_SCHEMA,
         stateStructType=CUSUM_STATE_SCHEMA,
         outputMode="append",

@@ -1471,3 +1471,133 @@ def test_streaming_twap_matches_batch_e41_fold_bit_for_bit(spark, tmp_path):
         assert s["span_us"] == dur == batch[k]["span_us"]
         assert s["twap_milli"] == vt * 10 // dur
         assert s["last_value_milli"] == last_cents * 10
+
+
+def test_streaming_cusum_norearm_matches_batch_e32_bit_for_bit(spark, tmp_path):
+    """The tenth batch/stream twin: cusum_monitor(rearm=False) over a
+    key's day-ordered centered series must reproduce batch
+    e32_cusum_changepoint exactly — same alarm-day count, same first
+    alarm day, same closing Page statistic — in pure integers.
+
+    e32 centers without division (d = cnt*n_days - total, threshold
+    h = E32_H_MULT*total), so feeding that exact integer series with
+    target 0 makes the streaming fold e32's statistic verbatim. The
+    real sf0.001 types never alarm (uniform synthetic traffic), so the
+    table is augmented with an 'incident' type whose last two days
+    burst past h — covering the alarm branch, first-alarm capture, and
+    the no-rearm above-threshold counting that distinguishes this form
+    from the operational rearm=True default."""
+    import datetime as dt
+
+    from squonk2_fastapi_ws_event_stream_spark.operators.events import (
+        E32_H_MULT,
+        e32_cusum_changepoint,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        cusum_monitor,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    day0 = dt.date(2020, 1, 1)
+    counts = [5, 5, 5, 5, 5, 5, 5, 5, 200, 250]  # stats: 0x8, 1510, 3520; h=1470
+    incident = []
+    eid = 20_000
+    for i, cnt in enumerate(counts):
+        ms = int(
+            dt.datetime(2020, 1, 1 + i, 12, tzinfo=dt.timezone.utc).timestamp()
+            * 1000
+        )
+        for _ in range(cnt):
+            incident.append((eid, ms, 1, "incident", 0.0, "{}"))
+            eid += 1
+
+    aug_dir = str(tmp_path / "augsf")
+    real = table(spark, sf, "events")
+    synth = spark.createDataFrame(
+        incident,
+        "event_id long, ms long, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "timestamp_millis(ms) as ts", "user_id", "event_type",
+        "value", "props",
+    )
+    real.select(*synth.columns).unionByName(synth).write.parquet(
+        aug_dir + "/events.parquet"
+    )
+
+    batch = {
+        r["event_type"]: r
+        for r in e32_cusum_changepoint(spark, aug_dir).collect()
+    }
+
+    # day-ordered centered series per type, straight from the same table
+    daily = (
+        table(spark, aug_dir, "events")
+        .selectExpr("event_type", "CAST(ts AS DATE) as day")
+        .groupBy("event_type", "day")
+        .count()
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["count"]))
+    for v in series.values():
+        v.sort()
+
+    spark.dataSource.register(EventStreamDataSource)
+
+    def stream_one(etype: str) -> dict:
+        days = series[etype]
+        n_days, total = len(days), sum(c for _, c in days)
+        root = str(tmp_path / f"cusumlog-{etype}")
+        w = EventLogWriter(root, etype)
+        for _day, cnt in days:
+            w.publish(str(cnt * n_days - total), BASE_TS)
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", etype)
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        obs = env.selectExpr(
+            f"'{etype}' as key",
+            "CAST(cast(value as string) AS BIGINT) as cents",
+            "offset",
+        )
+        got: list = []
+        q = (
+            cusum_monitor(
+                obs,
+                target_cents=0,
+                threshold_cents=E32_H_MULT * total,
+                rearm=False,
+            )
+            .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"cusumckpt-{etype}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got[-1]
+
+    # the alarming type: 2 above-threshold days, first on day 9
+    r = stream_one("incident")
+    b = batch["incident"]
+    assert r["n_obs"] == b["n_days"] == len(counts)
+    assert r["n_alarms"] == b["n_alarm_days"] == 2
+    assert r["first_alarm_n"] == 9
+    assert (
+        series["incident"][r["first_alarm_n"] - 1][0].isoformat()
+        == b["first_alarm_day"]
+    )
+    assert r["stat"] == 3520
+
+    # a real type that never alarms: identical zero-alarm accounting
+    r2 = stream_one("view")
+    b2 = batch["view"]
+    assert r2["n_obs"] == b2["n_days"]
+    assert r2["n_alarms"] == 0 == b2["n_alarm_days"]
+    assert r2["first_alarm_n"] == 0 and b2["first_alarm_day"] is None
