@@ -1313,3 +1313,101 @@ def ams_f2(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming hourly burst monitor — the stateful streaming twin of the
+# e21 batch hourly-anomaly query (operators/events.py): per key, an
+# hour's event count is compared against the SUM OF ITS 6 TRAILING
+# OBSERVED HOURS (rows, not calendar hours — an hour with zero events
+# produces no row in either engine), flagging when
+#
+#   n_events · 6 · E21_DEN  >=  trail_sum · E21_NUM
+#
+# with the same published ratio form (n·6e6 DIV trail / 1e6 — the exact
+# integer-micros double e21 emits). An hour is EVALUATED WHEN IT CLOSES,
+# i.e. when the first event of a LATER hour arrives; the ring of the
+# last 6 closed (hour, count) pairs is the whole per-key state, so this
+# is the live "traffic burst" alarm over an unbounded key space while
+# e21 is its forensic batch replay. Events for already-closed hours are
+# dropped (the e42 lateness histogram is the instrument that quantifies
+# such lateness); feed the log in timestamp order for exact parity.
+#
+# Scale: O(active keys) state, 14 longs each; per-message work is a
+# comparison and an increment. The always-open final hour is emitted
+# only by a later arrival or never — batch replay is the tool for the
+# trailing edge, identical to every monitor in this module.
+# ---------------------------------------------------------------------------
+HOURLY_NUM, HOURLY_DEN = 15, 10  # threshold 1.5 as a rational (== e21)
+
+HOURLY_OUTPUT_SCHEMA = (
+    "key string, hour_no long, n_events long, ratio double"
+)
+HOURLY_STATE_SCHEMA = (
+    "open_hour long, open_cnt long, hours array<long>, counts array<long>"
+)
+
+
+def _update_hourly_fn(num: int, den: int, retention_ms: int):
+    def _close(
+        out: list, key: str, hour: int, cnt: int, hours: list, counts: list
+    ) -> None:
+        """Evaluate a closing hour against its 6 trailing observed hours,
+        then push it into the ring (trimmed to 6)."""
+        if len(hours) == 6:
+            trail = sum(counts)
+            if cnt * 6 * den >= trail * num:
+                out.append(
+                    (key, hour, cnt, cnt * 6_000_000 // trail / 1e6)
+                )
+        hours.append(hour)
+        counts.append(cnt)
+        del hours[:-6], counts[:-6]
+
+    def _update_hourly(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        open_hour, open_cnt, hours, counts = (
+            state.get if state.exists else (-1, 0, [], [])
+        )
+        hours, counts = list(hours), list(counts)
+        out: list = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        for h in sorted(rows["hour_no"].astype("int64").tolist()):
+            h = int(h)
+            if h == open_hour:
+                open_cnt += 1
+            elif h > open_hour:
+                if open_hour >= 0:
+                    _close(out, key[0], open_hour, open_cnt, hours, counts)
+                open_hour, open_cnt = h, 1
+            # h < open_hour: late for a closed hour — dropped (see header)
+        state.update((open_hour, open_cnt, hours, counts))
+        state.setTimeoutDuration(retention_ms)
+        yield pd.DataFrame(
+            out or None,
+            columns=["key", "hour_no", "n_events", "ratio"],
+        )
+
+    return _update_hourly
+
+
+def hourly_anomaly_monitor(
+    events: DataFrame,
+    num: int = HOURLY_NUM,
+    den: int = HOURLY_DEN,
+    retention_ms: int = DEFAULT_IDLE_RETENTION_MS,
+) -> DataFrame:
+    """Streaming per-key hourly burst alarms, e21's num/den rule over
+    the 6 trailing observed hours. `events` must carry (key string,
+    hour_no long); emits one row per FLAGGED CLOSED hour."""
+    return events.groupBy("key").applyInPandasWithState(
+        _update_hourly_fn(int(num), int(den), retention_ms),
+        outputStructType=HOURLY_OUTPUT_SCHEMA,
+        stateStructType=HOURLY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1601,3 +1601,89 @@ def test_streaming_cusum_norearm_matches_batch_e32_bit_for_bit(spark, tmp_path):
     assert r2["n_obs"] == b2["n_days"]
     assert r2["n_alarms"] == 0 == b2["n_alarm_days"]
     assert r2["first_alarm_n"] == 0 and b2["first_alarm_day"] is None
+
+
+def test_streaming_hourly_monitor_matches_batch_e21_bit_for_bit(spark, tmp_path):
+    """The eleventh batch/stream twin: hourly_anomaly_monitor over the
+    ts-ordered sf0.001 log must flag exactly the hours
+    e21_hourly_anomalies flags — same (key, hour_no, n_events) set and
+    the same integer-micros ratio doubles — across a checkpoint restart
+    that splits the log mid-stream. The only excluded rows are each
+    key's final hour, which never closes in the stream (the batch
+    replay is the tool for the trailing edge)."""
+    from squonk2_fastapi_ws_event_stream_spark.operators.events import (
+        e21_hourly_anomalies,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        hourly_anomaly_monitor,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        table(spark, sf, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(unix_micros(ts) / 3600000000 AS BIGINT) as hour_no",
+            "unix_micros(ts) as us",
+        )
+        .collect()
+    )
+    ev.sort(key=lambda r: r["us"])
+    last_hour = {}
+    for r in ev:
+        last_hour[r["event_type"]] = max(
+            last_hour.get(r["event_type"], -1), r["hour_no"]
+        )
+
+    want = {
+        (r["event_type"], r["hour_no"]): (r["n_events"], r["ratio"])
+        for r in e21_hourly_anomalies(spark, sf).collect()
+        if r["hour_no"] < last_hour[r["event_type"]]
+    }
+    assert len(want) > 50  # the comparison is not vacuous at sf0.001
+
+    root = str(tmp_path / "hourlog")
+    w = EventLogWriter(root, "h1")
+    spark.dataSource.register(EventStreamDataSource)
+
+    got: dict = {}
+
+    def run_once() -> None:
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "h1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        events = env.selectExpr(
+            r"split(cast(value as string), '\\|')[0] as key",
+            r"CAST(split(cast(value as string), '\\|')[1] AS BIGINT) as hour_no",
+        )
+        q = (
+            hourly_anomaly_monitor(events)
+            .writeStream.foreachBatch(
+                lambda df, _id: got.update(
+                    {
+                        (r["key"], r["hour_no"]): (r["n_events"], r["ratio"])
+                        for r in df.collect()
+                    }
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "hourckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(ev) // 2
+    for r in ev[:half]:
+        w.publish(f"{r['event_type']}|{r['hour_no']}", r["us"] // 1000)
+    run_once()
+    for r in ev[half:]:
+        w.publish(f"{r['event_type']}|{r['hour_no']}", r["us"] // 1000)
+    run_once()
+
+    assert got == want
