@@ -36,8 +36,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = "key string, total_messages long, total_bytes long, batch_messages long"
-STATE_SCHEMA = "total_messages long, total_bytes long"
+OUTPUT_SCHEMA = (
+    "key string, total_messages long, total_bytes long, "
+    "min_bytes long, max_bytes long, batch_messages long"
+)
+STATE_SCHEMA = (
+    "total_messages long, total_bytes long, min_bytes long, max_bytes long"
+)
 
 # Idle-key eviction (round-6 task #4): stream keys are unbounded over
 # months of churn, so NoTimeout state is O(all keys ever seen) — a slow
@@ -61,19 +66,27 @@ def _update_totals_fn(retention_ms: int):
             # the broker within its retention; see module note).
             state.remove()
             return
-        total_msgs, total_bytes = state.get if state.exists else (0, 0)
+        total_msgs, total_bytes, min_bytes, max_bytes = (
+            state.get if state.exists else (0, 0, -1, -1)
+        )
         batch_msgs = 0
         for pdf in pdfs:
             batch_msgs += len(pdf)
             total_msgs += len(pdf)
             total_bytes += int(pdf["n_bytes"].sum())
-        state.update((total_msgs, total_bytes))
+            if len(pdf):
+                lo, hi = int(pdf["n_bytes"].min()), int(pdf["n_bytes"].max())
+                min_bytes = lo if min_bytes < 0 else min(min_bytes, lo)
+                max_bytes = max(max_bytes, hi)
+        state.update((total_msgs, total_bytes, min_bytes, max_bytes))
         state.setTimeoutDuration(retention_ms)
         yield pd.DataFrame(
             {
                 "key": [key[0]],
                 "total_messages": [total_msgs],
                 "total_bytes": [total_bytes],
+                "min_bytes": [min_bytes],
+                "max_bytes": [max_bytes],
                 "batch_messages": [batch_msgs],
             }
         )
@@ -84,8 +97,10 @@ def _update_totals_fn(retention_ms: int):
 def running_totals(
     envelope: DataFrame, retention_ms: int = DEFAULT_IDLE_RETENTION_MS
 ) -> DataFrame:
-    """Streaming cumulative (messages, bytes) per stream key. Keys idle
-    past `retention_ms` are evicted from the state store."""
+    """Streaming cumulative (messages, bytes, min/max message size) per
+    stream key — the A1 server-stats shape plus e07's size extremes
+    (min/max are -1 until the key's first message). Keys idle past
+    `retention_ms` are evicted from the state store."""
     sized = envelope.select(
         "key", F.octet_length("value").cast("long").alias("n_bytes")
     )

@@ -1687,3 +1687,81 @@ def test_streaming_hourly_monitor_matches_batch_e21_bit_for_bit(spark, tmp_path)
     run_once()
 
     assert got == want
+
+
+def test_streaming_totals_match_batch_e07_bit_for_bit(spark, tmp_path):
+    """The twelfth batch/stream twin: running_totals per event_type over
+    the sf0.001 props payloads must reproduce every column
+    e07_message_stats publishes — counts, byte totals, min/max message
+    size, and the exact integer-micros avg_bytes — across a checkpoint
+    restart mid-log. (props is ASCII in the test tables, so
+    octet_length == the batch side's length.)"""
+    from squonk2_fastapi_ws_event_stream_spark.operators.events import (
+        e07_message_stats,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        running_totals,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    batch = {r["event_type"]: r for r in e07_message_stats(spark, sf).collect()}
+    ev = (
+        table(spark, sf, "events")
+        .selectExpr("event_type", "props", "event_id")
+        .collect()
+    )
+
+    root = str(tmp_path / "totlog")
+    w = EventLogWriter(root, "t1")
+    spark.dataSource.register(EventStreamDataSource)
+
+    states: dict = {}
+
+    def run_once() -> None:
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "t1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        # re-key the envelope: first '|' splits type from the raw payload
+        shaped = env.selectExpr(
+            "substring_index(cast(value as string), '|', 1) as key",
+            "substring(cast(value as string), "
+            "length(substring_index(cast(value as string), '|', 1)) + 2) as value",
+        )
+        q = (
+            running_totals(shaped)
+            .writeStream.foreachBatch(
+                lambda df, _id: states.update(
+                    {r["key"]: r for r in df.collect()}
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "totckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(ev) // 2
+    for r in ev[:half]:
+        w.publish(f"{r['event_type']}|{r['props']}", BASE_TS)
+    run_once()
+    for r in ev[half:]:
+        w.publish(f"{r['event_type']}|{r['props']}", BASE_TS + 1000)
+    run_once()
+
+    assert set(states) == set(batch)
+    for k, b in batch.items():
+        s = states[k]
+        assert s["total_messages"] == b["total_messages"]
+        assert s["total_bytes"] == b["total_bytes"]
+        assert s["min_bytes"] == b["min_bytes"]
+        assert s["max_bytes"] == b["max_bytes"]
+        # e07's avg_bytes is integer micros / 1e6 — same integer, same double
+        assert b["avg_bytes"] == (
+            s["total_bytes"] * 1_000_000 // s["total_messages"] / 1e6
+        )
