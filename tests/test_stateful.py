@@ -1765,3 +1765,90 @@ def test_streaming_totals_match_batch_e07_bit_for_bit(spark, tmp_path):
         assert b["avg_bytes"] == (
             s["total_bytes"] * 1_000_000 // s["total_messages"] / 1e6
         )
+
+
+def test_streaming_latest_state_matches_batch_e14_bit_for_bit(spark, tmp_path):
+    """The thirteenth batch/stream twin: latest_state over the log fed
+    in e14's winner order — (ts us, event_id) ascending per
+    (user, event_type) key — must elect exactly e14_log_compaction's
+    winners: same last_event_id, same full-precision last_ts_us, and
+    the same raw parquet double last_value (round-tripped through
+    repr(), which is exact for IEEE doubles) — across a checkpoint
+    restart mid-log."""
+    from squonk2_fastapi_ws_event_stream_spark.operators.events import (
+        e14_log_compaction,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        latest_state,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["user_id"], r["event_type"]): r
+        for r in e14_log_compaction(spark, sf).collect()
+    }
+    ev = (
+        table(spark, sf, "events")
+        .selectExpr(
+            "user_id", "event_type", "unix_micros(ts) as us",
+            "event_id", "value",
+        )
+        .collect()
+    )
+    ev.sort(key=lambda r: (r["us"], r["event_id"]))
+
+    root = str(tmp_path / "complog")
+    w = EventLogWriter(root, "c1")
+    spark.dataSource.register(EventStreamDataSource)
+
+    final: dict = {}
+
+    def run_once() -> None:
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "c1")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        shaped = env.selectExpr(
+            "substring_index(cast(value as string), '#', 1) as key",
+            "substring(cast(value as string), "
+            "length(substring_index(cast(value as string), '#', 1)) + 2) as value",
+            "offset",
+            "timestamp",
+        )
+        q = (
+            latest_state(shaped)
+            .writeStream.foreachBatch(
+                lambda df, _id: final.update({r["key"]: r for r in df.collect()})
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "compckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(ev) // 2
+    for r in ev[:half]:
+        w.publish(
+            f"{r['user_id']}:{r['event_type']}#{r['event_id']}|{r['us']}|{r['value']!r}",
+            r["us"] // 1000,
+        )
+    run_once()
+    for r in ev[half:]:
+        w.publish(
+            f"{r['user_id']}:{r['event_type']}#{r['event_id']}|{r['us']}|{r['value']!r}",
+            r["us"] // 1000,
+        )
+    run_once()
+
+    assert len(final) == len(batch)
+    for (uid, etype), b in batch.items():
+        s = final[f"{uid}:{etype}"]
+        eid, us, val = s["last_value"].split("|")
+        assert int(eid) == b["last_event_id"]
+        assert int(us) == b["last_ts_us"]
+        assert float(val) == b["last_value"]  # exact: repr round-trips IEEE
