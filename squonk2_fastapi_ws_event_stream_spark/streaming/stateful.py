@@ -175,57 +175,75 @@ def latest_state(
 # Streaming decayed counters — the streaming twin of the e29 batch
 # operator: per stream key, an exponentially decayed message count with a
 # one-day half-life, maintained in keyed state. The decay arithmetic is
-# INTEGER-exact (the e29 discipline): state holds (last_day,
-# scaled_count) where an event aged `a` days adds 2^(DECAY_SHIFT - a);
-# advancing the horizon by d days is one right-shift by d. No pow(), no
-# float accumulation, so a restart that replays a batch re-derives the
-# identical integers. State per key is two longs — O(keys) forever.
+# INTEGER-exact (the e29 discipline): state holds the per-day count RING
+# for the last `shift`+1 days, and the published scaled count is
+# recomputed from it as sum(count[age] << (shift - age)) — the exact
+# per-event weighting e29 assigns, with no accumulated truncation. (The
+# previous form kept one running scaled counter and right-shifted it as
+# days advanced; shifting a SUM floors away carry bits that per-event
+# weighting keeps — two weight-1 events merged to 2 then aged one day
+# publish 1, while e29 publishes 0+0 — so it could drift one ulp-of-
+# weight per day-advance from the batch truth. The ring cannot.)
+# Restart-safe by construction: replaying a batch re-increments the same
+# integer cells. State per key is `shift`+3 longs — O(keys) forever.
+#
+# int64 bound (the e29 docstring's own discipline): `scaled` overflows
+# past 2^63, so a key needs < 2^(63-shift) same-day events — 2^43 at the
+# default shift, 2^23 (~8.4M) at e29's shift=40. e29 widens to decimal
+# for the batch sum; the streaming emit stays a long and documents the
+# bound instead.
 # ---------------------------------------------------------------------------
 DECAY_SHIFT = 20  # day-0 weight = 2^20; events older than 20 days weigh 0
 _MS_PER_DAY = 86_400_000
 
 DECAYED_OUTPUT_SCHEMA = (
-    "key string, as_of_day long, scaled long, decayed_count double"
+    "key string, as_of_day long, n_events long, scaled long, "
+    "decayed_count double"
 )
-DECAYED_STATE_SCHEMA = "last_day long, scaled long"
+DECAYED_STATE_SCHEMA = "last_day long, n_events long, counts array<long>"
 
 
-def _update_decayed_fn(retention_ms: int):
+def _update_decayed_fn(shift: int, retention_ms: int):
     def _update_decayed(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             # A key idle past retention has decayed to (near) zero
-            # anyway: DECAY_SHIFT days of silence zero the counter by
+            # anyway: `shift` days of silence zero the counter by
             # construction, so eviction loses nothing a re-appearance
             # couldn't re-derive.
             state.remove()
             return
-        last_day, scaled = state.get if state.exists else (-1, 0)
+        last_day, n_events, counts = (
+            state.get if state.exists else (-1, 0, [0] * (shift + 1))
+        )
+        # counts[a] = events aged a days relative to last_day
+        counts = list(counts)
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             days = (pdf["timestamp"] // _MS_PER_DAY).astype("int64")
+            n_events += len(days)
             batch_max = int(days.max())
             if batch_max > last_day:
                 if last_day >= 0:
-                    shift = batch_max - last_day
-                    scaled = scaled >> shift if shift < 63 else 0
+                    d = batch_max - last_day
+                    counts = [0] * min(d, shift + 1) + counts[: max(shift + 1 - d, 0)]
                 last_day = batch_max
-            ages = last_day - days
-            live = ages[ages <= DECAY_SHIFT]
-            # 2^(SHIFT - age) via pandas pow on int64 (int << Series is
-            # not defined); exponents are bounded by DECAY_SHIFT so this
-            # is exact.
-            scaled += int((2 ** (DECAY_SHIFT - live)).sum())
-        state.update((last_day, scaled))
+            for day, cnt in days.value_counts().items():
+                age = last_day - int(day)
+                if age <= shift:
+                    counts[age] += int(cnt)
+        state.update((last_day, n_events, counts))
         state.setTimeoutDuration(retention_ms)
+        scaled = sum(c << (shift - a) for a, c in enumerate(counts))
         yield pd.DataFrame(
             {
                 "key": [key[0]],
                 "as_of_day": [last_day],
+                "n_events": [n_events],
                 "scaled": [scaled],
-                "decayed_count": [scaled / float(1 << DECAY_SHIFT)],
+                "decayed_count": [scaled / float(1 << shift)],
             }
         )
 
@@ -233,15 +251,19 @@ def _update_decayed_fn(retention_ms: int):
 
 
 def decayed_counts(
-    envelope: DataFrame, retention_ms: int = DEFAULT_IDLE_RETENTION_MS
+    envelope: DataFrame,
+    shift: int = DECAY_SHIFT,
+    retention_ms: int = DEFAULT_IDLE_RETENTION_MS,
 ) -> DataFrame:
-    """Streaming per-key decayed message count (one-day half-life). Keys
-    idle past `retention_ms` are evicted from the state store."""
+    """Streaming per-key decayed message count (one-day half-life,
+    events older than `shift` days weigh zero — pass shift=40 for e29's
+    exact window). Keys idle past `retention_ms` are evicted from the
+    state store."""
     # envelope.timestamp is a TimestampType; the state math wants integer
     # broker milliseconds (pandas datetime64 cannot floor-divide an int).
     rows = envelope.select("key", F.unix_millis("timestamp").alias("timestamp"))
     return rows.groupBy("key").applyInPandasWithState(
-        _update_decayed_fn(retention_ms),
+        _update_decayed_fn(int(shift), retention_ms),
         outputStructType=DECAYED_OUTPUT_SCHEMA,
         stateStructType=DECAYED_STATE_SCHEMA,
         outputMode="append",

@@ -1852,3 +1852,82 @@ def test_streaming_latest_state_matches_batch_e14_bit_for_bit(spark, tmp_path):
         assert int(eid) == b["last_event_id"]
         assert int(us) == b["last_ts_us"]
         assert float(val) == b["last_value"]  # exact: repr round-trips IEEE
+
+
+def test_streaming_decayed_counts_match_batch_e29_bit_for_bit(spark, tmp_path):
+    """The fourteenth batch/stream twin: decayed_counts(shift=40) over
+    the per-type sf0.001 log must reproduce e29_decayed_trending
+    exactly — same n_events, the same exact scaled weighted sum
+    (sum of cnt·2^(40-age)), hence the same published integer-micros
+    decayed_score and the same rank order. This is what the per-day
+    count ring buys: the old single-counter form right-shifted an
+    aggregated sum on day advance, flooring away carry bits that e29's
+    per-event weighting keeps. Restart mid-log included; every type has
+    events on the global max day (asserted), so per-key as_of aligns
+    with e29's global horizon."""
+    from squonk2_fastapi_ws_event_stream_spark.operators.events import (
+        E29_SHIFT,
+        e29_decayed_trending,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (
+        decayed_counts,
+    )
+    from squonk2_fastapi_ws_event_stream_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    batch = {r["event_type"]: r for r in e29_decayed_trending(spark, sf).collect()}
+    ev = (
+        table(spark, sf, "events")
+        .selectExpr("event_type", "unix_millis(ts) as ms")
+        .collect()
+    )
+    global_max_day = max(r["ms"] for r in ev) // 86_400_000
+
+    root = str(tmp_path / "declog")
+    w = EventLogWriter(root, "d9")
+    spark.dataSource.register(EventStreamDataSource)
+
+    states: dict = {}
+
+    def run_once() -> None:
+        env = (
+            spark.readStream.format("eventstream")
+            .option("path", root)
+            .option("stream", "d9")
+            .option("startingOrdinal", 0)
+            .load()
+        )
+        shaped = env.selectExpr("cast(value as string) as key", "timestamp")
+        q = (
+            decayed_counts(shaped, shift=E29_SHIFT)
+            .writeStream.foreachBatch(
+                lambda df, _id: states.update({r["key"]: r for r in df.collect()})
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "decckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(ev) // 2
+    for r in ev[:half]:
+        w.publish(r["event_type"], r["ms"])
+    run_once()
+    for r in ev[half:]:
+        w.publish(r["event_type"], r["ms"])
+    run_once()
+
+    assert set(states) == set(batch)
+    for k, b in batch.items():
+        s = states[k]
+        assert s["as_of_day"] == global_max_day  # alignment precondition
+        assert s["n_events"] == b["n_events"]
+        # same integer -> same published double
+        assert b["decayed_score"] == (
+            s["scaled"] * 1_000_000 // (1 << E29_SHIFT) / 1e6
+        )
+    # identical ranking: scaled desc, type asc == e29's published rank
+    order = sorted(states, key=lambda k: (-states[k]["scaled"], k))
+    for i, k in enumerate(order, 1):
+        assert batch[k]["rank"] == i
