@@ -91,38 +91,32 @@ def test_space_saving_guarantees_hold_for_any_stream(batches, capacity):
     )
 )
 @settings(max_examples=200, deadline=None)
-def test_decayed_counter_stays_in_the_exact_decay_envelope(day_counts):
-    """The streaming decayed counter folds by integer right-shifts, so
-    it can only FLOOR the exact real-valued decayed sum — never exceed
-    it — and each day-advance shift loses strictly less than one scaled
-    unit (remnants of grouped mass survive: 2*2^20 at age 21 is exactly
-    1 unit, which a per-event age cutoff would wrongly drop). With all
-    events on one day the value is exact."""
-    from fractions import Fraction
-
-    day_counts = sorted(day_counts)
-    fn = _update_decayed_fn(retention_ms=10_000)
+def test_decayed_counter_is_exact_and_arrival_order_free(day_counts):
+    """The round-9 per-day count ring makes the decayed counter EXACT:
+    the emitted scaled value equals the closed-form per-event weighted
+    sum (events older than `shift` days relative to the final horizon
+    weigh zero), for ANY arrival order and ANY batch split — an event
+    arriving late lands in its true age cell and ages with the ring,
+    identically to the batch GROUP BY. (The pre-r9 single-counter form
+    right-shifted an aggregated sum and could floor away carry bits;
+    this property replaces its floor-envelope with equality.)"""
+    fn = _update_decayed_fn(DECAY_SHIFT, retention_ms=10_000)
     state = FakeState()
     out = None
-    n_batches = 0
+    # feed in the (possibly unsorted) generated order, one batch per day
     for day, cnt in day_counts:
         ts = [day * _MS_PER_DAY + i for i in range(cnt)]
         out = list(fn(("k",), iter([pd.DataFrame({"timestamp": ts})]), state))[-1]
-        n_batches += 1
     max_day = max(d for d, _ in day_counts)
     scaled = int(out["scaled"][0])
-    # Exact real-valued decayed mass, ALL events included (old events
-    # contribute fractions; insertion drops ages > SHIFT, shifts floor).
     exact = sum(
-        Fraction(c) * Fraction(1 << DECAY_SHIFT) / (1 << (max_day - d))
+        c << (DECAY_SHIFT - (max_day - d))
         for d, c in day_counts
+        if max_day - d <= DECAY_SHIFT
     )
-    n_events = sum(c for _, c in day_counts)
-    assert scaled <= exact
-    assert exact - scaled < n_batches + n_events  # floor-loss envelope
+    assert scaled == exact
+    assert int(out["n_events"][0]) == sum(c for _, c in day_counts)
     assert int(out["as_of_day"][0]) == max_day
-    if len({d for d, _ in day_counts}) == 1:  # no decay at all -> exact
-        assert scaled == exact
 
 
 def test_space_saving_eviction_path_removes_state():
