@@ -269,3 +269,230 @@ def test_cdc_reference_rule_matches_spark_and_oracle_hash():
     w = "aa"  # 97*131 + 2*7 + 97 = 12818 -> 12818 % 8 = 2: not a boundary
     h = ord(w[0]) * 131 + len(w) * 7 + ord(w[-1])
     assert h == 12818 and h % T68_MOD != 0
+
+
+# -- round-9 twin cores: batch-split invariance + independent closed forms --
+#
+# Each streaming twin claims its final emission depends only on the event
+# SEQUENCE, not on how the stream was chopped into micro-batches — that is
+# what makes a checkpoint restart (which re-chops the tail) safe, and what
+# lets the batch query replay the same log to identical values. These
+# properties drive the pure-Python update cores through random sequences
+# under random batch splits and compare against closed forms computed
+# directly from the flat sequence (prefix sums, telescoping integrals,
+# Counter-based ring replay) rather than a second copy of the fold.
+from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (  # noqa: E402
+    FUNNEL_STEPS,
+    HOURLY_DEN,
+    HOURLY_NUM,
+    _update_cusum_fn,
+    _update_funnel_fn,
+    _update_hourly_fn,
+    _update_twap_fn,
+)
+
+
+def _frames(rows: pd.DataFrame, cuts: list) -> list:
+    """Chop a DataFrame into consecutive non-empty micro-batches."""
+    edges = [0, *cuts, len(rows)]
+    return [rows.iloc[a:b] for a, b in zip(edges, edges[1:]) if b > a]
+
+
+def _final(fn, frames: list):
+    """Drive an update core over micro-batches; return the last emission."""
+    state = FakeState()
+    out = None
+    for pdf in frames:
+        res = list(fn(("k",), iter([pdf]), state))
+        if res:
+            out = res[-1]
+    return out
+
+
+@st.composite
+def _seq_with_cuts(draw, row_strategy, min_size=1, max_size=60):
+    n = draw(st.integers(min_size, max_size))
+    seq = [draw(row_strategy) for _ in range(n)]
+    cuts = sorted(draw(st.sets(st.integers(1, max(1, n - 1)), max_size=4)))
+    return seq, [c for c in cuts if c < n]
+
+
+@given(_seq_with_cuts(st.tuples(st.integers(0, 1_000_000), st.integers(0, 10_000))))
+@settings(max_examples=200, deadline=None)
+def test_twap_integral_telescopes_and_ignores_batch_splits(seq_cuts):
+    """The TWAP core's span is the telescoped first-to-last gap of the
+    KEPT subsequence (regressions skipped), its integral is the sum of
+    value x holding-time over consecutive kept pairs, and the final
+    emission is identical for any micro-batch split of the same feed."""
+    seq, cuts = seq_cuts
+    rows = pd.DataFrame(
+        {"us": [u for u, _ in seq], "cents": [c for _, c in seq],
+         "offset": range(len(seq))}
+    )
+    fn = _update_twap_fn(retention_ms=10_000)
+    out = _final(fn, _frames(rows, cuts))
+    one = _final(_update_twap_fn(retention_ms=10_000), [rows])
+    assert out.equals(one)  # split-invariant
+    # closed form: greedy-keep of non-regressing observations (the spec)
+    kept = []
+    for u, c in seq:
+        if not kept or u >= kept[-1][0]:
+            kept.append((u, c))
+    n_kept = len(kept)
+    assert int(out["n_obs"][0]) == n_kept
+    assert int(out["late"][0]) == len(seq) - n_kept
+    span = kept[-1][0] - kept[0][0]
+    assert int(out["span_us"][0]) == span  # sum of deltas telescopes
+    vt = sum(c * (u2 - u1) for (u1, c), (u2, _) in zip(kept, kept[1:]))
+    assert int(out["twap_milli"][0]) == (vt * 10 // span if span else -1)
+    assert int(out["last_value_milli"][0]) == kept[-1][1] * 10
+
+
+@given(
+    _seq_with_cuts(st.integers(-1_000, 1_000), max_size=80),
+    st.integers(-50, 50),
+    st.integers(0, 2_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_forensic_mode_matches_pages_closed_form(seq_cuts, target, threshold):
+    """rearm=False (e32's forensic form) must equal Page's closed form
+    computed from prefix sums: stat_i = cum_i - min(0, cum_1..cum_i),
+    n_alarms = |{i : stat_i > h}|, first_alarm_n = first such i; and the
+    emission must not depend on the batch split."""
+    from itertools import accumulate
+
+    seq, cuts = seq_cuts
+    rows = pd.DataFrame({"cents": seq, "offset": range(len(seq))})
+    fn = _update_cusum_fn(target, threshold, retention_ms=10_000, rearm=False)
+    out = _final(fn, _frames(rows, cuts))
+    one = _final(
+        _update_cusum_fn(target, threshold, retention_ms=10_000, rearm=False),
+        [rows],
+    )
+    # alarmed_in_batch is BY DESIGN batch-relative ("fired in THIS
+    # batch") — exclude it from split-invariance; its per-batch truth is
+    # pinned against the closed form below.
+    assert out.drop(columns="alarmed_in_batch").equals(
+        one.drop(columns="alarmed_in_batch")
+    )
+    cums = list(accumulate(x - target for x in seq))
+    mins = list(accumulate(cums, min, initial=0))[1:]  # empty prefix = 0
+    stats = [c - min(0, m) for c, m in zip(cums, mins)]
+    alarm_idx = [i + 1 for i, s in enumerate(stats) if s > threshold]
+    assert int(out["stat"][0]) == stats[-1]
+    assert int(out["n_alarms"][0]) == len(alarm_idx)
+    assert int(out["first_alarm_n"][0]) == (alarm_idx[0] if alarm_idx else 0)
+    assert bool(out["alarmed_in_batch"][0]) == any(
+        i > (cuts[-1] if cuts else 0) for i in alarm_idx
+    )
+
+
+@given(
+    _seq_with_cuts(st.integers(-1_000, 1_000), max_size=80),
+    st.integers(-50, 50),
+    st.integers(0, 2_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_rearm_first_alarm_agrees_with_forensic(seq_cuts, target, threshold):
+    """Before the first alarm the two modes share state bit for bit, so
+    first_alarm_n must agree; re-arming can only swallow subsequent
+    alarms, never add them; and rearm=True is split-invariant too."""
+    seq, cuts = seq_cuts
+    rows = pd.DataFrame({"cents": seq, "offset": range(len(seq))})
+    re_ = _final(
+        _update_cusum_fn(target, threshold, retention_ms=10_000, rearm=True),
+        _frames(rows, cuts),
+    )
+    one = _final(
+        _update_cusum_fn(target, threshold, retention_ms=10_000, rearm=True),
+        [rows],
+    )
+    fo = _final(
+        _update_cusum_fn(target, threshold, retention_ms=10_000, rearm=False),
+        [rows],
+    )
+    assert re_.drop(columns="alarmed_in_batch").equals(
+        one.drop(columns="alarmed_in_batch")
+    )
+    assert int(re_["first_alarm_n"][0]) == int(fo["first_alarm_n"][0])
+    assert int(re_["n_alarms"][0]) <= int(fo["n_alarms"][0])
+    assert int(re_["stat"][0]) >= 0 and int(fo["stat"][0]) >= 0
+
+
+@given(
+    _seq_with_cuts(
+        st.tuples(
+            st.sampled_from([*FUNNEL_STEPS, "noise", "refund"]),
+            st.integers(0, 10_000),
+        ),
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_funnel_greedy_spec_and_split_invariance(seq_cuts):
+    """The funnel core is the greedy in-order matcher: the stage only
+    advances on the exact next step name, signup time is the FIRST
+    signup's ms, conversion latency is first-completion minus that —
+    independent of micro-batch boundaries."""
+    seq, cuts = seq_cuts
+    rows = pd.DataFrame(
+        {"step": [s for s, _ in seq], "ms": [m for _, m in seq],
+         "offset": range(len(seq))}
+    )
+    out = _final(_update_funnel_fn(retention_ms=10_000), _frames(rows, cuts))
+    one = _final(_update_funnel_fn(retention_ms=10_000), [rows])
+    assert out.drop(columns="n_events").equals(one.drop(columns="n_events"))
+    stage, signup, conv = 0, 0, -1
+    for step, ms in seq:
+        if stage < len(FUNNEL_STEPS) and step == FUNNEL_STEPS[stage]:
+            if stage == 0:
+                signup = ms
+            stage += 1
+            if stage == len(FUNNEL_STEPS):
+                conv = ms - signup
+    assert int(out["stage"][0]) == stage
+    assert bool(out["converted"][0]) == (stage == len(FUNNEL_STEPS))
+    assert int(out["conv_ms"][0]) == conv
+
+
+@given(_seq_with_cuts(st.integers(0, 20), max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_hourly_ring_replays_the_counter_closed_form(seq_cuts):
+    """For an hour-ordered feed (the source's offset order), the flagged
+    closed hours equal a Counter-based replay of e21's 6-trailing-
+    observed-hours rule, the open (max) hour never emits, the ring never
+    exceeds 6 cells, and the emissions are split-invariant."""
+    seq, cuts = seq_cuts
+    hours = sorted(seq)
+    rows = pd.DataFrame({"hour_no": hours})
+    fn = _update_hourly_fn(HOURLY_NUM, HOURLY_DEN, retention_ms=10_000)
+    state = FakeState()
+    got = []
+    for pdf in _frames(rows, cuts):
+        for out in fn(("k",), iter([pdf]), state):
+            got.extend(map(tuple, out.itertuples(index=False)))
+    assert len(state.get[2]) <= 6  # observed-hours ring is bounded
+    # single-batch replay must flag the same closed hours
+    state1 = FakeState()
+    got1 = []
+    for out in _update_hourly_fn(HOURLY_NUM, HOURLY_DEN, 10_000)(
+        ("k",), iter([rows]), state1
+    ):
+        got1.extend(map(tuple, out.itertuples(index=False)))
+    assert got == got1
+    # closed form from the hour Counter: every hour except the open max
+    # closes in order against the 6 trailing observed counts
+    truth = Counter(hours)
+    ring: list = []
+    expected = []
+    for h in sorted(truth)[:-1]:
+        cnt = truth[h]
+        if len(ring) == 6:
+            trail = sum(ring)
+            if cnt * 6 * HOURLY_DEN >= trail * HOURLY_NUM:
+                expected.append(
+                    ("k", h, cnt, cnt * 6_000_000 // trail / 1e6)
+                )
+        ring.append(cnt)
+        del ring[:-6]
+    assert got == expected
