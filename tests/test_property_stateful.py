@@ -496,3 +496,154 @@ def test_hourly_ring_replays_the_counter_closed_form(seq_cuts):
         ring.append(cnt)
         del ring[:-6]
     assert got == expected
+
+
+# -- sketch cores: linearity, bottom-K-of-union, rank correctness -----------
+#
+# The sketch twins' e2e tests pin bit-identity vs their batch queries on
+# real logs; these properties pin the ALGEBRA that makes the sketches
+# mergeable and order-free at 100 TB — AMS counters are linear (a
+# partitioned fold merges by elementwise sum), a KMV sketch is the
+# bottom-K of the hash-set union (any split merges to the same sketch),
+# and the DDSketch bucket choice equals the true rank element's bucket
+# (the monotone-bucketing theorem the quantile guarantee rests on).
+from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (  # noqa: E402
+    _LATENESS_EDGES_US,
+    _ams_sign,
+    _dds_bucket,
+    _update_ams_fn,
+    _update_dds_fn,
+    _update_kmv_fn,
+    _update_lateness_fn,
+    AMS_D,
+    DDS_QS,
+    KMV_K,
+)
+from squonk2_fastapi_ws_event_stream_spark.functions.hashing import (  # noqa: E402
+    KMV_A,
+    KMV_B,
+    KMV_P,
+)
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=80),
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=80),
+    st.randoms(),
+)
+@settings(max_examples=150, deadline=None)
+def test_ams_counters_are_linear_and_order_free(xs, ys, rng):
+    """AMS sign counters are sums of ±1: zs(A ++ B) = zs(A) + zs(B)
+    elementwise (partitioned folds merge by addition — the 100 TB merge
+    contract), any permutation folds to the same state, each |z_i| <= n
+    with z_i ≡ n (mod 2), and the emitted min/median×2/max are exactly
+    the sorted squared counters."""
+    def fold(values):
+        state = FakeState()
+        out = list(
+            _update_ams_fn(10_000)(
+                ("k",), iter([pd.DataFrame({"value_id": values})]), state
+            )
+        )[-1]
+        return state.get, out
+
+    (na, za), _ = fold(xs)
+    (nb, zb), _ = fold(ys)
+    (nab, zab), out = fold(xs + ys)
+    assert nab == na + nb == len(xs) + len(ys)
+    assert list(zab) == [a + b for a, b in zip(za, zb)]
+    shuffled = list(xs + ys)
+    rng.shuffle(shuffled)
+    (ns, zs_), _ = fold(shuffled)
+    assert (ns, list(zs_)) == (nab, list(zab))
+    for z in zab:
+        assert abs(z) <= nab and (z - nab) % 2 == 0
+    sq = sorted(z * z for z in zab)
+    assert int(out["est_min"][0]) == sq[0]
+    assert int(out["est_max"][0]) == sq[-1]
+    assert int(out["est_median_x2"][0]) == sq[AMS_D // 2 - 1] + sq[AMS_D // 2]
+
+
+@given(_seq_with_cuts(st.integers(0, 5_000), max_size=120))
+@settings(max_examples=150, deadline=None)
+def test_kmv_state_is_the_bottom_k_of_the_hash_union(seq_cuts):
+    """For ANY batch split, the KMV state is exactly the K smallest
+    DISTINCT hashes of everything seen (the sketch IS bottom-K of the
+    union — what makes shard-merge exact), and the emission publishes
+    the x13 closed-form estimate from the kth minimum."""
+    seq, cuts = seq_cuts
+    rows = pd.DataFrame({"value_id": seq})
+    fn = _update_kmv_fn(10_000)
+    state = FakeState()
+    out = None
+    for pdf in _frames(rows, cuts):
+        out = list(fn(("k",), iter([pdf]), state))[-1]
+    truth = sorted({((v % KMV_P) * KMV_A + KMV_B) % KMV_P for v in seq})[:KMV_K]
+    n_seen, mins = state.get
+    assert list(mins) == truth
+    assert n_seen == len(seq)
+    k = len(truth)
+    assert int(out["k_kept"][0]) == k
+    kth = truth[-1]
+    assert int(out["kth_min_hash"][0]) == kth
+    est = float(k) if k < KMV_K else ((k - 1) * KMV_P * 10000 // kth) / 1e4
+    assert float(out["kmv_estimate"][0]) == est
+
+
+@given(_seq_with_cuts(st.integers(1, 1 << 20), max_size=150))
+@settings(max_examples=150, deadline=None)
+def test_ddsketch_bucket_choice_equals_the_true_rank_elements_bucket(seq_cuts):
+    """_dds_bucket is the monotone power-of-2 bucketing (2^b <= v <
+    2^(b+1)), so for every q the smallest bucket whose cumulative count
+    reaches ceil(q·n) is EXACTLY the bucket of the true rank-ceil(q·n)
+    element of the sorted stream — the relative-error guarantee's load-
+    bearing step — under any batch split."""
+    import math
+
+    seq, cuts = seq_cuts
+    for v in (1, 2, 3, 4, 1 << 19):
+        b = _dds_bucket(v)
+        assert (1 << b) <= v < (1 << (b + 1))
+    rows = pd.DataFrame({"value_id": seq})
+    fn = _update_dds_fn(10_000)
+    state = FakeState()
+    out = None
+    for pdf in _frames(rows, cuts):
+        out = list(fn(("k",), iter([pdf]), state))[-1]
+    n = len(seq)
+    ordered = sorted(seq)
+    for q, col in zip(DDS_QS, ("b50", "b95", "b99")):
+        rank = math.ceil(q * n)
+        assert int(out[col][0]) == _dds_bucket(ordered[rank - 1]), (q, seq)
+    assert int(out["n_seen"][0]) == n
+
+
+@given(_seq_with_cuts(st.integers(0, 200_000_000), max_size=100))
+@settings(max_examples=150, deadline=None)
+def test_lateness_histogram_matches_the_running_max_closed_form(seq_cuts):
+    """Each message's lateness is (running max of prior event times −
+    its own), bucketed on the fixed edges; the cumulative histogram
+    equals the closed form computed from the flat sequence, partitions
+    the stream, and ignores batch splits."""
+    seq, cuts = seq_cuts
+    rows = pd.DataFrame({"us": seq, "offset": range(len(seq))})
+    fn = _update_lateness_fn(10_000)
+    state = FakeState()
+    out = None
+    for pdf in _frames(rows, cuts):
+        out = list(fn(("k",), iter([pdf]), state))[-1]
+    buckets = [0] * 5
+    mx = -1
+    for us in seq:
+        late = max(0, mx - us) if mx >= 0 else 0
+        if late <= _LATENESS_EDGES_US[0]:
+            buckets[0] += 1
+        else:
+            buckets[
+                sum(late >= e for e in _LATENESS_EDGES_US[1:]) + 1
+            ] += 1
+        mx = max(mx, us)
+    got = [int(out[c][0]) for c in ("on_time", "lt_1s", "lt_10s", "lt_100s", "ge_100s")]
+    assert got == buckets
+    assert sum(got) == int(out["n_msgs"][0]) == len(seq)
+    assert int(out["max_event_us"][0]) == max(seq)
