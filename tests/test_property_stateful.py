@@ -647,3 +647,139 @@ def test_lateness_histogram_matches_the_running_max_closed_form(seq_cuts):
     assert got == buckets
     assert sum(got) == int(out["n_msgs"][0]) == len(seq)
     assert int(out["max_event_us"][0]) == max(seq)
+
+
+# -- the remaining stateful cores: split invariance completes the set -------
+from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (  # noqa: E402
+    _update_latest_fn,
+    _update_rate_fn,
+    _update_session_fn,
+    _update_totals_fn,
+)
+
+
+@given(
+    _seq_with_cuts(st.integers(0, 50_000_000), max_size=80),
+    st.integers(1, 20),
+    st.integers(1, 10),
+)
+@settings(max_examples=150, deadline=None)
+def test_rate_limiter_bounds_and_split_invariance(seq_cuts, rate, burst):
+    """Token bucket invariants for any event-time sequence and any batch
+    split: final state is split-invariant, tokens stay in [0, burst],
+    and the two analytic regimes hold — zero event-time span accepts
+    exactly min(n, burst) (no refill ever), and gaps large enough to
+    refill a full cost accept everything."""
+    seq, cuts = seq_cuts
+    rate_mk = rate * 1_000_000
+    rows = pd.DataFrame({"us": seq, "offset": range(len(seq))})
+
+    def run(frames):
+        fn = _update_rate_fn(rate_mk, burst, retention_ms=10_000)
+        state = FakeState()
+        tot_acc = 0
+        for pdf in frames:
+            out = list(fn(("k",), iter([pdf]), state))[-1]
+            tot_acc += int(out["n_accepted"][0])
+        return tot_acc, state.get
+
+    acc_split, st_split = run(_frames(rows, cuts))
+    acc_one, st_one = run([rows])
+    assert (acc_split, st_split) == (acc_one, st_one)
+    tokens, _ = st_one
+    assert 0 <= tokens <= burst * 1000
+    # regime 1: all arrivals at one instant -> exactly the burst drains
+    same = pd.DataFrame({"us": [7] * len(seq), "offset": range(len(seq))})
+    acc_same, _ = run([same])
+    assert acc_same == min(len(seq), burst)
+    # regime 2: every gap refills >= one full cost -> nothing throttles
+    refill_gap = (1000 * 1_000_000_000) // rate_mk + 1
+    spaced = pd.DataFrame(
+        {"us": [i * refill_gap for i in range(len(seq))],
+         "offset": range(len(seq))}
+    )
+    acc_spaced, _ = run([spaced])
+    assert acc_spaced == len(seq)
+
+
+@given(
+    _seq_with_cuts(st.integers(0, 500_000), max_size=60),
+    st.integers(1, 10_000),
+)
+@settings(max_examples=150, deadline=None)
+def test_session_tracker_matches_the_gap_split_closed_form(seq_cuts, gap_ms):
+    """The emitted closed sessions (plus the final open one in state)
+    are exactly the gaps-and-islands split of the ordered feed —
+    independent of micro-batch boundaries."""
+    seq, cuts = seq_cuts
+    rows = pd.DataFrame({"ms": seq, "offset": range(len(seq))})
+
+    def run(frames):
+        fn = _update_session_fn(gap_ms, retention_ms=10_000)
+        state = FakeState()
+        closed = []
+        for pdf in frames:
+            for out in fn(("u",), iter([pdf]), state):
+                closed.extend(
+                    (int(a), int(b), int(c))
+                    for a, b, c in zip(
+                        out["session_start_ms"],
+                        out["session_end_ms"],
+                        out["n_events"],
+                    )
+                )
+        return closed, state.get
+
+    got, open_state = run(_frames(rows, cuts))
+    got1, open1 = run([rows])
+    assert (got, open_state) == (got1, open1)
+    # closed form: split the ordered feed wherever silence exceeds gap_ms
+    sessions, cur = [], None
+    for ms in seq:
+        if cur is None:
+            cur = [ms, ms, 1]
+        elif ms - cur[1] > gap_ms:
+            sessions.append(tuple(cur))
+            cur = [ms, ms, 1]
+        else:
+            cur[1] = max(cur[1], ms)
+            cur[2] += 1
+    assert got == sessions
+    assert open_state == tuple(cur)  # the final session stays open
+
+
+@given(_seq_with_cuts(st.integers(0, 10_000), max_size=80))
+@settings(max_examples=100, deadline=None)
+def test_running_totals_are_exact_stream_moments(seq_cuts):
+    """Totals/min/max are the exact moments of the whole stream under
+    any batch split."""
+    seq, cuts = seq_cuts
+    rows = pd.DataFrame({"n_bytes": seq})
+    fn = _update_totals_fn(retention_ms=10_000)
+    state = FakeState()
+    out = None
+    for pdf in _frames(rows, cuts):
+        out = list(fn(("k",), iter([pdf]), state))[-1]
+    assert int(out["total_messages"][0]) == len(seq)
+    assert int(out["total_bytes"][0]) == sum(seq)
+    assert int(out["min_bytes"][0]) == min(seq)
+    assert int(out["max_bytes"][0]) == max(seq)
+
+
+@given(_seq_with_cuts(st.text(max_size=8), max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_latest_state_elects_the_max_offset_row(seq_cuts):
+    """The compacted winner is the max-offset row of the whole feed,
+    under any batch split (offsets here are the global feed index, so
+    the winner is simply the LAST value)."""
+    seq, cuts = seq_cuts
+    rows = pd.DataFrame(
+        {"offset": range(len(seq)), "value_str": [str(v) for v in seq]}
+    )
+    fn = _update_latest_fn(retention_ms=10_000)
+    state = FakeState()
+    out = None
+    for pdf in _frames(rows, cuts):
+        out = list(fn(("k",), iter([pdf]), state))[-1]
+    assert int(out["last_offset"][0]) == len(seq) - 1
+    assert out["last_value"][0] == str(seq[-1])
