@@ -783,3 +783,94 @@ def test_latest_state_elects_the_max_offset_row(seq_cuts):
         out = list(fn(("k",), iter([pdf]), state))[-1]
     assert int(out["last_offset"][0]) == len(seq) - 1
     assert out["last_value"][0] == str(seq[-1])
+
+
+# -- histogram drift core: the last core without a property ------------------
+from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import (  # noqa: E402
+    _drift_ppm,
+    _update_drift_fn,
+    DRIFT_BUCKETS,
+)
+
+
+@given(
+    st.dictionaries(
+        st.integers(0, 12),
+        st.lists(st.integers(-500, 70_000), min_size=1, max_size=15),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 4),
+)
+@settings(max_examples=150, deadline=None)
+def test_drift_core_matches_the_fraction_closed_form(by_period, n_batches):
+    """For a period-ordered feed under any batch split: the reference is
+    the previous period's histogram iff that period is ADJACENT (a gap
+    empties it), the published ks/l1 equal floor(1e6 x the exact
+    rational KS/L1 distance) computed independently with Fractions, and
+    a trailing batch of strictly-stale periods changes nothing."""
+    from fractions import Fraction
+
+    lo, width = 0, 1000
+    periods = sorted(by_period)
+    seq = [(p, v) for p in periods for v in by_period[p]]
+    rows = pd.DataFrame(
+        {"period": [p for p, _ in seq], "value_id": [v for _, v in seq]}
+    )
+    size = max(1, len(rows) // n_batches)
+    frames = [rows.iloc[i : i + size] for i in range(0, len(rows), size)]
+
+    def run(fs):
+        fn = _update_drift_fn(lo, width, retention_ms=10_000)
+        state = FakeState()
+        out = None
+        for pdf in fs:
+            out = list(fn(("k",), iter([pdf]), state))[-1]
+        return out, state.get
+
+    out, st_split = run(frames)
+    out1, st_one = run([rows])
+    assert st_split[0] == st_one[0]
+    assert list(st_split[1]) == list(st_one[1])
+    assert list(st_split[2]) == list(st_one[2])
+
+    def hist(vals):
+        h = [0] * DRIFT_BUCKETS
+        for v in vals:
+            h[min(max((v - lo) // width, 0), DRIFT_BUCKETS - 1)] += 1
+        return h
+
+    last = periods[-1]
+    ref = (
+        hist(by_period[last - 1])
+        if len(periods) > 1 and periods[-2] == last - 1
+        else [0] * DRIFT_BUCKETS
+    )
+    cur = hist(by_period[last])
+    assert int(out["period"][0]) == last
+    assert int(out["n_ref"][0]) == sum(ref)
+    assert int(out["n_cur"][0]) == sum(cur)
+    n_r, n_c = sum(ref), sum(cur)
+    if n_r == 0 or n_c == 0:
+        assert (int(out["ks_ppm"][0]), int(out["l1_ppm"][0])) == (-1, -1)
+    else:
+        cum_r = cum_c = 0
+        ks = Fraction(0)
+        l1 = Fraction(0)
+        for r, c in zip(ref, cur):
+            cum_r += r
+            cum_c += c
+            ks = max(ks, abs(Fraction(cum_c, n_c) - Fraction(cum_r, n_r)))
+            l1 += abs(Fraction(c, n_c) - Fraction(r, n_r))
+        assert int(out["ks_ppm"][0]) == (ks.numerator * 1_000_000) // ks.denominator
+        assert int(out["l1_ppm"][0]) == (l1.numerator * 1_000_000) // l1.denominator
+        assert (int(out["ks_ppm"][0]), int(out["l1_ppm"][0])) == _drift_ppm(ref, cur)
+
+    # strictly-stale tail batch: dropped without touching the stats
+    if last > 0:
+        stale = pd.DataFrame({"period": [0, last - 1], "value_id": [1, 2]})
+        out2, st2 = run(frames + [stale])
+        assert out2.equals(out)
+        assert st2[0] == st_one[0]
+        assert list(st2[1]) == list(st_one[1])
+        assert list(st2[2]) == list(st_one[2])
