@@ -10,6 +10,14 @@ from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import running_tot
 
 BASE_TS = 1_700_000_000_000
 
+# The batch/stream twin tests replay this SF's log through both paths.
+# Default sf0.001 keeps CI fast; TWIN_SF=/root/testdata/sf0.01 runs the
+# same bit-identity comparisons one scale up (a once-per-round sweep,
+# like ORACLE_PARITY_SF for the oracle suite).
+import os as _os
+
+TWIN_SF = _os.environ.get("TWIN_SF", "/root/testdata/sf0.001")
+
 
 def test_running_totals_accumulate_across_batches(spark, tmp_path):
     root = str(tmp_path / "log")
@@ -910,7 +918,7 @@ def test_rate_limiter_matches_e50_batch_replay_bit_for_bit(spark, tmp_path):
         rate_limiter,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = TWIN_SF
     batch = {
         r["user_id"]: r
         for r in e50_token_bucket_replay(spark, sf).collect()
@@ -1247,7 +1255,7 @@ def test_streaming_funnel_matches_batch_e18_bit_for_bit(spark, tmp_path):
     )
     from squonk2_fastapi_ws_event_stream_spark.tables import table
 
-    sf = "/root/testdata/sf0.001"
+    sf = TWIN_SF
     T = BASE_TS
     # (user_id, event_type, ms) — expected final stages in EXPECT below
     adversarial = [
@@ -1395,7 +1403,7 @@ def test_streaming_twap_matches_batch_e41_fold_bit_for_bit(spark, tmp_path):
     )
     from squonk2_fastapi_ws_event_stream_spark.tables import table
 
-    sf = "/root/testdata/sf0.001"
+    sf = TWIN_SF
     ev = (
         table(spark, sf, "events")
         .selectExpr(
@@ -1498,7 +1506,7 @@ def test_streaming_cusum_norearm_matches_batch_e32_bit_for_bit(spark, tmp_path):
     )
     from squonk2_fastapi_ws_event_stream_spark.tables import table
 
-    sf = "/root/testdata/sf0.001"
+    sf = TWIN_SF
     day0 = dt.date(2020, 1, 1)
     counts = [5, 5, 5, 5, 5, 5, 5, 5, 200, 250]  # stats: 0x8, 1510, 3520; h=1470
     incident = []
@@ -1619,7 +1627,7 @@ def test_streaming_hourly_monitor_matches_batch_e21_bit_for_bit(spark, tmp_path)
     )
     from squonk2_fastapi_ws_event_stream_spark.tables import table
 
-    sf = "/root/testdata/sf0.001"
+    sf = TWIN_SF
     ev = (
         table(spark, sf, "events")
         .selectExpr(
@@ -1704,7 +1712,7 @@ def test_streaming_totals_match_batch_e07_bit_for_bit(spark, tmp_path):
     )
     from squonk2_fastapi_ws_event_stream_spark.tables import table
 
-    sf = "/root/testdata/sf0.001"
+    sf = TWIN_SF
     batch = {r["event_type"]: r for r in e07_message_stats(spark, sf).collect()}
     ev = (
         table(spark, sf, "events")
@@ -1783,7 +1791,7 @@ def test_streaming_latest_state_matches_batch_e14_bit_for_bit(spark, tmp_path):
     )
     from squonk2_fastapi_ws_event_stream_spark.tables import table
 
-    sf = "/root/testdata/sf0.001"
+    sf = TWIN_SF
     batch = {
         (r["user_id"], r["event_type"]): r
         for r in e14_log_compaction(spark, sf).collect()
@@ -1874,7 +1882,7 @@ def test_streaming_decayed_counts_match_batch_e29_bit_for_bit(spark, tmp_path):
     )
     from squonk2_fastapi_ws_event_stream_spark.tables import table
 
-    sf = "/root/testdata/sf0.001"
+    sf = TWIN_SF
     batch = {r["event_type"]: r for r in e29_decayed_trending(spark, sf).collect()}
     ev = (
         table(spark, sf, "events")
