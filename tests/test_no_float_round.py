@@ -25,6 +25,15 @@ CONVERTED = [
     PKG / "functions" / "vectors.py",
     PKG / "operators" / "similarity.py",
     PKG / "operators" / "dedup.py",
+    # Round-9 additions: ROUND-free after the 46-query conversion batch
+    # (t45's pagerank loop in graph.py, m09 in multimodal.py) — and the
+    # streaming modules, which were born integer-exact and must stay so.
+    PKG / "operators" / "graph.py",
+    PKG / "operators" / "multimodal.py",
+    PKG / "functions" / "hashing.py",
+    PKG / "streaming" / "stateful.py",
+    PKG / "streaming" / "aggregates.py",
+    PKG / "streaming" / "pipeline.py",
 ]
 
 # SQL ROUND (case-sensitive, the convention in every oracle string) or
