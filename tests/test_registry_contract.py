@@ -48,3 +48,19 @@ def test_cli_rejects_unknown_query():
     from squonk2_fastapi_ws_event_stream_spark.__main__ import main
 
     assert main(["run", "nonesuch", "--sf-dir", "/tmp"]) == 2
+
+
+def test_changed_head_fits_the_driver_sampling_window():
+    """The driver samples ~50 rows/round in _PRIORITY order; every
+    output- or plan-changed query must get a fresh driver row THIS
+    round, so the hand-maintained head must leave room for it plus at
+    least two stalest-rotation slots. A head over the bound means a
+    changed query ships without a driver row at its new definition —
+    defer the change (the t09/t15/v30 pattern) instead of overflowing."""
+    from squonk2_fastapi_ws_event_stream_spark.registry import _NEW_OR_CHANGED
+
+    assert len(set(_NEW_OR_CHANGED)) == len(_NEW_OR_CHANGED)  # no dupes
+    assert len(_NEW_OR_CHANGED) <= 48, (
+        f"head has {len(_NEW_OR_CHANGED)} entries; the driver window is "
+        "~50 — split the change across rounds"
+    )
