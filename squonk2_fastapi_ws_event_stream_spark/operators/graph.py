@@ -437,6 +437,18 @@ ORACLES["t40_triangle_count"] = _oracle_t40()
 # shape with a numeric payload). The edge+degree table localCheckpoints
 # once; 5 fixed iterations.
 #
+# Unlike the adaptive CC loop, the iterations do NOT checkpoint: the
+# depth is fixed and there is no convergence probe, so the five
+# join+agg rounds chain into ONE linear DAG executed as a single job —
+# no per-round materialization barrier, intermediates flow through
+# shuffle files instead of checkpoint storage (same argument at 100 TB:
+# a fixed-depth plan executes once either way, and the checkpoint only
+# pays off when a driver-side probe would otherwise re-derive the
+# lineage). Interleaved same-window A/B at sf0.1: 1.90 s -> 1.64 s
+# (~15% faster), bit-identical output. Each round aliases its inputs so
+# the five references to the checkpointed out_edges leaf resolve
+# unambiguously.
+#
 # Cross-engine determinism: each iteration's incoming mass is an exact
 # decimal(28,14) sum of r/deg contributions (order-independent), and the
 # new rank is ROUNDed to 8 decimals — both engines iterate from
@@ -469,10 +481,12 @@ def t45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("r", F.lit(PR_E12).cast("long"))
     )
-    for _ in range(PR_ITERS):
+    for i in range(PR_ITERS):
+        oe = out_edges.alias(f"oe{i}")
+        rk = ranks.alias(f"rk{i}")
         ranks = (
-            out_edges.join(ranks, out_edges.s == ranks.node)
-            .groupBy("d")
+            oe.join(rk, F.col(f"oe{i}.s") == F.col(f"rk{i}.node"))
+            .groupBy(F.col(f"oe{i}.d"))
             .agg(F.sum(F.expr("r div deg")).alias("contrib"))
             .select(
                 F.col("d").alias("node"),
@@ -481,7 +495,6 @@ def t45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr(f"contrib * {PR_DAMP_NUM} div {PR_DAMP_DEN}")
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
     return ranks.select(
         F.col("node").cast("long").alias("doc_id"),
