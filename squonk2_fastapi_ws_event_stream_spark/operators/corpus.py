@@ -9,11 +9,18 @@ All hot-path logic is built-in string/array/aggregate expressions
 (JVM-side, whole-stage codegen); no Python UDFs.
 
 Scale design (100 TB):
-- t33 shuffles (digest, doc_id) pairs keyed by a 32-byte sha2 gram digest
-  (the t05 trick) and joins the per-gram document-frequency back with a
-  PLAIN equi-join — the gram table grows with the corpus, so no broadcast
-  hint (the t19/t22 lesson: hints are never size-checked and an 8 GB+
-  broadcast fails the job; AQE broadcasts at runtime when it fits).
+- t33 is aggregation-only: a doc's total gram count is size(words)-4 in
+  the doc row (no shuffle), so only the grams UNIQUE to one document
+  ever ship back to their owner — (digest, doc_id) dedup, digest-level
+  frequency, filter n_docs==1, per-owner sum, and a doc-level left join
+  of two already-aggregated tables. The sha2 gram pipeline runs ONCE
+  (single consumer — the old join-back shape computed it twice and
+  shuffled per-occurrence rows on 64-char digests), every shuffle is a
+  map-side-combinable aggregation (hot boilerplate grams collapse to
+  one row per map task), and nothing buffers a whole digest partition
+  the way a window would. No broadcast hint anywhere (the t19/t22
+  lesson: hints are never size-checked; AQE broadcasts the final
+  doc-level join at runtime when it fits).
 - t34's bucket table is FIXED SIZE by construction (DSIR_BUCKETS rows, a
   property of the hashing trick, not of the corpus), so its broadcast
   hint is legitimate and stays.
@@ -70,26 +77,41 @@ def t33_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.expr(_wgram_slices_expr()), lambda g: F.sha2(g, 256))
         ).alias("digest"),
     )
-    # Document frequency per gram: one shuffle keyed by the fixed-width
-    # digest. Grams repeated INSIDE a doc count once here (countDistinct),
-    # but every occurrence position counts toward the span fraction below.
-    freq = grams.groupBy("digest").agg(
-        F.count_distinct("doc_id").alias("n_docs")
+    # n_dup_grams = n_grams - (occurrences of grams unique to this doc):
+    # only the UNIQUE grams ever need routing back to their owner, so the
+    # per-gram document frequency never joins against per-occurrence rows.
+    # (digest, doc_id) dedup keeps the in-doc occurrence count; a gram
+    # with n_docs == 1 has exactly one (owner, cnt) row, recovered via
+    # max() on the already-size-1 group.
+    per_doc = grams.groupBy("digest", "doc_id").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    flagged = grams.join(freq, "digest").withColumn(
-        "dup", (F.col("n_docs") >= 2).cast("long")
+    nondup = (
+        per_doc.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("doc_id").alias("owner"),
+            F.max("cnt").alias("cnt"),
+        )
+        .filter(F.col("n_docs") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.sum("cnt").alias("n_nondup"))
+    )
+    totals = docs.select(
+        "doc_id",
+        (F.size("words") - F.lit(T33_W - 1)).cast("long").alias("n_grams"),
     )
     return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("dup").alias("n_dup_grams"),
-        )
+        totals.join(nondup, "doc_id", "left")
         .select(
             "doc_id",
-            F.col("n_grams").cast("long").alias("n_grams"),
-            F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
-            (F.expr("n_dup_grams * 1000000 div n_grams") / F.lit(1e6)).alias("dup_frac"),
+            "n_grams",
+            (F.col("n_grams") - F.coalesce(F.col("n_nondup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_frac", F.expr("n_dup_grams * 1000000 div n_grams") / F.lit(1e6)
         )
     )
 

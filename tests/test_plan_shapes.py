@@ -375,13 +375,30 @@ def test_e16_interval_join_is_equi_join(spark):
 
 
 def test_t33_gram_frequency_join_unhinted_but_aqe_broadcasts(spark):
-    # The gram-frequency table grows with the corpus → the LOGICAL plan
+    # The unique-gram table grows with the corpus → the LOGICAL plan
     # must carry no broadcast hint; at test scale AQE still picks a
     # broadcast join at runtime from observed sizes.
     df = QUERIES["t33_dup_ngram_spans"](spark, SF)
     assert "UnresolvedHint" not in df._jdf.queryExecution().logical().toString()
     assert "ResolvedHint" not in df._jdf.queryExecution().optimizedPlan().toString()
     df.write.format("noop").mode("overwrite").save()
+
+
+def test_t33_single_gram_pipeline_and_no_per_occurrence_join(spark):
+    # The aggregation-only shape: the sha2 gram explosion runs ONCE (the
+    # old join-back diamond computed it twice), and the only join left is
+    # doc-level totals vs per-owner unique-gram sums — every gram-keyed
+    # step is a map-side-combinable aggregation, so a hot boilerplate
+    # 5-gram collapses to one row per map task instead of flooding a
+    # single join/window partition.
+    optimized = (
+        QUERIES["t33_dup_ngram_spans"](spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert optimized.count("sha2") == 1
+    assert "Window" not in optimized
 
 
 def test_v17_knn_topk_is_single_corpus_pass(spark):
