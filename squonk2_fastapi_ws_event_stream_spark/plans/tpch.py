@@ -868,9 +868,21 @@ GROUP BY 1
 # whose cumulative revenue share crosses 50%.
 #
 # Scale: one (segment)-partitioned window over orders sorted by price —
-# parallel across segments, never a global sort; cumulative sums are
-# exact decimal cents, and the 2×cum ≥ total comparison is pure integer
-# arithmetic, so both engines pick the identical crossing row.
+# never a global sort; cumulative sums are exact decimal cents, and the
+# 2×cum ≥ total comparison is pure integer arithmetic, so both engines
+# pick the identical crossing row.
+#
+# Parallelism note: the window's unit of parallelism is the SEGMENT (5
+# here), so once a single segment's orders outgrow one task's sort
+# budget the exact answer moves to bucket+refine: pre-aggregate
+# (segment, cents div W) partial sums (map-side-combinable, fully
+# parallel), find the crossing bucket on the tiny bucket table, then
+# run this exact window only over the one crossing bucket's rows —
+# identical output (cum_before_bucket + within-bucket running sum
+# crosses at the same order). Measured at sf0.1 the two-pass form is
+# ~1.4x slower (two scans + two joins vs one 30k-row sort per segment),
+# so the single-window form is the right plan at bench scale and the
+# bucket recipe is the documented 100 TB escape hatch.
 # ---------------------------------------------------------------------------
 def q40_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
