@@ -18,6 +18,19 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Static (context-creation-only) conf: lives outside ENGINE_CONF because
+# apply_session_conf can never set it on a live externally-built session.
+# The UI's listener bus serializes an event per task; with 32 local
+# threads and thousands of sub-second tasks that bookkeeping is a
+# measured ~15% of whole-suite wall time (SCALING.md "Round-9 UI-off
+# A/B": min-of-3 alternating fresh sessions, every one of 16 sampled
+# queries improved, 0.73-0.93x). Nothing in the engine, tests, or bench
+# reads the UI; a debugging session can re-enable it explicitly.
+BUILDER_CONF: dict[str, str] = {
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+}
+
 ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -63,6 +76,8 @@ def get_spark(app_name: str = "squonk2-ws-event-stream-spark") -> SparkSession:
     builder = builder.config("spark.executorEnv.PYTHONPATH", pkg_parent)
     builder = builder.config("spark.sql.shuffle.partitions", str(max(32, cpus)))
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    for key, value in BUILDER_CONF.items():
+        builder = builder.config(key, value)
     for key, value in ENGINE_CONF.items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
