@@ -6,9 +6,14 @@ All hot-path logic is built-in string/array/aggregate expressions
 (JVM-side, whole-stage codegen); no Python UDFs.
 
 Scale design (100 TB):
-- t17 explodes words/bigrams but aggregates them back per-document in the
-  same stage — the shuffle key is doc_id, partial aggregation happens
-  map-side, and nothing wider than (doc_id, token, count) ever moves.
+- t17 is a PURE MAP: every metric is intra-document, so all five derive
+  in-row from array expressions — size(), array_distinct(), and a
+  run-length fold over the sorted token array (top-word/top-bigram
+  counts are the longest equal run after array_sort). Zero shuffle
+  bytes at any corpus size; the only exchange in the plan is the
+  fan_out repartition of the single-file test input. The earlier
+  explode→(doc_id, token) groupBy shape shuffled every token and was
+  measured 4x slower at sf0.1 (SCALING.md round-9).
 - t18 is purely per-row regexp work: zero shuffle, one codegen span.
 - t19's global line-frequency table is the one genuinely corpus-wide
   shuffle (groupBy line digest); at 100 TB the key is sha2(line) (fixed
@@ -47,36 +52,47 @@ SQL_BIGRAMS = (
 )
 
 
+# Longest equal run in the sorted array == the max per-token count, found
+# by one linear fold (O(k log k) sort + O(k) scan per doc, all JVM-side).
+# The '' initial prev is safe: run starts at 0, so a leading '' token
+# still counts from 1.
+_TOP_RUN_EXPR = (
+    "aggregate(array_sort({arr}), "
+    "struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run, "
+    "CAST(0 AS BIGINT) AS best), "
+    "(acc, w) -> IF(w = acc.prev, "
+    "struct(w AS prev, acc.run + CAST(1 AS BIGINT) AS run, "
+    "GREATEST(acc.best, acc.run + CAST(1 AS BIGINT)) AS best), "
+    "struct(w AS prev, CAST(1 AS BIGINT) AS run, "
+    "GREATEST(acc.best, CAST(1 AS BIGINT)) AS best)), "
+    "acc -> acc.best)"
+)
+
+
 def t17_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
         .withColumn("words", F.split("text", " "))
+        # single-word docs have no bigrams; the explode shape dropped them
+        # via its inner join on the empty bigram aggregate — same contract
+        .filter(F.size("words") >= 2)
         .withColumn("bigrams", F.expr(BIGRAM_EXPR))
     )
-    wc = (
-        docs.select("doc_id", F.explode("words").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n").alias("n_words"),
-            F.count(F.lit(1)).alias("n_distinct_words"),
-            F.max("n").alias("top_word_n"),
-        )
-    )
-    bc = (
-        docs.select("doc_id", F.explode("bigrams").alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("doc_id")
-        .agg(F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bigram_n"))
-    )
     return (
-        wc.join(bc, "doc_id")
+        docs.select(
+            "doc_id",
+            F.size("words").cast("long").alias("n_words"),
+            F.size(F.array_distinct("words")).cast("long").alias(
+                "n_distinct_words"
+            ),
+            F.expr(_TOP_RUN_EXPR.format(arr="words")).alias("top_word_n"),
+            F.size("bigrams").cast("long").alias("n_bigrams"),
+            F.expr(_TOP_RUN_EXPR.format(arr="bigrams")).alias("top_bigram_n"),
+        )
         .select(
             "doc_id",
-            F.col("n_words").cast("long").alias("n_words"),
-            F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+            "n_words",
+            "n_distinct_words",
             (
                 F.expr("(n_words - n_distinct_words) * 1000000 div n_words")
                 / F.lit(1e6)

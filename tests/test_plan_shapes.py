@@ -429,3 +429,16 @@ def test_sf_scaled_tables_unhinted_and_aqe_broadcasts(spark):
     final = _executed_plan(df)
     assert "isFinalPlan=true" in final
     assert "SortMergeJoin" not in final, "part join not AQE-broadcast"
+
+
+def test_t17_is_a_pure_map(spark):
+    # Every t17 metric is intra-document: the plan must carry no
+    # aggregate, no join, no window — the only exchange allowed is the
+    # fan_out round-robin repartition of the single-file test input.
+    # Zero shuffle bytes per corpus row is the 100 TB contract.
+    plan = explain(QUERIES["t17_repetition_stats"](spark, SF), mode="simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert plan.count("Exchange") <= 1
+    assert "hashpartitioning" not in plan  # round-robin fan-out only

@@ -474,3 +474,51 @@ def test_funnel_latency_bounds(spark):
     r = events.e27_funnel_latency(spark, SMOKE_SF_DIR).collect()[0]
     assert 0 < r["min_minutes"] <= r["p50_minutes"] <= r["p90_minutes"] <= r["max_minutes"]
     assert r["n_converting_users"] >= 1
+
+
+def test_t17_map_form_matches_counter_reference(spark):
+    """The in-row run-length fold (top_word_n/top_bigram_n = longest equal
+    run of the sorted array) must equal the Counter max the old
+    explode+groupBy shape computed — exercised on adversarial docs the
+    parquet corpus may not contain: leading/padded empty tokens (double
+    spaces), an all-same-token doc, exact ties, and a single-word doc
+    (which the old shape DROPPED via its inner join on the empty bigram
+    aggregate — the filter keeps that contract)."""
+    from collections import Counter
+
+    from squonk2_fastapi_ws_event_stream_spark.operators.quality import (
+        t17_repetition_stats,
+    )
+
+    texts = {
+        1: "a b a b a",          # tie between words, repeated bigrams
+        2: "x x x x",            # degenerate all-same
+        3: "lone",               # single word -> must be dropped
+        4: "a  b   a",           # double/triple spaces -> empty tokens
+        5: "u v w",              # all distinct
+    }
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="t17-unit-")
+    spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    got = {r["doc_id"]: r for r in t17_repetition_stats(spark, tmp).collect()}
+
+    assert 3 not in got  # single-word doc dropped (old inner-join contract)
+    for doc_id, text in texts.items():
+        if doc_id == 3:
+            continue
+        words = text.split(" ")
+        bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        r = got[doc_id]
+        assert r["n_words"] == len(words)
+        assert r["n_distinct_words"] == len(set(words))
+        wc, bc = Counter(words), Counter(bigrams)
+        assert r["top_word_frac"] == (
+            max(wc.values()) * 1_000_000 // len(words)
+        ) / 1e6
+        assert r["top_bigram_frac"] == (
+            max(bc.values()) * 1_000_000 // len(bigrams)
+        ) / 1e6
