@@ -1,0 +1,99 @@
+"""Property tests for the round-9 shuffle-elimination rewrites.
+
+Both rewrites replaced an explode→groupBy shape with in-row / aggregation-
+only arithmetic whose equivalence is a THEOREM about multisets:
+
+- t17: the longest equal run of a SORTED array == the max multiplicity of
+  any element (the old per-token groupBy max). The fold must also survive
+  empty-string tokens (split on double spaces) because '' is the fold's
+  initial `prev` sentinel.
+- t33: per-doc duplicated-gram occurrences == total grams minus the
+  occurrences of grams UNIQUE to that doc (the old shape joined the
+  document frequency back to every occurrence; the new one routes only
+  unique grams to their owner). The within-doc-repeat case is the sharp
+  edge: a gram occurring twice in ONE doc and nowhere else has
+  n_docs == 1, so BOTH occurrences count as non-duplicated.
+
+Hypothesis drives diverse multisets; each example batch evaluates in one
+Spark job against a pure-Python Counter reference.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# Tiny alphabets force collisions (runs, ties, shared grams); '' is
+# deliberately included to attack the fold's initial-prev sentinel.
+TOKENS = st.sampled_from(["a", "b", "c", "aa", ""])
+TOKEN_LISTS = st.lists(TOKENS, min_size=1, max_size=12)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(TOKEN_LISTS, min_size=1, max_size=8))
+def test_t17_top_run_fold_equals_counter_max(spark, arrays):
+    from squonk2_fastapi_ws_event_stream_spark.operators.quality import (
+        _TOP_RUN_EXPR,
+    )
+
+    df = spark.createDataFrame(
+        [(i, arr) for i, arr in enumerate(arrays)], "i long, arr array<string>"
+    )
+    got = {
+        r["i"]: r["top"]
+        for r in df.select(
+            "i", F.expr(_TOP_RUN_EXPR.format(arr="arr")).alias("top")
+        ).collect()
+    }
+    for i, arr in enumerate(arrays):
+        assert got[i] == max(Counter(arr).values()), arr
+
+
+DOCS = st.lists(
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=5, max_size=9),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(DOCS)
+def test_t33_unique_gram_identity_on_random_corpora(spark, tmp_path_factory, corpora):
+    """dup_frac from the aggregation-only shape == the occurrence-level
+    definition (fraction of a doc's 5-gram OCCURRENCES whose gram appears
+    in at least one other doc), computed by a Counter reference."""
+    import os
+
+    from squonk2_fastapi_ws_event_stream_spark.operators.corpus import (
+        T33_W,
+        t33_dup_ngram_spans,
+    )
+
+    texts = {i: " ".join(words) for i, words in enumerate(corpora)}
+    tmp = str(tmp_path_factory.mktemp("t33-prop"))
+    spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in t33_dup_ngram_spans(spark, tmp).collect()}
+
+    words_by_doc = {i: t.split(" ") for i, t in texts.items()}
+    grams = {
+        i: [" ".join(ws[j : j + T33_W]) for j in range(len(ws) - T33_W + 1)]
+        for i, ws in words_by_doc.items()
+        if len(ws) >= T33_W
+    }
+    df_count = Counter()  # gram -> number of DISTINCT docs containing it
+    for i, gs in grams.items():
+        for g in set(gs):
+            df_count[g] += 1
+    assert set(got) == set(grams)
+    for i, gs in grams.items():
+        n_dup = sum(1 for g in gs if df_count[g] >= 2)
+        r = got[i]
+        assert r["n_grams"] == len(gs)
+        assert r["n_dup_grams"] == n_dup, (i, gs)
+        assert r["dup_frac"] == (n_dup * 1_000_000 // len(gs)) / 1e6
