@@ -106,19 +106,22 @@ FROM documents
 # columns recover their micro integers exactly via ROUND(x·1e6).
 # ---------------------------------------------------------------------------
 def quality_score_micro_expr() -> "F.Column":
-    """Exact-integer composite score in micros; expects columns
-    n_words, stopword_ratio, avg_word_len (the t09 published ratios)."""
+    """Exact-integer composite score in micros; expects the micro-integer
+    ratio columns n_words, stop_micro, awl_micro (round-10 conversion:
+    the old form ROUND-recovered micros from the published 6-dp doubles,
+    which themselves carried a reachable 1e-6 half boundary — now the
+    micros are computed once with truncating DIV and flow through)."""
     return F.expr(
         "3000 * least(n_words, 100)"
-        " + 400000 - CAST(ROUND(stopword_ratio * 1000000) AS BIGINT) * 2 DIV 5"
-        " + least(CAST(ROUND(avg_word_len * 1000000) AS BIGINT), 6000000) DIV 20"
+        " + 400000 - stop_micro * 2 DIV 5"
+        " + least(awl_micro, 6000000) DIV 20"
     )
 
 
 SQL_QUALITY_MICRO = (
     "3000 * LEAST(n_words, 100)"
-    " + 400000 - CAST(ROUND(stopword_ratio * 1000000) AS BIGINT) * 2 // 5"
-    " + LEAST(CAST(ROUND(avg_word_len * 1000000) AS BIGINT), 6000000) // 20"
+    " + 400000 - stop_micro * 2 // 5"
+    " + LEAST(awl_micro, 6000000) // 20"
 )
 
 
@@ -129,19 +132,26 @@ def t09_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = (
         _occurrences(padded, " the ") + _occurrences(padded, " a ") + _occurrences(padded, " of ")
     )
-    avg_word_len = F.round((F.col("n_chars") - (n_words - 1)) / n_words, 6)
-    stop_ratio = F.round(stop_hits / n_words, 6)
-    base = docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        avg_word_len.alias("avg_word_len"),
-        stop_ratio.alias("stopword_ratio"),
-    ).withColumn("score_micro", quality_score_micro_expr())
+    base = (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            n_words.alias("n_words"),
+            stop_hits.alias("stop_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.expr("(n_chars - (n_words - 1)) * 1000000 DIV n_words").alias("awl_micro"),
+            F.expr("stop_hits * 1000000 DIV n_words").alias("stop_micro"),
+        )
+        .withColumn("score_micro", quality_score_micro_expr())
+    )
     return base.select(
         "doc_id",
         "n_words",
-        "avg_word_len",
-        "stopword_ratio",
+        (F.col("awl_micro") / 1_000_000.0).alias("avg_word_len"),
+        (F.col("stop_micro") / 1_000_000.0).alias("stopword_ratio"),
         (F.col("score_micro") / 1_000_000.0).alias("quality_score"),
         F.when(F.col("score_micro") >= 800_000, "high")
         .when(F.col("score_micro") >= 600_000, "medium")
@@ -162,16 +172,18 @@ WITH base AS (
 ),
 m AS (
   SELECT doc_id, n_words,
-         ROUND((n_chars - (n_words - 1)) / n_words, 6) AS avg_word_len,
-         ROUND(stop_hits / n_words, 6) AS stopword_ratio
+         (n_chars - (n_words - 1)) * 1000000 // n_words AS awl_micro,
+         stop_hits * 1000000 // n_words AS stop_micro
   FROM base
 ),
 s AS (
-  SELECT doc_id, n_words, avg_word_len, stopword_ratio,
+  SELECT doc_id, n_words, awl_micro, stop_micro,
          {SQL_QUALITY_MICRO} AS score_micro
   FROM m
 )
-SELECT doc_id, n_words, avg_word_len, stopword_ratio,
+SELECT doc_id, n_words,
+       awl_micro / 1000000.0 AS avg_word_len,
+       stop_micro / 1000000.0 AS stopword_ratio,
        score_micro / 1000000.0 AS quality_score,
        CASE WHEN score_micro >= 800000 THEN 'high'
             WHEN score_micro >= 600000 THEN 'medium'

@@ -276,22 +276,29 @@ def t15_pipeline_quality_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFr
     stop_hits = (
         _occurrences(padded, " the ") + _occurrences(padded, " a ") + _occurrences(padded, " of ")
     )
-    avg_word_len = F.round((F.col("n_chars") - (n_words - 1)) / n_words, 6)
-    stop_ratio = F.round(stop_hits / n_words, 6)
     bpe_tokens = F.size(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), F.lit(0))
     ).cast("long")
-    # exact-integer micro score (the t09 round-7 fix: doubles at a
-    # ROUND half boundary round differently across engines)
+    # exact-integer micro score over micro-integer ratios (round-10
+    # conversion: the t09 ratios flow as truncating-DIV micros end to
+    # end — the old published 6-dp ROUND doubles carried a reachable
+    # 1e-6 half boundary)
     from ..operators.textstats import quality_score_micro_expr
 
     scored = kept.select(
         "doc_id",
         "lang",
+        "n_chars",
         n_words.alias("n_words"),
-        avg_word_len.alias("avg_word_len"),
-        stop_ratio.alias("stopword_ratio"),
+        stop_hits.alias("stop_hits"),
         bpe_tokens.alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "toks",
+        F.expr("(n_chars - (n_words - 1)) * 1000000 DIV n_words").alias("awl_micro"),
+        F.expr("stop_hits * 1000000 DIV n_words").alias("stop_micro"),
     ).withColumn("q_micro", quality_score_micro_expr())
     return (
         scored.filter(F.col("q_micro") >= int(QUALITY_MIN * 1_000_000))
@@ -332,8 +339,8 @@ base AS (
 ),
 m AS (
   SELECT doc_id, lang, toks, n_words,
-         ROUND(stop_hits / n_words, 6) AS stopword_ratio,
-         ROUND((n_chars - (n_words - 1)) / n_words, 6) AS avg_word_len
+         stop_hits * 1000000 // n_words AS stop_micro,
+         (n_chars - (n_words - 1)) * 1000000 // n_words AS awl_micro
   FROM base
 ),
 s AS (
