@@ -471,24 +471,28 @@ def e12_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     win = F.window(F.col("ts"), "10 minutes", "5 minutes")
+    # round-10 conversion: the sum is exact integer cents end to end and
+    # published as cents/100.0 — the old ROUND(double, 4) publish rounded
+    # the DuckDB side only (cast-asymmetry patch) and was t09-class.
+    cents = F.round(F.col("value") * 100).cast("decimal(38,0)")
     return (
         ev.groupBy(win.start.alias("window_start"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.sum(cents).alias("sum_cents"),
         )
         .select(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
             "event_type",
             "n_events",
-            "sum_value",
+            (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("sum_value"),
         )
     )
 
 
 ORACLE_E12 = """
 WITH starts AS (
-  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+  SELECT event_type, CAST(ROUND(value * 100) AS HUGEINT) AS v_cents,
          unnest([CAST(FLOOR(epoch(ts) / 300) AS BIGINT) * 300,
                  CAST(FLOOR(epoch(ts) / 300) AS BIGINT) * 300 - 300]) AS ws
   FROM events
@@ -496,7 +500,7 @@ WITH starts AS (
 SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(v) AS DOUBLE), 4) AS sum_value
+       CAST(SUM(v_cents) AS DOUBLE) / 100.0 AS sum_value
 FROM starts GROUP BY 1, 2
 """
 
@@ -912,9 +916,11 @@ def e19_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros("ts") / 3_600_000_000).alias("hour_no"),
         "value",
     )
+    # round-10 conversion: exact integer cents, published cents/100.0
+    # (the old symmetric ROUND(sum, 4) was still a float-ROUND publish).
     sparse = ev.groupBy("event_type", "hour_no").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4).alias(
+        (F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).cast("double") / F.lit(100.0)).alias(
             "sum_value"
         ),
     )
@@ -950,12 +956,12 @@ def e19_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_E19 = """
 WITH ev AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS hour_no,
-         CAST(value AS DECIMAL(18,2)) AS v
+         CAST(ROUND(value * 100) AS HUGEINT) AS v_cents
   FROM events
 ),
 sparse AS (
   SELECT event_type, hour_no, COUNT(*) AS n_events,
-         ROUND(CAST(SUM(v) AS DOUBLE), 4) AS sum_value
+         CAST(SUM(v_cents) AS DOUBLE) / 100.0 AS sum_value
   FROM ev GROUP BY event_type, hour_no
 ),
 grid AS (
@@ -2145,9 +2151,9 @@ def e34_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a in range(E34_MAX_AGE + 1)
         ],
         *[
-            F.round(
-                F.col(str(a)).cast("double") / F.col("0").cast("double"), 6
-            ).alias(f"r{a}")
+            # round-10 conversion: exact integer micros with truncating
+            # DIV (the ROUND(int/int, 6) form was t09-class).
+            (F.expr(f"`{a}` * 1000000 DIV `0`") / 1_000_000.0).alias(f"r{a}")
             for a in range(1, E34_MAX_AGE + 1)
         ],
     )
@@ -2159,8 +2165,8 @@ def _oracle_e34() -> str:
         for a in range(E34_MAX_AGE + 1)
     )
     ratios = ",\n       ".join(
-        f"ROUND(CAST(COUNT(*) FILTER (WHERE age = {a}) AS DOUBLE)"
-        f" / CAST(COUNT(*) FILTER (WHERE age = 0) AS DOUBLE), 6) AS r{a}"
+        f"(COUNT(*) FILTER (WHERE age = {a}) * 1000000"
+        f" // COUNT(*) FILTER (WHERE age = 0)) / 1000000.0 AS r{a}"
         for a in range(1, E34_MAX_AGE + 1)
     )
     return f"""
@@ -2431,11 +2437,12 @@ def e37_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_num").cast("int").alias("day_num"),
         F.col("hour").cast("int").alias("hour"),
         F.col("a_n").cast("long").alias("n_events"),
-        F.round(F.col("a_sum").cast("double") / F.col("a_n").cast("double") / 100, 6)
-        .alias("actual_mean"),
-        F.round(
-            F.col("base_sum").cast("double") / F.col("base_n").cast("double") / 100, 6
-        ).alias("seasonal_mean"),
+        # round-10 conversion: the means publish as exact micros — cents
+        # sums are exact decimals, so mean-in-value-units micros is
+        # sum*1e4 DIV n (Spark decimal DIV == DuckDB HUGEINT //, both
+        # truncating); the old ROUND(double/double, 6) was t09-class.
+        (F.expr("a_sum * 10000 DIV a_n") / 1_000_000.0).alias("actual_mean"),
+        (F.expr("base_sum * 10000 DIV base_n") / 1_000_000.0).alias("seasonal_mean"),
         (F.abs(resid) > bound).alias("is_anomaly"),
     )
 
@@ -2467,9 +2474,9 @@ SELECT e.event_type,
        CAST(e.day_num AS INTEGER) AS day_num,
        CAST(e.hour AS INTEGER) AS hour,
        CAST(e.a_n AS BIGINT) AS n_events,
-       ROUND(CAST(e.a_sum AS DOUBLE) / CAST(e.a_n AS DOUBLE) / 100, 6)
+       (CAST(e.a_sum AS HUGEINT) * 10000 // CAST(e.a_n AS HUGEINT)) / 1000000.0
          AS actual_mean,
-       ROUND(CAST(t.base_sum AS DOUBLE) / CAST(t.base_n AS DOUBLE) / 100, 6)
+       (CAST(t.base_sum AS HUGEINT) * 10000 // CAST(t.base_n AS HUGEINT)) / 1000000.0
          AS seasonal_mean,
        ABS(e.a_sum * t.base_n - t.base_sum * e.a_n)
          > CAST({E37_T_CENTS} AS DECIMAL(38,0)) * t.base_n * e.a_n AS is_anomaly
@@ -2928,13 +2935,15 @@ def e41_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n_obs").cast("long").alias("n_obs"),
             F.col("dur_us").cast("long").alias("span_us"),
-            F.round(
-                F.col("vt").cast("double") / F.col("dur_us").cast("double") / 100.0, 4
-            ).alias("twap"),
-            F.round(
-                F.col("cents_sum").cast("double") / F.col("n_obs").cast("double") / 100.0,
-                4,
-            ).alias("naive_mean"),
+            # round-10 conversion: exact value-unit micros via truncating
+            # decimal DIV (vt is cents·us in decimal(38,0); ×1e4 = micros
+            # of the value mean) — the old ROUND(double quotient, 4) was
+            # t09-class. The streaming twin's twap_milli is the same
+            # integral at milli precision.
+            (F.expr("vt * 10000 DIV dur_us") / 1_000_000.0).alias("twap"),
+            (F.expr("CAST(cents_sum AS DECIMAL(38,0)) * 10000 DIV n_obs") / 1_000_000.0).alias(
+                "naive_mean"
+            ),
         )
     )
 
@@ -2954,10 +2963,9 @@ seq AS (
 SELECT event_type,
        COUNT(*) AS n_obs,
        CAST(SUM(nxt_us - us) AS BIGINT) AS span_us,
-       ROUND(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * CAST(nxt_us - us AS DECIMAL(38,0)))
-                  AS DOUBLE)
-             / CAST(SUM(nxt_us - us) AS DOUBLE) / 100.0, 4) AS twap,
-       ROUND(CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 4)
+       (CAST(SUM(CAST(cents AS HUGEINT) * CAST(nxt_us - us AS HUGEINT)) AS HUGEINT)
+             * 10000 // CAST(SUM(nxt_us - us) AS HUGEINT)) / 1000000.0 AS twap,
+       (CAST(SUM(cents) AS HUGEINT) * 10000 // COUNT(*)) / 1000000.0
          AS naive_mean
 FROM seq
 GROUP BY event_type
@@ -3327,13 +3335,17 @@ def e45_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_a = dbl("n") * dbl("qa") - dbl("sa") * dbl("sa")
     var_b = dbl("n") * dbl("qb") - dbl("sb") * dbl("sb")
     # r = cov / sqrt(var_a * var_b): sqrt is correctly-rounded IEEE —
-    # portable (the t27 rule: sqrt OK, log/pow not).
+    # portable (the t27 rule: sqrt OK, log/pow not). Published via
+    # floor_scaled (round-10 conversion: sqrt has no integer form and
+    # ROUND of the same double is procedure-asymmetric across engines).
+    from ..functions.numeric import floor_scaled
+
     r = cov_n / F.sqrt(var_a * var_b)
     return m.select(
         "type_a",
         "type_b",
         F.col("n").cast("long").alias("n_hours"),
-        F.round(r, 6).alias("pearson_r"),
+        floor_scaled(r, 6).alias("pearson_r"),
         (r > 0.5).alias("strongly_coupled"),
     )
 
@@ -3367,23 +3379,21 @@ m AS (
          SUM(CAST(cb AS HUGEINT) * cb) AS qb,
          SUM(CAST(ca AS HUGEINT) * cb) AS sab
   FROM paired GROUP BY 1, 2
+),
+rr AS (
+  SELECT type_a, type_b, n,
+         (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+          - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+         / SQRT((CAST(n AS DOUBLE) * CAST(qa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(qb AS DOUBLE)
+                   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS r
+  FROM m
 )
 SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
-       ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
-              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
-             / SQRT((CAST(n AS DOUBLE) * CAST(qa AS DOUBLE)
-                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
-                    * (CAST(n AS DOUBLE) * CAST(qb AS DOUBLE)
-                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
-         AS pearson_r,
-       (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
-        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
-       / SQRT((CAST(n AS DOUBLE) * CAST(qa AS DOUBLE)
-               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
-              * (CAST(n AS DOUBLE) * CAST(qb AS DOUBLE)
-                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) > 0.5
-         AS strongly_coupled
-FROM m
+       (FLOOR(r * 1000000.0) / 1000000.0 + 0.0) AS pearson_r,
+       r > 0.5 AS strongly_coupled
+FROM rr
 """
 
 
