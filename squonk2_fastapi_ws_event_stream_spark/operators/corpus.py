@@ -836,6 +836,7 @@ T47_SALTS = 8
 
 
 def t47_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import floor_scaled
     from ..functions.skew import salted_join
     from .quality import tokens_table
 
@@ -875,7 +876,9 @@ def t47_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("s1").alias("source_a"),
             F.col("s2").alias("source_b"),
-            F.round(
+            # round-10 conversion: sqrt-bearing cosine publishes via
+            # floor_scaled (no integer form; ROUND was t09-class).
+            floor_scaled(
                 F.col("dot").cast("double")
                 / (
                     F.sqrt(F.col("sq1").cast("double"))
@@ -907,9 +910,9 @@ norms AS (
   FROM counts GROUP BY source
 )
 SELECT d.s1 AS source_a, d.s2 AS source_b,
-       ROUND(CAST(d.dot AS DOUBLE)
-             / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE))),
-             6) AS profile_cos,
+       (FLOOR(CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))
+             * 1000000.0) / 1000000.0 + 0.0) AS profile_cos,
        CAST(na.n_terms AS BIGINT) AS n_terms_a,
        CAST(nb.n_terms AS BIGINT) AS n_terms_b
 FROM dots d
@@ -1009,12 +1012,16 @@ def t48_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dup_groups").cast("long").alias("n_dup_groups"),
             F.col("docs_removed").cast("long").alias("docs_removed"),
             F.col("chars_removed").cast("long").alias("chars_removed"),
-            F.round(F.col("docs_removed") / F.col("total_docs"), 6).alias(
-                "docs_removed_frac"
-            ),
-            F.round(F.col("chars_removed") / F.col("total_chars"), 6).alias(
-                "chars_removed_frac"
-            ),
+            # round-10 conversion: exact int/int micros (ROUND was
+            # t09-class).
+            (
+                F.expr("CAST(docs_removed AS DECIMAL(38,0)) * 1000000 DIV total_docs")
+                / 1_000_000.0
+            ).alias("docs_removed_frac"),
+            (
+                F.expr("CAST(chars_removed AS DECIMAL(38,0)) * 1000000 DIV total_chars")
+                / 1_000_000.0
+            ).alias("chars_removed_frac"),
         )
     )
 
@@ -1059,8 +1066,10 @@ WITH tiers AS ({tiers}),
 total AS (SELECT COUNT(*) AS total_docs, SUM(n_chars) AS total_chars
           FROM documents)
 SELECT tier, n_dup_groups, docs_removed, chars_removed,
-       ROUND(docs_removed * 1.0 / total_docs, 6) AS docs_removed_frac,
-       ROUND(chars_removed * 1.0 / total_chars, 6) AS chars_removed_frac
+       (CAST(docs_removed AS HUGEINT) * 1000000 // total_docs) / 1000000.0
+         AS docs_removed_frac,
+       (CAST(chars_removed AS HUGEINT) * 1000000 // total_chars) / 1000000.0
+         AS chars_removed_frac
 FROM tiers CROSS JOIN total
 """
 
@@ -1215,10 +1224,15 @@ def t58_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m_prev") + k * F.col("cnt")).cast("long").alias("covered_tokens"),
         F.col("total_mass").cast("long").alias("total_tokens"),
         F.col("vocab_total").cast("long").alias("vocab_total"),
-        F.round(
-            (F.col("m_prev") + k * F.col("cnt")).cast("double")
-            / F.col("total_mass").cast("double"),
-            6,
+        # round-10 conversion: exact int/int micros (ROUND was t09-class);
+        # decimal-widened — covered×1e6 outruns int64 at corpus scale.
+        (
+            F.expr(
+                "CAST(m_prev + "
+                "((thr - m_prev + cnt - 1) DIV cnt) * cnt AS DECIMAL(38,0))"
+                " * 1000000 DIV total_mass"
+            )
+            / 1_000_000.0
         ).alias("coverage"),
     )
 
@@ -1257,8 +1271,8 @@ SELECT CAST(pct AS INTEGER) AS pct,
          AS covered_tokens,
        CAST(total_mass AS BIGINT) AS total_tokens,
        CAST(vocab_total AS BIGINT) AS vocab_total,
-       ROUND(CAST(m_prev + ((thr - m_prev + cnt - 1) // cnt) * cnt AS DOUBLE)
-             / CAST(total_mass AS DOUBLE), 6) AS coverage
+       (CAST(m_prev + ((thr - m_prev + cnt - 1) // cnt) * cnt AS HUGEINT)
+             * 1000000 // total_mass) / 1000000.0 AS coverage
 FROM crossing
 """
 
@@ -1608,10 +1622,14 @@ def t61_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("docs_prefix").cast("long").alias("docs_prefix"),
             F.col("tokens_prefix").cast("long").alias("tokens_prefix"),
             F.col("vocab_prefix").cast("long").alias("vocab_prefix"),
-            F.round(
-                F.col("vocab_prefix").cast("double")
-                / F.col("tokens_prefix").cast("double"),
-                6,
+            # round-10 conversion: exact int/int micros (ROUND was
+            # t09-class); decimal-widened against corpus-scale counts.
+            (
+                F.expr(
+                    "CAST(vocab_prefix AS DECIMAL(38,0)) * 1000000"
+                    " DIV tokens_prefix"
+                )
+                / 1_000_000.0
             ).alias("ttr"),
         )
     )
@@ -1641,7 +1659,7 @@ SELECT CAST(t.pct AS INTEGER) AS pct,
        CAST(t.thr AS BIGINT) AS docs_prefix,
        CAST(m.m AS BIGINT) AS tokens_prefix,
        CAST(v.v AS BIGINT) AS vocab_prefix,
-       ROUND(CAST(v.v AS DOUBLE) / CAST(m.m AS DOUBLE), 6) AS ttr
+       (CAST(v.v AS HUGEINT) * 1000000 // m.m) / 1000000.0 AS ttr
 FROM targets t JOIN vocab v ON t.pct = v.pct JOIN mass m ON t.pct = m.pct
 """
 

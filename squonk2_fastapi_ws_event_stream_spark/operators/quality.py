@@ -1247,7 +1247,11 @@ def t53_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("n_trigrams").cast("long").alias("n_trigrams"),
             F.col("n_novel").cast("long").alias("n_novel"),
-            F.round(F.col("n_novel") / F.col("n_trigrams"), 6).alias("novelty"),
+            # round-10 conversion: exact int/int micros (ROUND was
+            # t09-class).
+            (F.expr("n_novel * 1000000 DIV n_trigrams") / 1_000_000.0).alias(
+                "novelty"
+            ),
         )
     )
 
@@ -1265,8 +1269,8 @@ freq AS (SELECT g, COUNT(*) AS df FROM tg GROUP BY g)
 SELECT t.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_trigrams,
        CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-       ROUND(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
-         AS novelty
+       (SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*))
+         / 1000000.0 AS novelty
 FROM tg t JOIN freq f USING (g)
 GROUP BY t.doc_id
 """

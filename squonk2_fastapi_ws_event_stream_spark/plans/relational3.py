@@ -299,15 +299,36 @@ def q52_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("yr").orderBy(
         F.col("rev_d").desc(), F.col("n_name").asc()
     )
-    return yearly.select(
-        F.col("yr").cast("long").alias("yr"),
-        "n_name",
-        F.round(F.col("rev_d").cast("double"), 4).alias("revenue"),
-        F.rank().over(w).cast("int").alias("rnk"),
-        F.dense_rank().over(w).cast("int").alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
-        F.ntile(3).over(w).cast("int").alias("tier"),
+    wall = Window.partitionBy("yr")
+    # round-10 conversion: the order key (rev_d, n_name) is unique within
+    # a year, so rank == row_number and percent_rank/cume_dist are exact
+    # integer ratios published as truncating-DIV micros (the q25/t29
+    # recipe) instead of ROUND(double, 6).
+    return (
+        yearly.select(
+            F.col("yr").cast("long").alias("yr"),
+            "n_name",
+            F.round(F.col("rev_d").cast("double"), 4).alias("revenue"),
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("cnt"),
+            F.ntile(3).over(w).cast("int").alias("tier"),
+        )
+        .select(
+            "yr",
+            "n_name",
+            "revenue",
+            "rnk",
+            "drnk",
+            (
+                F.when(F.col("cnt") > 1, F.expr("(rn - 1) * 1000000 DIV (cnt - 1)"))
+                .otherwise(F.lit(0))
+                / 1_000_000.0
+            ).alias("prnk"),
+            (F.expr("rn * 1000000 DIV cnt") / 1_000_000.0).alias("cdist"),
+            "tier",
+        )
     )
 
 
@@ -324,11 +345,14 @@ SELECT CAST(yr AS BIGINT) AS yr, n_name,
        ROUND(CAST(rev_d AS DOUBLE), 4) AS revenue,
        CAST(RANK() OVER w AS INTEGER) AS rnk,
        CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
-       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
-       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+       CASE WHEN COUNT(*) OVER wall > 1
+            THEN (ROW_NUMBER() OVER w - 1) * 1000000 // (COUNT(*) OVER wall - 1)
+            ELSE 0 END / 1000000.0 AS prnk,
+       (ROW_NUMBER() OVER w * 1000000 // COUNT(*) OVER wall) / 1000000.0 AS cdist,
        CAST(NTILE(3) OVER w AS INTEGER) AS tier
 FROM yearly
-WINDOW w AS (PARTITION BY yr ORDER BY rev_d DESC, n_name ASC)
+WINDOW w AS (PARTITION BY yr ORDER BY rev_d DESC, n_name ASC),
+       wall AS (PARTITION BY yr)
 """
 
 QUERIES["q52_rank_battery"] = q52_rank_battery
@@ -537,10 +561,11 @@ def q54_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_r",
         "sum_f",
         "sum_m",
-        F.round(
-            F.col("sum_cents").cast("double")
-            / (F.lit(100.0) * F.col("n_customers").cast("double")),
-            4,
+        # round-10 conversion: exact value-unit micros (cents × 1e4 DIV
+        # n, decimal-widened) — the ROUND(int/int, 4) was t09-class.
+        (
+            F.expr("CAST(sum_cents AS DECIMAL(38,0)) * 10000 DIV n_customers")
+            / 1_000_000.0
         ).alias("avg_monetary"),
     )
 
@@ -625,7 +650,7 @@ SELECT segment,
        CAST(SUM(r_score) AS BIGINT) AS sum_r,
        CAST(SUM(f_score) AS BIGINT) AS sum_f,
        CAST(SUM(m_score) AS BIGINT) AS sum_m,
-       ROUND(CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(*)), 4)
+       (CAST(SUM(cents) AS HUGEINT) * 10000 // COUNT(*)) / 1000000.0
          AS avg_monetary
 FROM seg GROUP BY segment
 """
