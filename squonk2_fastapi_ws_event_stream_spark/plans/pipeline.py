@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import davg
+from ..functions.numeric import davg, floor_scaled, sql_floor_scaled
 from ..operators.textstats import (
     BPE_ISH_PATTERN,
     SQL_QUALITY_MICRO,
@@ -1003,7 +1003,9 @@ def x14_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("occupied").cast("long").alias("occupied"),
         # greatest(1, m−z) guards the saturated regime (z = m → ln ∞): the
         # sketch then reports its ceiling m·ln(m) instead of dividing by 0.
-        F.round(
+        # round-10 conversion: floor_scaled removes the ROUND procedure
+        # asymmetry; the residual risk is the shared ln-libm ulp (class 1).
+        floor_scaled(
             m * F.log(m / F.greatest(F.lit(1.0), m - F.col("occupied"))), 2
         ).alias("lc_estimate"),
         F.col("exact_users").cast("long").alias("exact_users"),
@@ -1019,8 +1021,9 @@ WITH occ AS (
 )
 SELECT {X14_M} AS m_buckets,
        CAST(occupied AS BIGINT) AS occupied,
-       ROUND({X14_M}.0 * ln({X14_M}.0 /
-             GREATEST(1.0, {X14_M}.0 - occupied)), 2) AS lc_estimate,
+       (FLOOR({X14_M}.0 * ln({X14_M}.0 /
+             GREATEST(1.0, {X14_M}.0 - occupied)) * 100.0) / 100.0 + 0.0)
+         AS lc_estimate,
        (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_users
 FROM occ
 """
@@ -1094,7 +1097,9 @@ def x15_quantile_accuracy_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("accuracy").cast("int").alias("accuracy"),
         F.lit(n).cast("long").alias("n"),
         *[
-            F.round(F.lit(exact[p]), 6).alias(f"p{int(p * 100)}_exact")
+            # round-10 conversion: the q14 floor recipe — both engines
+            # interpolate the same double; floor-of-scaled is exact.
+            floor_scaled(F.lit(exact[p]), 6).alias(f"p{int(p * 100)}_exact")
             for p in X15_PCTS
         ],
         *ok_aliases,
@@ -1104,10 +1109,10 @@ def x15_quantile_accuracy_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_X15 = f"""
 SELECT CAST(a AS INTEGER) AS accuracy,
        (SELECT COUNT(*) FROM lineitem) AS n,
-       (SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 6) FROM lineitem)
-         AS p50_exact,
-       (SELECT ROUND(quantile_cont(l_extendedprice, 0.95), 6) FROM lineitem)
-         AS p95_exact,
+       (SELECT {sql_floor_scaled("quantile_cont(l_extendedprice, 0.5)")}
+        FROM lineitem) AS p50_exact,
+       (SELECT {sql_floor_scaled("quantile_cont(l_extendedprice, 0.95)")}
+        FROM lineitem) AS p95_exact,
        TRUE AS p50_ok,
        TRUE AS p95_ok
 FROM (SELECT unnest([{", ".join(str(a) for a in X15_ACCS)}]) AS a)
@@ -1163,10 +1168,12 @@ def x16_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h").alias("kth"),
         F.sum((F.col("sides") == 2).cast("long")).alias("shared"),
     )
-    est_union = F.when(
-        F.col("k_kept") < X13_K, F.col("k_kept").cast("double")
-    ).otherwise(
-        F.round((F.col("k_kept") - 1) * F.lit(float(_X13_P)) / F.col("kth"), 4)
+    # round-10 conversion: union estimate in the x13/x25b e4-units form,
+    # jaccard as truncating-DIV micros, intersection as the exact integer
+    # product of the two (decimal-widened) published at 2 decimals — the
+    # old ROUND-of-float chain was t09-class.
+    union_e4 = F.when(F.col("k_kept") < X13_K, F.col("k_kept") * 10000).otherwise(
+        F.expr(f"(k_kept - 1) * {_X13_P} * 10000 div kth")
     )
     exact = ev.agg(
         F.count_distinct(F.when(F.col("ts") < split, F.col("user_id"))).alias(
@@ -1179,16 +1186,17 @@ def x16_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sk.crossJoin(F.broadcast(exact))
-        .withColumn("est_union", est_union)
-        .withColumn("est_jaccard", F.round(F.col("shared") / F.col("k_kept"), 6))
+        .withColumn("union_e4", union_e4)
+        .withColumn("jacc_micro", F.expr("shared * 1000000 DIV k_kept"))
         .select(
             F.col("k_kept").cast("long").alias("k_kept"),
             F.col("shared").cast("long").alias("shared_hashes"),
-            "est_union",
-            "est_jaccard",
-            F.round(F.col("est_jaccard") * F.col("est_union"), 2).alias(
-                "est_intersection"
-            ),
+            (F.col("union_e4") / 10_000.0).alias("est_union"),
+            (F.col("jacc_micro") / 1_000_000.0).alias("est_jaccard"),
+            (
+                F.expr("CAST(jacc_micro AS DECIMAL(38,0)) * union_e4 DIV 100000000")
+                / 100.0
+            ).alias("est_intersection"),
             F.col("exact_a").cast("long").alias("exact_a"),
             F.col("exact_b").cast("long").alias("exact_b"),
             F.col("exact_union").cast("long").alias("exact_union"),
@@ -1227,22 +1235,25 @@ exact AS (
                              THEN user_id END) AS exact_b,
          COUNT(DISTINCT user_id) AS exact_union
   FROM events
+),
+u AS (
+  SELECT *,
+         CASE WHEN k_kept < {X13_K} THEN k_kept * 10000
+              ELSE (k_kept - 1) * {_X13_P} * 10000 // kth END AS union_e4,
+         shared * 1000000 // k_kept AS jacc_micro
+  FROM sk CROSS JOIN exact
 )
 SELECT CAST(k_kept AS BIGINT) AS k_kept,
        CAST(shared AS BIGINT) AS shared_hashes,
-       CASE WHEN k_kept < {X13_K} THEN CAST(k_kept AS DOUBLE)
-            ELSE ROUND((k_kept - 1) * CAST({_X13_P} AS DOUBLE) / kth, 4)
-       END AS est_union,
-       ROUND(shared * 1.0 / k_kept, 6) AS est_jaccard,
-       ROUND(ROUND(shared * 1.0 / k_kept, 6) *
-             CASE WHEN k_kept < {X13_K} THEN CAST(k_kept AS DOUBLE)
-                  ELSE ROUND((k_kept - 1) * CAST({_X13_P} AS DOUBLE) / kth, 4)
-             END, 2) AS est_intersection,
+       union_e4 / 10000.0 AS est_union,
+       jacc_micro / 1000000.0 AS est_jaccard,
+       (CAST(jacc_micro AS HUGEINT) * union_e4 // 100000000) / 100.0
+         AS est_intersection,
        CAST(exact_a AS BIGINT) AS exact_a,
        CAST(exact_b AS BIGINT) AS exact_b,
        CAST(exact_union AS BIGINT) AS exact_union,
        CAST(exact_a + exact_b - exact_union AS BIGINT) AS exact_intersection
-FROM sk CROSS JOIN exact
+FROM u
 """
 
 
@@ -1483,17 +1494,22 @@ def x22_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_total"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("exact_d"),
     )
-    return totals.join(sample_est, "event_type").select(
-        "event_type",
-        "n_total",
-        "n_sampled",
-        F.round(F.col("exact_d").cast("double"), 4).alias("sum_exact"),
-        F.round(F.col("est_d").cast("double"), 4).alias("sum_est"),
-        F.round(
-            F.abs(F.col("est_d").cast("double") - F.col("exact_d").cast("double"))
-            / F.col("exact_d").cast("double"),
-            6,
-        ).alias("rel_err"),
+    # round-10 conversion: the decimal sums publish as exact integer
+    # micros / 1e6 and rel_err as a truncating decimal-DIV micro ratio —
+    # the old ROUND(decimal→double, k) rode DuckDB's 1-ulp cast AND the
+    # t09 ROUND procedure asymmetry.
+    return (
+        totals.join(sample_est, "event_type")
+        .withColumn("xm", F.expr("CAST(exact_d * 1000000 AS DECIMAL(38,0))"))
+        .withColumn("em", F.expr("CAST(est_d * 1000000 AS DECIMAL(38,0))"))
+        .select(
+            "event_type",
+            "n_total",
+            "n_sampled",
+            (F.expr("CAST(xm AS BIGINT)") / 1_000_000.0).alias("sum_exact"),
+            (F.expr("CAST(em AS BIGINT)") / 1_000_000.0).alias("sum_est"),
+            (F.expr("abs(em - xm) * 1000000 DIV xm") / 1_000_000.0).alias("rel_err"),
+        )
     )
 
 
@@ -1529,15 +1545,20 @@ totals AS (
   SELECT event_type, COUNT(*) AS n_total,
          SUM(CAST(value AS DECIMAL(18,6))) AS exact_d
   FROM events GROUP BY event_type
+),
+m AS (
+  SELECT t.event_type, t.n_total, e.n_sampled,
+         CAST(t.exact_d * 1000000 AS HUGEINT) AS xm,
+         CAST(e.est_d * 1000000 AS HUGEINT) AS em
+  FROM totals t JOIN est e ON t.event_type = e.event_type
 )
-SELECT t.event_type,
-       CAST(t.n_total AS BIGINT) AS n_total,
-       CAST(e.n_sampled AS BIGINT) AS n_sampled,
-       ROUND(CAST(t.exact_d AS DOUBLE), 4) AS sum_exact,
-       ROUND(CAST(e.est_d AS DOUBLE), 4) AS sum_est,
-       ROUND(ABS(CAST(e.est_d AS DOUBLE) - CAST(t.exact_d AS DOUBLE))
-             / CAST(t.exact_d AS DOUBLE), 6) AS rel_err
-FROM totals t JOIN est e ON t.event_type = e.event_type
+SELECT event_type,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_sampled AS BIGINT) AS n_sampled,
+       CAST(xm AS BIGINT) / 1000000.0 AS sum_exact,
+       CAST(em AS BIGINT) / 1000000.0 AS sum_est,
+       (ABS(em - xm) * 1000000 // xm) / 1000000.0 AS rel_err
+FROM m
 """
 
 
@@ -1584,16 +1605,28 @@ def x23_sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_c = F.col("s").cast("double") / F.col("n").cast("double")
     k = float(X23_Z * X23_RELERR_INV)
     n_req = F.ceil(F.lit(k * k) * var_c / (mean_c * mean_c))
-    return agg.select(
-        "event_type",
-        F.col("n").cast("long").alias("n_pilot"),
-        F.round(mean_c / 100.0, 6).alias("mean_value"),
-        F.round(F.sqrt(var_c) / 100.0, 6).alias("sd_value"),
-        F.round(F.sqrt(var_c) / mean_c, 6).alias("cv"),
-        n_req.cast("long").alias("n_required"),
-        F.round(n_req.cast("double") / F.col("n").cast("double"), 6).alias(
-            "required_fraction"
-        ),
+    # round-10 conversion: mean and required_fraction as truncating-DIV
+    # micros; the sqrt-bearing sd/cv via floor_scaled (no integer form).
+    return (
+        agg.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_pilot"),
+            F.expr("s * 10000 DIV n").alias("mean_micro"),
+            floor_scaled(F.sqrt(var_c) / 100.0, 6).alias("sd_value"),
+            floor_scaled(F.sqrt(var_c) / mean_c, 6).alias("cv"),
+            n_req.cast("long").alias("n_required"),
+        )
+        .select(
+            "event_type",
+            "n_pilot",
+            (F.col("mean_micro") / 1_000_000.0).alias("mean_value"),
+            "sd_value",
+            "cv",
+            "n_required",
+            (F.expr("n_required * 1000000 DIV n_pilot") / 1_000_000.0).alias(
+                "required_fraction"
+            ),
+        )
     )
 
 
@@ -1614,15 +1647,15 @@ m AS (
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n_pilot,
-       ROUND(mean_c / 100.0, 6) AS mean_value,
-       ROUND(SQRT(var_c) / 100.0, 6) AS sd_value,
-       ROUND(SQRT(var_c) / mean_c, 6) AS cv,
+       (CAST(s AS HUGEINT) * 10000 // n) / 1000000.0 AS mean_value,
+       {sql_floor_scaled("SQRT(var_c) / 100.0")} AS sd_value,
+       {sql_floor_scaled("SQRT(var_c) / mean_c")} AS cv,
        CAST(CEIL({float(X23_Z * X23_RELERR_INV)}
                  * {float(X23_Z * X23_RELERR_INV)} * var_c
                  / (mean_c * mean_c)) AS BIGINT) AS n_required,
-       ROUND(CAST(CEIL({float(X23_Z * X23_RELERR_INV)}
+       (CAST(CEIL({float(X23_Z * X23_RELERR_INV)}
                  * {float(X23_Z * X23_RELERR_INV)} * var_c
-                 / (mean_c * mean_c)) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 / (mean_c * mean_c)) AS BIGINT) * 1000000 // n) / 1000000.0
          AS required_fraction
 FROM m
 """
@@ -1675,18 +1708,25 @@ def x27_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((ests[AMS_D // 2 - 1] + ests[AMS_D // 2]).cast("double") / 2).alias(
             "est_median"
         ),
+        # exact integer 2×median, kept for the micro-ratio publish
+        (ests[AMS_D // 2 - 1] + ests[AMS_D // 2]).alias("med2"),
     )
     exact = (
         li.groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
         .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_f2"))
     )
+    # round-10 conversion: median_ratio as exact integer micros —
+    # 2×median is an exact integer, so the ratio is (med2 × 1e6) DIV
+    # (2 × exact_f2) with truncating decimal DIV.
     return sketch.crossJoin(F.broadcast(exact)).select(
         "exact_f2",
         "est_min",
         "est_median",
         "est_max",
-        F.round(F.col("est_median") / F.col("exact_f2"), 6).alias("median_ratio"),
+        (F.expr("med2 * 1000000 DIV (2 * exact_f2)") / 1_000_000.0).alias(
+            "median_ratio"
+        ),
     )
 
 
@@ -1708,7 +1748,8 @@ sorted AS (
 sketch AS (
   SELECT CAST(e[1] AS DOUBLE) AS est_min,
          CAST(e[{AMS_D}] AS DOUBLE) AS est_max,
-         CAST(e[{AMS_D // 2}] + e[{AMS_D // 2 + 1}] AS DOUBLE) / 2 AS est_median
+         CAST(e[{AMS_D // 2}] + e[{AMS_D // 2 + 1}] AS DOUBLE) / 2 AS est_median,
+         CAST(e[{AMS_D // 2}] + e[{AMS_D // 2 + 1}] AS HUGEINT) AS med2
   FROM sorted
 ),
 exact AS (
@@ -1717,7 +1758,8 @@ exact AS (
   FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey)
 )
 SELECT exact_f2, est_min, est_median, est_max,
-       ROUND(est_median / exact_f2, 6) AS median_ratio
+       (med2 * 1000000 // (2 * CAST(exact_f2 AS HUGEINT))) / 1000000.0
+         AS median_ratio
 FROM sketch CROSS JOIN exact
 """
 
@@ -2153,29 +2195,34 @@ def x31_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "r",
-            F.round(
-                F.col("wsum").cast("double")
-                / F.col("wn").cast("double")
-                / 100.0,
-                4,
-            ).alias("rep_mean"),
+            # round-10 conversion: replicate means as exact micros
+            # (truncating decimal DIV); the rank key is the micro integer
+            # so ordering and publication share one exact value.
+            F.expr("CAST(wsum AS DECIMAL(38,0)) * 10000 DIV wn").alias(
+                "rep_mean_micro"
+            ),
         )
     )
     ranked = reps.withColumn(
         "rk",
         F.row_number().over(
-            Window.orderBy(F.col("rep_mean").asc(), F.col("r").asc())
+            Window.orderBy(F.col("rep_mean_micro").asc(), F.col("r").asc())
         ),
     )
     point = orders.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
-            (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0), 4
+        (
+            F.expr("CAST(SUM(cents) AS DECIMAL(38,0)) * 10000 DIV COUNT(1)")
+            / 1_000_000.0
         ).alias("mean_price"),
     )
     ci = ranked.agg(
-        F.max(F.when(F.col("rk") == 5, F.col("rep_mean"))).alias("boot_lo"),
-        F.max(F.when(F.col("rk") == 95, F.col("rep_mean"))).alias("boot_hi"),
+        (
+            F.max(F.when(F.col("rk") == 5, F.col("rep_mean_micro"))) / 1_000_000.0
+        ).alias("boot_lo"),
+        (
+            F.max(F.when(F.col("rk") == 95, F.col("rep_mean_micro"))) / 1_000_000.0
+        ).alias("boot_hi"),
         F.count(F.lit(1)).alias("n_replicates"),
     )
     return point.crossJoin(F.broadcast(ci)).select(
@@ -2209,24 +2256,23 @@ weighted AS (
 ),
 reps AS (
   SELECT r,
-         ROUND(CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
-               / 100.0, 4) AS rep_mean
+         CAST(SUM(w * cents) AS HUGEINT) * 10000 // SUM(w) AS rep_mean_micro
   FROM weighted GROUP BY r
 ),
 ranked AS (
-  SELECT r, rep_mean,
-         ROW_NUMBER() OVER (ORDER BY rep_mean ASC, r ASC) AS rk
+  SELECT r, rep_mean_micro,
+         ROW_NUMBER() OVER (ORDER BY rep_mean_micro ASC, r ASC) AS rk
   FROM reps
 ),
 point AS (
   SELECT COUNT(*) AS n,
-         ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0, 4)
+         (CAST(SUM(cents) AS HUGEINT) * 10000 // COUNT(*)) / 1000000.0
            AS mean_price
   FROM base
 ),
 ci AS (
-  SELECT MAX(CASE WHEN rk = 5 THEN rep_mean END) AS boot_lo,
-         MAX(CASE WHEN rk = 95 THEN rep_mean END) AS boot_hi,
+  SELECT MAX(CASE WHEN rk = 5 THEN rep_mean_micro END) / 1000000.0 AS boot_lo,
+         MAX(CASE WHEN rk = 95 THEN rep_mean_micro END) / 1000000.0 AS boot_hi,
          COUNT(*) AS n_replicates
   FROM ranked
 )
@@ -2325,13 +2371,13 @@ def x32_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x_a").cast("long").alias("x_a"),
         F.col("n_b").cast("long").alias("n_b"),
         F.col("x_b").cast("long").alias("x_b"),
-        F.round(F.col("x_a").cast("double") / F.col("n_a").cast("double"), 6).alias(
-            "rate_a"
-        ),
-        F.round(F.col("x_b").cast("double") / F.col("n_b").cast("double"), 6).alias(
-            "rate_b"
-        ),
-        F.round(z2, 6).alias("z_sq"),
+        # round-10 conversion: exact int/int micros for the rates;
+        # floor_scaled for z² (its fixed-order double chain is
+        # bit-identical cross-engine and stays overflow-free at any
+        # scale, which an integer form would not — see docstring).
+        (F.expr("x_a * 1000000 DIV n_a") / 1_000_000.0).alias("rate_a"),
+        (F.expr("x_b * 1000000 DIV n_b") / 1_000_000.0).alias("rate_b"),
+        floor_scaled(z2, 6).alias("z_sq"),
         (z2 > F.lit(X32_Z2_CRIT_95)).alias("significant_95"),
     )
 
@@ -2372,9 +2418,9 @@ scored AS (
 SELECT CAST(k_min AS INTEGER) AS k_min,
        CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
        CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
-       ROUND(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
-       ROUND(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
-       ROUND(z2, 6) AS z_sq,
+       (x_a * 1000000 // n_a) / 1000000.0 AS rate_a,
+       (x_b * 1000000 // n_b) / 1000000.0 AS rate_b,
+       {sql_floor_scaled("z2")} AS z_sq,
        z2 > {X32_Z2_CRIT_95} AS significant_95
 FROM scored
 """
@@ -2560,14 +2606,25 @@ def x34_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho2 = cov_n * cov_n / (varx_n * vary_n)
     diff_raw = dbl("sy_b") / dbl("n_b") - dbl("sy_a") / dbl("n_a")
     diff_adj = diff_raw - theta * (dbl("sx_b") / dbl("n_b") - dbl("sx_a") / dbl("n_a"))
+    # round-10 conversion: theta and diff_raw are exact decimal-DIV
+    # micros (their numerators stay inside DECIMAL(38,0) at design
+    # scale); rho² and the theta-bearing diff_cuped keep the fixed-order
+    # double chain (cov² would overflow any integer width) and publish
+    # via floor_scaled.
     return m.select(
         F.col("n").cast("long").alias("n_users"),
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
-        F.round(theta, 6).alias("theta"),
-        F.round(rho2, 6).alias("rho_sq"),
-        F.round(diff_raw / 100.0, 4).alias("diff_raw"),
-        F.round(diff_adj / 100.0, 4).alias("diff_cuped"),
+        (
+            F.expr("(n * sxy - sx * sy) * 1000000 DIV (n * sxx - sx * sx)")
+            / 1_000_000.0
+        ).alias("theta"),
+        floor_scaled(rho2, 6).alias("rho_sq"),
+        (
+            F.expr("(sy_b * n_a - sy_a * n_b) * 10000 DIV (n_a * n_b)")
+            / 1_000_000.0
+        ).alias("diff_raw"),
+        floor_scaled(diff_adj / 100.0, 4).alias("diff_cuped"),
         (rho2 > F.lit(X34_RHO2_MIN)).alias("cuped_helps"),
     )
 
@@ -2615,13 +2672,15 @@ scored AS (
 SELECT CAST(n AS BIGINT) AS n_users,
        CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b,
-       ROUND(cov_n / varx_n, 6) AS theta,
-       ROUND(cov_n * cov_n / (varx_n * vary_n), 6) AS rho_sq,
-       ROUND(diff_raw / 100.0, 4) AS diff_raw,
-       ROUND((diff_raw - (cov_n / varx_n)
-              * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-                 - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))) / 100.0, 4)
-         AS diff_cuped,
+       ((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)) / 1000000.0
+         AS theta,
+       {sql_floor_scaled("cov_n * cov_n / (varx_n * vary_n)")} AS rho_sq,
+       ((sy_b * n_a - sy_a * n_b) * 10000 // (CAST(n_a AS HUGEINT) * n_b))
+         / 1000000.0 AS diff_raw,
+       {sql_floor_scaled("(diff_raw - (cov_n / varx_n)"
+                         " * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+                         " - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))) / 100.0",
+                         4)} AS diff_cuped,
        cov_n * cov_n / (varx_n * vary_n) > {X34_RHO2_MIN} AS cuped_helps
 FROM scored
 """
@@ -2685,9 +2744,12 @@ def x35_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
-        F.round(mean_a / 100.0, 4).alias("mean_a"),
-        F.round(mean_b / 100.0, 4).alias("mean_b"),
-        F.round(t2, 6).alias("t_sq"),
+        # round-10 conversion: means as exact decimal-DIV micros; t² keeps
+        # the fixed-order double chain (overflow-free at any scale) and
+        # publishes via floor_scaled (the x32 z² rule).
+        (F.expr("s_a * 10000 DIV n_a") / 1_000_000.0).alias("mean_a"),
+        (F.expr("s_b * 10000 DIV n_b") / 1_000_000.0).alias("mean_b"),
+        floor_scaled(t2, 6).alias("t_sq"),
         (t2 > F.lit(X32_Z2_CRIT_95)).alias("significant_95"),
     )
 
@@ -2729,9 +2791,9 @@ scored AS (
 )
 SELECT CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b,
-       ROUND(mean_a / 100.0, 4) AS mean_a,
-       ROUND(mean_b / 100.0, 4) AS mean_b,
-       ROUND((mean_b - mean_a) * (mean_b - mean_a) / (se2_a + se2_b), 6)
+       (s_a * 10000 // n_a) / 1000000.0 AS mean_a,
+       (s_b * 10000 // n_b) / 1000000.0 AS mean_b,
+       {sql_floor_scaled("(mean_b - mean_a) * (mean_b - mean_a) / (se2_a + se2_b)")}
          AS t_sq,
        (mean_b - mean_a) * (mean_b - mean_a) / (se2_a + se2_b)
          > {X32_Z2_CRIT_95} AS significant_95
@@ -2946,7 +3008,9 @@ def x37_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("u2_a"),
         F.col("ties3").cast("long").alias("tie_correction"),
-        F.round(z2, 6).alias("z_sq"),
+        # round-10 conversion: the x32 z² rule — fixed-order double
+        # chain, floor_scaled publish (d² overflows any integer width).
+        floor_scaled(z2, 6).alias("z_sq"),
         (z2 > F.lit(X32_Z2_CRIT_95)).alias("significant_95"),
     )
 
@@ -2996,12 +3060,12 @@ SELECT CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b,
        CAST(u2_a AS BIGINT) AS u2_a,
        CAST(ties3 AS BIGINT) AS tie_correction,
-       ROUND((3.0 * CAST(n_tot AS DOUBLE) * CAST(n_tot - 1 AS DOUBLE)
-              * CAST(d_stat AS DOUBLE) * CAST(d_stat AS DOUBLE))
-             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
-                * (CAST(n_tot AS DOUBLE)
-                   * (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE) - 1.0)
-                   - CAST(ties3 AS DOUBLE))), 6) AS z_sq,
+       {sql_floor_scaled("(3.0 * CAST(n_tot AS DOUBLE) * CAST(n_tot - 1 AS DOUBLE)"
+                         " * CAST(d_stat AS DOUBLE) * CAST(d_stat AS DOUBLE))"
+                         " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)"
+                         " * (CAST(n_tot AS DOUBLE)"
+                         " * (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE) - 1.0)"
+                         " - CAST(ties3 AS DOUBLE)))")} AS z_sq,
        (3.0 * CAST(n_tot AS DOUBLE) * CAST(n_tot - 1 AS DOUBLE)
         * CAST(d_stat AS DOUBLE) * CAST(d_stat AS DOUBLE))
        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
@@ -3070,8 +3134,10 @@ def x38_mde_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         F.expr("x_pool * 1000000 DIV n_pool").cast("long").alias("p_pool_ppm"),
-        F.round(mde_abs, 6).alias("mde_abs"),
-        F.round(mde_abs / p, 6).alias("mde_rel"),
+        # round-10 conversion: sqrt-bearing → floor_scaled (no integer
+        # form; ROUND was t09-class).
+        floor_scaled(mde_abs, 6).alias("mde_abs"),
+        floor_scaled(mde_abs / p, 6).alias("mde_rel"),
         (mde_abs < 0.05).alias("powered_for_5pp"),
     )
 
@@ -3103,8 +3169,8 @@ scored AS (
 SELECT CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b,
        CAST(x_pool * 1000000 // n_pool AS BIGINT) AS p_pool_ppm,
-       ROUND(mde_abs, 6) AS mde_abs,
-       ROUND(mde_abs / p, 6) AS mde_rel,
+       {sql_floor_scaled("mde_abs")} AS mde_abs,
+       {sql_floor_scaled("mde_abs / p")} AS mde_rel,
        mde_abs < 0.05 AS powered_for_5pp
 FROM scored
 """

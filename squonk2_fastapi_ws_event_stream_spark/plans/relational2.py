@@ -843,9 +843,13 @@ def x18_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_build_keys").cast("long").alias("n_build_keys"),
         "n_probe_rows",
         F.col("t.n_false_pos").alias("n_false_pos"),
-        F.round(
-            F.col("t.n_false_pos") / (F.col("n_probe_rows") - F.col("n_true_match")),
-            6,
+        # round-10 conversion: exact int/int micros (ROUND was t09-class).
+        (
+            F.expr(
+                "CAST(t.n_false_pos AS DECIMAL(38,0)) * 1000000"
+                " DIV (n_probe_rows - n_true_match)"
+            )
+            / 1_000_000.0
         ).alias("fp_rate"),
         (F.col("t.n_false_neg") == 0).alias("zero_false_neg"),
     )
@@ -879,9 +883,9 @@ SELECT {m_bits} AS m_bits,
        CAST(SUM(CASE WHEN {passes}
                       AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
          AS n_false_pos,
-       ROUND(SUM(CASE WHEN {passes}
-                       AND NOT is_match THEN 1 ELSE 0 END) * 1.0
-             / SUM(CASE WHEN is_match THEN 0 ELSE 1 END), 6) AS fp_rate,
+       (CAST(SUM(CASE WHEN {passes}
+                       AND NOT is_match THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+             // SUM(CASE WHEN is_match THEN 0 ELSE 1 END)) / 1000000.0 AS fp_rate,
        SUM(CASE WHEN NOT ({passes}) AND is_match THEN 1 ELSE 0 END) = 0
          AS zero_false_neg
 FROM tagged""",
@@ -980,7 +984,10 @@ def x20_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo.alias("lo_cents"),
         hi.alias("hi_cents"),
         est.alias("est_cents"),
-        F.round("exact_cents", 4).alias("exact_cents"),
+        # round-10 conversion: the interpolated percentile double is
+        # bit-identical across engines (the q14 evidence) — publish raw;
+        # the ROUND was the only procedure left to differ.
+        F.col("exact_cents").alias("exact_cents"),
         ((est >= F.col("exact_cents") / 2) & (est <= F.col("exact_cents") * 2)).alias(
             "within_2x"
         ),
@@ -1023,11 +1030,11 @@ SELECT q,
        CAST(1 AS BIGINT) << (bucket + 1) AS hi_cents,
        ((CAST(1 AS BIGINT) << bucket) + (CAST(1 AS BIGINT) << (bucket + 1))) / 2.0
          AS est_cents,
-       ROUND(exact_cents, 4) AS exact_cents,
+       exact_cents AS exact_cents,
        ((CAST(1 AS BIGINT) << bucket) + (CAST(1 AS BIGINT) << (bucket + 1))) / 2.0
-         >= ROUND(exact_cents, 4) / 2
+         >= exact_cents / 2
        AND ((CAST(1 AS BIGINT) << bucket) + (CAST(1 AS BIGINT) << (bucket + 1))) / 2.0
-         <= ROUND(exact_cents, 4) * 2 AS within_2x
+         <= exact_cents * 2 AS within_2x
 FROM hit
 """
 
@@ -1194,8 +1201,13 @@ def x24_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day_num").cast("long").alias("first_day"),
         F.max("day_num").cast("long").alias("last_day"),
         F.sum("file_bytes").cast("bigint").alias("bin_bytes"),
-        F.round(
-            F.sum("file_bytes") / F.lit(float(X24_TARGET_BYTES)), 6
+        # round-10 conversion: exact int/int micros (ROUND was t09-class).
+        (
+            F.expr(
+                "CAST(SUM(file_bytes) AS DECIMAL(38,0)) * 1000000"
+                f" DIV {X24_TARGET_BYTES}"
+            )
+            / 1_000_000.0
         ).alias("fill_ratio"),
         F.max(
             (F.col("file_bytes") > F.lit(X24_TARGET_BYTES)).cast("int")
@@ -1225,7 +1237,8 @@ SELECT CAST(cum_before // {X24_TARGET_BYTES} AS BIGINT) AS bin_id,
        CAST(MIN(day_num) AS BIGINT) AS first_day,
        CAST(MAX(day_num) AS BIGINT) AS last_day,
        CAST(SUM(file_bytes) AS BIGINT) AS bin_bytes,
-       ROUND(SUM(file_bytes) / {float(X24_TARGET_BYTES)}, 6) AS fill_ratio,
+       (CAST(SUM(file_bytes) AS HUGEINT) * 1000000 // {X24_TARGET_BYTES})
+         / 1000000.0 AS fill_ratio,
        MAX(file_bytes > {X24_TARGET_BYTES}) AS has_oversize_file
 FROM packed GROUP BY 1
 """
@@ -1298,11 +1311,19 @@ def x25_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_val"
             ),
             (
-                F.round(F.col(f"{c}__len") / F.col(f"{c}__nn"), 6)
+                # round-10 conversion: exact int/int micros (ROUND was
+                # t09-class); decimal-widened against 100 TB counts.
+                F.expr(
+                    f"CAST({c}__len AS DECIMAL(38,0)) * 1000000 DIV {c}__nn"
+                )
+                / 1_000_000.0
                 if not is_num
                 else F.lit(None).cast("double")
             ).alias("avg_len"),
-            F.round(F.col(f"{c}__ndv") / F.col("n_rows"), 6).alias("selectivity"),
+            (
+                F.expr(f"CAST({c}__ndv AS DECIMAL(38,0)) * 1000000 DIV n_rows")
+                / 1_000_000.0
+            ).alias("selectivity"),
         )
     return row.select(
         F.explode(
@@ -1322,9 +1343,10 @@ def _oracle_x25() -> str:
          CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
          {f'CAST(MIN({c}) AS DOUBLE)' if is_num else 'CAST(NULL AS DOUBLE)'} AS min_val,
          {f'CAST(MAX({c}) AS DOUBLE)' if is_num else 'CAST(NULL AS DOUBLE)'} AS max_val,
-         {f'ROUND(SUM(length({c})) / CAST(COUNT({c}) AS DOUBLE), 6)' if not is_num else 'CAST(NULL AS DOUBLE)'}
+         {f'(CAST(SUM(length({c})) AS HUGEINT) * 1000000 // COUNT({c})) / 1000000.0' if not is_num else 'CAST(NULL AS DOUBLE)'}
            AS avg_len,
-         ROUND(COUNT(DISTINCT {c}) / CAST(COUNT(*) AS DOUBLE), 6) AS selectivity
+         (CAST(COUNT(DISTINCT {c}) AS HUGEINT) * 1000000 // COUNT(*)) / 1000000.0
+           AS selectivity
   FROM lineitem""")
     return " UNION ALL ".join(branches)
 
@@ -1588,15 +1610,23 @@ def x26_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_a").cast("long").alias("n_a"),
         F.max("n_b").cast("long").alias("n_b"),
         F.count(F.lit(1)).cast("long").alias("n_buckets_hit"),
-        F.round(
-            F.max("gap_scaled").cast("double")
-            / (F.max("n_a").cast("double") * F.max("n_b").cast("double")),
-            6,
+        # round-10 conversion: truncating decimal-DIV micros — the same
+        # ppm form the streaming drift twin publishes (stateful.py
+        # _drift_ppm); the old ROUND(decimal→double quotient, 6) was
+        # t09-class.
+        (
+            F.expr(
+                "MAX(gap_scaled) * 1000000"
+                " DIV (CAST(MAX(n_a) AS DECIMAL(19,0)) * MAX(n_b))"
+            )
+            / 1_000_000.0
         ).alias("ks_stat"),
-        F.round(
-            F.sum("l1_scaled").cast("double")
-            / (F.max("n_a").cast("double") * F.max("n_b").cast("double")),
-            6,
+        (
+            F.expr(
+                "SUM(l1_scaled) * 1000000"
+                " DIV (CAST(MAX(n_a) AS DECIMAL(19,0)) * MAX(n_b))"
+            )
+            / 1_000_000.0
         ).alias("l1_dist"),
     )
 
@@ -1626,12 +1656,12 @@ totals AS (SELECT MAX(cum_a) AS n_a, MAX(cum_b) AS n_b FROM cum)
 SELECT CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b,
        CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
-       ROUND(CAST(MAX(ABS(CAST(cum_a AS DECIMAL(38,0)) * n_b
-                        - CAST(cum_b AS DECIMAL(38,0)) * n_a)) AS DOUBLE)
-             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_stat,
-       ROUND(CAST(SUM(ABS(CAST(c_a AS DECIMAL(38,0)) * n_b
-                        - CAST(c_b AS DECIMAL(38,0)) * n_a)) AS DOUBLE)
-             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS l1_dist
+       (MAX(ABS(CAST(cum_a AS HUGEINT) * n_b
+                        - CAST(cum_b AS HUGEINT) * n_a)) * 1000000
+             // (CAST(n_a AS HUGEINT) * n_b)) / 1000000.0 AS ks_stat,
+       (SUM(ABS(CAST(c_a AS HUGEINT) * n_b
+                        - CAST(c_b AS HUGEINT) * n_a)) * 1000000
+             // (CAST(n_a AS HUGEINT) * n_b)) / 1000000.0 AS l1_dist
 FROM cum CROSS JOIN totals
 GROUP BY n_a, n_b
 """
