@@ -102,8 +102,10 @@ FROM documents
 #               + least(awl_micro, 6000000) DIV 20         [0.3·min(awl/6,1)]
 # every term is integer arithmetic (truncating DIV ≡ DuckDB //), the
 # bucket thresholds compare integers, and the published double is the
-# SAME integer divided by 1e6 in both engines. The rounded 6-dp ratio
-# columns recover their micro integers exactly via ROUND(x·1e6).
+# SAME integer divided by 1e6 in both engines. Since round 10 the ratio
+# micros flow end to end as truncating-DIV integers (the published 6-dp
+# ratios were themselves ROUND(int/int, 6) with a reachable half
+# boundary — AUDIT_ROUND_DOUBLES.md round-10 worklist).
 # ---------------------------------------------------------------------------
 def quality_score_micro_expr() -> "F.Column":
     """Exact-integer composite score in micros; expects the micro-integer

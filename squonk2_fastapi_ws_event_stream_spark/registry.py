@@ -64,6 +64,65 @@ NON_SQL_QUERIES = frozenset(missing)
 # <= ~3 rounds old in steady state. Local oracle-parity tests still
 # cover ALL queries regardless of this order.
 _NEW_OR_CHANGED = (
+    # round 10 CHANGED (VERDICT r9 tasks #1/#2/#8, AUDIT_ROUND_DOUBLES.md
+    # "Round-10 worklist" — the FINAL class-3/4 conversion batch; the
+    # worklist is now empty):
+    # - t09's avg_word_len/stopword_ratio publish as truncating-DIV
+    #   micros end to end (the composite score consumes the micro
+    #   integers directly); t15 inlines the same formula and v30
+    #   consumes the bucket, so all three changed together.
+    "t09_quality_score",
+    "t15_pipeline_quality_dedup_stats",
+    "v30_retrieval_quality",
+    # - e12/e19 sums publish as exact integer cents / 100.0; e34's seven
+    #   retention ratios and e37's two means are truncating-DIV micros;
+    #   e41's TWAP/naive mean are decimal-DIV micros of the cents
+    #   integral; e45's sqrt-bearing Pearson r is floor_scaled.
+    "e12_sliding_window",
+    "e19_gap_fill",
+    "e34_retention_triangle",
+    "e37_seasonal_anomalies",
+    "e41_time_weighted_avg",
+    "e45_metric_correlation",
+    # - q52's percent_rank/cume_dist are exact integer ratios (unique
+    #   window order key, the q25/t29 recipe); q54's avg_monetary,
+    #   t48/t53/t58/t61 fractions are micros; t47's profile cosine is
+    #   floor_scaled.
+    "q52_rank_battery",
+    "q54_rfm_segments",
+    "t47_source_similarity",
+    "t48_dedup_savings",
+    "t53_ngram_novelty",
+    "t58_vocab_coverage",
+    "t61_heaps_law",
+    # - x-family: x16 in the x13 e4-units/micros forms; x18/x24/x25/x27/
+    #   x31/x32/x23/x34/x35 ratios and means as decimal-DIV micros
+    #   (x31's rank key is the micro integer); x26 aligned with the
+    #   streaming drift twin's ppm form; x20/x15 publish the
+    #   bit-identical percentile raw/floor-scaled; sqrt/ln-bearing
+    #   columns (x14, x23 sd/cv, x32 z2, x34 rho2+diff_cuped, x35 t2,
+    #   x37 z2, x38 MDE) via floor_scaled.
+    "x14_linear_counting",
+    "x15_quantile_accuracy_sweep",
+    "x16_kmv_set_algebra",
+    "x18_bloom_fpr_sweep",
+    "x20_ddsketch_quantiles",
+    "x22_priority_sample",
+    "x23_sample_size_planner",
+    "x24_compaction_planner",
+    "x25_column_stats",
+    "x26_histogram_drift",
+    "x27_ams_f2",
+    "x31_poisson_bootstrap",
+    "x32_ab_proportion_test",
+    "x34_cuped_adjustment",
+    "x35_welch_ttest",
+    "x37_mann_whitney",
+    "x38_mde_planner",
+)
+
+# Round-9 head, kept for the ledger's history (same role as _ROUND8_HEAD).
+_ROUND9_HEAD = (
     # round 9 CHANGED (judge ADVICE r8): e50's refill division made
     # exactly integer (remainder subtracted long-side + decimal quotient)
     # instead of floor(double) — the old form's "far under 2^53" comment

@@ -34,6 +34,11 @@ CONVERTED = [
     PKG / "streaming" / "stateful.py",
     PKG / "streaming" / "aggregates.py",
     PKG / "streaming" / "pipeline.py",
+    # Round-10 additions: ROUND-free after the final 33-query conversion
+    # batch (t09/t15/v30, t47/t48/t53/t58/t61, q52/q54, e- and x-family).
+    PKG / "operators" / "quality.py",
+    PKG / "operators" / "corpus.py",
+    PKG / "operators" / "textstats.py",
 ]
 
 # SQL ROUND (case-sensitive, the convention in every oracle string) or
