@@ -176,6 +176,27 @@ def _wav_params(doc_id: int) -> tuple[int, int]:
     return 8000 + (doc_id % 5) * 1000, 200 + doc_id % 30
 
 
+def _attach_media_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch payload synthesis (the pandas half of
+    attach_media_payload, shared with the fused m01 stage)."""
+    payloads, mimes = [], []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        if doc_id % 10 == 3:
+            w, h = _bmp_dims(doc_id)
+            payloads.append(make_bmp(w, h, doc_id % 251))
+            mimes.append("image/bmp")
+        elif doc_id % 10 == 7:
+            rate, n = _wav_params(doc_id)
+            payloads.append(make_wav(rate, n, doc_id % 251))
+            mimes.append("audio/wav")
+        else:
+            payloads.append(text.encode("utf-8"))
+            mimes.append("text/plain")
+    return pd.DataFrame(
+        {"doc_id": pdf["doc_id"], "payload": payloads, "mime": mimes}
+    )
+
+
 def attach_media_payload(docs: DataFrame) -> DataFrame:
     """Mixed-modality ingest: binary column + mime metadata, built in an
     Arrow-batched stage (binary construction is Python-side by nature —
@@ -183,22 +204,7 @@ def attach_media_payload(docs: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads, mimes = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                if doc_id % 10 == 3:
-                    w, h = _bmp_dims(doc_id)
-                    payloads.append(make_bmp(w, h, doc_id % 251))
-                    mimes.append("image/bmp")
-                elif doc_id % 10 == 7:
-                    rate, n = _wav_params(doc_id)
-                    payloads.append(make_wav(rate, n, doc_id % 251))
-                    mimes.append("audio/wav")
-                else:
-                    payloads.append(text.encode("utf-8"))
-                    mimes.append("text/plain")
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": payloads, "mime": mimes}
-            )
+            yield _attach_media_pdf(pdf)
 
     return docs.mapInPandas(run, schema="doc_id long, payload binary, mime string")
 
@@ -209,6 +215,41 @@ M01_SCHEMA = (
 )
 
 
+def _decode_media_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch magic-byte decode (the pandas half of
+    decode_media_features, shared with the fused m01 stage)."""
+    out = {
+        k: []
+        for k in (
+            "doc_id", "kind", "n_bytes", "first_byte", "checksum",
+            "width", "height", "sample_rate", "duration_ms",
+        )
+    }
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        row = {
+            "doc_id": doc_id,
+            "n_bytes": len(payload),
+            "first_byte": payload[0] if payload else -1,
+            "checksum": -1,
+            "width": -1,
+            "height": -1,
+            "sample_rate": -1,
+            "duration_ms": -1,
+        }
+        if payload[:2] == b"BM":
+            row["kind"] = "image/bmp"
+            row["width"], row["height"] = parse_bmp(payload)
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            row["kind"] = "audio/wav"
+            row["sample_rate"], row["duration_ms"] = parse_wav(payload)
+        else:
+            row["kind"] = "text/plain"
+            row["checksum"] = _decode_stub(payload)["checksum"]
+        for k, v in row.items():
+            out[k].append(v)
+    return pd.DataFrame(out)
+
+
 def decode_media_features(with_payload: DataFrame) -> DataFrame:
     """Dispatch on MAGIC BYTES (not the mime column): BMP and WAV get the
     honest struct parsers; anything else falls back to the stub features.
@@ -217,43 +258,27 @@ def decode_media_features(with_payload: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                k: []
-                for k in (
-                    "doc_id", "kind", "n_bytes", "first_byte", "checksum",
-                    "width", "height", "sample_rate", "duration_ms",
-                )
-            }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                row = {
-                    "doc_id": doc_id,
-                    "n_bytes": len(payload),
-                    "first_byte": payload[0] if payload else -1,
-                    "checksum": -1,
-                    "width": -1,
-                    "height": -1,
-                    "sample_rate": -1,
-                    "duration_ms": -1,
-                }
-                if payload[:2] == b"BM":
-                    row["kind"] = "image/bmp"
-                    row["width"], row["height"] = parse_bmp(payload)
-                elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-                    row["kind"] = "audio/wav"
-                    row["sample_rate"], row["duration_ms"] = parse_wav(payload)
-                else:
-                    row["kind"] = "text/plain"
-                    row["checksum"] = _decode_stub(payload)["checksum"]
-                for k, v in row.items():
-                    out[k].append(v)
-            yield pd.DataFrame(out)
+            yield _decode_media_pdf(pdf)
 
     return with_payload.mapInPandas(run, schema=M01_SCHEMA)
 
 
 def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesis + decode FUSED into ONE mapInPandas (round-10: the
+    chained two-stage form paid two Arrow serialize/deserialize
+    crossings and two Python-worker dispatches per run — the driver's
+    r9 bench recorded m01 at 7.78x its best-ever under exactly that
+    worker pressure. One stage halves the crossings and never ships the
+    synthesized payload bytes back through Arrow at all). The staged
+    attach/decode wrappers remain for the operators that need the
+    payload column itself (m05/m07/m08/m09/m13/m17)."""
     docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
-    return decode_media_features(attach_media_payload(docs))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_media_pdf(_attach_media_pdf(pdf))
+
+    return docs.mapInPandas(run, schema=M01_SCHEMA)
 
 
 # The oracle predicts from doc_id arithmetic what the struct parsers must
@@ -367,23 +392,37 @@ N_FRAMES = 4
 
 
 def m02_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize + summarize FUSED into ONE mapInPandas (round-10, the m01
+    fix): the thumb bytes are built and checksummed inside the same
+    batch loop — one Arrow crossing, and the 1 KiB-per-row thumbnails
+    never travel back through Arrow between stages. The staged
+    resize_images wrapper remains for consumers that need the thumb
+    payload itself."""
     docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
-    thumbs = resize_images(attach_payload(docs), (THUMB_W, THUMB_H))
+    w, h = THUMB_W, THUMB_H
 
-    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            sizes, sums = [], []
+            for payload in pdf["payload"]:
+                thumb = bytes(
+                    (payload * ((w * h) // max(len(payload), 1) + 1))[: w * h]
+                )
+                # ^ STUB kernel shared with resize_images; see its note.
+                sizes.append(len(thumb))
+                sums.append(sum(thumb) % ADLER_MOD)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                    "thumb_bytes": pdf["thumb"].map(len),
-                    "thumb_checksum": pdf["thumb"].map(lambda b: sum(b) % ADLER_MOD),
+                    "width": w,
+                    "height": h,
+                    "thumb_bytes": sizes,
+                    "thumb_checksum": sums,
                 }
             )
 
-    return thumbs.mapInPandas(
-        summarize,
+    return attach_payload(docs).mapInPandas(
+        run,
         schema="doc_id long, width int, height int, thumb_bytes long, thumb_checksum long",
     )
 

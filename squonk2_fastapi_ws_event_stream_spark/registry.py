@@ -119,6 +119,11 @@ _NEW_OR_CHANGED = (
     "x35_welch_ttest",
     "x37_mann_whitney",
     "x38_mde_planner",
+    # - m01/m02 PLAN-changed (outputs bit-identical): the chained
+    #   synthesis→decode / resize→summarize mapInPandas pairs are fused
+    #   into single Python stages (VERDICT r9 task #2).
+    "m01_multimodal_decode",
+    "m02_multimodal_resize",
 )
 
 # Round-9 head, kept for the ledger's history (same role as _ROUND8_HEAD).

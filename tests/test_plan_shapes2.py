@@ -1406,3 +1406,17 @@ def test_e50_token_bucket_fold_is_jvm_one_user_shuffle(spark):
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, py
     assert "aggregate(" in plan  # the sequential token-bucket fold
+
+
+def test_m01_m02_are_single_python_stage(spark):
+    # Round-10 fuse (VERDICT r9 task #2): payload synthesis + decode
+    # (m01) and resize + summarize (m02) each run in exactly ONE
+    # mapInPandas — one Arrow crossing, one Python-worker dispatch.
+    # Two stages back-to-back is the regression the driver's r9 bench
+    # flagged at 7.78x best-ever; this pin keeps the chain from coming
+    # back.
+    for name in ("m01_multimodal_decode", "m02_multimodal_resize"):
+        plan = explain(QUERIES[name](spark, SF), mode="simple")
+        assert plan.count("MapInPandas") == 1, name
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Join" not in plan, name
