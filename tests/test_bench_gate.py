@@ -150,7 +150,16 @@ def test_committed_attribution_entries_are_wellformed():
 def test_current_committed_record_passes_the_best_ever_gate():
     """The live invariant the judge asked for: the committed BENCH_FULL.json
     itself must clear the non-rebasable gate with the committed
-    attributions — i.e. m01's history is now attributed, not hidden."""
+    attributions — i.e. m01's history is now attributed, not hidden.
+
+    Round-10 addition: the driver overwrites BENCH_FULL.json each round
+    with its own (often slower-window) run, which used to turn this test
+    red until hand archaeology.  The committed BENCH_RECONCILE.json —
+    written by scripts/reconcile_driver_bench.py at round open, each
+    mover solo-re-measured on the current tree — now excuses exactly the
+    recorded values it cleared (value-matched host_window verdicts), so
+    the suite is green with the driver's record in the tree BY PROCEDURE
+    while any new, unreconciled slow number still fails."""
     with open(os.path.join(REPO, "BENCH_FULL.json"), encoding="utf-8") as f:
         cur = json.load(f)
     best = bench.best_ever_baseline(REPO)
@@ -160,8 +169,63 @@ def test_current_committed_record_passes_the_best_ever_gate():
         {"queries": cur["queries"], "streaming": {}},
         {"queries": best},
         "best-ever committed",
+        reconcile=bench.load_reconcile(),
     )
     assert rc == 0
+
+
+def test_reconcile_verdict_is_value_matched():
+    """A host_window verdict excuses ONLY the suite_sec it re-measured:
+    the same query at a different (new) slow value still fails — the
+    reconcile file is not a rebasing path."""
+    best = {"queries": {"q_w": 1.0}}
+    rec = {"q_w": {"suite_sec": 2.5, "solo_sec": 1.1, "verdict": "host_window"}}
+    # The reconciled value passes…
+    assert (
+        bench.check_against_baseline(
+            _result({"q_w": 2.5}), best, "synthetic", attributions={}, reconcile=rec
+        )
+        == 0
+    )
+    # …a different slow value does not…
+    assert (
+        bench.check_against_baseline(
+            _result({"q_w": 2.8}), best, "synthetic", attributions={}, reconcile=rec
+        )
+        == 1
+    )
+    # …and a tree_regression verdict excuses nothing.
+    rec2 = {"q_w": {"suite_sec": 2.5, "solo_sec": 2.4, "verdict": "tree_regression"}}
+    assert (
+        bench.check_against_baseline(
+            _result({"q_w": 2.5}), best, "synthetic", attributions={}, reconcile=rec2
+        )
+        == 1
+    )
+
+
+def test_stream_reprobe_verdict(capsys):
+    """Round-10 task #6: a >1.25x relay dip triggers the solo re-probe;
+    max(in-suite, solo) decides — a recovering probe clears, a slow one
+    still gates at the hard 2x floor."""
+    base = {"queries": {}, "streaming": {"relay_msgs_per_sec": 40000}}
+    # Dip to 28k (1.43x under), re-probe recovers to 39k: no failure.
+    result = {"queries": {}, "streaming": {"relay_msgs_per_sec": 28000}}
+    rc = bench.check_against_baseline(
+        result, base, "synthetic", attributions={}, restream=lambda: 39000.0
+    )
+    err = capsys.readouterr().err
+    assert rc == 0
+    assert "STREAM RETRY" in err and "host window" in err
+    assert result["streaming"]["relay_msgs_per_sec"] == 39000
+    # Dip past 2x that stays slow on the re-probe: hard failure.
+    result2 = {"queries": {}, "streaming": {"relay_msgs_per_sec": 15000}}
+    rc2 = bench.check_against_baseline(
+        result2, base, "synthetic", attributions={}, restream=lambda: 16000.0
+    )
+    err2 = capsys.readouterr().err
+    assert rc2 == 1
+    assert "tree-side" in err2
 
 
 def test_retry_clears_a_transient_spike_and_rewrites_the_record(capsys):
