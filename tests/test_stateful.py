@@ -1939,3 +1939,108 @@ def test_streaming_decayed_counts_match_batch_e29_bit_for_bit(spark, tmp_path):
     order = sorted(states, key=lambda k: (-states[k]["scaled"], k))
     for i, k in enumerate(order, 1):
         assert batch[k]["rank"] == i
+
+
+def test_streaming_heavy_hitters_bounded_by_batch_x30_contract(spark, tmp_path):
+    """The 16th twin — BOUNDED, not bit-identical (the one deliberately
+    approximate stateful op): streaming heavy_hitters (Space-Saving)
+    over a log must satisfy, against the exact batch counts of the SAME
+    item sequence, the error contract batch x30 verifies for its own
+    Misra-Gries pass — per shard with n items and capacity c:
+
+      1. reported >= true                     (SS never undercounts)
+      2. reported - overcount <= true         (corrected lower bound)
+      3. overcount <= n_shard // capacity     (the MG/SS error bound)
+      4. every key with true > n_shard // capacity is PRESENT
+         (x30's guaranteed_present_ok, the reason the sketch is usable)
+
+    — across a CHECKPOINT RESTART (half the log per run), with the
+    sharding recomputed batch-side through the same xxhash64 rule, so
+    the bound is checked per shard exactly as the state is kept."""
+    from squonk2_fastapi_ws_event_stream_spark.streaming.stateful import heavy_hitters
+
+    N_SHARDS, CAPACITY = 4, 8
+    # Adversarial mix: two heavies, a mid tier, and a churn tail that
+    # forces evictions (tail keys outnumber capacity many times over).
+    seq = (
+        ["hot"] * 240
+        + ["warm"] * 90
+        + [f"mid{i % 6}" for i in range(120)]
+        + [f"tail{i}" for i in range(160)]
+    )
+    # Deterministic interleave so heavies arrive throughout both halves.
+    seq = [seq[i] for i in range(0, len(seq), 3)] + [
+        seq[i] for i in range(1, len(seq), 3)
+    ] + [seq[i] for i in range(2, len(seq), 3)]
+
+    root = str(tmp_path / "hhlog")
+    w = EventLogWriter(root, "hh2")
+    spark.dataSource.register(EventStreamDataSource)
+
+    latest: dict = {}
+
+    def run_once() -> None:
+        q = (
+            heavy_hitters(
+                spark.readStream.format("eventstream")
+                .option("path", root)
+                .option("stream", "hh2")
+                .option("startingOrdinal", 0)
+                .load()
+                .selectExpr("cast(value as string) as item"),
+                item_col="item",
+                n_shards=N_SHARDS,
+                capacity=CAPACITY,
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: latest.update({r["shard"]: r for r in df.collect()})
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "hh2ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    half = len(seq) // 2
+    for i, item in enumerate(seq[:half]):
+        w.publish(item, BASE_TS + i * 10)
+    run_once()
+    for i, item in enumerate(seq[half:]):
+        w.publish(item, BASE_TS + (half + i) * 10)
+    run_once()  # restart: state continues from the checkpoint
+
+    # Batch ground truth over the same sequence, sharded by the SAME rule.
+    items_df = spark.createDataFrame([(s,) for s in seq], "item string")
+    truth_rows = (
+        items_df.selectExpr(
+            "item",
+            f"cast((xxhash64(item) % {N_SHARDS} + {N_SHARDS}) % {N_SHARDS}"
+            " as string) as shard",
+        )
+        .groupBy("shard", "item")
+        .count()
+        .collect()
+    )
+    true_counts: dict = {}
+    n_shard: dict = {}
+    for r in truth_rows:
+        true_counts[(r["shard"], r["item"])] = r["count"]
+        n_shard[r["shard"]] = n_shard.get(r["shard"], 0) + r["count"]
+
+    assert set(latest) == set(n_shard), "every shard must report"
+    for shard, row in latest.items():
+        bound = n_shard[shard] // CAPACITY
+        assert len(row["keys"]) <= CAPACITY
+        reported = dict(zip(row["keys"], zip(row["counts"], row["overcounts"])))
+        for key, (cnt, over) in reported.items():
+            true = true_counts.get((shard, key), 0)
+            assert cnt >= true, (shard, key)  # 1. never undercounts
+            assert cnt - over <= true, (shard, key)  # 2. corrected lower bound
+            assert over <= bound, (shard, key, over, bound)  # 3. MG/SS bound
+        for (s2, key), true in true_counts.items():
+            if s2 == shard and true > bound:
+                assert key in reported, (
+                    f"guaranteed-present violated: {key} true={true} "
+                    f"> bound={bound} absent from shard {shard}"
+                )  # 4. x30's guaranteed_present_ok
