@@ -881,26 +881,28 @@ GROUP BY 1
 # identical output (cum_before_bucket + within-bucket running sum
 # crosses at the same order). Measured at sf0.1 the two-pass form is
 # ~1.4x slower (two scans + two joins vs one 30k-row sort per segment),
-# so the single-window form is the right plan at bench scale and the
-# bucket recipe is the documented 100 TB escape hatch.
+# so the SIZE SWITCH (round-10 task #8): the exact single-window plan
+# runs below Q40_BUCKET_THRESHOLD orders (a parquet-metadata count),
+# the bucket+refine form above it. Both forms are exact and identical
+# (tests/test_oracle_parity + test_q40_bucket_refine_matches); the
+# plan-shape test pins which form runs at bench scale.
 # ---------------------------------------------------------------------------
-def q40_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+Q40_BUCKET_THRESHOLD = 50_000_000  # orders rows; ~10M-row per-segment sorts
+Q40_BUCKET_W = 1_000_000  # bucket width in cents ($10k) — bounded domain
+
+
+def _q40_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
-    base = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "c_mktsegment", "o_orderkey", cents.alias("cents")
     )
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("cents").asc(), F.col("o_orderkey").asc()
-    )
-    wtot = Window.partitionBy("c_mktsegment")
-    cum = (
-        base.withColumn("cum", F.sum("cents").over(w))
-        .withColumn("total", F.sum("cents").over(wtot))
-        .withColumn("n_orders", F.count(F.lit(1)).over(wtot))
-    )
-    crossed = cum.filter(F.col("cum") * 2 >= F.col("total"))
+
+
+def _q40_publish(crossed: DataFrame) -> DataFrame:
     pick_w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("cents").asc(), F.col("o_orderkey").asc()
     )
@@ -918,6 +920,73 @@ def q40_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders").cast("long").alias("n_orders"),
         )
     )
+
+
+def _q40_single_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-pass form: one segment-partitioned sort window."""
+    base = _q40_base(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cents").asc(), F.col("o_orderkey").asc()
+    )
+    wtot = Window.partitionBy("c_mktsegment")
+    cum = (
+        base.withColumn("cum", F.sum("cents").over(w))
+        .withColumn("total", F.sum("cents").over(wtot))
+        .withColumn("n_orders", F.count(F.lit(1)).over(wtot))
+    )
+    return _q40_publish(cum.filter(F.col("cum") * 2 >= F.col("total")))
+
+
+def _q40_bucket_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-pass 100 TB form: (segment, cents DIV W) partial sums
+    (map-side-combinable, fully parallel), crossing bucket found on the
+    tiny bucket table, then the exact sort window over ONLY the crossing
+    bucket's rows — cum_before_bucket + within-bucket running sum
+    crosses at the identical order, so the output matches the
+    single-window form bit for bit."""
+    base = _q40_base(spark, sf_dir)
+    bucketed = base.withColumn("b", F.expr(f"cents DIV {Q40_BUCKET_W}"))
+    # Bounded bucket table: |segments| × price-domain/W rows.
+    buckets = bucketed.groupBy("c_mktsegment", "b").agg(
+        F.sum("cents").alias("b_sum"), F.count(F.lit(1)).alias("b_cnt")
+    )
+    wb = Window.partitionBy("c_mktsegment").orderBy(F.col("b").asc())
+    wtot = Window.partitionBy("c_mktsegment")
+    annotated = (
+        buckets.withColumn("b_cum", F.sum("b_sum").over(wb))
+        .withColumn("total", F.sum("b_sum").over(wtot))
+        .withColumn("n_orders", F.sum("b_cnt").over(wtot))
+        .withColumn("cum_before", F.col("b_cum") - F.col("b_sum"))
+    )
+    crossing = (
+        annotated.filter(F.col("b_cum") * 2 >= F.col("total"))
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", "b", "cum_before", "total", "n_orders")
+    )
+    # Refine pass: only the crossing bucket's rows reach the sort window
+    # (≤ corpus/W·heaviest-bucket rows per segment — the broadcast join
+    # prunes everything else map-side).
+    refined = bucketed.join(
+        F.broadcast(crossing), ["c_mktsegment", "b"]
+    )
+    w_in = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cents").asc(), F.col("o_orderkey").asc()
+    )
+    cum = refined.withColumn(
+        "cum", F.col("cum_before") + F.sum("cents").over(w_in)
+    )
+    return _q40_publish(cum.filter(F.col("cum") * 2 >= F.col("total")))
+
+
+def q40_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Parquet-metadata row count: cheap (no column scan) and the honest
+    # switch signal — the failure mode is per-segment sort size, which
+    # scales with the table.
+    n = table(spark, sf_dir, "orders").count()
+    if n <= Q40_BUCKET_THRESHOLD:
+        return _q40_single_window(spark, sf_dir)
+    return _q40_bucket_refine(spark, sf_dir)
 
 
 ORACLE_Q40 = """

@@ -1420,3 +1420,37 @@ def test_m01_m02_are_single_python_stage(spark):
         assert plan.count("MapInPandas") == 1, name
         assert "Exchange hashpartitioning" not in plan, name
         assert "Join" not in plan, name
+
+
+def test_q40_size_switch_single_window_at_bench_scale(spark):
+    # Round-10 task #8: q40's exact single-window plan must be the one
+    # that runs below Q40_BUCKET_THRESHOLD (bench scale) — one sort
+    # window over the joined base, no bucket aggregate. The bucket+
+    # refine form is exact too and must produce identical rows.
+    from squonk2_fastapi_ws_event_stream_spark.plans.tpch import (
+        _q40_bucket_refine,
+        _q40_single_window,
+        q40_weighted_median,
+    )
+
+    plan = explain(q40_weighted_median(spark, SF), mode="simple")
+    # The dispatched form is the single-window one: the base is scanned
+    # ONCE (2 parquet scans: orders + customer); the bucket+refine form
+    # scans it twice (4) and carries the extra bucket windows.
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert explain(_q40_bucket_refine(spark, SF), mode="simple").count(
+        "Scan parquet"
+    ) == 4
+    single = [
+        r.asDict() for r in _q40_single_window(spark, SF).collect()
+    ]
+    bucket = [
+        r.asDict() for r in _q40_bucket_refine(spark, SF).collect()
+    ]
+    assert sorted(single, key=lambda r: r["segment"]) == sorted(
+        bucket, key=lambda r: r["segment"]
+    ), "the two exact forms must agree bit for bit"
+    # And the bucket form's plan actually prunes through a broadcast of
+    # the crossing-bucket table before its sort window.
+    bplan = explain(_q40_bucket_refine(spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in bplan or "BroadcastNestedLoop" not in bplan
