@@ -124,6 +124,9 @@ _NEW_OR_CHANGED = (
     #   into single Python stages (VERDICT r9 task #2).
     "m01_multimodal_decode",
     "m02_multimodal_resize",
+    # - m06 plan-changed via the shared attach_media_payload refactor
+    #   (caught by the fingerprint guard; output unchanged).
+    "m06_media_manifest",
 )
 
 # Round-9 head, kept for the ledger's history (same role as _ROUND8_HEAD).
