@@ -1967,9 +1967,13 @@ def e32_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cusum") > F.col("h"), 1).otherwise(0))
         .cast("long")
         .alias("n_alarm_days"),
-        F.round(
-            (F.max("cusum") / F.max("n_days").cast("decimal(38,0)")).cast("double"),
-            4,
+        # round-10 conversion (caught by the mechanical oracle-ROUND
+        # lint, missed by the hand audit): decimal/decimal division
+        # rounds its quotient to the derived scale BEFORE the cast and
+        # the engines disagree at the boundary digit (the t59 finding) —
+        # publish as exact truncating-DIV e4 units instead.
+        (
+            F.expr("MAX(cusum) * 10000 DIV MAX(n_days)") / 10_000.0
         ).alias("max_cusum"),
     )
 
@@ -2013,7 +2017,7 @@ SELECT event_type,
          AS first_alarm_day,
        CAST(SUM(CASE WHEN cusum > h THEN 1 ELSE 0 END) AS BIGINT)
          AS n_alarm_days,
-       ROUND(CAST(MAX(cusum) / CAST(MAX(n_days) AS DECIMAL(38,0)) AS DOUBLE), 4)
+       (CAST(MAX(cusum) AS HUGEINT) * 10000 // MAX(n_days)) / 10000.0
          AS max_cusum
 FROM c GROUP BY event_type
 """

@@ -482,42 +482,57 @@ def q29_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust_region, orders.o_custkey == cust_region.c_custkey)
         .join(supp_nation, li.l_suppkey == supp_nation.s_suppkey)
     )
-    return (
-        joined.groupBy("o_year")
-        .agg(
-            F.round(
-                (
-                    F.sum(F.when(F.col("supp_name") == Q29_NATION, F.col("volume")).otherwise(F.lit(0).cast("decimal(18,2)")))
-                    / F.sum("volume")
-                ).cast("double"),
-                6,
-            ).alias("mkt_share"),
-            F.round(F.sum("volume").cast("double"), 2).alias("total_volume"),
-        )
+    # round-10 conversion (caught by tests/test_oracle_round_lint.py —
+    # the hand audit missed it): the share was a decimal/decimal
+    # quotient rounded at the derived scale inside the cast, the
+    # e32/t59 boundary-digit class. Both sums are exact decimals; the
+    # share publishes as e4-unit integers under truncating DIV.
+    agg = joined.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_name") == Q29_NATION, F.col("volume")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).alias("nat_vol"),
+        F.sum("volume").alias("tot_vol"),
+    )
+    return agg.select(
+        "o_year",
+        (
+            F.expr(
+                "CAST(nat_vol * 10000 AS DECIMAL(38,0)) * 1000000"
+                " DIV CAST(tot_vol * 10000 AS DECIMAL(38,0))"
+            )
+            / 1_000_000.0
+        ).alias("mkt_share"),
+        F.round(F.col("tot_vol").cast("double"), 2).alias("total_volume"),
     )
 
 
 ORACLE_Q29 = f"""
-SELECT year(o.o_orderdate) AS o_year,
-       ROUND(CAST(SUM(CASE WHEN sn.n_name = '{Q29_NATION}'
-                           THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
-                                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
-                           ELSE CAST(0 AS DECIMAL(18,2)) END)
-                  / SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
-                  AS DOUBLE), 6) AS mkt_share,
-       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
-                  AS DOUBLE), 2) AS total_volume
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-WHERE r.r_name = '{Q29_REGION}'
-GROUP BY 1
+WITH agg AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         SUM(CASE WHEN sn.n_name = '{Q29_NATION}'
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS nat_vol,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+           AS tot_vol
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE r.r_name = '{Q29_REGION}'
+  GROUP BY 1
+)
+SELECT o_year,
+       (CAST(nat_vol * 10000 AS HUGEINT) * 1000000
+        // CAST(tot_vol * 10000 AS HUGEINT)) / 1000000.0 AS mkt_share,
+       ROUND(CAST(tot_vol AS DOUBLE), 2) AS total_volume
+FROM agg
 """
 
 

@@ -127,6 +127,13 @@ _NEW_OR_CHANGED = (
     # - m06 plan-changed via the shared attach_media_payload refactor
     #   (caught by the fingerprint guard; output unchanged).
     "m06_media_manifest",
+    # - e32/q29 caught by the NEW mechanical oracle-ROUND lint
+    #   (tests/test_oracle_round_lint.py) AFTER the hand audit closed:
+    #   both published decimal/decimal quotients rounded at the derived
+    #   scale inside the cast (the t59 boundary-digit class) — now
+    #   exact truncating-DIV e4/micro units.
+    "e32_cusum_changepoint",
+    "q29_market_share",
 )
 
 # Round-9 head, kept for the ledger's history (same role as _ROUND8_HEAD).
