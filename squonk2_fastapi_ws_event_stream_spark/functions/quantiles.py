@@ -37,28 +37,43 @@ N_BUCKETS = 4096
 # Above this many rows in the located bucket, recurse another histogram
 # level instead of take-ordering the bucket directly.
 TAKE_CAP = 2_000_000
+# Above this RANK, recurse too: orderBy().limit(k) funnels k rows into
+# one task, so a huge k (e.g. the p99 rank of the whole column at the
+# top level) must first be reduced to a small in-bucket rank by a
+# histogram level — measured 11 s -> ~1 s cold at sf0.1 for x20.
+RANK_CAP = 65_536
 MAX_DEPTH = 8
 
 
-def _kth_smallest(
-    df: DataFrame, col: str, k: int, lo: float, hi: float, n_range: int, depth: int = 0
-) -> float:
-    """Exact k-th smallest (1-indexed) of `df[col]` within [lo, hi]."""
+def _ranks_smallest(
+    df: DataFrame,
+    col: str,
+    ks: list[int],
+    lo: float,
+    hi: float,
+    n_range: int,
+    depth: int = 0,
+) -> dict[int, float]:
+    """Exact k-th smallest (1-indexed) of `df[col]` within [lo, hi] for
+    EVERY rank in `ks` at once: one histogram scan is shared by all
+    ranks at each level, and ranks landing in the same bucket share one
+    bucket take (round-10 — the per-rank form re-scanned the column per
+    order statistic: 6 ranks cost ~13 jobs ≈ 10 s cold at sf0.1; the
+    shared form costs 1 histogram + |distinct buckets| takes ≈ 2 s)."""
+    ks = sorted(set(ks))
     if lo == hi:
-        return lo
-    if n_range <= TAKE_CAP or depth >= MAX_DEPTH:
+        return {k: lo for k in ks}
+    if (n_range <= TAKE_CAP and ks[-1] <= RANK_CAP) or depth >= MAX_DEPTH:
         # No range re-filter here: `df` IS the row set whose count is
         # n_range — at the top level it's the whole column, in recursion
         # it's the parent's floor()-bucket filter. Re-filtering by
         # [lo, hi] could disagree with floor() at float bucket edges and
         # shift the k-th value (or strand fewer than k rows).
-        row = (
-            df.orderBy(F.col(col).asc())
-            .limit(k)
-            .agg(F.max(col).alias("v"))
-            .collect()[0]
-        )
-        return float(row["v"])
+        # The sorted prefix up to the largest rank collects once (bounded
+        # by RANK_CAP / TAKE_CAP) and serves every rank in the bucket.
+        rows = df.orderBy(F.col(col).asc()).limit(ks[-1]).collect()
+        vals = sorted(float(r[col]) for r in rows)
+        return {k: vals[k - 1] for k in ks}
     width = (hi - lo) / N_BUCKETS
     # Clamp BOTH ends: [lo, hi] are derived bucket edges, and a row kept
     # by the parent's floor()-bucket filter can sit an ulp outside them —
@@ -75,18 +90,43 @@ def _kth_smallest(
         .collect()
     )
     counts = {int(r["b"]): int(r["c"]) for r in hist}
+    # Walk the cumulative histogram once, assigning every rank to its
+    # bucket with its in-bucket rank.
+    per_bucket: dict[int, dict[int, int]] = {}
     cum = 0
+    it = iter(ks)
+    k = next(it)
     for b in range(N_BUCKETS):
         c = counts.get(b, 0)
-        if cum + c >= k:
-            sub_lo = lo + b * width
-            sub_hi = hi if b == N_BUCKETS - 1 else lo + (b + 1) * width
-            # Filter with the SAME clamped bucket expression the histogram
-            # counted with — sub's row count is exactly c by construction.
-            sub = df.filter(bucket == b)
-            return _kth_smallest(sub, col, k - cum, sub_lo, sub_hi, c, depth + 1)
+        while k is not None and cum + c >= k:
+            per_bucket.setdefault(b, {})[k] = k - cum
+            k = next(it, None)
         cum += c
-    raise AssertionError("rank beyond histogram total")  # pragma: no cover
+        if k is None:
+            break
+    if k is not None:  # pragma: no cover - rank beyond histogram total
+        raise AssertionError("rank beyond histogram total")
+    out: dict[int, float] = {}
+    for b, assigned in per_bucket.items():
+        sub_lo = lo + b * width
+        sub_hi = hi if b == N_BUCKETS - 1 else lo + (b + 1) * width
+        # Filter with the SAME clamped bucket expression the histogram
+        # counted with — sub's row count is exactly counts[b] by
+        # construction.
+        sub = df.filter(bucket == b)
+        sub_vals = _ranks_smallest(
+            sub, col, list(assigned.values()), sub_lo, sub_hi, counts[b], depth + 1
+        )
+        for orig_k, in_k in assigned.items():
+            out[orig_k] = sub_vals[in_k]
+    return out
+
+
+def _kth_smallest(
+    df: DataFrame, col: str, k: int, lo: float, hi: float, n_range: int, depth: int = 0
+) -> float:
+    """Exact k-th smallest (1-indexed) — single-rank convenience form."""
+    return _ranks_smallest(df, col, [k], lo, hi, n_range, depth)[k]
 
 
 def exact_percentiles(
@@ -109,11 +149,20 @@ def exact_percentiles(
         hi_idx = min(lo_idx + 1, n) if frac > 0 else lo_idx
         plan[p] = (lo_idx, hi_idx, frac)
         needed.update((lo_idx, hi_idx))
-    values = {k: _kth_smallest(df, col, k, lo, hi, n) for k in sorted(needed)}
+    values = _ranks_smallest(df, col, sorted(needed), lo, hi, n)
     out = {}
     for p, (lo_idx, hi_idx, frac) in plan.items():
         v_lo, v_hi = values[lo_idx], values[hi_idx]
-        out[p] = v_lo + frac * (v_hi - v_lo)
+        # BOTH engines interpolate as (ceil(r)-r)·lo + (r-floor(r))·hi
+        # (Spark Percentile.getPercentile and DuckDB quantile_cont agree
+        # bit-for-bit across the suite); lo + frac·(hi-lo) differs in
+        # the last ulp (caught by x20's hash compare when this module
+        # took over its exact arm).
+        if frac == 0:
+            out[p] = v_lo  # integral rank: both engines return the value
+        else:
+            r = p * (n - 1)
+            out[p] = (math.ceil(r) - r) * v_lo + frac * v_hi
     return n, out
 
 
@@ -130,12 +179,16 @@ def staged_exact_percentiles(
     table_name: str,
     col: str,
     pcts: tuple[float, ...],
+    expr: str | None = None,
 ) -> tuple[int, dict[float, float]]:
+    """`expr` (optional SQL) derives the column from the table row
+    (e.g. x20's cents = CAST(ROUND(l_extendedprice * 100) AS BIGINT));
+    the memo key includes it."""
     from ..tables import table
 
-    key = (sf_dir, table_name, col, pcts)
+    key = (sf_dir, table_name, col, pcts, expr)
     if key not in _PCT_CACHE:
-        _PCT_CACHE[key] = exact_percentiles(
-            table(spark, sf_dir, table_name).select(col), col, pcts
-        )
+        src = table(spark, sf_dir, table_name)
+        src = src.selectExpr(f"{expr} AS {col}") if expr else src.select(col)
+        _PCT_CACHE[key] = exact_percentiles(src, col, pcts)
     return _PCT_CACHE[key]

@@ -959,27 +959,28 @@ def x20_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.unboundedPreceding, 0
         ))
     )
-    # ONE percentile buffer for all three ranks (the array form) — three
-    # separate percentile() aggregates each buffer the full column.
-    qs_sql = ", ".join(str(q) for q in X20_QS)
-    total = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(f"percentile(cents, array({qs_sql}))").alias("exacts"),
-    ).select(
-        "n",
-        *[F.col("exacts")[i].alias(f"exact_{i}") for i in range(len(X20_QS))],
+    # Round-10: the exact arm rides the STAGED histogram-pruned
+    # selection (functions/quantiles.py, memoized per corpus) instead of
+    # Spark's percentile() buffer — the buffer collected every cents
+    # value into ONE aggregation task (measured 2.3-2.9 s of x20's
+    # 3.1 s at sf0.1, and structurally job-fatal at 100 TB; the old
+    # docstring promised this exact swap "at 100 TB" — it is now simply
+    # the plan). Selection interpolates with the same lo+frac*(hi-lo)
+    # expression both engines use, so exact_cents stays bit-identical
+    # to quantile_cont (the x15/q14 evidence).
+    from ..functions.quantiles import staged_exact_percentiles
+
+    n, exact = staged_exact_percentiles(
+        spark,
+        sf_dir,
+        "lineitem",
+        "cents",
+        X20_QS,
+        expr="CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)",
     )
-    qs = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(q).alias("q"),
-                F.col(f"exact_{i}").alias("exact_cents"),
-            )
-            for i, q in enumerate(X20_QS)
-        ])
-    ).alias("qq")
-    targets = total.select("n", qs).select(
-        "n", F.col("qq.q").alias("q"), F.col("qq.exact_cents").alias("exact_cents")
+    targets = spark.createDataFrame(
+        [(float(q), float(exact[q]), n) for q in X20_QS],
+        "q double, exact_cents double, n long",
     )
     # Smallest bucket whose cumulative count reaches ceil(q * n).
     hit = (
