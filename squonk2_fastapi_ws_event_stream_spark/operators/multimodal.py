@@ -209,6 +209,20 @@ def attach_media_payload(docs: DataFrame) -> DataFrame:
     return docs.mapInPandas(run, schema="doc_id long, payload binary, mime string")
 
 
+def fused_media_stage(docs: DataFrame, run, schema: str) -> DataFrame:
+    """Compose payload synthesis into `run`'s batch stream so the whole
+    stage is ONE mapInPandas (the m01/m02 round-10 fuse, shared by the
+    m-family): one Arrow crossing, one Python-worker dispatch, and the
+    synthesized payload bytes never travel through Arrow at all. `run`
+    is any Iterator[pd.DataFrame] -> Iterator[pd.DataFrame] kernel that
+    expects (doc_id, payload, mime) batches."""
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from run(_attach_media_pdf(pdf) for pdf in batches)
+
+    return docs.mapInPandas(fused, schema=schema)
+
+
 M01_SCHEMA = (
     "doc_id long, kind string, n_bytes long, first_byte int, checksum long, "
     "width int, height int, sample_rate int, duration_ms long"
@@ -575,38 +589,42 @@ M05_SCHEMA = (
 )
 
 
-def downsample_media(with_payload: DataFrame) -> DataFrame:
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in (
-                "doc_id", "kind", "out_w", "out_h", "out_rate",
-                "out_samples", "ds_checksum",
-            )}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                row = {"doc_id": doc_id, "out_w": -1, "out_h": -1,
-                       "out_rate": -1, "out_samples": -1, "ds_checksum": -1}
-                if payload[:2] == b"BM":
-                    row["kind"] = "image/bmp"
-                    row["out_w"], row["out_h"], row["ds_checksum"] = (
-                        downsample_bmp_half(payload)
-                    )
-                elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-                    row["kind"] = "audio/wav"
-                    row["out_rate"], row["out_samples"], row["ds_checksum"] = (
-                        downsample_wav_half(payload)
-                    )
-                else:
-                    row["kind"] = "text/plain"
-                for k, v in row.items():
-                    out[k].append(v)
-            yield pd.DataFrame(out)
+def _downsample_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "kind", "out_w", "out_h", "out_rate",
+            "out_samples", "ds_checksum",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            row = {"doc_id": doc_id, "out_w": -1, "out_h": -1,
+                   "out_rate": -1, "out_samples": -1, "ds_checksum": -1}
+            if payload[:2] == b"BM":
+                row["kind"] = "image/bmp"
+                row["out_w"], row["out_h"], row["ds_checksum"] = (
+                    downsample_bmp_half(payload)
+                )
+            elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                row["kind"] = "audio/wav"
+                row["out_rate"], row["out_samples"], row["ds_checksum"] = (
+                    downsample_wav_half(payload)
+                )
+            else:
+                row["kind"] = "text/plain"
+            for k, v in row.items():
+                out[k].append(v)
+        yield pd.DataFrame(out)
 
-    return with_payload.mapInPandas(run, schema=M05_SCHEMA)
+
+def downsample_media(with_payload: DataFrame) -> DataFrame:
+    """Staged wrapper over _downsample_run for callers that already hold
+    a payload column; m05 itself uses the fused single-stage form."""
+    return with_payload.mapInPandas(_downsample_run, schema=M05_SCHEMA)
 
 
 def m05_media_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
-    return downsample_media(attach_media_payload(docs))
+    # synthesis + downsample fused into one Python stage (round-10)
+    return fused_media_stage(docs, _downsample_run, M05_SCHEMA)
 
 
 # The oracle re-derives what the REAL downsamplers must read from the
@@ -861,7 +879,7 @@ def _ahash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                         hashes.append(ahash_bmp(payload))
                 yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
-        return attach_media_payload(docs).mapInPandas(run, schema=M08_SCHEMA)
+        return fused_media_stage(docs, run, M08_SCHEMA)
 
     return _stage_cached("m_ahash", sf_dir, build)
 
@@ -973,7 +991,7 @@ def m09_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["zero_crossings"].append(zc)
             yield pd.DataFrame(out)
 
-    feats = attach_media_payload(docs).mapInPandas(run, schema=M09_SCHEMA)
+    feats = fused_media_stage(docs, run, M09_SCHEMA)
     return feats.select(
         "doc_id",
         "n_samples",
@@ -1368,7 +1386,7 @@ def m13_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["effective_ms"].append(eff * 1000 // rate)
             yield pd.DataFrame(out)
 
-    return attach_media_payload(docs).mapInPandas(run, schema=M13_SCHEMA)
+    return fused_media_stage(docs, run, M13_SCHEMA)
 
 
 ORACLE_M13 = f"""
@@ -1656,9 +1674,12 @@ def m15_letterbox_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows[k].append(v)
             yield pd.DataFrame(rows)
 
-    detected = docs.mapInPandas(
-        build, schema="doc_id long, payload binary"
-    ).mapInPandas(detect, schema=M15_SCHEMA)
+    # build + detect fused into ONE Python stage (round-10, the m01
+    # fuse): the boxed-BMP bytes never recross Arrow between stages.
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from detect(build(batches))
+
+    detected = docs.mapInPandas(fused, schema=M15_SCHEMA)
     return detected.select(
         "doc_id",
         "width",
@@ -1817,9 +1838,12 @@ def m16_exposure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows[k].append(v)
             yield pd.DataFrame(rows)
 
-    extracted = docs.mapInPandas(
-        build, schema="doc_id long, payload binary"
-    ).mapInPandas(extract, schema=M16_SCHEMA)
+    # build + extract fused into ONE Python stage (round-10, the m01
+    # fuse): the synthesized BMP bytes never recross Arrow.
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from extract(build(batches))
+
+    extracted = docs.mapInPandas(fused, schema=M16_SCHEMA)
     return extracted.select(
         "*",
         F.when(F.col("mean_luma_milli") < M16_UNDER_MILLI, "under")
@@ -1958,7 +1982,7 @@ def m17_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["is_clipped"].append(clipped)
             yield pd.DataFrame(out)
 
-    return attach_media_payload(docs).mapInPandas(run, schema=M17_SCHEMA)
+    return fused_media_stage(docs, run, M17_SCHEMA)
 
 
 ORACLE_M17 = f"""

@@ -127,6 +127,20 @@ _NEW_OR_CHANGED = (
     # - m06 plan-changed via the shared attach_media_payload refactor
     #   (caught by the fingerprint guard; output unchanged).
     "m06_media_manifest",
+    # - m-family fuse completed (the m01/m02 pattern via the shared
+    #   fused_media_stage helper): m05/m08/m09/m13/m17 no longer chain
+    #   payload synthesis through a second mapInPandas, m15/m16 fuse
+    #   their build+detect/extract pairs (m10 changes via m08's staged
+    #   ahash table). Outputs bit-identical; plans single-Python-stage.
+    "m05_media_downsample",
+    "m08_perceptual_ahash",
+    "m09_audio_features",
+    "m10_image_neardup_bands",
+    "m11_caption_consistency",
+    "m13_silence_trim",
+    "m15_letterbox_detect",
+    "m16_exposure_stats",
+    "m17_audio_clipping",
     # - e32/q29 caught by the NEW mechanical oracle-ROUND lint
     #   (tests/test_oracle_round_lint.py) AFTER the hand audit closed:
     #   both published decimal/decimal quotients rounded at the derived

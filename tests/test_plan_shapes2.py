@@ -914,10 +914,10 @@ def test_e39_km_fold_sees_calendar_rows_only(spark):
 
 
 def test_m15_detection_is_shuffle_free_arrow_batched(spark):
-    # Build + detect are two Arrow-batched mapInPandas stages over a
+    # Build + detect FUSED into one Arrow-batched mapInPandas over a
     # pushed-down doc_id filter; no exchange, no join anywhere.
     plan = explain(QUERIES["m15_letterbox_detect"](spark, SF), mode="simple")
-    assert plan.count("MapInPandas") == 2
+    assert plan.count("MapInPandas") == 1
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan
 
@@ -1020,10 +1020,10 @@ def test_q56_alloc_windows_ride_the_nation_rollup(spark):
 
 
 def test_m16_exposure_is_shuffle_free_arrow_batched(spark):
-    # Build + extract are two Arrow-batched mapInPandas stages over a
+    # Build + extract FUSED into one Arrow-batched mapInPandas over a
     # pushed-down doc_id filter; no exchange, no join anywhere.
     plan = explain(QUERIES["m16_exposure_stats"](spark, SF), mode="simple")
-    assert plan.count("MapInPandas") == 2
+    assert plan.count("MapInPandas") == 1
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan
 
@@ -1415,7 +1415,14 @@ def test_m01_m02_are_single_python_stage(spark):
     # Two stages back-to-back is the regression the driver's r9 bench
     # flagged at 7.78x best-ever; this pin keeps the chain from coming
     # back.
-    for name in ("m01_multimodal_decode", "m02_multimodal_resize"):
+    for name in (
+        "m01_multimodal_decode",
+        "m02_multimodal_resize",
+        "m05_media_downsample",
+        "m09_audio_features",
+        "m13_silence_trim",
+        "m17_audio_clipping",
+    ):
         plan = explain(QUERIES[name](spark, SF), mode="simple")
         assert plan.count("MapInPandas") == 1, name
         assert "Exchange hashpartitioning" not in plan, name
