@@ -63,7 +63,17 @@ NON_SQL_QUERIES = frozenset(missing)
 # With ~50 samples/round over ~185 queries, every query's driver row is
 # <= ~3 rounds old in steady state. Local oracle-parity tests still
 # cover ALL queries regardless of this order.
-_NEW_OR_CHANGED = (
+_NEW_OR_CHANGED: tuple[str, ...] = (
+    # round 11: NEAR-ZERO head by design (VERDICT r10 tasks #1/#4). The
+    # ROUND-on-double worklist is EMPTY and no output changes are planned,
+    # so all ~50 driver sampler slots flow stalest-first into the 51-query
+    # cohort whose latest driver row is r2/r3 (q19-q23, t12, t16, x01,
+    # x03, x05-x08, e09, q06-q10, q13, q15-q18, ...). Only genuinely
+    # output- or plan-changed queries may enter here this round.
+)
+
+# Round-10 head, kept for the ledger's history (same role as _ROUND9_HEAD).
+_ROUND10_HEAD = (
     # round 10 CHANGED (VERDICT r9 tasks #1/#2/#8, AUDIT_ROUND_DOUBLES.md
     # "Round-10 worklist" — the FINAL class-3/4 conversion batch; the
     # worklist is now empty):
