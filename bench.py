@@ -300,24 +300,15 @@ def load_reconcile(path: str = RECONCILE_PATH) -> dict:
     return v if isinstance(v, dict) else {}
 
 
-def best_ever_baseline(repo_dir: str | None = None) -> dict[str, float]:
-    """Per-query min across every COMMITTED bench record: all git-history
-    versions of BENCH_FULL.json plus the committed BENCH_r*.json driver
-    records.  This baseline can only go down — a record refresh can never
-    rebase the gate (the round-8 judge's rebasing hole)."""
+def _committed_records(repo_dir: str | None = None):
+    """Yield every COMMITTED bench record: all git-history versions of
+    BENCH_FULL.json plus the committed BENCH_r*.json driver records.
+    The shared non-rebasable source set for best_ever_baseline (per-query
+    min) and best_ever_stream (relay max)."""
     import glob
     import subprocess
 
     repo_dir = repo_dir or os.path.dirname(os.path.abspath(__file__))
-    best: dict[str, float] = {}
-
-    def fold(obj) -> None:
-        rec = _usable_baseline(obj)
-        if rec:
-            for q, sec in rec["queries"].items():
-                if isinstance(sec, (int, float)) and sec > 0:
-                    best[q] = min(best.get(q, sec), float(sec))
-
     try:
         revs = subprocess.run(
             ["git", "rev-list", "HEAD", "--", "BENCH_FULL.json"],
@@ -330,17 +321,47 @@ def best_ever_baseline(repo_dir: str | None = None) -> dict[str, float]:
             )
             if blob.returncode == 0:
                 try:
-                    fold(json.loads(blob.stdout))
+                    rec = _usable_baseline(json.loads(blob.stdout))
                 except json.JSONDecodeError:
-                    pass
+                    rec = None
+                if rec:
+                    yield rec
     except (OSError, subprocess.SubprocessError):
         pass  # no git here — BENCH_r*.json below still anchors the gate
     for cand in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         try:
             with open(cand, encoding="utf-8") as f:
-                fold(json.load(f))
+                rec = _usable_baseline(json.load(f))
         except (OSError, json.JSONDecodeError):
-            pass
+            rec = None
+        if rec:
+            yield rec
+
+
+def best_ever_stream(repo_dir: str | None = None) -> float | None:
+    """Best-ever committed relay throughput: MAX relay_msgs_per_sec across
+    every committed bench record (same non-rebasable sources as
+    best_ever_baseline — a record refresh can never lower this floor).
+    Round-10 verdict task #5: the streaming analog of the per-query
+    best-ever gate denominator."""
+    best: float | None = None
+    for rec in _committed_records(repo_dir):
+        got = rec.get("streaming", {}).get("relay_msgs_per_sec")
+        if isinstance(got, (int, float)) and got > 0:
+            best = max(best or 0.0, float(got))
+    return best
+
+
+def best_ever_baseline(repo_dir: str | None = None) -> dict[str, float]:
+    """Per-query min across every COMMITTED bench record: all git-history
+    versions of BENCH_FULL.json plus the committed BENCH_r*.json driver
+    records.  This baseline can only go down — a record refresh can never
+    rebase the gate (the round-8 judge's rebasing hole)."""
+    best: dict[str, float] = {}
+    for rec in _committed_records(repo_dir):
+        for q, sec in rec["queries"].items():
+            if isinstance(sec, (int, float)) and sec > 0:
+                best[q] = min(best.get(q, sec), float(sec))
     return best
 
 
@@ -503,8 +524,30 @@ def check_against_baseline(
             )
             print(f"bench-check: STREAM VERDICT: {verdict}", file=sys.stderr)
     if base_stream and got_stream and got_stream < base_stream / CHECK_RATIO:
-        failures.append(f"relay throughput {got_stream} < {base_stream}/{CHECK_RATIO}")
-        print(f"bench-check: REGRESSION: {failures[-1]}", file=sys.stderr)
+        r = (reconcile or {}).get("_streaming")
+        if (
+            isinstance(r, dict)
+            and r.get("verdict") == "host_window"
+            and abs(float(r.get("record_msgs_per_sec", -1.0)) - got_stream) < 0.5
+        ):
+            # Round-open reconciliation verdict (streaming analog of the
+            # per-query host_window excusal): this EXACT recorded relay
+            # number was solo-re-probed (1- and 8-stream) on the current
+            # tree and cleared the gate — a driver-window artifact, not
+            # the tree. Value-matched so the verdict cannot excuse a
+            # future, different slow number.
+            print(
+                f"bench-check: RECONCILED relay: recorded {got_stream} "
+                f"msg/s carries a committed host_window verdict (solo "
+                f"8-stream {r.get('solo_8stream_msgs_per_sec')} msg/s — "
+                "scripts/reconcile_driver_bench.py)",
+                file=sys.stderr,
+            )
+        else:
+            failures.append(
+                f"relay throughput {got_stream} < {base_stream}/{CHECK_RATIO}"
+            )
+            print(f"bench-check: REGRESSION: {failures[-1]}", file=sys.stderr)
     print(
         f"bench-check vs {baseline_path}: {len(failures)} regressions, "
         f"{len(news)} new queries",
@@ -610,14 +653,13 @@ def main() -> None:
             best = best_ever_baseline()
             if best:
                 base = {"queries": best}
-                # Streaming floor: best-ever committed relay throughput.
-                relays = [
-                    rec.get("streaming", {}).get("relay_msgs_per_sec")
-                    for rec in (_usable_baseline(prev_full),)
-                    if rec
-                ]
-                if relays and relays[0]:
-                    base["streaming"] = {"relay_msgs_per_sec": relays[0]}
+                # Streaming floor: best-ever committed relay throughput
+                # (non-rebasable, same sources as the per-query baseline —
+                # round-10 verdict task #5; previously this read only the
+                # last record, a rebasable floor).
+                relay_best = best_ever_stream()
+                if relay_best:
+                    base["streaming"] = {"relay_msgs_per_sec": relay_best}
                 baseline = "best-ever committed (git BENCH_FULL.json + BENCH_r*.json)"
             elif _usable_baseline(prev_full):
                 base = _usable_baseline(prev_full)

@@ -23,6 +23,14 @@ it a procedure:
 verdict's ``suite_sec`` matches the record's value exactly, so a
 verdict can never excuse a future, different slow number.
 
+Round-11 (VERDICT r10 task #5): the same procedure covers the STREAMING
+number.  The record's relay msg/s is compared to the best-ever committed
+relay (``bench.best_ever_stream``, max over the same non-rebasable
+sources); a >1.25x dip gets a 1-stream + 8-stream solo re-probe on the
+current tree and a value-matched ``_streaming`` verdict.  The outcome —
+flagged or clear — is always written, so every round's reconcile is
+committed evidence.
+
 Usage:
     python scripts/reconcile_driver_bench.py [record.json] [--round N]
 """
@@ -76,7 +84,31 @@ def main() -> int:
 
     movers = movers_against_best(record, best)
     print(f"{len(movers)} flagged movers in {record_path}", file=sys.stderr)
-    if not movers:
+
+    # Streaming side (round-10 verdict task #5): compare the record's relay
+    # throughput to the best-ever COMMITTED relay (max over the same
+    # non-rebasable sources as the query baseline). A >1.25x dip gets a
+    # 1-stream + 8-stream solo re-probe on the current tree below.
+    relay_best = bench.best_ever_stream(REPO)
+    relay_got = record.get("streaming", {}).get("relay_msgs_per_sec")
+    relay_flagged = bool(
+        relay_best
+        and relay_got
+        and relay_got < relay_best / bench.STREAM_RETRY_RATIO
+    )
+    if relay_best and relay_got:
+        print(
+            f"relay: record {relay_got} msg/s vs best-ever {relay_best} "
+            f"msg/s ({relay_best / relay_got:.2f}x under)"
+            + (" — FLAGGED, solo re-probe" if relay_flagged else " — clear"),
+            file=sys.stderr,
+        )
+
+    if not movers and not relay_flagged:
+        # Nothing to re-measure: still write the ledgered outcome so the
+        # round's reconcile (incl. the streaming check) is committed
+        # evidence, not a silent early-exit.
+        _write(record_path, record, round_no, {}, relay_got, relay_best)
         return 0
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -134,34 +166,112 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    out = {
-        "_contract": (
-            "Round-open driver-record reconciliation: each verdict solo-"
-            "re-measured the flagged query on the current tree; "
-            "host_window verdicts excuse EXACTLY the recorded suite_sec "
-            "in the gate (value-matched). tree_regression verdicts excuse "
-            "nothing - fix or A/B-attribute those."
-        ),
-        "record": os.path.basename(record_path),
-        "record_total_sec": record.get("value"),
-        "round": round_no,
-        "verdicts": verdicts,
-    }
-    with open(bench.RECONCILE_PATH, "w", encoding="utf-8") as f:
-        json.dump(out, f, indent=2)
-        f.write("\n")
-    print(f"wrote {bench.RECONCILE_PATH}", file=sys.stderr)
+    if relay_flagged:
+        verdicts["_streaming"] = _reprobe_relay(
+            spark, relay_got, relay_best, prev.get("_streaming")
+        )
+
+    _write(record_path, record, round_no, verdicts, relay_got, relay_best)
 
     # Markdown ledger for SCALING.md.
     print("\n| query | suite (x) | solo (x) | verdict |")
     print("|---|---|---|---|")
     for name, v in sorted(verdicts.items()):
+        if name == "_streaming":
+            print(
+                f"| relay (msg/s) | {v['record_msgs_per_sec']} "
+                f"| 1-stream {v['solo_1stream_msgs_per_sec']} / 8-stream "
+                f"{v['solo_8stream_msgs_per_sec']} | {v['verdict']} |"
+            )
+            continue
         print(
             f"| {name} | {v['suite_sec']:.3f}s ({v['ratio_suite']}x) "
             f"| {v['solo_sec']:.3f}s ({v['ratio_solo']}x) "
             f"| {v['verdict']} |"
         )
     return 0 if all(v["verdict"] == "host_window" for v in verdicts.values()) else 1
+
+
+def _reprobe_relay(spark, relay_got, relay_best, prev) -> dict:
+    """Round-10 verdict task #5: the relay analog of the per-query solo
+    re-measure.  Re-runs the relay SOLO on the current tree at 1 stream
+    (pipeline cost with no scheduler contention) and 8 streams (the
+    headline shape), min-of-2-passes each via bench's own harness, and
+    folds with any prior verdict for the same recorded value (max —
+    interference can only deflate throughput, never inflate it)."""
+    import shutil
+    import tempfile
+
+    from squonk2_fastapi_ws_event_stream_spark.sources.eventstream import (
+        EventStreamDataSource,
+    )
+
+    spark.dataSource.register(EventStreamDataSource)
+    solo: dict[int, float] = {1: 0.0, 8: 0.0}
+    if isinstance(prev, dict) and prev.get("record_msgs_per_sec") == relay_got:
+        solo[1] = float(prev.get("solo_1stream_msgs_per_sec", 0) or 0)
+        solo[8] = float(prev.get("solo_8stream_msgs_per_sec", 0) or 0)
+    per_stream = 20_000
+    for n in (1, 8):
+        root = tempfile.mkdtemp(prefix=f"es-reconcile-{n}-")
+        try:
+            bench._publish_streams(root, n, per_stream)
+            sec = min(
+                bench._relay_pass(spark, root, n, per_stream, "ra"),
+                bench._relay_pass(spark, root, n, per_stream, "rb"),
+            )
+            solo[n] = max(solo[n], n * per_stream / sec)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        print(
+            f"  relay solo re-probe: {n} stream(s) -> {solo[n]:.0f} msg/s",
+            file=sys.stderr,
+        )
+    # host_window iff the 8-stream (headline-shape) solo clears the hard
+    # relay gate the record would otherwise fail.
+    clears = solo[8] >= relay_best / bench.CHECK_RATIO
+    entry = {
+        "record_msgs_per_sec": relay_got,
+        "best_ever_msgs_per_sec": relay_best,
+        "ratio": round(relay_best / relay_got, 2),
+        "solo_1stream_msgs_per_sec": round(solo[1]),
+        "solo_8stream_msgs_per_sec": round(solo[8]),
+        "verdict": "host_window" if clears else "tree_regression",
+    }
+    print(
+        f"  relay: record {relay_got} msg/s ({entry['ratio']}x under "
+        f"best-ever {relay_best}) -> solo 8-stream "
+        f"{entry['solo_8stream_msgs_per_sec']} msg/s => {entry['verdict']}",
+        file=sys.stderr,
+    )
+    return entry
+
+
+def _write(record_path, record, round_no, verdicts, relay_got, relay_best) -> None:
+    out = {
+        "_contract": (
+            "Round-open driver-record reconciliation: each verdict solo-"
+            "re-measured the flagged query on the current tree; "
+            "host_window verdicts excuse EXACTLY the recorded suite_sec "
+            "in the gate (value-matched). tree_regression verdicts excuse "
+            "nothing - fix or A/B-attribute those. The _streaming verdict "
+            "is the relay analog (1- and 8-stream solo re-probe), value-"
+            "matched on record_msgs_per_sec."
+        ),
+        "record": os.path.basename(record_path),
+        "record_total_sec": record.get("value"),
+        "round": round_no,
+        "streaming_check": {
+            "record_msgs_per_sec": relay_got,
+            "best_ever_msgs_per_sec": relay_best,
+            "flagged": "_streaming" in verdicts,
+        },
+        "verdicts": verdicts,
+    }
+    with open(bench.RECONCILE_PATH, "w", encoding="utf-8") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(f"wrote {bench.RECONCILE_PATH}", file=sys.stderr)
 
 
 if __name__ == "__main__":

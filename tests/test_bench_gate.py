@@ -228,6 +228,62 @@ def test_stream_reprobe_verdict(capsys):
     assert "tree-side" in err2
 
 
+def test_best_ever_stream_is_the_committed_max():
+    """Round-10 verdict task #5: the relay floor is the MAX committed
+    relay throughput over the same non-rebasable sources as the query
+    baseline — a slower record refresh can never lower it."""
+    best = bench.best_ever_stream(REPO)
+    if best is None:
+        pytest.skip("git history unavailable")
+    with open(os.path.join(REPO, "BENCH_FULL.json"), encoding="utf-8") as f:
+        cur = json.load(f).get("streaming", {}).get("relay_msgs_per_sec")
+    assert best >= (cur or 0)
+    assert best > 30_000  # the r10 records put the committed max past this
+
+
+def test_streaming_reconcile_verdict_is_value_matched(capsys):
+    """The relay analog of the per-query host_window excusal: a committed
+    _streaming verdict excuses EXACTLY the recorded msg/s it re-probed;
+    a different slow number (or a tree_regression verdict) still fails."""
+    base = {"queries": {}, "streaming": {"relay_msgs_per_sec": 40000}}
+    rec = {
+        "_streaming": {
+            "record_msgs_per_sec": 15000,
+            "solo_8stream_msgs_per_sec": 39000,
+            "verdict": "host_window",
+        }
+    }
+    # The reconciled value passes, loudly…
+    result = {"queries": {}, "streaming": {"relay_msgs_per_sec": 15000}}
+    rc = bench.check_against_baseline(
+        result, base, "synthetic", attributions={}, reconcile=rec
+    )
+    assert rc == 0
+    assert "RECONCILED relay" in capsys.readouterr().err
+    # …a different slow value does not…
+    result2 = {"queries": {}, "streaming": {"relay_msgs_per_sec": 14000}}
+    assert (
+        bench.check_against_baseline(
+            result2, base, "synthetic", attributions={}, reconcile=rec
+        )
+        == 1
+    )
+    # …and a tree_regression verdict excuses nothing.
+    rec2 = {
+        "_streaming": {
+            "record_msgs_per_sec": 15000,
+            "solo_8stream_msgs_per_sec": 16000,
+            "verdict": "tree_regression",
+        }
+    }
+    assert (
+        bench.check_against_baseline(
+            result, base, "synthetic", attributions={}, reconcile=rec2
+        )
+        == 1
+    )
+
+
 def test_retry_clears_a_transient_spike_and_rewrites_the_record(capsys):
     """A query that spikes in-suite but re-measures fast solo is
     interference, not a regression: the gate passes, the result dict
