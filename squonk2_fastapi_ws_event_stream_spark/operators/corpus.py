@@ -1421,7 +1421,8 @@ ORACLES["t59_rake_keywords"] = _oracle_t59()
 # Scale: grams shuffle by their sha2 digest (fixed 32-byte keys, one
 # shuffle); the doc-frequency join is hint-free (the gram table grows
 # with the corpus — AQE broadcasts if it fits); covered indices expand
-# at most 5x the dup-gram count before a distinct; the anti-join keying
+# at most 5x the dup-gram count and feed the anti-join as-is (LEFT ANTI
+# ignores right duplicates — no distinct needed); the anti-join keying
 # (doc_id, idx) is uniform.  Per-doc work is one aggregate; nothing is
 # quadratic.  Cleaned text is reported as a bounded prefix + exact
 # length (hash-comparable without megabyte rows).
@@ -1450,12 +1451,15 @@ def t60_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .select("digest")
     )
-    covered = (
-        grams.join(freq, "digest")
-        .select(
-            "doc_id", F.explode(F.sequence(F.col("gpos"), F.col("gpos") + T60_W - 1)).alias("idx")
-        )
-        .distinct()
+    # No .distinct() on covered (round-11 A/B, SCALING.md): LEFT ANTI
+    # ignores right-side duplicates, so deduplicating the ≤W-fold
+    # overlap-expanded rows bought nothing the join doesn't already do —
+    # dropping the aggregate saved ~16% solo at sf0.1 with identical
+    # output (the dup factor is bounded by W, so the extra anti-join
+    # probe rows are a constant factor, not a skew hazard).
+    covered = grams.join(freq, "digest").select(
+        "doc_id",
+        F.explode(F.sequence(F.col("gpos"), F.col("gpos") + T60_W - 1)).alias("idx"),
     )
     words = docs.select(
         "doc_id", F.posexplode(F.col("words")).alias("idx", "word")
@@ -1471,7 +1475,10 @@ def t60_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("cleaned"),
     )
-    totals = words.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_words"))
+    # n_words straight from the array length (round-11 A/B): the old
+    # posexplode-then-count re-shuffled every word of the corpus to
+    # recompute what size(words) already knows per row.
+    totals = docs.select("doc_id", F.size("words").cast("long").alias("n_words"))
     return (
         totals.join(cleaned, "doc_id", "left")
         .select(

@@ -70,6 +70,13 @@ _NEW_OR_CHANGED: tuple[str, ...] = (
     # cohort whose latest driver row is r2/r3 (q19-q23, t12, t16, x01,
     # x03, x05-x08, e09, q06-q10, q13, q15-q18, ...). Only genuinely
     # output- or plan-changed queries may enter here this round.
+    #
+    # round 11 PLAN-changed (VERDICT r10 task #3, the t60 structural A/B
+    # — output bit-identical at sf0.001/0.01/0.1): covered's .distinct()
+    # dropped (LEFT ANTI ignores right duplicates) and n_words computed
+    # from size(words) instead of re-exploding every word; solo sf0.1
+    # 2.06 -> 1.65 s (SCALING.md round-11 notes).
+    "t60_dup_span_removal",
 )
 
 # Round-10 head, kept for the ledger's history (same role as _ROUND9_HEAD).
