@@ -3319,3 +3319,132 @@ FROM occ GROUP BY k_occurrence
 
 QUERIES["v37_hubness_audit"] = v37_hubness_audit
 ORACLES["v37_hubness_audit"] = ORACLE_V37
+
+
+# ---------------------------------------------------------------------------
+# v38 — reciprocal-rank fusion (Cormack et al. SIGIR'09): the standard
+# way production retrieval combines rankings from DIFFERENT scorers
+# (cosine vs raw inner product here — the two rankings genuinely differ
+# whenever corpus norms vary) without score calibration:
+#
+#   RRF(d) = Σ_lists 1 / (60 + rank_list(d)),  summed over the lists
+#            that returned d in their top-k.
+#
+# The v-family had the pieces (v02 cosine ranking, v32 dot ranking,
+# v10/v21 rank-quality metrics) but not the fusion step every hybrid
+# retrieval stack runs; this closes it.
+#
+# Cross-engine determinism: each 1/(60+r) term is published as the exact
+# integer micro 1000000 DIV (60+r) — both engines truncate identically,
+# so the fused score is an exact BIGINT sum, never a float. Both input
+# rankings order by expressions the engines compute bit-identically
+# (cosine() / dot(), vec_id tiebreak), per the v02/v32 contracts.
+#
+# Scale: ONE corpus scan scores both lists map-side against the
+# broadcast query set; all three windows (cos rank, ip rank, fused
+# rank) share the (query_id) partitioning, so the plan pays ONE
+# shuffle; candidates shrink to ≤ 2k per query before the fused rank.
+# ---------------------------------------------------------------------------
+RRF_K = 60  # the SIGIR'09 constant
+
+
+def v38_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("embedding")))
+        .withColumn("ip", dot(F.col("q_emb"), F.col("embedding")))
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    w_ip = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("vec_id").asc()
+    )
+    ranked = (
+        scored.withColumn("r_cos", F.row_number().over(w_cos))
+        .withColumn("r_ip", F.row_number().over(w_ip))
+        .filter((F.col("r_cos") <= TOP_K) | (F.col("r_ip") <= TOP_K))
+    )
+    fused = ranked.withColumn(
+        "rrf_micro",
+        (
+            F.when(
+                F.col("r_cos") <= TOP_K,
+                F.expr(f"1000000 DIV ({RRF_K} + r_cos)"),
+            ).otherwise(F.lit(0))
+            + F.when(
+                F.col("r_ip") <= TOP_K,
+                F.expr(f"1000000 DIV ({RRF_K} + r_ip)"),
+            ).otherwise(F.lit(0))
+        ).cast("long"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("vec_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+            "vec_id",
+            "rrf_micro",
+            F.when(F.col("r_cos") <= TOP_K, F.col("r_cos"))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("cos_rank"),
+            F.when(F.col("r_ip") <= TOP_K, F.col("r_ip"))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("ip_rank"),
+        )
+    )
+
+
+ORACLE_V38 = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+           WHERE vec_id % {QUERY_STRIDE} = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         {sql_cosine('q.q_emb', 'e.embedding')} AS cos,
+         {sql_dot('q.q_emb', 'e.embedding')} AS ip
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS r_cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ip DESC, vec_id ASC) AS r_ip
+  FROM scored
+),
+cand AS (
+  SELECT query_id, vec_id, r_cos, r_ip,
+         CAST(CASE WHEN r_cos <= {TOP_K}
+                   THEN 1000000 // ({RRF_K} + r_cos) ELSE 0 END
+            + CASE WHEN r_ip <= {TOP_K}
+                   THEN 1000000 // ({RRF_K} + r_ip) ELSE 0 END AS BIGINT)
+           AS rrf_micro
+  FROM ranked WHERE r_cos <= {TOP_K} OR r_ip <= {TOP_K}
+),
+fused AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, vec_id ASC)
+              AS fused_rank
+  FROM cand
+)
+SELECT query_id, CAST(fused_rank AS INTEGER) AS fused_rank, vec_id, rrf_micro,
+       CAST(CASE WHEN r_cos <= {TOP_K} THEN r_cos ELSE 0 END AS INTEGER)
+         AS cos_rank,
+       CAST(CASE WHEN r_ip <= {TOP_K} THEN r_ip ELSE 0 END AS INTEGER)
+         AS ip_rank
+FROM fused WHERE fused_rank <= {TOP_K}
+"""
+
+
+QUERIES["v38_reciprocal_rank_fusion"] = v38_reciprocal_rank_fusion
+ORACLES["v38_reciprocal_rank_fusion"] = ORACLE_V38

@@ -77,6 +77,11 @@ _NEW_OR_CHANGED: tuple[str, ...] = (
     # from size(words) instead of re-exploding every word; solo sf0.1
     # 2.06 -> 1.65 s (SCALING.md round-11 notes).
     "t60_dup_span_removal",
+    # round 11 NEW: reciprocal-rank fusion (Cormack et al. SIGIR'09) —
+    # the hybrid-retrieval fusion step the v-family lacked (cosine +
+    # inner-product rankings fused via exact integer-micro 1/(60+r)
+    # weights; one corpus scan, one shuffle for all three windows).
+    "v38_reciprocal_rank_fusion",
 )
 
 # Round-10 head, kept for the ledger's history (same role as _ROUND9_HEAD).
