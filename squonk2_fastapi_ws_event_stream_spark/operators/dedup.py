@@ -128,7 +128,73 @@ GROUP BY digest, text HAVING COUNT(*) > 1
 # ---------------------------------------------------------------------------
 # t02 — MinHash + LSH near-dedup: shingle → minhash signature → band keys →
 # bucket equi-join → verify true Jaccard.
+#
+# HOT-BUCKET SUPPRESSION (round 11, T65_BUCKET_CAP's rationale applied
+# to the flagship): a band bucket shared by B docs yields B(B-1)/2
+# candidates, and on a boilerplate-heavy corpus one non-discriminative
+# minhash value can pull thousands of docs into one bucket — the
+# "banded" join silently goes quadratic. Measured on a synthetic
+# 10x-sf0.1 corpus (50k docs, replica-suffixed vocab): max bucket 2,231
+# docs, 9.36M candidate pairs vs sf0.1's 1,243 — t02 ran 53x its sf0.1
+# time (SCALING.md round-11 band-family scale probe). Buckets larger
+# than T02_BUCKET_CAP are dropped in BOTH engine and oracle: they carry
+# no discrimination signal, and candidates stay <= b * CAP^2 / 2 per
+# bucket. At every driver SF the max bucket is 5, so tested outputs are
+# bit-identical with or without the cap — this is purely the 100-TB
+# guard.
 # ---------------------------------------------------------------------------
+T02_BUCKET_CAP = 64  # same bound + rationale as T65_BUCKET_CAP
+
+
+def _banded_candidates(sig: DataFrame) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs from the minhash band self-join,
+    with hot-bucket suppression — shared by t02 (the dedup itself) and
+    t31 (the estimator-accuracy eval) so their candidate sets can never
+    drift apart."""
+    from pyspark.sql import Window
+
+    bands_all = sig.select(
+        "doc_id", F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key")
+    )
+    # The count window shares the (band_id, band_key) partitioning the
+    # self-join needs anyway — no extra shuffle, one extra sort.
+    w_bucket = Window.partitionBy("band_id", "band_key")
+    bands = (
+        bands_all.withColumn("bucket_n", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("bucket_n") <= T02_BUCKET_CAP)
+        .drop("bucket_n")
+    )
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# The oracle-side mirror of _banded_candidates (t02/t31 share it the same
+# way): band rows -> bucket-capped -> self-join -> DISTINCT ordered pairs.
+def _sql_banded_candidates() -> str:
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, {H.sql_band_key('sig', b)} AS band_key FROM sig"
+        for b in range(H.N_BANDS)
+    )
+    return f"""bands_all AS (
+{band_selects}
+),
+bands AS (
+  SELECT doc_id, band_id, band_key FROM (
+    SELECT doc_id, band_id, band_key,
+           COUNT(*) OVER (PARTITION BY band_id, band_key) AS bucket_n
+    FROM bands_all
+  ) WHERE bucket_n <= {T02_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
 # Persisted LSH staging tables (t02 signatures, t06 fingerprints), keyed by
 # (operator, sf_dir). A long-lived session (driver sweeps, bench warm
 # passes) would otherwise accumulate one orphaned cache per invocation.
@@ -172,16 +238,7 @@ def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             table(spark, sf_dir, "documents").select("doc_id", "text"), spark
         ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
     )
-    bands = sig.select(
-        "doc_id", F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key")
-    )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_id", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _banded_candidates(sig)
     sh = sig.select("doc_id", "shingles")  # reads the persisted table
     pairs = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
@@ -203,23 +260,12 @@ def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_t02() -> str:
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, shingles, {b} AS band_id, {H.sql_band_key('sig', b)} AS band_key FROM sig"
-        for b in range(H.N_BANDS)
-    )
     return f"""
 WITH sh AS ({SQL_SHINGLES}),
 sig AS (
   SELECT doc_id, shingles, {H.sql_minhash_signature('shingles')} AS sig FROM sh
 ),
-bands AS (
-{band_selects}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
+{_sql_banded_candidates()}
 SELECT c.doc_a, c.doc_b,
        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) * 1000000
          // len(list_distinct(list_concat(sa.shingles, sb.shingles)))
@@ -251,16 +297,7 @@ def t31_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             table(spark, sf_dir, "documents").select("doc_id", "text"), spark
         ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
     )
-    bands = sig.select(
-        "doc_id", F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key")
-    )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_id", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _banded_candidates(sig)  # bucket-capped, shared with t02
     side = lambda suffix: sig.select(
         F.col("doc_id").alias(f"doc_{suffix}"),
         F.col("shingles").alias(f"sh_{suffix}"),
@@ -296,10 +333,6 @@ def t31_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_t31() -> str:
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band_id, {H.sql_band_key('sig', b)} AS band_key FROM sig"
-        for b in range(H.N_BANDS)
-    )
     matches = (
         "list_sum(list_transform(range(1, "
         f"{H.N_PERM} + 1), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))"
@@ -315,14 +348,7 @@ WITH sh AS ({SQL_SHINGLES}),
 sig AS (
   SELECT doc_id, shingles, {H.sql_minhash_signature('shingles')} AS sig FROM sh
 ),
-bands AS (
-{band_selects}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
+{_sql_banded_candidates()}
 SELECT c.doc_a, c.doc_b,
        CAST({matches} AS BIGINT) AS sig_matches,
        {est_k} / 1e6 AS est_jaccard,

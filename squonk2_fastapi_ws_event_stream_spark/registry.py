@@ -82,6 +82,17 @@ _NEW_OR_CHANGED: tuple[str, ...] = (
     # inner-product rankings fused via exact integer-micro 1/(60+r)
     # weights; one corpus scan, one shuffle for all three windows).
     "v38_reciprocal_rank_fusion",
+    # round 11 PLAN-changed (the 10x-corpus scale probe, SCALING.md
+    # "round-11 band-family scale probe"): t02/t31's shared band-join
+    # candidates gained t65-style hot-bucket suppression (buckets >64
+    # dropped in engine AND oracle) after a synthetic 10x-sf0.1 corpus
+    # measured a 2,231-doc bucket driving 9.36M candidate pairs — t02
+    # ran 53x its sf0.1 time, now 5.6x (and the residual tracks true
+    # dup mass). Max bucket at every driver SF is 5, so tested outputs
+    # are bit-identical; the rest of the band family (t38, t49, t52,
+    # t55, m10, v08) is the measured round-12 worklist.
+    "t02_dedup_minhash_lsh",
+    "t31_minhash_estimate_eval",
 )
 
 # Round-10 head, kept for the ledger's history (same role as _ROUND9_HEAD).
