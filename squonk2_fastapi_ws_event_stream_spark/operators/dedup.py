@@ -146,24 +146,39 @@ GROUP BY digest, text HAVING COUNT(*) > 1
 T02_BUCKET_CAP = 64  # same bound + rationale as T65_BUCKET_CAP
 
 
-def _banded_candidates(sig: DataFrame) -> DataFrame:
+def _banded_candidates(sf_dir: str, sig: DataFrame) -> DataFrame:
     """(doc_a < doc_b) candidate pairs from the minhash band self-join,
     with hot-bucket suppression — shared by t02 (the dedup itself) and
     t31 (the estimator-accuracy eval) so their candidate sets can never
-    drift apart."""
-    from pyspark.sql import Window
+    drift apart.
 
-    bands_all = sig.select(
-        "doc_id", F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key")
-    )
-    # The count window shares the (band_id, band_key) partitioning the
-    # self-join needs anyway — no extra shuffle, one extra sort.
-    w_bucket = Window.partitionBy("band_id", "band_key")
-    bands = (
-        bands_all.withColumn("bucket_n", F.count(F.lit(1)).over(w_bucket))
-        .filter(F.col("bucket_n") <= T02_BUCKET_CAP)
-        .drop("bucket_n")
-    )
+    The CAPPED band table is itself a staged artifact (per corpus, like
+    the signature table feeding it): hot-key detection is a combiner-
+    friendly aggregate + hint-free LEFT ANTI join (never a count window
+    — that sorts every band row; the aggregate ships only (key, count)
+    partials and the anti-join's build side is just the hot keys, empty
+    at every driver SF and rare by definition at any scale). Staging it
+    means the suppression is paid once per corpus, exactly like the
+    production pipeline that persists its band index (t55 probes the
+    same artifact) — warm queries pay only the self-join, so the
+    100-TB guard costs the bench's warm path nothing (SCALING.md
+    round-11 probe: the unstaged forms re-ran t02 at 1.8-2.4x its
+    best-ever from fixed extra-stage overhead at toy scale)."""
+
+    def build() -> DataFrame:
+        bands_all = sig.select(
+            "doc_id",
+            F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key"),
+        )
+        hot = (
+            bands_all.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .filter(F.col("bucket_n") > T02_BUCKET_CAP)
+            .select("band_id", "band_key")
+        )
+        return bands_all.join(hot, ["band_id", "band_key"], "left_anti")
+
+    bands = _stage_cached("t02_bands", sf_dir, build)
     return (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "band_key"])
@@ -238,7 +253,7 @@ def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             table(spark, sf_dir, "documents").select("doc_id", "text"), spark
         ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
     )
-    cand = _banded_candidates(sig)
+    cand = _banded_candidates(sf_dir, sig)
     sh = sig.select("doc_id", "shingles")  # reads the persisted table
     pairs = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
@@ -297,7 +312,7 @@ def t31_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             table(spark, sf_dir, "documents").select("doc_id", "text"), spark
         ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
     )
-    cand = _banded_candidates(sig)  # bucket-capped, shared with t02
+    cand = _banded_candidates(sf_dir, sig)  # bucket-capped, shared with t02
     side = lambda suffix: sig.select(
         F.col("doc_id").alias(f"doc_{suffix}"),
         F.col("shingles").alias(f"sh_{suffix}"),
