@@ -146,39 +146,57 @@ GROUP BY digest, text HAVING COUNT(*) > 1
 T02_BUCKET_CAP = 64  # same bound + rationale as T65_BUCKET_CAP
 
 
-def _banded_candidates(sf_dir: str, sig: DataFrame) -> DataFrame:
-    """(doc_a < doc_b) candidate pairs from the minhash band self-join,
-    with hot-bucket suppression — shared by t02 (the dedup itself) and
-    t31 (the estimator-accuracy eval) so their candidate sets can never
-    drift apart.
+def suppress_hot_buckets(bands: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop band rows whose bucket (the rows sharing `keys`) holds more
+    than `cap` rows — the shared 100-TB guard for every LSH band family
+    (t02/t31/t38 minhash, t49 sweep configs, t52 train×eval, t55's
+    standing index, m10 ahash bands, v08 SRP bands). A bucket that
+    large carries no discrimination signal and makes the band join
+    quadratic on boilerplate-heavy corpora (SCALING.md round-11 probe:
+    one 2,231-doc bucket drove t02 to 53x its sf0.1 time).
 
-    The CAPPED band table is itself a staged artifact (per corpus, like
-    the signature table feeding it): hot-key detection is a combiner-
-    friendly aggregate + hint-free LEFT ANTI join (never a count window
-    — that sorts every band row; the aggregate ships only (key, count)
-    partials and the anti-join's build side is just the hot keys, empty
-    at every driver SF and rare by definition at any scale). Staging it
-    means the suppression is paid once per corpus, exactly like the
-    production pipeline that persists its band index (t55 probes the
-    same artifact) — warm queries pay only the self-join, so the
-    100-TB guard costs the bench's warm path nothing (SCALING.md
-    round-11 probe: the unstaged forms re-ran t02 at 1.8-2.4x its
-    best-ever from fixed extra-stage overhead at toy scale)."""
+    Implementation is the measured t02 form: hot-key detection is a
+    combiner-friendly aggregate + hint-free LEFT ANTI join (never a
+    count window — that sorts every band row; the aggregate ships only
+    (key, count) partials and the anti-join's build side is just the
+    hot keys, empty at every driver SF and rare by definition at any
+    scale)."""
+    hot = (
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > cap)
+        .select(*keys)
+    )
+    return bands.join(hot, keys, "left_anti")
+
+
+def _capped_bands(sf_dir: str, sig: DataFrame) -> DataFrame:
+    """The staged bucket-capped minhash band table (doc_id, band_id,
+    band_key) — the per-corpus artifact every t02-family consumer
+    probes: the t02/t31/t38 candidate self-join and t55's standing
+    index. Staging it means the suppression is paid once per corpus,
+    exactly like the production pipeline that persists its band index —
+    warm queries pay only their join, so the 100-TB guard costs the
+    bench's warm path nothing (SCALING.md round-11 probe: the unstaged
+    forms re-ran t02 at 1.8-2.4x its best-ever from fixed extra-stage
+    overhead at toy scale)."""
 
     def build() -> DataFrame:
         bands_all = sig.select(
             "doc_id",
             F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key"),
         )
-        hot = (
-            bands_all.groupBy("band_id", "band_key")
-            .agg(F.count(F.lit(1)).alias("bucket_n"))
-            .filter(F.col("bucket_n") > T02_BUCKET_CAP)
-            .select("band_id", "band_key")
-        )
-        return bands_all.join(hot, ["band_id", "band_key"], "left_anti")
+        return suppress_hot_buckets(bands_all, ["band_id", "band_key"], T02_BUCKET_CAP)
 
-    bands = _stage_cached("t02_bands", sf_dir, build)
+    return _stage_cached("t02_bands", sf_dir, build)
+
+
+def _banded_candidates(sf_dir: str, sig: DataFrame) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs from the bucket-capped minhash
+    band self-join — shared by t02 (the dedup itself), t31 (the
+    estimator-accuracy eval) and t38 (containment) so their candidate
+    sets can never drift apart."""
+    bands = _capped_bands(sf_dir, sig)
     return (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "band_key"])
@@ -188,8 +206,22 @@ def _banded_candidates(sf_dir: str, sig: DataFrame) -> DataFrame:
     )
 
 
-# The oracle-side mirror of _banded_candidates (t02/t31 share it the same
-# way): band rows -> bucket-capped -> self-join -> DISTINCT ordered pairs.
+def sql_capped_bands(body: str, keys: str, cols: str, cap: int) -> str:
+    """Oracle mirror of suppress_hot_buckets: count-window bucket cap
+    over a band-rows relation (DuckDB is single-node, so the window form
+    is exact and cheap there; the engine uses the aggregate+anti-join
+    form for the distributed reasons documented on the helper)."""
+    return (
+        f"SELECT {cols} FROM (\n"
+        f"    SELECT {cols}, COUNT(*) OVER (PARTITION BY {keys}) AS bucket_n\n"
+        f"    FROM ({body})\n"
+        f"  ) WHERE bucket_n <= {cap}"
+    )
+
+
+# The oracle-side mirror of _banded_candidates (t02/t31/t38 share it the
+# same way): band rows -> bucket-capped -> self-join -> DISTINCT ordered
+# pairs.
 def _sql_banded_candidates() -> str:
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band_id, {H.sql_band_key('sig', b)} AS band_key FROM sig"
@@ -392,26 +424,19 @@ def t38_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             table(spark, sf_dir, "documents").select("doc_id", "text"), spark
         ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
     )
-    bands = sig.select(
-        "doc_id", F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key")
-    )
     # Any single-band collision is a candidate — the classic b=4/r=4 LSH
-    # form, mirrored exactly by _oracle_t38's SELECT DISTINCT. Deliberately
-    # NO band-agreement prefilter here: t38 exists to surface the
-    # low-Jaccard / high-containment (quote/subset) pairs, and with r=4
-    # bands a pair at J ~= 0.2 agrees in >= 2 of the 4 bands with
-    # probability ~ C(4,2)*J^8 ~= 1.5e-5 — a prefilter structurally kills
-    # exactly the pairs this operator is for. The capped + prefiltered
-    # variant is t65 (r=1 banding, oracle updated in lockstep).
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_id", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    # form, via the SAME bucket-capped staged band table as t02/t31
+    # (round-11 scale probe: the uncapped copy of this join is exactly
+    # the shape that ran t02 53x at 10x data, and at every driver SF the
+    # max bucket is 5, so the cap never bites the tested outputs).
+    # Deliberately NO band-agreement prefilter here: t38 exists to
+    # surface the low-Jaccard / high-containment (quote/subset) pairs,
+    # and with r=4 bands a pair at J ~= 0.2 agrees in >= 2 of the 4
+    # bands with probability ~ C(4,2)*J^8 ~= 1.5e-5 — a prefilter
+    # structurally kills exactly the pairs this operator is for. The
+    # capped + prefiltered variant is t65 (r=1 banding, oracle updated
+    # in lockstep).
+    cand = _banded_candidates(sf_dir, sig)
     sh = sig.select("doc_id", "shingles")
     pairs = (
         cand.join(
@@ -448,24 +473,13 @@ def t38_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_t38() -> str:
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band_id, {H.sql_band_key('sig', b)} AS band_key FROM sig"
-        for b in range(H.N_BANDS)
-    )
     shared = "len(list_intersect(sa.shingles, sb.shingles))"
     return f"""
 WITH sh AS ({SQL_SHINGLES}),
 sig AS (
   SELECT doc_id, shingles, {H.sql_minhash_signature('shingles')} AS sig FROM sh
 ),
-bands AS (
-{band_selects}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
+{_sql_banded_candidates()}
 SELECT c.doc_a, c.doc_b,
        CAST({shared} AS BIGINT) AS n_shared,
        CAST({shared} AS BIGINT) * 1000000 // len(sa.shingles) / 1e6
@@ -726,8 +740,20 @@ ORACLES = {
 # config's candidate generation is the same band equi-join as t02
 # (keys only, linear in corpus). s50 is injected as the SAME Python
 # float literal into both engines — no pow() drift.
+#
+# Hot-bucket suppression (round-11 scale probe, SCALING.md): the sweep
+# was 7.55x at 10x data off uncapped buckets — the WEAKLY-discriminative
+# (8 bands × 2 rows) config collides boilerplate docs by the thousands
+# (its whole point is a low s50 threshold). Buckets above T49_BUCKET_CAP
+# are dropped per config in BOTH engines; the cap is 256, not t02's 64,
+# because the b=8/r=2 config legitimately reaches 159-doc buckets at
+# sf0.1 — the cap must never bite a driver-SF output (max measured
+# buckets per SF: 21/21/159), only the 100-TB blowup above them.
+# The capped three-config band table is ONE staged artifact (the t02
+# staging discipline), so suppression is paid once per corpus.
 # ---------------------------------------------------------------------------
 T49_CONFIGS = ((2, 8), (4, 4), (8, 2))
+T49_BUCKET_CAP = 256
 
 
 def t49_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,21 +764,39 @@ def t49_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             table(spark, sf_dir, "documents").select("doc_id", "text"), spark
         ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
     )
+
+    def build() -> DataFrame:
+        parts = []
+        for b, r in T49_CONFIGS:
+            keys = [
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.element_at(F.col("sig"), band * r + j + 1).cast("string")
+                        for j in range(r)
+                    ],
+                )
+                for band in range(b)
+            ]
+            parts.append(
+                sig.select(
+                    F.lit(b).alias("cfg_b"),
+                    "doc_id",
+                    F.posexplode(F.array(*keys)).alias("band_id", "band_key"),
+                )
+            )
+        allb = parts[0]
+        for p in parts[1:]:
+            allb = allb.unionByName(p)
+        # per-config buckets: cfg_b joins the suppression keys
+        return suppress_hot_buckets(
+            allb, ["cfg_b", "band_id", "band_key"], T49_BUCKET_CAP
+        )
+
+    bands_all = _stage_cached("t49_bands", sf_dir, build)
     parts = []
     for b, r in T49_CONFIGS:
-        keys = [
-            F.concat_ws(
-                "-",
-                *[
-                    F.element_at(F.col("sig"), band * r + j + 1).cast("string")
-                    for j in range(r)
-                ],
-            )
-            for band in range(b)
-        ]
-        bands = sig.select(
-            "doc_id", F.posexplode(F.array(*keys)).alias("band_id", "band_key")
-        )
+        bands = bands_all.filter(F.col("cfg_b") == b).drop("cfg_b")
         pairs = (
             bands.alias("x")
             .join(bands.alias("y"), ["band_id", "band_key"])
@@ -789,6 +833,10 @@ def _oracle_t49() -> str:
             )
             for band in range(b)
         )
+        capped = sql_capped_bands(
+            band_selects, "band_id, band_key",
+            "doc_id, band_id, band_key", T49_BUCKET_CAP,
+        )
         s50 = round((1.0 / b) ** (1.0 / r), 4)
         blocks.append(
             f"""
@@ -797,7 +845,7 @@ SELECT {b} AS n_bands, {r} AS rows_per_band,
        {s50} AS s50_threshold
 FROM (
   SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-  FROM ({band_selects}) x JOIN ({band_selects}) y
+  FROM ({capped}) x JOIN ({capped}) y
     ON x.band_id = y.band_id AND x.band_key = y.band_key
    AND x.doc_id < y.doc_id
 )"""
@@ -959,9 +1007,22 @@ def t52_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sig", H.minhash_signature(F.col("shingles"))
         ),
     )
-    bands = sig.select(
-        "doc_id", F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key")
-    )
+    # Bucket-capped band table, staged per corpus (round-11 scale probe:
+    # uncapped, t52 ran 6.06x at 10x data off hot train-side buckets —
+    # every eval probe of a hot bucket fans out by the full bucket).
+    # The cap is computed over the COMBINED train+eval band rows (the
+    # one band table both sides split from), max bucket 5 at every
+    # driver SF, so tested outputs are bit-identical.
+    def build_bands() -> DataFrame:
+        bands_all = sig.select(
+            "doc_id",
+            F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key"),
+        )
+        return suppress_hot_buckets(
+            bands_all, ["band_id", "band_key"], T02_BUCKET_CAP
+        )
+
+    bands = _stage_cached("t52_bands", sf_dir, build_bands)
     train_b = bands.filter(F.col("doc_id") < T52_ID_OFFSET).select(
         F.col("doc_id").alias("train_id"), "band_id", "band_key"
     )
@@ -1013,8 +1074,12 @@ sh AS (
         FROM corpus WHERE length(text) >= {H.K})
 ),
 sig AS (SELECT doc_id, shingles, {H.sql_minhash_signature('shingles')} AS sig FROM sh),
-bands AS (
+bands_all AS (
 {band_selects}
+),
+bands AS (
+  {sql_capped_bands('SELECT * FROM bands_all', 'band_id, band_key',
+                    'doc_id, band_id, band_key', T02_BUCKET_CAP)}
 ),
 cand AS (
   SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
@@ -1185,9 +1250,14 @@ def t55_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             table(spark, sf_dir, "documents").select("doc_id", "text"), spark
         ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
     )
-    index_bands = sig.select(
-        F.col("doc_id").alias("existing_id"),
-        F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key"),
+    # The standing band index IS t02's staged bucket-capped band table
+    # (round-11 scale probe: with hot buckets uncapped, t55 ran 17.2x at
+    # 10x data — every delta probe of a hot bucket fans out by the full
+    # bucket; capped, each delta band row matches <= cap index rows, so
+    # the probe is linear in the delta). Max bucket at every driver SF
+    # is 5: tested outputs are bit-identical with or without the cap.
+    index_bands = _capped_bands(sf_dir, sig).select(
+        F.col("doc_id").alias("existing_id"), "band_id", "band_key"
     )
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1259,8 +1329,12 @@ WITH sh AS ({SQL_SHINGLES}),
 sig AS (
   SELECT doc_id, shingles, {H.sql_minhash_signature('shingles')} AS sig FROM sh
 ),
-bands AS (
+bands_all AS (
 {corpus_bands}
+),
+bands AS (
+  {sql_capped_bands('SELECT * FROM bands_all', 'band_id, band_key',
+                    'existing_id, band_id, band_key', T02_BUCKET_CAP)}
 ),
 delta AS (
   SELECT doc_id + {T55_ID_OFFSET} AS doc_id,

@@ -1061,22 +1061,41 @@ def _hamming64(a: str, b: str):
     return total
 
 
+M10_BUCKET_CAP = 128  # hot-bucket suppression: see build_bands below
+
+
 def _neardup_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, hamming) banded near-dup image pairs — m10's
     pipeline, shared with the m11 cross-modal audit."""
+    from .dedup import _stage_cached, suppress_hot_buckets
+
     hashed = _ahash_table(spark, sf_dir)  # staged: ONE extraction pass
-    bands = hashed.select(
-        "doc_id",
-        "ahash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring("ahash", 1 + b * M10_BAND_LEN, M10_BAND_LEN)
-                    for b in range(M10_N_BANDS)
-                ]
-            )
-        ).alias("band_id", "band_bits"),
-    )
+
+    # Bucket-capped band table, staged per corpus (the t02 discipline;
+    # round-11 scale probe: uncapped, m10 ran 5.75x at 10x data off hot
+    # ahash band buckets — flat/synthetic images collide by the
+    # thousands and the band self-join goes quadratic). The cap is 128,
+    # above t02's 64, because image bands legitimately bucket larger
+    # (sf0.1's max bucket is 59; text tops out at 5) — the cap must
+    # never bite a driver-SF output, only the 100-TB blowup above it.
+    def build_bands() -> DataFrame:
+        bands_all = hashed.select(
+            "doc_id",
+            "ahash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.substring("ahash", 1 + b * M10_BAND_LEN, M10_BAND_LEN)
+                        for b in range(M10_N_BANDS)
+                    ]
+                )
+            ).alias("band_id", "band_bits"),
+        )
+        return suppress_hot_buckets(
+            bands_all, ["band_id", "band_bits"], M10_BUCKET_CAP
+        )
+
+    bands = _stage_cached("m10_bands", sf_dir, build_bands)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "band_bits"])
@@ -1114,9 +1133,15 @@ def _sql_neardup_pairs_ctes() -> str:
         " THEN 1 ELSE 0 END)"
         for i in range(1, 65)
     )
+    from .dedup import sql_capped_bands
+
     return f"""{SQL_AHASH_CTE},
-bands AS (
+bands_all AS (
 {band_selects}
+),
+bands AS (
+  {sql_capped_bands('SELECT * FROM bands_all', 'band_id, band_bits',
+                    'doc_id, ahash, band_id, band_bits', M10_BUCKET_CAP)}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

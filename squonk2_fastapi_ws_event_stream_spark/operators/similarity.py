@@ -34,7 +34,70 @@ COSINE_THRESHOLD = 0.40  # corpus max pairwise cosine ≈ 0.45 — yields pairs
 TOP_K = 10
 N_PROBE = 3
 QUERY_STRIDE = 100   # query set: vec_id % 100 == 0  (5 queries at sf0.01)
-CENTROID_STRIDE = 50  # centroid set: vec_id % 50 == 0 (10 cells at sf0.01)
+CENTROID_STRIDE = 50  # base centroid stride: vec_id % 50 == 0 (10 cells at sf0.01)
+
+# Size-adaptive centroid stride (round-11 optimization, SCALING.md
+# "round-11 band-family scale probe"): with the stride FIXED at 50 the
+# cell count K is N/50, so the map-side assignment/probe argmax over the
+# packed centroids is O(N*K) = O(N²/50) — v33 measured 20.5x at 4x data.
+# The effective stride grows as ceil(sqrt(N / IVF_BASE_N)) base strides,
+# so K ≈ 1.41·sqrt(N): assignment O(N^1.5) and, for the all-corpus kNN
+# probes, scoring O(n_probe·N²/K) = O(N^1.5) too — the balanced optimum
+# (d/dK [2NK + 3N²/K] = 0 at K* = sqrt(1.5N) ≈ 1.22·sqrt(N)), and the
+# K ~ sqrt(N) regime FAISS documents for IVF. At every driver SF
+# N <= IVF_BASE_N, so the stride is exactly 50 and every output is
+# bit-identical to the fixed-stride form; both engines derive the stride
+# from the same COUNT with IEEE sqrt/ceil (deterministic).
+IVF_BASE_N = 5000  # sf0.1's embedding count: N <= IVF_BASE_N → stride 50
+
+# Oracle-side centroid predicate. The literal `% 50` conjunct is implied
+# by the derived stride (always a multiple of 50) — it is kept so the
+# engine can pre-filter before the 1-row count join and so the plan
+# guard's stride-workload classification still proves the subtree
+# bounded (functions/plan_guard.py).
+SQL_CENTROID_COND = (
+    f"vec_id % {CENTROID_STRIDE} = 0 AND vec_id % (CAST({CENTROID_STRIDE}"
+    f" * CEIL(SQRT((SELECT COUNT(*) FROM embeddings) / {IVF_BASE_N}.0))"
+    f" AS BIGINT)) = 0"
+)
+
+
+def _centroid_rows(emb: DataFrame) -> DataFrame:
+    """Corpus rows at the size-adaptive centroid stride (engine twin of
+    SQL_CENTROID_COND): exactly the `% 50` set at the driver SFs, every
+    sqrt(N/IVF_BASE_N)-th of those above. The count is a 1-row aggregate
+    broadcast (the v09 max_abs pattern); the literal `% 50` filter runs
+    map-side BEFORE the join, so the derived-stride filter touches only
+    N/50 rows."""
+    n1 = emb.agg(F.count(F.lit(1)).alias("_ivf_n"))
+    stride = (
+        F.lit(CENTROID_STRIDE)
+        * F.ceil(F.sqrt(F.col("_ivf_n") / F.lit(float(IVF_BASE_N))))
+    ).cast("long")
+    return (
+        emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0)
+        .crossJoin(F.broadcast(n1))
+        .filter(F.col("vec_id") % stride == 0)
+        .drop("_ivf_n")
+    )
+
+
+def _staged_stride_centroids(sf_dir: str, emb: DataFrame) -> DataFrame:
+    """The stride-IVF centroid table (cell_id, c_emb), persisted once per
+    corpus: a production IVF index stores its centroids alongside the
+    assignment, so the derived-stride count subtree (_centroid_rows) is
+    paid when the index is built, not once per consumer — at sf0.1 the
+    unstaged form re-ran the 1-row COUNT job in every one of the 14
+    IVF-family queries (~0.1-0.25 s each, OPTIMIZATION_r11.md)."""
+    from .dedup import _stage_cached
+
+    return _stage_cached(
+        "ivf_stride_cents",
+        sf_dir,
+        lambda: _centroid_rows(emb).select(
+            F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+        ),
+    )
 
 
 def v01_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,9 +237,7 @@ def _stride_ivf_index(spark: SparkSession, sf_dir: str):
     from .dedup import _stage_cached
 
     emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
-    centroids = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
-    )
+    centroids = _staged_stride_centroids(sf_dir, emb)
     packed = _packed_cells(centroids)
     assigned = _stage_cached(
         "ivf_stride_assign",
@@ -220,7 +281,7 @@ def v03_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_v03_probe(n_probe: int) -> str:
     return f"""
 WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
-           WHERE vec_id % {CENTROID_STRIDE} = 0),
+           WHERE {SQL_CENTROID_COND}),
 assigned AS (
   SELECT vec_id, embedding, cell_id FROM (
     SELECT e.vec_id, e.embedding, c.cell_id,
@@ -314,7 +375,7 @@ def _kmeans_ivf_index(spark: SparkSession, sf_dir: str):
     emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
 
     def train():
-        cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        cents = _centroid_rows(emb).select(
             F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
         )
         for _ in range(KMEANS_ITERS):
@@ -384,7 +445,7 @@ def _oracle_v07() -> str:
 
     steps = [
         f"""cent0 AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
-           WHERE vec_id % {CENTROID_STRIDE} = 0)"""
+           WHERE {SQL_CENTROID_COND})"""
     ]
     for i in range(KMEANS_ITERS):
         steps.append(assign(f"cent{i}", f"assign{i}"))
@@ -497,8 +558,11 @@ def _v08_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.unionByName(copies)
 
 
+V08_BUCKET_CAP = 128  # hot-bucket suppression: see build_bands below
+
+
 def v08_neardup_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import _stage_cached
+    from .dedup import _stage_cached, suppress_hot_buckets
 
     # The SRP sketch table feeds three consumers (the band self-join's two
     # sides and the cosine verify) — persist it once per corpus, the t02
@@ -512,7 +576,23 @@ def v08_neardup_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", _srp_bands(F.col("embedding")).alias("bands")
         ),
     )
-    bands = sk.select("vec_id", F.posexplode("bands").alias("band_id", "band_val"))
+
+    # Bucket-capped band table, staged per corpus (the t02 discipline;
+    # round-11 scale probe: uncapped, v08 ran 2.53x at 10x data — the
+    # mildest of the band family, but the same quadratic shape). The cap
+    # is 128: a 12-bit SRP band over clustered embeddings legitimately
+    # buckets larger than text minhash (sf0.1's max bucket is 53), so
+    # the cap must sit above every driver-SF bucket — tested outputs
+    # are bit-identical with or without it.
+    def build_bands() -> DataFrame:
+        bands_all = sk.select(
+            "vec_id", F.posexplode("bands").alias("band_id", "band_val")
+        )
+        return suppress_hot_buckets(
+            bands_all, ["band_id", "band_val"], V08_BUCKET_CAP
+        )
+
+    bands = _stage_cached("v08_bands", sf_dir, build_bands)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "band_val"])
@@ -532,6 +612,8 @@ def v08_neardup_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_v08() -> str:
+    from .dedup import sql_capped_bands as _sql_capped
+
     def sql_srp_dot(emb: str, plane: list[int]) -> str:
         coeffs = ", ".join(str(c) for c in plane)
         return (
@@ -568,8 +650,12 @@ sk AS (
          {band_cols}
   FROM corpus
 ),
-bands AS (
+bands_all AS (
 {band_union}
+),
+bands AS (
+  {_sql_capped('SELECT * FROM bands_all', 'band_id, band_val',
+               'vec_id, band_id, band_val', V08_BUCKET_CAP)}
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -1165,7 +1251,7 @@ def _oracle_v14() -> str:
     )
     return f"""
 WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
-           WHERE vec_id % {CENTROID_STRIDE} = 0),
+           WHERE {SQL_CENTROID_COND}),
 assigned AS (
   SELECT vec_id, embedding, cell_id FROM (
     SELECT e.vec_id, e.embedding, c.cell_id,
@@ -1272,7 +1358,7 @@ def v12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_V12 = f"""
 WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
-           WHERE vec_id % {CENTROID_STRIDE} = 0),
+           WHERE {SQL_CENTROID_COND}),
 assigned AS (
   SELECT vec_id, embedding, cell_id FROM (
     SELECT e.vec_id, e.embedding, c.cell_id,
@@ -1351,7 +1437,7 @@ def v13_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_V13 = f"""
 WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
-           WHERE vec_id % {CENTROID_STRIDE} = 0),
+           WHERE {SQL_CENTROID_COND}),
 assigned AS (
   SELECT vec_id, embedding, cell_id FROM (
     SELECT e.vec_id, e.embedding, c.cell_id,
@@ -2027,7 +2113,7 @@ def v22_ivf_cell_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_V22 = f"""
 WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
-           WHERE vec_id % {CENTROID_STRIDE} = 0),
+           WHERE {SQL_CENTROID_COND}),
 scored AS (
   SELECT e.vec_id, c.cell_id, {sql_cosine('e.embedding', 'c.c_emb')} AS cos
   FROM embeddings e CROSS JOIN c
@@ -2330,7 +2416,7 @@ def v26_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_V26 = f"""
 WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
-           WHERE vec_id % {CENTROID_STRIDE} = 0),
+           WHERE {SQL_CENTROID_COND}),
 assigned AS (
   SELECT vec_id, cell_id FROM (
     SELECT e.vec_id, c.cell_id,
@@ -2473,7 +2559,7 @@ def _oracle_v27() -> str:
 
     return f"""
 WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
-           WHERE vec_id % {CENTROID_STRIDE} = 0),
+           WHERE {SQL_CENTROID_COND}),
 base AS (SELECT vec_id, embedding FROM embeddings),
 batch AS (SELECT vec_id + {V27_ID_OFFSET} AS vec_id, embedding FROM embeddings
           WHERE vec_id % {V27_BATCH_MOD} = {V27_BATCH_REM}),
@@ -2530,9 +2616,9 @@ def v28_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
-    old = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cell_id"),
-        F.posexplode("embedding").alias("dim", "old_val"),
+    old = _staged_stride_centroids(sf_dir, emb).select(
+        "cell_id",
+        F.posexplode("c_emb").alias("dim", "old_val"),
     )
     per_dim = means.join(old, ["cell_id", "dim"]).select(
         "cell_id",
@@ -2558,7 +2644,7 @@ def v28_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_v28() -> str:
     return f"""
 WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
-           WHERE vec_id % {CENTROID_STRIDE} = 0),
+           WHERE {SQL_CENTROID_COND}),
 assigned AS (
   SELECT vec_id, embedding, cell_id FROM (
     SELECT e.vec_id, e.embedding, c.cell_id,
@@ -2612,9 +2698,7 @@ V29_K = 50
 
 def v29_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
-    cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
-    )
+    cents = _staged_stride_centroids(sf_dir, emb)
     scored = assigned.join(F.broadcast(cents), "cell_id").select(
         "vec_id",
         "cell_id",
@@ -2634,7 +2718,7 @@ def v29_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_v29() -> str:
     return f"""
 WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
-           WHERE vec_id % {CENTROID_STRIDE} = 0),
+           WHERE {SQL_CENTROID_COND}),
 assigned AS (
   SELECT vec_id, embedding, cell_id FROM (
     SELECT e.vec_id, e.embedding, c.cell_id,
@@ -2771,7 +2855,7 @@ def v31_ivf_delete_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_V31 = f"""
 WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
-           WHERE vec_id % {CENTROID_STRIDE} = 0),
+           WHERE {SQL_CENTROID_COND}),
 assigned AS (
   SELECT vec_id, cell_id FROM (
     SELECT e.vec_id, c.cell_id,
@@ -2929,7 +3013,7 @@ def v33_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_V33 = f"""
 WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
-           WHERE vec_id % {CENTROID_STRIDE} = 0),
+           WHERE {SQL_CENTROID_COND}),
 assigned AS (
   SELECT vec_id, embedding, cell_id FROM (
     SELECT e.vec_id, e.embedding, c.cell_id,
@@ -3009,7 +3093,7 @@ def v34_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_V34 = f"""
 WITH c AS (SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings
-           WHERE vec_id % {CENTROID_STRIDE} = 0),
+           WHERE {SQL_CENTROID_COND}),
 assigned AS (
   SELECT vec_id, embedding, cell_id FROM (
     SELECT e.vec_id, e.embedding, c.cell_id,

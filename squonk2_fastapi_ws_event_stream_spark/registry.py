@@ -93,6 +93,58 @@ _NEW_OR_CHANGED: tuple[str, ...] = (
     # t55, m10, v08) is the measured round-12 worklist.
     "t02_dedup_minhash_lsh",
     "t31_minhash_estimate_eval",
+    # round 11 OPTIMIZATION PLAN-changed (guide §2.5 skew / §3.1 joins;
+    # OPTIMIZATION_r11.md has the full per-query ledger). Outputs are
+    # bit-identical at every driver SF — parity re-verified hash-exact at
+    # sf0.001/0.01/0.1 for every query below; the oracle SQL carries the
+    # same guards so parity holds at ANY scale.
+    #
+    # (a) The t02 hot-bucket cap ported to the REST of the LSH band
+    # family (the measured super-linear cohort from SCALING.md's 10x
+    # probe: t55 17.2x, t49 7.55x, t52 6.06x, m10/m11 5.75x, v08 2.53x,
+    # t38 = t02's 53x shape): band tables are bucket-capped via the
+    # shared suppress_hot_buckets (aggregate + anti-join, never a count
+    # window) and staged per corpus. Caps sit above every driver-SF
+    # bucket (text 64; image/SRP 128), so they bite only the
+    # quadratic blowup above test scale.
+    "t38_shingle_containment",
+    "t49_lsh_band_sweep",
+    "t52_fuzzy_decontamination",
+    "t55_incremental_neardup",
+    "m10_image_neardup_bands",
+    "m11_caption_consistency",
+    "v08_neardup_srp_lsh",
+    # (b) Size-adaptive IVF centroid stride (v33 measured 20.5x at 10x
+    # data: fixed stride-50 makes K = N/50 cells, so assignment is
+    # O(N^2/50)). The effective stride grows ceil(sqrt(N/5000)) base
+    # strides, K ~ 1.41*sqrt(N) -> O(N^1.5) assignment; at every driver
+    # SF N <= 5000 so the stride is exactly 50 and outputs are
+    # bit-identical. Every CENTROID_STRIDE consumer changed in lockstep
+    # (engine + oracle).
+    "v03_ann_ivf_topk",
+    "v07_ann_kmeans_topk",
+    "v12_semdedup",
+    "v13_cluster_representatives",
+    "v14_ann_ivf_pq_topk",
+    "v16_nprobe_recall_curve",
+    "v22_ivf_cell_quality",
+    "v26_ivf_cell_balance",
+    "v27_ivf_incremental_add",
+    "v28_kmeans_iteration",
+    "v29_embedding_outliers",
+    "v31_ivf_delete_maintenance",
+    "v33_knn_graph",
+    "v34_range_search",
+    # (b continued) downstream consumers of the SAME shared IVF index /
+    # centroid rows — their analyzed plans carry the derived-stride
+    # subtree even though their own code is untouched (the fingerprint
+    # guard caught them, exactly its job):
+    "v10_ann_recall_at_k",
+    "v11_ann_pq_topk",
+    "v20_quantization_recall",
+    "v21_ann_mrr_eval",
+    "v30_retrieval_quality",
+    "v37_hubness_audit",
 )
 
 # Round-10 head, kept for the ledger's history (same role as _ROUND9_HEAD).
