@@ -1439,8 +1439,6 @@ def _t65_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def t65_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     # Stage ONLY (doc_id, shingles, sig): _with_shingles also carries the
     # raw text and the pre-distinct hash array — persisting those ~2x'es
     # the staging footprint and evicts OTHER operators' staging tables
@@ -1468,13 +1466,29 @@ def t65_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # larger than T65_BUCKET_CAP are dropped entirely — they carry no
     # signal (the hash failed to discriminate), and candidates stay
     # <= b * CAP^2 / 2 per bucket. The oracle applies the same cap.
-    bands_all = sig.select(
-        "doc_id", F.posexplode(F.col("sig")).alias("band_id", "band_key")
+    #
+    # round-11 OPTIMIZATION (guide §2.4 — remove the accidental sort):
+    # t65 pioneered the cap as a count WINDOW, which sorts every band
+    # row inside the (band_id, band_key) shuffle; the rest of the family
+    # since measured the aggregate + LEFT ANTI form faster at sf0.1 and
+    # strictly better at scale (ships only (key, count) partials; the
+    # anti-join build side is just the hot keys). The row set kept is
+    # identical at ANY scale — count<=cap survivors either way — so the
+    # oracle's count-window mirror is untouched. The capped table is
+    # staged per corpus like t02's, so both sides of the self-join scan
+    # one artifact instead of re-deriving the explode+cap twice.
+    bands = _stage_cached(
+        "t65_bands",
+        sf_dir,
+        lambda: suppress_hot_buckets(
+            sig.select(
+                "doc_id",
+                F.posexplode(F.col("sig")).alias("band_id", "band_key"),
+            ),
+            ["band_id", "band_key"],
+            T65_BUCKET_CAP,
+        ),
     )
-    w_bucket = Window.partitionBy("band_id", "band_key")
-    bands = bands_all.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(w_bucket)
-    ).filter(F.col("bucket_n") <= T65_BUCKET_CAP).drop("bucket_n")
     # SIGNATURE-AGREEMENT PREFILTER: a pair colliding in k of the 16
     # positions has MinHash-estimated Jaccard k/16 — requiring k >= 2
     # (est J >= 0.125) keeps true containment pairs (expected agreement

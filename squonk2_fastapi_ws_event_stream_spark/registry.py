@@ -145,6 +145,13 @@ _NEW_OR_CHANGED: tuple[str, ...] = (
     "v21_ann_mrr_eval",
     "v30_retrieval_quality",
     "v37_hubness_audit",
+    # (c) session-2 optimization: t65's own hot-bucket cap converted
+    # from the pioneer count-window form to the shared
+    # suppress_hot_buckets aggregate + LEFT ANTI + staged capped band
+    # table (the form batch (a) standardized family-wide). Kept rows
+    # identical at ANY scale; oracle untouched; parity re-verified
+    # hash-exact at sf0.001/0.01/0.1. Plan: 4 Window + 4 Sort -> 0.
+    "t65_containment_dedup",
 )
 
 # Round-10 head, kept for the ledger's history (same role as _ROUND9_HEAD).

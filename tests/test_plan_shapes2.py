@@ -1114,9 +1114,10 @@ def test_x34_cuped_folds_to_one_row_no_join(spark):
 
 def test_t65_containment_is_banded_capped_and_prefiltered(spark):
     # Candidates come from the band equi-join (never a cartesian), with
-    # BOTH quadratic guards in the plan: hot-bucket suppression (the
-    # bucket count window + cap filter) and the >= 2-position agreement
-    # aggregate BEFORE the expensive shingle verify join.
+    # BOTH quadratic guards in the plan: hot-bucket suppression (since
+    # round 11 the shared suppress_hot_buckets aggregate + LEFT ANTI
+    # form, not a count window — no full band-row sort) and the >= 2-
+    # position agreement aggregate BEFORE the expensive shingle verify.
     from squonk2_fastapi_ws_event_stream_spark.operators import dedup
     dedup.unpersist_lsh_cache()
     plan = explain(QUERIES["t65_containment_dedup"](spark, SF), mode="simple")
@@ -1124,6 +1125,7 @@ def test_t65_containment_is_banded_capped_and_prefiltered(spark):
     assert "band_key" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bucket_n" in plan      # hot-bucket suppression applied
+    assert "LeftAnti" in plan      # ...in the aggregate+anti-join form
     assert "n_agree" in plan       # agreement prefilter before verify
 
 
