@@ -10,6 +10,12 @@ local[32]):
   is fixed per SURVEY §2.2 — we pin UTC explicitly.
 - Arrow enabled for the few pandas-UDF paths (multimodal decode, flexible
   datetime parse); everything else stays JVM-side / whole-stage-codegen.
+- Shuffle/IO compression stays at the lz4 default here: at bench SFs the
+  shuffles are KB-MB scale so a codec A/B measures nothing but noise. At
+  100 TB the text-heavy shuffle payloads (shingles, tokens, band rows)
+  are exactly the case where zstd's ratio pays for its CPU — set
+  spark.io.compression.codec=zstd cluster-side and measure shuffle bytes
+  vs stage time per the optimization guide (§2.3) before committing it.
 """
 
 from __future__ import annotations
