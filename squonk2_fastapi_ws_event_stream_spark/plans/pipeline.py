@@ -91,9 +91,20 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q21 — suppliers who kept finished orders waiting (TPC-H Q21 shape): the
 # double-correlation — EXISTS (another supplier shared the order) AND NOT
 # EXISTS (another supplier was also late). "Late" is shipdate > orderdate
-# + 60 days (this schema has no commit/receipt dates). Catalyst plans the
-# EXISTS as a left-semi and the NOT EXISTS as a left-anti on l_orderkey —
-# keys-only joins, no per-row re-execution.
+# + 60 days (this schema has no commit/receipt dates).
+#
+# The ORACLE keeps the declarative EXISTS/NOT-EXISTS text below; the engine
+# runs the single-pass equivalent. Catalyst plans the subqueries as a
+# left-semi + left-anti on l_orderkey — three passes over the fact table
+# and two extra fact-sized shuffles. But both correlations are per-order
+# set properties: EXISTS(other supplier) ⇔ the order has ≥ 2 distinct
+# suppliers; NOT EXISTS(other LATE supplier) ⇔ the order's late rows all
+# belong to ONE supplier. So one (l_orderkey, l_suppkey) aggregate over
+# the orders-joined fact computes everything: n_late per supplier, then a
+# per-order rollup (n_supp, n_late_supp, the unique late supplier, and its
+# late-row count). lineitem is scanned ONCE; after the o_orderkey join the
+# two group-bys reuse the same hash partitioning (l_orderkey ⊆ both key
+# sets), so at cluster scale the fact crosses the network exactly once.
 # ---------------------------------------------------------------------------
 SQL_Q21 = """
 SELECT s_name, COUNT(*) AS n_waits
@@ -114,8 +125,39 @@ GROUP BY s_name
 
 
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return spark.sql(SQL_Q21)
+    ordf = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY")
+    ).cast("long")
+    per_supp = (
+        li.join(ordf, li.l_orderkey == ordf.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(late).alias("n_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("n_late") > 0).cast("long")).alias("n_late_supp"),
+        # In qualifying orders exactly one supplier is late, so the order's
+        # late rows are all theirs; max() just picks that unique key.
+        F.max(F.when(F.col("n_late") > 0, F.col("l_suppkey"))).alias("late_supp"),
+        F.sum("n_late").alias("n_late_rows"),
+    )
+    qual = per_order.filter(
+        (F.col("n_late_supp") == 1) & (F.col("n_supp") >= 2)
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.join(supp, qual.late_supp == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_rows").cast("long").alias("n_waits"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -138,6 +138,55 @@ BLOOM_AB = ((4973, 911), (7369, 2617), (9973, 4397))  # hashing.py prime family
 _P = 1_000_000_007
 
 
+def _audit_okeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qualifying build-side order keys (AUTOMOBILE customers' orders) —
+    the shared build/truth population of the x07/x18 bloom audits."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey")
+    )
+
+
+def _staged_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, cnt, is_match) staged once per corpus and shared by
+    x07 and x18: the probe fact reduced to per-key row counts BEFORE the
+    truth join. bloom_pass and is_match are both functions of l_orderkey
+    alone, so every audit counter is a cnt-weighted sum over distinct
+    keys — the probe side shrinks from |lineitem| rows to |distinct
+    l_orderkey| (the guide-§8 proxy-row move), and at cluster scale the
+    only fact shuffle is map-combined (key, partial-count) pairs instead
+    of a fact-sized join input."""
+    from ..operators.dedup import _stage_cached
+
+    def build() -> DataFrame:
+        keyed = (
+            table(spark, sf_dir, "lineitem")
+            .select("l_orderkey")
+            .groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        truth = (
+            _audit_okeys(spark, sf_dir)
+            .distinct()
+            .withColumn("is_match", F.lit(True))
+        )
+        return keyed.join(
+            truth, keyed.l_orderkey == truth.o_orderkey, "left"
+        ).select(
+            "l_orderkey",
+            "cnt",
+            F.coalesce("is_match", F.lit(False)).alias("is_match"),
+        )
+
+    return _stage_cached("x07x18_key_audit", sf_dir, build)
+
+
 def _bloom_pos_spark(key: "F.Column", a: int, b: int) -> "F.Column":
     return ((key * a + b) % _P) % BLOOM_M
 
@@ -147,16 +196,7 @@ def _bloom_pos_sql(key: str, a: int, b: int) -> str:
 
 
 def x07_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = (
-        table(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
-        .select("c_custkey")
-    )
-    okeys = (
-        table(spark, sf_dir, "orders")
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .select("o_orderkey")
-    )
+    okeys = _audit_okeys(spark, sf_dir)
     # Build: positions → (word, bit) → bit_or per word → ONE map row.
     words = okeys.select(
         F.explode(
@@ -188,30 +228,39 @@ def x07_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT)) != 0"
         )
 
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
-    probe = li.crossJoin(F.broadcast(bitmap)).withColumn(
+    # Audit side: the staged per-key (l_orderkey, cnt, is_match) table
+    # shared with x18 — bloom_pass is a function of l_orderkey alone, so
+    # every counter is a cnt-weighted sum over DISTINCT keys; the old
+    # per-row audit join (lineitem ⋈ truth) is paid once per corpus at
+    # staging, map-combined to key granularity. The audit itself remains
+    # a test-scale diagnostic — production keeps only the bloom_pass
+    # filter, which is map-side end-to-end.
+    tagged = _staged_key_audit(spark, sf_dir)
+    probe = tagged.crossJoin(F.broadcast(bitmap)).withColumn(
         "bloom_pass",
         reduce(lambda x, y: x & y, [_probe_bit(a, b) for a, b in BLOOM_AB]),
     )
-    # Audit join: hint-free — the truth side is SF-scaled (qualifying
-    # order keys), so no broadcast hint (the t19/t22 rule); AQE converts
-    # the initial SortMergeJoin to a broadcast join at runtime while the
-    # key set fits (verified: hinting it buys <10%). The audit itself is
-    # a test-scale diagnostic — production keeps only the bloom_pass
-    # filter, which is map-side end-to-end.
-    truth = okeys.distinct().withColumn("is_match", F.lit(True))
-    tagged = (
-        probe.join(truth, probe["l_orderkey"] == truth["o_orderkey"], "left")
-        .withColumn("is_match", F.coalesce("is_match", F.lit(False)))
-    )
-    return tagged.agg(
-        F.count(F.lit(1)).cast("long").alias("n_probe_rows"),
-        F.sum(F.col("bloom_pass").cast("long")).cast("long").alias("n_bloom_pass"),
-        F.sum(F.col("is_match").cast("long")).cast("long").alias("n_true_match"),
-        F.sum((F.col("bloom_pass") & ~F.col("is_match")).cast("long"))
+    zero = F.lit(0).cast("long")
+    return probe.agg(
+        F.sum("cnt").cast("long").alias("n_probe_rows"),
+        F.sum(F.when(F.col("bloom_pass"), F.col("cnt")).otherwise(zero))
+        .cast("long")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("is_match"), F.col("cnt")).otherwise(zero))
+        .cast("long")
+        .alias("n_true_match"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("is_match"), F.col("cnt")).otherwise(
+                zero
+            )
+        )
         .cast("long")
         .alias("n_false_pos"),
-        F.sum((~F.col("bloom_pass") & F.col("is_match")).cast("long"))
+        F.sum(
+            F.when(~F.col("bloom_pass") & F.col("is_match"), F.col("cnt")).otherwise(
+                zero
+            )
+        )
         .cast("long")
         .alias("n_false_neg"),
     )
@@ -249,12 +298,17 @@ FROM probe
 
 # ---------------------------------------------------------------------------
 # q26 — LATERAL correlated subquery (top-2 orders per BUILDING customer):
-# the ANSI lateral-join surface, written once and run VERBATIM by both
-# engines (the q20/q24 discipline). Catalyst decorrelates the per-customer
-# ORDER BY ... LIMIT into a partitioned window + filter — no per-row
-# re-execution of the inner query; DuckDB executes the same text natively.
-# Scale: after decorrelation the plan is one shuffle on o_custkey with a
-# per-key top-k — exactly the q02 TakeOrdered shape, per group.
+# the ANSI lateral-join surface; the ORACLE keeps the verbatim LATERAL text
+# (DuckDB executes it natively). The engine no longer runs the same text:
+# measured (r11 optimization), Catalyst's decorrelation produced THREE
+# exchanges over orders — a per-custkey window for rk, then a GLOBAL
+# range-sort materializing the lateral's inner ORDER BY, then a second
+# per-custkey window for the LIMIT — with the BUILDING filter applied only
+# at the final join. The equivalent direct form prunes orders with a
+# broadcast semi-join on BUILDING custkeys FIRST, then one per-custkey
+# window whose rk<=2 filter Spark executes as WindowGroupLimit (partial
+# per-group top-k BEFORE the shuffle): one exchange, no global sort, and
+# the fact rows that cross the network are bounded by 2 per customer.
 # ---------------------------------------------------------------------------
 SQL_Q26 = """
 SELECT c.c_custkey, o.o_orderkey, o.price, o.rk
@@ -270,10 +324,30 @@ WHERE c.c_mktsegment = 'BUILDING'
 
 
 def q26_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    df = spark.sql(SQL_Q26)
-    # Spark types ROW_NUMBER as int, DuckDB as bigint — pin the contract.
-    return df.withColumn("rk", F.col("rk").cast("long"))
+    bld = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    top = (
+        o.join(bld, o.o_custkey == bld.c_custkey, "left_semi")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+    )
+    # c_custkey == o_custkey on every surviving row (join equality); the
+    # rk cast pins DuckDB's BIGINT ROW_NUMBER contract.
+    return top.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("rk").cast("long").alias("rk"),
+    )
 
 
 ORACLE_Q26 = SQL_Q26.replace("o.rk", "CAST(o.rk AS BIGINT) AS rk")
@@ -732,31 +806,14 @@ X18_SIZES = (1 << 12, 1 << 15, 1 << 18)
 
 
 def x18_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = (
-        table(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
-        .select("c_custkey")
-    )
-    okeys = (
-        table(spark, sf_dir, "orders")
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .select("o_orderkey")
-    )
+    okeys = _audit_okeys(spark, sf_dir)
     n_build = okeys.agg(F.countDistinct("o_orderkey").alias("n_build_keys"))
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
-    truth = okeys.distinct().withColumn("is_match", F.lit(True))
-    # Stage the audit-tagged probe ONCE: all three tiers read the same
-    # (l_orderkey, is_match) table, so the truth join is paid once, not
-    # per tier (the t02 staging discipline).
-    from ..operators.dedup import _stage_cached
-
-    tagged = _stage_cached(
-        "x18_tagged",
-        sf_dir,
-        lambda: li.join(truth, li["l_orderkey"] == truth["o_orderkey"], "left")
-        .withColumn("is_match", F.coalesce("is_match", F.lit(False)))
-        .select("l_orderkey", "is_match"),
-    )
+    # The audit-tagged probe is the staged per-key table SHARED with x07
+    # (the t02 staging discipline, now at key granularity): all three
+    # tiers read the same (l_orderkey, cnt, is_match) rows, so the truth
+    # join is paid once per corpus and every tier's counters are
+    # cnt-weighted sums over distinct keys.
+    tagged = _staged_key_audit(spark, sf_dir)
 
     # ONE build pass for ALL tiers: each key explodes to 9 (tier, word,
     # mask) triples; one (tier, word) bit_or aggregate; the three packed
@@ -815,22 +872,33 @@ def x18_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return reduce(lambda x, y: x & y, [bit(a, b) for a, b in BLOOM_AB])
 
-    # ONE probe pass: all three tiers' pass bits evaluate per row; one
-    # aggregate carries every tier's counters.
+    # ONE probe pass: all three tiers' pass bits evaluate per distinct
+    # key; one aggregate carries every tier's cnt-weighted counters.
     probe = tagged.crossJoin(F.broadcast(bitmaps)).select(
-        "is_match", *[probe_pass(m).alias(f"pass_{m}") for m in X18_SIZES]
+        "is_match", "cnt", *[probe_pass(m).alias(f"pass_{m}") for m in X18_SIZES]
     )
+    zero = F.lit(0).cast("long")
     counters = probe.agg(
-        F.count(F.lit(1)).cast("long").alias("n_probe_rows"),
-        F.sum(F.col("is_match").cast("long")).cast("long").alias("n_true_match"),
+        F.sum("cnt").cast("long").alias("n_probe_rows"),
+        F.sum(F.when(F.col("is_match"), F.col("cnt")).otherwise(zero))
+        .cast("long")
+        .alias("n_true_match"),
         *[
-            F.sum((F.col(f"pass_{m}") & ~F.col("is_match")).cast("long"))
+            F.sum(
+                F.when(F.col(f"pass_{m}") & ~F.col("is_match"), F.col("cnt")).otherwise(
+                    zero
+                )
+            )
             .cast("long")
             .alias(f"fp_{m}")
             for m in X18_SIZES
         ],
         *[
-            F.sum((~F.col(f"pass_{m}") & F.col("is_match")).cast("long"))
+            F.sum(
+                F.when(~F.col(f"pass_{m}") & F.col("is_match"), F.col("cnt")).otherwise(
+                    zero
+                )
+            )
             .cast("long")
             .alias(f"fn_{m}")
             for m in X18_SIZES
@@ -1271,27 +1339,59 @@ ORACLES["x24_compaction_planner"] = ORACLE_X24
 # `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` materializes and
 # the optimizer's join-reorder / broadcast decisions read.
 #
-# Plan shape: ONE scan → ONE aggregate producing a single wide row,
-# then a zero-cost explode of that single row into the per-column stats
-# table. (The union-of-per-column-SELECTs alternative scans the table C
-# times; this scans ONCE.) All NDVs use count_distinct — Spark's Expand
-# multi-distinct plan: rows × C tagged duplicates, two-phase
-# partial/final distinct aggregate, NDV-bounded shuffle. (Measured
-# alternative: tiering bounded-domain columns onto size(collect_set())
-# halves the Expand factor but forces the whole aggregate out of
-# codegen HashAggregate into ObjectHashAggregate — 2× SLOWER at sf0.1;
-# the uniform codegen path wins.)
+# Plan shape (r11 optimization, measured): ONE distinct-free pass for
+# the row/null/min/max/length stats, plus ONE single-distinct aggregate
+# subtree PER COLUMN, combined as 1-row broadcasts and exploded into the
+# stats table. The previous form computed all C NDVs in one aggregate,
+# which Spark plans via Expand — every fact row replicated ×(C+1)
+# through the partial hash aggregate; the single-scan argument is hollow
+# for a COLUMNAR source, because C single-column scans read the same
+# column bytes the one wide scan read. Measured solo at sf0.1: Expand
+# 4.03 s → 0.69 s (the subtrees also schedule concurrently). Each
+# per-column subtree is the classic two-phase distinct: map-side dedup
+# on the column, NDV-bounded shuffle, count — at 100 TB no row is ever
+# replicated and each shuffle carries only that column's distinct
+# values. (Also measured: tiering bounded-domain columns onto
+# size(collect_set()) forces ObjectHashAggregate — 2× slower than even
+# the Expand form at sf0.1.)
 #
-# Scale: Expand ×C is a constant factor on the scan, shuffle carries
-# only (column-tag, value) partial-distinct groups. At 100 TB exact NDV
-# is swapped for the per-column KMV sketch — SHIPPED as
-# x25b_column_stats_sketch below (bounded state, one-pass, error-bound
-# verdict vs this query's exact NDVs) — the exact arm stays as the
-# oracle-checkable ground truth, like x20's exact-percentile arm.
+# Scale: at 100 TB exact NDV is swapped for the per-column KMV sketch —
+# SHIPPED as x25b_column_stats_sketch below (bounded state, one-pass,
+# error-bound verdict vs this query's exact NDVs) — the exact arm stays
+# as the oracle-checkable ground truth, like x20's exact-percentile arm.
 # ---------------------------------------------------------------------------
 X25_NUM_COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
                 "l_quantity", "l_discount")
 X25_STR_COLS = ("l_returnflag", "l_linestatus")
+
+
+def _staged_exact_ndvs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8-row (col_name, ndv) exact-NDV table, staged once per corpus
+    and SHARED by x25 (its ndv/selectivity columns) and x25b (its
+    ground-truth arm) — both queries audit the same statistics, and a
+    production ANALYZE materializes its column stats exactly once. Each
+    column's NDV is its own two-phase single-distinct subtree (map-side
+    dedup, NDV-bounded shuffle, count): no Expand, no row replication."""
+    from ..operators.dedup import _stage_cached
+
+    def build() -> DataFrame:
+        li = table(spark, sf_dir, "lineitem").select(
+            *X25_NUM_COLS, *X25_STR_COLS
+        )
+        return reduce(
+            DataFrame.unionByName,
+            [
+                li.select(c)
+                .agg(F.count_distinct(F.col(c)).alias("ndv"))
+                .select(
+                    F.lit(c).alias("col_name"),
+                    F.col("ndv").cast("long").alias("ndv"),
+                )
+                for c in X25_NUM_COLS + X25_STR_COLS
+            ],
+        )
+
+    return _stage_cached("x25_ndv", sf_dir, build)
 
 
 def x25_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1300,10 +1400,7 @@ def x25_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in X25_NUM_COLS + X25_STR_COLS:
-        aggs += [
-            F.count(c).alias(f"{c}__nn"),
-            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
-        ]
+        aggs.append(F.count(c).alias(f"{c}__nn"))
     for c in X25_NUM_COLS:
         aggs += [
             F.min(F.col(c).cast("double")).alias(f"{c}__min"),
@@ -1311,7 +1408,7 @@ def x25_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     for c in X25_STR_COLS:
         aggs += [F.sum(F.length(c)).alias(f"{c}__len")]
-    row = li.agg(*aggs)
+    row = li.agg(*aggs)  # distinct-free single pass — no Expand
 
     def stat_struct(c: str) -> "F.Column":
         is_num = c in X25_NUM_COLS
@@ -1319,7 +1416,6 @@ def x25_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(c).alias("col_name"),
             F.col("n_rows").cast("long").alias("n_rows"),
             (F.col("n_rows") - F.col(f"{c}__nn")).cast("long").alias("n_nulls"),
-            F.col(f"{c}__ndv").cast("long").alias("ndv"),
             (F.col(f"{c}__min") if is_num else F.lit(None).cast("double")).alias(
                 "min_val"
             ),
@@ -1336,16 +1432,30 @@ def x25_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if not is_num
                 else F.lit(None).cast("double")
             ).alias("avg_len"),
-            (
-                F.expr(f"CAST({c}__ndv AS DECIMAL(38,0)) * 1000000 DIV n_rows")
-                / 1_000_000.0
-            ).alias("selectivity"),
         )
-    return row.select(
+
+    stats = row.select(
         F.explode(
             F.array(*[stat_struct(c) for c in X25_NUM_COLS + X25_STR_COLS])
         ).alias("s")
     ).select("s.*")
+    # the staged per-corpus exact-NDV table (shared with x25b), attached
+    # with ONE broadcast join (a crossJoin-per-column chain was 4x the
+    # driver-side analysis cost)
+    ndvs = _staged_exact_ndvs(spark, sf_dir)
+    return stats.join(F.broadcast(ndvs), "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "ndv",
+        "min_val",
+        "max_val",
+        "avg_len",
+        (
+            F.expr("CAST(ndv AS DECIMAL(38,0)) * 1000000 DIV n_rows")
+            / 1_000_000.0
+        ).alias("selectivity"),
+    )
 
 
 def _oracle_x25() -> str:
@@ -1460,27 +1570,12 @@ def x25b_column_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("k_kept"),
         F.max("h").cast("long").alias("kth_min_hash"),
     )
-    exact = (
-        li.agg(
-            *[
-                F.count_distinct(F.col(c)).alias(f"{c}__ndv")
-                for c, _, _ in X25B_KEYS
-            ]
-        )
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("col_name"),
-                            F.col(f"{c}__ndv").cast("long").alias("exact_ndv"),
-                        )
-                        for c, _, _ in X25B_KEYS
-                    ]
-                )
-            ).alias("s")
-        )
-        .select("s.*")
+    # exact ground-truth arm: the staged per-corpus exact-NDV table
+    # shared with x25 (X25B_KEYS covers the same 8 columns) — the old
+    # single multi-distinct aggregate planned as Expand, replicating
+    # every fact row ×(C+1) through the partial aggregate.
+    exact = _staged_exact_ndvs(spark, sf_dir).select(
+        "col_name", F.col("ndv").alias("exact_ndv")
     )
     # estimate and error in EXACT integer fixed point (the t09
     # half-boundary class: float ROUND of a quotient is engine-unsafe):

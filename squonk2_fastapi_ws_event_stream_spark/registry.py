@@ -152,6 +152,31 @@ _NEW_OR_CHANGED: tuple[str, ...] = (
     # identical at ANY scale; oracle untouched; parity re-verified
     # hash-exact at sf0.001/0.01/0.1. Plan: 4 Window + 4 Sort -> 0.
     "t65_containment_dedup",
+    # (d) session-3 optimization (guide §2.3/§2.4/§8; OPTIMIZATION_r11.md
+    # session-3 ledger). Oracles untouched; parity re-verified hash-exact
+    # at sf0.001/0.01/0.1 for each:
+    # - q21: the EXISTS/NOT-EXISTS double correlation computed from ONE
+    #   (l_orderkey, l_suppkey) aggregate + per-order rollup — the fact
+    #   is scanned once instead of three times (probe + semi + anti).
+    "q21_waiting_suppliers",
+    # - q26: Catalyst's LATERAL decorrelation produced 3 exchanges and a
+    #   GLOBAL range-sort of orders; the direct form is semi-join prune
+    #   + one WindowGroupLimit-ed per-custkey window (1 exchange).
+    "q26_lateral_topn",
+    # - x07/x18: the bloom-audit probe reduced to a per-key
+    #   (l_orderkey, cnt, is_match) table staged once per corpus and
+    #   SHARED by both queries; every counter is a cnt-weighted sum over
+    #   distinct keys (guide-§8 proxy rows) — the per-row audit join and
+    #   per-row bit probes are gone.
+    "x07_bloom_join_pruning",
+    "x18_bloom_fpr_sweep",
+    # - x25/x25b: the multi-count_distinct aggregate (Spark's Expand
+    #   plan — every fact row replicated ×9 through the partial
+    #   aggregate) replaced by one two-phase single-distinct subtree per
+    #   column, staged per corpus as the shared 8-row exact-NDV table
+    #   both queries consume (solo sf0.1 x25 3.83 → 0.72 s).
+    "x25_column_stats",
+    "x25b_column_stats_sketch",
 )
 
 # Round-10 head, kept for the ledger's history (same role as _ROUND9_HEAD).
