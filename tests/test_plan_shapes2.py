@@ -673,14 +673,21 @@ def test_x24_packing_window_sees_manifest_not_orders(spark):
     assert "CartesianProduct" not in plan and "Join" not in plan
 
 
-def test_x25_stats_scan_table_once(spark):
-    # ANALYZE reads the table ONCE: a single scan feeds the Expand-based
-    # multi-distinct aggregate; the per-column reshaping explodes a
-    # 1-row aggregate, adding no second scan.
+def test_x25_stats_is_expand_free(spark):
+    # r11 optimization: the old single-scan multi-distinct aggregate
+    # planned as Expand — EVERY fact row replicated ×(C+1) through the
+    # partial aggregate. Now ONE distinct-free pass computes the
+    # row/null/min/max/length stats and each NDV is its own two-phase
+    # single-distinct subtree, staged per corpus (shared with x25b) and
+    # attached as a broadcast of the 8-row table. For a COLUMNAR source
+    # the C pruned scans read the same bytes the one wide scan read,
+    # without the ×9 row replication.
     plan = explain(QUERIES["x25_column_stats"](spark, SF), mode="simple")
-    assert plan.count("Scan parquet") == 1
-    assert "Expand" in plan
-    assert "Join" not in plan
+    assert "Expand" not in plan
+    assert "InMemoryTableScan" in plan  # the staged exact-NDV table
+    assert "BroadcastHashJoin" in plan  # 8-row NDV attach
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_e36_four_windows_one_exchange(spark):
