@@ -1104,11 +1104,26 @@ def x15_quantile_accuracy_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, exact = staged_exact_percentiles(
         spark, sf_dir, "lineitem", "l_extendedprice", X15_PCTS
     )
+    # ONE GK sketch per accuracy, queried at every percentile (r11
+    # optimization): percentile_approx(col, [p...], acc) builds the same
+    # deterministic QuantileSummaries a single-p call builds — the
+    # summary never depends on the query points — so each a{p}_{acc}
+    # value is identical to the old one-sketch-per-(p, acc) form while
+    # the per-row insert work drops from |PCTS|x|ACCS| sketches to
+    # |ACCS| (guide §1.2 "per-task work": the ObjectHashAggregate's
+    # per-row GK inserts dominate this query's scan stage).
     agg = li.agg(
         *[
-            F.percentile_approx("l_extendedprice", p, acc).alias(f"a{int(p*100)}_{acc}")
-            for p in X15_PCTS
+            F.percentile_approx("l_extendedprice", list(X15_PCTS), acc).alias(
+                f"pa_{acc}"
+            )
             for acc in X15_ACCS
+        ]
+    ).select(
+        *[
+            F.element_at(F.col(f"pa_{acc}"), i + 1).alias(f"a{int(p*100)}_{acc}")
+            for acc in X15_ACCS
+            for i, p in enumerate(X15_PCTS)
         ]
     )
     ranks = li.crossJoin(F.broadcast(agg)).agg(

@@ -1533,42 +1533,41 @@ X25B_KEYS = (
 
 
 def x25b_column_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 optimization (the x25 per-column recipe applied to the KMV
+    # arm): the old form exploded every row into 8 (col_tag, key)
+    # structs — the same ×C row replication the x25 Expand fix removed —
+    # then ran TWO salted window phases for bottom-K. Each column is now
+    # its own subtree: a column-pruned scan → distinct hash (map-side
+    # partial, NDV-bounded shuffle) → sort+limit K (planned as
+    # per-partition local top-K, so the single merge sees ≤ K×partitions
+    # rows — the skew the salted windows guarded against cannot occur).
+    # The kept set per column — the K smallest distinct hashes — is
+    # identical by construction, so k_kept/kth_min_hash and every
+    # published column are unchanged.
     li = table(spark, sf_dir, "lineitem").select(
         *[c for c, _, _ in X25B_KEYS]
     )
-    keyed = li.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("col_name"),
-                        F.expr(sk).cast("long").alias("k"),
-                    )
-                    for c, sk, _ in X25B_KEYS
-                ]
+
+    def kmin_subtree(c: str, sk: str) -> DataFrame:
+        h = ((F.expr(sk).cast("long") % _X25B_P) * _X25B_A + _X25B_B) % _X25B_P
+        return (
+            li.select(h.alias("h"))
+            .filter(F.col("h").isNotNull())
+            .distinct()
+            .orderBy(F.col("h").asc())
+            .limit(X25B_K)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("k_kept"),
+                F.max("h").cast("long").alias("kth_min_hash"),
             )
-        ).alias("s")
-    ).select("s.col_name", "s.k").filter(F.col("k").isNotNull())
-    hashed = keyed.select(
-        "col_name",
-        (
-            ((F.col("k") % _X25B_P) * _X25B_A + _X25B_B) % _X25B_P
-        ).alias("h"),
-    ).distinct()
-    w_salt = Window.partitionBy("col_name", F.col("h") % X25B_SALT).orderBy("h")
-    pruned = (
-        hashed.withColumn("rn", F.row_number().over(w_salt))
-        .filter(F.col("rn") <= X25B_K)
-        .drop("rn")
-    )
-    w_tag = Window.partitionBy("col_name").orderBy("h")
-    kmin = (
-        pruned.withColumn("rn", F.row_number().over(w_tag))
-        .filter(F.col("rn") <= X25B_K)
-    )
-    sketch = kmin.groupBy("col_name").agg(
-        F.count(F.lit(1)).cast("long").alias("k_kept"),
-        F.max("h").cast("long").alias("kth_min_hash"),
+            .select(
+                F.lit(c).alias("col_name"), "k_kept", "kth_min_hash"
+            )
+        )
+
+    sketch = reduce(
+        DataFrame.unionByName,
+        [kmin_subtree(c, sk) for c, sk, _ in X25B_KEYS],
     )
     # exact ground-truth arm: the staged per-corpus exact-NDV table
     # shared with x25 (X25B_KEYS covers the same 8 columns) — the old

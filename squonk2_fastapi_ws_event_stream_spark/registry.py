@@ -177,6 +177,18 @@ _NEW_OR_CHANGED: tuple[str, ...] = (
     #   both queries consume (solo sf0.1 x25 3.83 → 0.72 s).
     "x25_column_stats",
     "x25b_column_stats_sketch",
+    # (e) session-3 batch 5 (guide §1.2 per-task work / §2.5 skew;
+    # OPTIMIZATION_r11.md batch-5 ledger). Oracles untouched; parity
+    # re-verified hash-exact at sf0.001/0.01/0.1 for each:
+    # - x15: ONE GK sketch per accuracy queried at every percentile
+    #   (the summary never depends on the query points, so every
+    #   published value is identical) — per-row sketch inserts drop
+    #   from |PCTS|×|ACCS| to |ACCS| (solo sf0.1 1.72 → 1.12 s).
+    #   x25b above additionally had its KMV arm converted from the
+    #   ×8-explode + salted-window bottom-K to per-column distinct +
+    #   local-top-K subtrees (same kept set by construction; solo
+    #   sf0.1 1.86 → 1.27 s).
+    "x15_quantile_accuracy_sweep",
 )
 
 # Round-10 head, kept for the ledger's history (same role as _ROUND9_HEAD).

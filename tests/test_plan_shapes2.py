@@ -1281,15 +1281,17 @@ def test_q55_balance_is_two_aggregates_no_corpus_window(spark):
     assert "Join" not in plan
 
 
-def test_x25b_kmv_sketch_is_salted_bottom_k_one_scan(spark):
-    # The 100 TB swap for x25's exact NDVs: state is K hashes per column,
-    # bottom-K runs in a SALTED window phase before the per-tag merge (no
-    # single-reducer-per-tag exchange over the full distinct-hash set),
-    # and the 8-row exact side broadcasts.
+def test_x25b_kmv_sketch_is_per_column_local_topk(spark):
+    # The 100 TB swap for x25's exact NDVs: state is K hashes per column.
+    # r11: each column is its own subtree — column-pruned scan, map-side
+    # partial distinct on the hash, then bottom-K as a sort+limit whose
+    # per-partition local top-K bounds the single merge at K×partitions
+    # rows (no ×8 row explode, no salted windows, no Generate). The
+    # 8-row exact side still broadcasts.
     plan = explain(QUERIES["x25b_column_stats_sketch"](spark, SF), mode="simple")
-    # salted phase partitions on (col_name, h % SALT) BEFORE the per-tag one
-    assert "hashpartitioning(col_name" in plan
-    assert plan.count("row_number") >= 2  # two-phase bottom-K
+    assert "Expand" not in plan
+    assert "Generate" not in plan  # the ×8 struct explode is gone
+    assert "Window" not in plan  # bottom-K is local top-K, not row_number
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
 
