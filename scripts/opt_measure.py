@@ -25,7 +25,7 @@ ROOT = Path(__file__).resolve().parent.parent
 if str(ROOT) not in sys.path:
     sys.path.insert(0, str(ROOT))
 
-PLANS_DIR = ROOT / "plans" / "r11"
+PLANS_DIR = ROOT / "plans" / os.environ.get("SPARK_GRAFT_OPT_ROUND", "r12")
 
 
 def plan_shape(formatted: str) -> str:

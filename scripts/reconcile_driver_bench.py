@@ -69,10 +69,36 @@ def main() -> int:
         i = argv.index("--round")
         round_no = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+    # --keep-verdicts: merge this run's verdicts over the existing file's
+    # (new wins) instead of replacing them — for round-opens that must
+    # reconcile TWO driver records (the full BENCH_FULL.json and a
+    # compact streaming-only BENCH_r*.json).  Each kept verdict is still
+    # value-matched to its own record, so a merge can never excuse a
+    # number it did not measure.
+    keep = "--keep-verdicts" in argv
+    argv = [a for a in argv if a != "--keep-verdicts"]
     record_path = argv[0] if argv else bench.FULL_PATH
 
     with open(record_path, encoding="utf-8") as f:
-        record = bench._usable_baseline(json.load(f))
+        raw = json.load(f)
+    record = bench._usable_baseline(raw)
+    if not record:
+        # Streaming-only fallback (round-12 VERDICT task #3): the driver's
+        # compact BENCH_r*.json records carry a relay number but no
+        # per-query map — they must still be reconcilable, because the
+        # relay headline the next judge reads can come from exactly such
+        # a record (r11: 32.6k msg/s in BENCH_r11.json vs the 42.5k in
+        # the full record).  Per-query movers are skipped (no data); the
+        # streaming check below runs as usual, value-matched on the
+        # compact record's relay number.
+        inner = raw.get("parsed") if isinstance(raw, dict) and "parsed" in raw else raw
+        if isinstance(inner, dict) and isinstance(inner.get("streaming"), dict):
+            record = dict(inner)
+            record["queries"] = {}
+            print(
+                f"{record_path}: no per-query map — streaming-only reconcile",
+                file=sys.stderr,
+            )
     if not record:
         print(f"no usable per-query record in {record_path}", file=sys.stderr)
         return 2
@@ -108,7 +134,7 @@ def main() -> int:
         # Nothing to re-measure: still write the ledgered outcome so the
         # round's reconcile (incl. the streaming check) is committed
         # evidence, not a silent early-exit.
-        _write(record_path, record, round_no, {}, relay_got, relay_best)
+        _write(record_path, record, round_no, {}, relay_got, relay_best, keep)
         return 0
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -171,7 +197,7 @@ def main() -> int:
             spark, relay_got, relay_best, prev.get("_streaming")
         )
 
-    _write(record_path, record, round_no, verdicts, relay_got, relay_best)
+    _write(record_path, record, round_no, verdicts, relay_got, relay_best, keep)
 
     # Markdown ledger for SCALING.md.
     print("\n| query | suite (x) | solo (x) | verdict |")
@@ -247,7 +273,18 @@ def _reprobe_relay(spark, relay_got, relay_best, prev) -> dict:
     return entry
 
 
-def _write(record_path, record, round_no, verdicts, relay_got, relay_best) -> None:
+def _write(
+    record_path, record, round_no, verdicts, relay_got, relay_best, keep=False
+) -> None:
+    flagged_now = "_streaming" in verdicts  # THIS record's flag, pre-merge
+    if keep:
+        try:
+            with open(bench.RECONCILE_PATH, encoding="utf-8") as f:
+                old = json.load(f).get("verdicts", {})
+            if isinstance(old, dict):
+                verdicts = {**old, **verdicts}
+        except (OSError, json.JSONDecodeError):
+            pass
     out = {
         "_contract": (
             "Round-open driver-record reconciliation: each verdict solo-"
@@ -264,7 +301,7 @@ def _write(record_path, record, round_no, verdicts, relay_got, relay_best) -> No
         "streaming_check": {
             "record_msgs_per_sec": relay_got,
             "best_ever_msgs_per_sec": relay_best,
-            "flagged": "_streaming" in verdicts,
+            "flagged": flagged_now,
         },
         "verdicts": verdicts,
     }

@@ -24,6 +24,11 @@ from ..functions import hashing as H
 from ..tables import fan_out, guard_all_pairs, table
 
 JACCARD_THRESHOLD = 0.10  # test corpus has no true near-dups; 0.10 yields pairs
+# ppm twin of the threshold: jac_micros >= JACCARD_PPM is EXACTLY
+# jaccard >= JACCARD_THRESHOLD (jac_micros/1e6 and the 0.10 literal round
+# to the same doubles) — the integer form size_ratio_ok prunes on.
+JACCARD_PPM = 100_000
+assert JACCARD_PPM / 1e6 == JACCARD_THRESHOLD
 
 
 def _with_shingles(docs: DataFrame, spark: SparkSession) -> DataFrame:
@@ -171,19 +176,25 @@ def suppress_hot_buckets(bands: DataFrame, keys: list[str], cap: int) -> DataFra
 
 
 def _capped_bands(sf_dir: str, sig: DataFrame) -> DataFrame:
-    """The staged bucket-capped minhash band table (doc_id, band_id,
-    band_key) — the per-corpus artifact every t02-family consumer
-    probes: the t02/t31/t38 candidate self-join and t55's standing
-    index. Staging it means the suppression is paid once per corpus,
-    exactly like the production pipeline that persists its band index —
-    warm queries pay only their join, so the 100-TB guard costs the
-    bench's warm path nothing (SCALING.md round-11 probe: the unstaged
-    forms re-ran t02 at 1.8-2.4x its best-ever from fixed extra-stage
-    overhead at toy scale)."""
+    """The staged bucket-capped minhash band table (doc_id, n_sh,
+    band_id, band_key) — the per-corpus artifact every t02-family
+    consumer probes: the t02/t31/t38 candidate self-join and t55's
+    standing index. Staging it means the suppression is paid once per
+    corpus, exactly like the production pipeline that persists its band
+    index — warm queries pay only their join, so the 100-TB guard costs
+    the bench's warm path nothing (SCALING.md round-11 probe: the
+    unstaged forms re-ran t02 at 1.8-2.4x its best-ever from fixed
+    extra-stage overhead at toy scale).
+
+    round 12: the table also carries n_sh = |shingle set| (one int per
+    band row) so threshold-bearing consumers can prune candidate pairs
+    on the Jaccard-implied size ratio BEFORE the shingle re-join — see
+    size_ratio_ok."""
 
     def build() -> DataFrame:
         bands_all = sig.select(
             "doc_id",
+            F.size("shingles").alias("n_sh"),
             F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key"),
         )
         return suppress_hot_buckets(bands_all, ["band_id", "band_key"], T02_BUCKET_CAP)
@@ -191,17 +202,50 @@ def _capped_bands(sf_dir: str, sig: DataFrame) -> DataFrame:
     return _stage_cached("t02_bands", sf_dir, build)
 
 
-def _banded_candidates(sf_dir: str, sig: DataFrame) -> DataFrame:
+def size_ratio_ok(n_a, n_b, threshold_ppm: int):
+    """LOSSLESS candidate prune for a published Jaccard threshold
+    (guide §3.1 — prune before the join; round-12 VERDICT task #1).
+
+    Every emitted pair must satisfy jac_micros >= T where jac_micros =
+    |A∩B| * 1e6 DIV |A∪B| (exact integers).  Since |A∩B| <= min(|A|,|B|)
+    and |A∪B| >= max(|A|,|B|), a qualifying pair necessarily has
+    min(|A|,|B|) * 1e6 >= T * max(|A|,|B|) — pairs failing that can
+    NEVER clear the threshold, so dropping them before the exact
+    array_intersect verify is value-preserving (no oracle change; the
+    threshold filter downstream is untouched).  Integer arithmetic
+    only: n * 1e6 stays far under int64 for any real shingle count."""
+    lo = F.least(n_a, n_b).cast("long") * F.lit(1_000_000)
+    hi = F.greatest(n_a, n_b).cast("long") * F.lit(int(threshold_ppm))
+    return lo >= hi
+
+
+def _banded_candidates(
+    sf_dir: str, sig: DataFrame, threshold_ppm: int | None = None
+) -> DataFrame:
     """(doc_a < doc_b) candidate pairs from the bucket-capped minhash
     band self-join — shared by t02 (the dedup itself), t31 (the
     estimator-accuracy eval) and t38 (containment) so their candidate
-    sets can never drift apart."""
+    sets can never drift apart.
+
+    `threshold_ppm` (t02 only — t31/t38 PUBLISH every candidate pair,
+    so no prune may apply to them) drops pairs that provably cannot
+    clear the Jaccard threshold, BEFORE the distinct and the shingle
+    re-join (see size_ratio_ok): the verify stage's pair count becomes
+    bounded by the threshold's size band instead of raw bucket
+    co-membership — the round-11 10x probe's residual super-linearity
+    (t02 18.1x at 10x data) was exactly unpruned verify pairs."""
     bands = _capped_bands(sf_dir, sig)
-    return (
+    joined = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    if threshold_ppm is not None:
+        joined = joined.filter(
+            size_ratio_ok(F.col("a.n_sh"), F.col("b.n_sh"), threshold_ppm)
+        )
+    return (
+        joined.select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 
@@ -285,7 +329,10 @@ def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             table(spark, sf_dir, "documents").select("doc_id", "text"), spark
         ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
     )
-    cand = _banded_candidates(sf_dir, sig)
+    # round 12 (guide §3.1): candidates are pruned on the threshold-implied
+    # size ratio BEFORE the shingle re-join — lossless for the published
+    # threshold (see size_ratio_ok), so the oracle below is untouched.
+    cand = _banded_candidates(sf_dir, sig, threshold_ppm=JACCARD_PPM)
     sh = sig.select("doc_id", "shingles")  # reads the persisted table
     pairs = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
@@ -295,9 +342,13 @@ def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersection/union sizes are exact ints, so jaccard publishes as
     # (inter * 1e6 DIV union) / 1e6 — no float ROUND (the t09 class); the
     # threshold compares the same truncated value on both engines.
+    # round 12 (guide §1.2): |A∪B| = |A| + |B| − |A∩B| for distinct
+    # arrays, so the per-pair array_union materialization is replaced by
+    # integer arithmetic over sizes — same exact value, half the per-pair
+    # array work.
     jac_micros = F.expr(
         "CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 1000000"
-        " div size(array_union(sh_a, sh_b))"
+        " div (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
     )
     return (
         pairs.withColumn("jaccard", jac_micros / F.lit(1e6))
@@ -363,9 +414,12 @@ def t31_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact integer micros throughout (round-8 conversion): both jaccards
     # are int/int ratios, so the estimate, truth, and their absolute error
     # are computed on BIGINT micros and published /1e6 — no float ROUND.
+    # round 12 (guide §1.2): union size via |A|+|B|−|A∩B| — exact, no
+    # array_union materialization per pair (t02's identity; NO candidate
+    # prune here — t31 publishes every candidate pair).
     true_k = F.expr(
         "CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 1000000"
-        " div size(array_union(sh_a, sh_b))"
+        " div (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
     )
     assert 1_000_000 % H.N_PERM == 0  # est micros are exact integers
     est_k = matches.cast("long") * F.lit(1_000_000 // H.N_PERM)
@@ -988,6 +1042,8 @@ ORACLES["t50_fuzzy_blocking_match"] = ORACLE_T50
 # only on candidates.
 # ---------------------------------------------------------------------------
 T52_THRESHOLD = 0.5
+T52_PPM = 500_000  # integer twin (see JACCARD_PPM); 500000/1e6 == 0.5 exactly
+assert T52_PPM / 1e6 == T52_THRESHOLD
 T52_ID_OFFSET = 60_000
 
 
@@ -1016,6 +1072,7 @@ def t52_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build_bands() -> DataFrame:
         bands_all = sig.select(
             "doc_id",
+            F.size("shingles").alias("n_sh"),
             F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key"),
         )
         return suppress_hot_buckets(
@@ -1024,14 +1081,22 @@ def t52_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bands = _stage_cached("t52_bands", sf_dir, build_bands)
     train_b = bands.filter(F.col("doc_id") < T52_ID_OFFSET).select(
-        F.col("doc_id").alias("train_id"), "band_id", "band_key"
+        F.col("doc_id").alias("train_id"), F.col("n_sh").alias("n_t"),
+        "band_id", "band_key",
     )
     eval_b = bands.filter(F.col("doc_id") >= T52_ID_OFFSET).select(
-        F.col("doc_id").alias("eval_id"), "band_id", "band_key"
+        F.col("doc_id").alias("eval_id"), F.col("n_sh").alias("n_e"),
+        "band_id", "band_key",
     )
-    cand = train_b.join(eval_b, ["band_id", "band_key"]).select(
-        "train_id", "eval_id"
-    ).distinct()
+    # round 12 (guide §3.1): J >= 0.5 forces min/max set-size ratio >= 0.5
+    # — prune candidates on sizes BEFORE the distinct and the shingle
+    # re-join (lossless for the published threshold; see size_ratio_ok).
+    cand = (
+        train_b.join(eval_b, ["band_id", "band_key"])
+        .filter(size_ratio_ok(F.col("n_t"), F.col("n_e"), T52_PPM))
+        .select("train_id", "eval_id")
+        .distinct()
+    )
     sh = sig.select("doc_id", "shingles")
     pairs = cand.join(
         sh.select(F.col("doc_id").alias("train_id"), F.col("shingles").alias("sh_t")),
@@ -1040,10 +1105,11 @@ def t52_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.select(F.col("doc_id").alias("eval_id"), F.col("shingles").alias("sh_e")),
         "eval_id",
     )
-    # exact integer micros (round-8 conversion) — see t02
+    # exact integer micros (round-8 conversion) — see t02; union size via
+    # |A|+|B|−|A∩B| (round 12, guide §1.2 — no array_union per pair)
     jac_micros = F.expr(
         "CAST(size(array_intersect(sh_t, sh_e)) AS BIGINT) * 1000000"
-        " div size(array_union(sh_t, sh_e))"
+        " div (size(sh_t) + size(sh_e) - size(array_intersect(sh_t, sh_e)))"
     )
     return (
         pairs.withColumn("jaccard", jac_micros / F.lit(1e6))
@@ -1257,7 +1323,8 @@ def t55_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the probe is linear in the delta). Max bucket at every driver SF
     # is 5: tested outputs are bit-identical with or without the cap.
     index_bands = _capped_bands(sf_dir, sig).select(
-        F.col("doc_id").alias("existing_id"), "band_id", "band_key"
+        F.col("doc_id").alias("existing_id"), F.col("n_sh").alias("n_e"),
+        "band_id", "band_key",
     )
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1280,10 +1347,17 @@ def t55_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sig", H.minhash_signature(F.col("shingles"))
     )
     dbands = dsig.select(
-        "doc_id", F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key")
+        "doc_id",
+        F.size("shingles").alias("n_d"),
+        F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key"),
     )
+    # round 12 (guide §3.1): only pairs at jaccard >= threshold can ever
+    # become a best match, and those force min/max set-size ratio >= the
+    # threshold — prune delta×index probe hits on sizes BEFORE the
+    # distinct and the shingle re-join (lossless; see size_ratio_ok).
     cand = (
         dbands.join(index_bands, ["band_id", "band_key"])
+        .filter(size_ratio_ok(F.col("n_d"), F.col("n_e"), JACCARD_PPM))
         .select("doc_id", "existing_id")
         .distinct()
     )
@@ -1291,10 +1365,11 @@ def t55_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.select(F.col("doc_id").alias("existing_id"), F.col("shingles").alias("sh_e")),
         "existing_id",
     )
-    # exact integer micros (round-8 conversion) — see t02
+    # exact integer micros (round-8 conversion) — see t02; union size via
+    # |A|+|B|−|A∩B| (round 12, guide §1.2 — no array_union per pair)
     jac_micros = F.expr(
         "CAST(size(array_intersect(sh_d, sh_e)) AS BIGINT) * 1000000"
-        " div size(array_union(sh_d, sh_e))"
+        " div (size(sh_d) + size(sh_e) - size(array_intersect(sh_d, sh_e)))"
     )
     scored = pairs.select(
         "doc_id", "existing_id", (jac_micros / F.lit(1e6)).alias("jaccard")

@@ -64,6 +64,33 @@ NON_SQL_QUERIES = frozenset(missing)
 # <= ~3 rounds old in steady state. Local oracle-parity tests still
 # cover ALL queries regardless of this order.
 _NEW_OR_CHANGED: tuple[str, ...] = (
+    # round 12 (optimization round 2 of 2): only genuinely plan-changed
+    # queries enter here; outputs are bit-identical at every driver SF —
+    # parity re-verified hash-exact at sf0.001/0.01/0.1 for every entry
+    # (OPTIMIZATION_r12.md has the per-query ledger); the remaining ~45
+    # driver sampler slots keep draining the stalest cohort.
+    #
+    # (a) LSH verify-stage size-ratio prefilter (VERDICT r11 task #1,
+    # guide §3.1 prune-before-join): the staged band tables now carry
+    # n_sh = |shingle set| and the threshold-bearing consumers (t02 at
+    # J>=0.10, t52 at J>=0.5, t55 at J>=0.10) drop candidate pairs that
+    # provably cannot clear their published Jaccard threshold
+    # (min*1e6 >= T_ppm*max — see dedup.size_ratio_ok) BEFORE the
+    # distinct + shingle re-join + array_intersect. LOSSLESS for the
+    # published thresholds, so no oracle changed. t31/t38 publish every
+    # candidate pair and are NOT pruned — their plans drift only via the
+    # shared staged band-table schema (+n_sh). The same commit replaces
+    # per-pair array_union with |A|+|B|−|A∩B| size arithmetic (§1.2;
+    # identical exact integers for distinct arrays).
+    "t02_dedup_minhash_lsh",
+    "t31_minhash_estimate_eval",
+    "t38_shingle_containment",
+    "t52_fuzzy_decontamination",
+    "t55_incremental_neardup",
+)
+
+# Round-11 head, kept for the ledger's history (same role as _ROUND10_HEAD).
+_ROUND11_HEAD = (
     # round 11: NEAR-ZERO head by design (VERDICT r10 tasks #1/#4). The
     # ROUND-on-double worklist is EMPTY and no output changes are planned,
     # so all ~50 driver sampler slots flow stalest-first into the 51-query
