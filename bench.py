@@ -586,12 +586,16 @@ def main() -> None:
 
     spark.range(0, 64, 1, 64).mapInPandas(_identity, schema="id long").count()
 
+    from squonk2_fastapi_ws_event_stream_spark.operators import dedup as _dedup
+
     def run_pass() -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in HEADLINE:
+            _dedup.CURRENT_CONSUMER[:] = [name]  # staged-artifact attribution
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+        _dedup.CURRENT_CONSUMER[:] = []
         return timings
 
     # Pass 1 warms analysis/codegen caches (the steady state of a long-lived
@@ -600,10 +604,39 @@ def main() -> None:
     cold = run_pass()
     for name, t in cold.items():
         print(f"  cold {name}: {t:.3f}s", file=sys.stderr)
+    # Staged-artifact build cost, paid inside the cold pass above
+    # (VERDICT r11 task #2: make cache placement visible so warm wins
+    # can be split into structure vs staging).  Snapshot BEFORE the
+    # batch-scaling sweep rebuilds staging at other SFs.
+    staged_build = {
+        op: rec["sec"]
+        for op, rec in sorted(_dedup.STAGE_BUILD_SEC.items())
+        if rec["sf_dir"] == sf_dir
+    }
+    for op, sec in staged_build.items():
+        print(f"  staged build {op}: {sec:.3f}s", file=sys.stderr)
     warm1, warm2 = run_pass(), run_pass()
     timings = {name: min(warm1[name], warm2[name]) for name in warm1}
     for name, t in timings.items():
         print(f"  warm {name}: {t:.3f}s", file=sys.stderr)
+
+    # Staging-INCLUSIVE warm pass (VERDICT r11 task #2): every query that
+    # touched a staged artifact re-runs once with the cache dropped first,
+    # so its number includes rebuilding every staged table it consumes —
+    # the honest per-query cost when nothing is pre-staged.  Extra
+    # measurement only: the headline warm timings above are untouched.
+    staged_consumers = sorted(
+        n for n, ops in _dedup.STAGE_CONSUMERS.items() if ops
+    )
+    staged_inclusive: dict[str, float] = {}
+    for name in staged_consumers:
+        _dedup.unpersist_lsh_cache()
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        staged_inclusive[name] = round(time.perf_counter() - t0, 3)
+    _dedup.unpersist_lsh_cache()
+    for name, t in staged_inclusive.items():
+        print(f"  staged-incl warm {name}: {t:.3f}s", file=sys.stderr)
 
     streaming = bench_streaming_relay(spark)
     batch_scaling = bench_batch_scaling(spark)
@@ -620,6 +653,14 @@ def main() -> None:
         # 2000-char window): warm sec per query per SF — linear-scaling
         # evidence across 100x of data.
         "batch_scaling": batch_scaling,
+        # full-record only: per-artifact staged build seconds (paid in the
+        # cold pass) and the staging-inclusive warm number per staged
+        # consumer — VERDICT r11 task #2's structure-vs-staging split.
+        "staged_build_sec": staged_build,
+        "staged_inclusive_warm": staged_inclusive,
+        "staged_consumers": {
+            n: sorted(ops) for n, ops in sorted(_dedup.STAGE_CONSUMERS.items())
+        },
     }
 
     # The gate runs BEFORE the record/compact writes so a retry's solo

@@ -296,14 +296,36 @@ cand AS (
 # unpersist_lsh_cache() releases everything.
 _SIG_CACHE: dict[str, tuple[str, DataFrame]] = {}
 
+# Round-12 staging visibility (VERDICT r11 task #2): every staged build is
+# timed — build() + persist + EAGER materialization (a noop-sink write, so
+# the cache is populated here rather than lazily inside whichever consumer
+# runs first) — and recorded per (op, sf_dir).  bench.py publishes the map
+# as BENCH_FULL.json's `staged_build_sec`, so warm-headline wins can be
+# split into structure vs cache placement.  CURRENT_CONSUMER (set by the
+# bench around each query) records which queries touch which staged
+# artifacts; the bench's staging-inclusive pass re-runs exactly those.
+STAGE_BUILD_SEC: dict[str, dict] = {}
+STAGE_CONSUMERS: dict[str, set] = {}
+CURRENT_CONSUMER: list[str] = []  # [name] while a bench query is running
+
 
 def _stage_cached(op: str, sf_dir: str, build) -> DataFrame:
+    if CURRENT_CONSUMER:
+        STAGE_CONSUMERS.setdefault(CURRENT_CONSUMER[0], set()).add(op)
     hit = _SIG_CACHE.get(op)
     if hit is not None and hit[0] == sf_dir:
         return hit[1]
     if hit is not None:
         hit[1].unpersist()
+    import time as _time
+
+    t0 = _time.perf_counter()
     df = build().persist()
+    df.write.format("noop").mode("overwrite").save()  # materialize NOW
+    STAGE_BUILD_SEC[op] = {
+        "sf_dir": sf_dir,
+        "sec": round(_time.perf_counter() - t0, 3),
+    }
     _SIG_CACHE[op] = (sf_dir, df)
     return df
 

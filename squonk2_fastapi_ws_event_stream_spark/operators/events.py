@@ -3813,27 +3813,47 @@ def e50_token_bucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("us", "event_id"))).alias("log")
     )
-    # fold state: (tokens_milli, last_us, n_accepted); refill BEFORE the
-    # charge, mirroring streaming/stateful.py _update_rate exactly
+    # round 12 (guide §1.2 — per-task work): the refill increment of
+    # event i is FOLD-INDEPENDENT: the log is sorted ascending by
+    # (us, event_id), so the running greatest(last_us) is exactly the
+    # previous element's us and greatest(0, us_i − l) = us_i − us_{i−1}
+    # (= 0 gated for the first event).  The old fold re-evaluated
+    # _e50_refilled — with its exact-decimal division — FOUR times per
+    # element (Spark does no CSE inside HOF lambdas); the increments are
+    # now precomputed once per element in a single transform, and the
+    # fold's per-element work drops to two long adds + least/when.
+    # Value-identical by construction (same exact integer arithmetic);
+    # hash-proven vs the unchanged oracle at 3 SFs.
+    # `div` on longs is exact truncating division — identical to the
+    # oracle's `//` and _e50_exact_div_1e9 for the non-negative deltas a
+    # sorted log guarantees (the old helper needed the decimal form only
+    # because Column-API lambdas cannot spell `div`; a full SQL string
+    # can).  element_at(log, i) is the 0-based-transform's PREVIOUS
+    # element because SQL array indexing is 1-based.
+    refills = F.expr(
+        f"""transform(log, (x, i) -> CASE WHEN i = 0 THEN CAST(0 AS BIGINT)
+            ELSE (x.us - element_at(log, i).us) * {E50_RATE_MILLI}
+                 div 1000000000 END)"""
+    )
+    # fold state: (tokens_milli, n_accepted); refill BEFORE the charge,
+    # mirroring streaming/stateful.py _update_rate exactly
+    refilled = lambda acc, g: F.least(
+        F.lit(burst_milli).cast("long"), acc["t"] + g
+    )
     fold = F.aggregate(
-        F.col("log"),
+        refills,
         F.struct(
             F.lit(burst_milli).cast("long").alias("t"),
-            F.lit(-1).cast("long").alias("l"),
             F.lit(0).cast("long").alias("a"),
         ),
-        lambda acc, x: F.struct(
+        lambda acc, g: F.struct(
             (
-                F.when(
-                    _e50_refilled(acc, x) >= 1000, _e50_refilled(acc, x) - 1000
-                ).otherwise(_e50_refilled(acc, x))
+                F.when(refilled(acc, g) >= 1000, refilled(acc, g) - 1000)
+                .otherwise(refilled(acc, g))
             ).alias("t"),
-            F.greatest(acc["l"], x["us"]).alias("l"),
             (
                 acc["a"]
-                + F.when(_e50_refilled(acc, x) >= 1000, F.lit(1)).otherwise(
-                    F.lit(0)
-                )
+                + F.when(refilled(acc, g) >= 1000, F.lit(1)).otherwise(F.lit(0))
             ).alias("a"),
         ),
     )
@@ -3863,23 +3883,13 @@ def _e50_exact_div_1e9(p):
     )
 
 
-def _e50_refilled(acc, x):
-    """Milli-tokens after the event-time refill for event x (pre-charge):
-    min(burst, t + max(0, us - last) * rate // 1e9); the first event
-    (last = -1) refills nothing, matching the streaming operator.
-
-    The // is the exact integer division above — bit-identical to the
-    DuckDB oracle's ``//`` and the streaming twin's Python ``//`` at any
-    event-time gap.  The only remaining bound is int64 on the product:
-    delta_us * E50_RATE_MILLI overflows past delta ~4.6e17 us (~14,600
-    years of event time at rate 20) — unreachable for any real log."""
-    burst_milli = F.lit(E50_BURST * 1000).cast("long")
-    refill = _e50_exact_div_1e9(
-        F.greatest(F.lit(0).cast("long"), x["us"] - acc["l"])
-        * F.lit(E50_RATE_MILLI)
-    )
-    gated = F.when(acc["l"] >= 0, refill).otherwise(F.lit(0).cast("long"))
-    return F.least(burst_milli, acc["t"] + gated)
+# (the per-element refill used to live in a _e50_refilled(acc, x) fold
+# helper re-evaluated 4x per element; round 12 hoisted it into the
+# `refills` transform above — min(burst, t + g) is all the fold computes
+# now.  `div` on the non-negative long products is bit-identical to the
+# oracle's `//` and the streaming twin's Python `//`; the int64 product
+# bound is delta_us * E50_RATE_MILLI < 2^63, i.e. ~14,600 years of event
+# time at rate 20 — unreachable for any real log.)
 
 
 def _oracle_e50() -> str:

@@ -673,23 +673,30 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 # anti-join of a provably-small set (hint-free; AQE broadcasts it).
 # ---------------------------------------------------------------------------
 def q31_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
+    # round 12 (guide §2.3/§2.4): the old form DISTINCT'ed all
+    # (l_partkey, l_suppkey) pairs — a full-fact exchange — before the
+    # part join, then shuffled again for the aggregate.  But
+    # COUNT(DISTINCT l_suppkey) is duplicate-insensitive, so the pair
+    # distinct was a redundant exchange; and the selective p_size filter
+    # (8 of 50 sizes) can prune the fact BEFORE anything shuffles.  New
+    # shape: fact → broadcast part join (filtered, map-side) → broadcast
+    # anti join → single distinct-aggregate.  Exchange now carries only
+    # size-filtered (brand, type, size, suppkey) partial-distinct rows.
+    # Output identical (hash-proven at 3 SFs); oracle untouched.
+    pairs = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     bad = (
         table(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
-    part = table(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand", "p_type", "p_size"
+    part = (
+        table(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+        .filter(F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
     )
     return (
-        pairs.join(bad, pairs.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(part, pairs.l_partkey == part.p_partkey)
-        .filter(F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .join(bad, pairs.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

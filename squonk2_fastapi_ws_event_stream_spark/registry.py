@@ -87,6 +87,18 @@ _NEW_OR_CHANGED: tuple[str, ...] = (
     "t38_shingle_containment",
     "t52_fuzzy_decontamination",
     "t55_incremental_neardup",
+    # (b) q31 (guide §2.3/§2.4): the (l_partkey, l_suppkey) DISTINCT — a
+    # full-fact exchange — was redundant under COUNT(DISTINCT l_suppkey),
+    # and the selective p_size filter now prunes the fact via the part
+    # join BEFORE the one remaining aggregate exchange. Output identical;
+    # oracle untouched.
+    "q31_supplier_diversity",
+    # (c) e50 (guide §1.2): per-event refill increments are
+    # fold-independent on the sorted log, so they moved out of the
+    # sequential token-bucket fold into one transform — the fold had
+    # re-evaluated the exact-division refill 4x per event (no CSE inside
+    # HOF lambdas). Same exact integer arithmetic; oracle untouched.
+    "e50_token_bucket_replay",
 )
 
 # Round-11 head, kept for the ledger's history (same role as _ROUND10_HEAD).
