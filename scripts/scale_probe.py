@@ -33,8 +33,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 BASE = os.environ.get("SPARK_GRAFT_PROBE_BASE", "/root/testdata/sf0.1")
-OUT = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/sfsynth1")
-REPLICAS = 10
+# round 12 (VERDICT r11 task #8): replica count is parameterized so the
+# capped families can be probed one more decade out (e.g. REPLICAS=30).
+# The default keeps the round-11 corpus name/location bit-compatible.
+REPLICAS = int(os.environ.get("SPARK_GRAFT_PROBE_REPLICAS", "10"))
+OUT = os.environ.get(
+    "SPARK_GRAFT_PROBE_DIR",
+    "/tmp/sfsynth1" if REPLICAS == 10 else f"/tmp/sfsynth{REPLICAS}x",
+)
 
 BAND_FAMILY = [
     "t02_dedup_minhash_lsh", "t31_minhash_estimate_eval",

@@ -70,28 +70,38 @@ AMS_P = P
 # ---------------------------------------------------------------------------
 # Spark expression builders
 # ---------------------------------------------------------------------------
-def char_codes(text: Column) -> Column:
+# round 12 (guide §7.3 — planning cost): the expression builders below
+# are parsed SQL strings, not py4j Column chains.  The Column forms cost
+# real driver time PER QUERY CONSTRUCTION (measured: minhash_signature
+# 168 ms, shingle_hashes 115 ms, simhash 870-1780 ms — re-paid on every
+# bench run by ~27 queries); the parsed trees lower to the identical
+# long arithmetic, so every output is bit-identical.  Inputs are SQL
+# fragments (column names or expressions), matching the sql_* oracle
+# twins' calling convention.
+
+
+def char_codes(text_sql: str) -> Column:
     """array<int> of per-character code points (1-based positions)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(text)),
-        lambda i: F.ascii(text.substr(i, F.lit(1))),
+    return F.expr(
+        f"transform(sequence(1, length({text_sql})), "
+        f"i -> ascii(substring({text_sql}, i, 1)))"
     )
 
 
-def shingle_hashes(codes: Column, text_len: Column) -> Column:
+def shingle_hashes(codes_sql: str, len_sql: str) -> Column:
     """array<long> of K-gram polynomial hashes over a code-point array.
 
-    Caller must guarantee text_len >= K (filter first).
+    Caller must guarantee the length expression >= K (filter first).
     """
-
-    def one(i: Column) -> Column:
-        terms = [
-            F.element_at(codes, (i + F.lit(j)).cast("int")).cast("long") * F.lit(COEF[j])
-            for j in range(K)
-        ]
-        return reduce(lambda a, b: a + b, terms) % F.lit(P)
-
-    return F.transform(F.sequence(F.lit(1), text_len - F.lit(K - 1)), one)
+    terms = " + ".join(
+        f"CAST(element_at({codes_sql}, CAST(i + {j} AS INT)) AS BIGINT)"
+        f" * {COEF[j]}"
+        for j in range(K)
+    )
+    return F.expr(
+        f"transform(sequence(1, ({len_sql}) - {K - 1}), "
+        f"i -> ({terms}) % {P})"
+    )
 
 
 def coef_for(width: int) -> list[int]:
@@ -118,33 +128,30 @@ def shingle_hash_at(text: Column, pos: Column, width: int = K) -> Column:
     return reduce(lambda a, b: a + b, terms) % F.lit(P)
 
 
-def _perm(a: int, b: int):
-    return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P)
-
-
-def minhash_signature(distinct_hashes: Column) -> Column:
+def minhash_signature(hashes_sql: str) -> Column:
     """array<long> MinHash signature (N_PERM permutations)."""
-    sigs = [
-        F.array_min(F.transform(distinct_hashes, _perm(a, b)))
+    sigs = ", ".join(
+        f"array_min(transform({hashes_sql}, x -> ({a} * x + {b}) % {P}))"
         for a, b in zip(MINHASH_A, MINHASH_B)
-    ]
-    return F.array(*sigs)
+    )
+    return F.expr(f"array({sigs})")
 
 
-def band_keys(signature: Column) -> Column:
+def band_keys(sig_sql: str) -> Column:
     """array<string>: one concatenated key per LSH band."""
     keys = []
     for band in range(N_BANDS):
-        parts = [
-            F.element_at(signature, band * ROWS_PER_BAND + r + 1).cast("string")
+        parts = ", ".join(
+            f"CAST(element_at({sig_sql}, {band * ROWS_PER_BAND + r + 1}) AS STRING)"
             for r in range(ROWS_PER_BAND)
-        ]
-        keys.append(F.concat_ws("-", *parts))
-    return F.array(*keys)
+        )
+        keys.append(f"concat_ws('-', {parts})")
+    return F.expr(f"array({', '.join(keys)})")
 
 
-def simhash(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
-    """`bits`-wide SimHash of a shingle-hash array, as a long (bits <= 62).
+def simhash(hashes_col: str, bits: int = SIMHASH_BITS) -> Column:
+    """`bits`-wide SimHash of a shingle-hash array COLUMN (by name), as a
+    long (bits <= 62).
 
     Bit j is 1 iff strictly more than half the shingles have bit j set.
     Bits above 29 fold the 30-bit-entropy shingle hash (h < P < 2^30) by
@@ -152,24 +159,35 @@ def simhash(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
     every output bit still carries signal. Implemented as `bits`
     array-aggregate expressions — fine for one codegen stage; at extreme
     doc sizes switch to explode + groupBy (same result). (A packed
-    multi-lane popcount variant was benchmarked and is NOT faster: the
-    per-element lane arithmetic costs what the extra aggregate passes
-    cost, and the wrapper expressions defeat plan simplification.)
+    multi-lane popcount variant was benchmarked at sf0.1 AND at the 10x
+    probe corpus and is NOT faster either place — SCALING.md round-12;
+    the per-element lane arithmetic costs what the extra aggregate
+    passes cost.  Do NOT explode the inline shingle array instead:
+    Catalyst inlines the generator into per-output-row evaluation — the
+    documented shingle_hash_at quadratic pathology.)
+
+    round 12 (guide §7.3 — planning cost): built as ONE parsed SQL
+    expression instead of ~900 py4j Column calls; constructing the
+    32-bit form cost 870 ms of driver time PER QUERY BUILD (1.78 s for
+    t06's 60-bit form, re-paid on every bench run), which dwarfed the
+    queries' own execution.  The parsed tree lowers to the identical
+    long arithmetic (shiftright/&/%/aggregate), so outputs are
+    bit-identical.
     """
-    n = F.size(hashes)
 
-    def bit_counter(j: int):
+    def bit_src(j: int) -> str:
         if j < 30:
-            return lambda acc, x: acc + F.shiftright(x, j).bitwiseAND(F.lit(1))
-        return lambda acc, x: acc + F.shiftright(
-            (x * F.lit(j + 1)) % F.lit(P), j % 30
-        ).bitwiseAND(F.lit(1))
+            return f"(shiftright(x, {j}) & 1)"
+        return f"(shiftright((x * {j + 1}) % {P}, {j % 30}) & 1)"
 
-    bits_cols = []
-    for j in range(bits):
-        ones = F.aggregate(hashes, F.lit(0).cast("long"), bit_counter(j))
-        bits_cols.append(F.when(ones * 2 > n.cast("long"), F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
-    return reduce(lambda a, b: a + b, bits_cols).alias("simhash")
+    n = f"CAST(size({hashes_col}) AS BIGINT)"
+    terms = " + ".join(
+        f"(CASE WHEN 2 * aggregate({hashes_col}, CAST(0 AS BIGINT), "
+        f"(acc, x) -> acc + {bit_src(j)}) > {n} "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return F.expr(f"({terms})").alias("simhash")
 
 
 # ---------------------------------------------------------------------------

@@ -1854,24 +1854,28 @@ def t66_idf_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    def bit_of(j: int) -> F.Column:
+    # round 12 (guide §7.3 — planning cost): the 64 weighted vote sums
+    # and the packed fingerprint are parsed SQL expressions instead of
+    # ~800 py4j Column calls per query construction (the same fix as
+    # hashing.simhash); identical long arithmetic, outputs bit-identical.
+    def bit_of(j: int) -> str:
         if j < 30:
-            return F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
-        return F.shiftright(
-            (F.col("h") * F.lit(j + 1)) % F.lit(H.P), j % 30
-        ).bitwiseAND(F.lit(1))
+            return f"(shiftright(h, {j}) & 1)"
+        return f"(shiftright((h * {j + 1}) % {H.P}, {j % 30}) & 1)"
 
     agg = weighted.groupBy("doc_id").agg(
         F.sum("wt").alias("w_sum"),
         *[
-            F.sum(F.col("wt") * bit_of(j)).alias(f"v{j}")
+            F.expr(f"sum(wt * {bit_of(j)})").alias(f"v{j}")
             for j in range(T66_BITS)
         ],
     )
-    fingerprint = sum(
-        F.when(F.col(f"v{j}") * 2 > F.col("w_sum"), F.lit(1 << j).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
-        for j in range(T66_BITS)
+    fingerprint = F.expr(
+        " + ".join(
+            f"(CASE WHEN v{j} * 2 > w_sum THEN CAST({1 << j} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+            for j in range(T66_BITS)
+        )
     )
     return agg.select(
         "doc_id",

@@ -35,8 +35,8 @@ def _with_shingles(docs: DataFrame, spark: SparkSession) -> DataFrame:
     """doc_id + distinct 8-gram shingle hash set (docs shorter than K dropped)."""
     return (
         fan_out(docs.filter(F.length("text") >= H.K), spark)
-        .withColumn("_codes", H.char_codes(F.col("text")))
-        .withColumn("_hs", H.shingle_hashes(F.col("_codes"), F.length("text")))
+        .withColumn("_codes", H.char_codes("text"))
+        .withColumn("_hs", H.shingle_hashes("_codes", "length(text)"))
         .withColumn("shingles", F.array_distinct(F.col("_hs")))
         .drop("_codes")
     )
@@ -195,7 +195,7 @@ def _capped_bands(sf_dir: str, sig: DataFrame) -> DataFrame:
         bands_all = sig.select(
             "doc_id",
             F.size("shingles").alias("n_sh"),
-            F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key"),
+            F.posexplode(H.band_keys("sig")).alias("band_id", "band_key"),
         )
         return suppress_hot_buckets(bands_all, ["band_id", "band_key"], T02_BUCKET_CAP)
 
@@ -349,7 +349,7 @@ def t02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: _with_shingles(
             table(spark, sf_dir, "documents").select("doc_id", "text"), spark
-        ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
+        ).withColumn("sig", H.minhash_signature("shingles")),
     )
     # round 12 (guide §3.1): candidates are pruned on the threshold-implied
     # size ratio BEFORE the shingle re-join — lossless for the published
@@ -415,7 +415,7 @@ def t31_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: _with_shingles(
             table(spark, sf_dir, "documents").select("doc_id", "text"), spark
-        ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
+        ).withColumn("sig", H.minhash_signature("shingles")),
     )
     cand = _banded_candidates(sf_dir, sig)  # bucket-capped, shared with t02
     side = lambda suffix: sig.select(
@@ -498,7 +498,7 @@ def t38_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: _with_shingles(
             table(spark, sf_dir, "documents").select("doc_id", "text"), spark
-        ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
+        ).withColumn("sig", H.minhash_signature("shingles")),
     )
     # Any single-band collision is a candidate — the classic b=4/r=4 LSH
     # form, via the SAME bucket-capped staged band table as t02/t31
@@ -629,7 +629,7 @@ FROM keyed GROUP BY digest HAVING COUNT(*) > 1
 # ---------------------------------------------------------------------------
 def t03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_shingles(table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
-    return docs.select("doc_id", H.simhash(F.col("shingles")).alias("simhash"))
+    return docs.select("doc_id", H.simhash("shingles").alias("simhash"))
 
 
 def _oracle_t03() -> str:
@@ -679,7 +679,7 @@ def t06_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t06",
         sf_dir,
         lambda: _with_shingles(unioned, spark).select(
-            "doc_id", H.simhash(F.col("shingles"), T06_SIMHASH_BITS).alias("sim")
+            "doc_id", H.simhash("shingles", T06_SIMHASH_BITS).alias("sim")
         ),
     )
     band_vals = F.array(
@@ -838,7 +838,7 @@ def t49_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: _with_shingles(
             table(spark, sf_dir, "documents").select("doc_id", "text"), spark
-        ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
+        ).withColumn("sig", H.minhash_signature("shingles")),
     )
 
     def build() -> DataFrame:
@@ -1082,7 +1082,7 @@ def t52_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t52",
         sf_dir,
         lambda: _with_shingles(docs.unionByName(evals), spark).withColumn(
-            "sig", H.minhash_signature(F.col("shingles"))
+            "sig", H.minhash_signature("shingles")
         ),
     )
     # Bucket-capped band table, staged per corpus (round-11 scale probe:
@@ -1095,7 +1095,7 @@ def t52_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands_all = sig.select(
             "doc_id",
             F.size("shingles").alias("n_sh"),
-            F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key"),
+            F.posexplode(H.band_keys("sig")).alias("band_id", "band_key"),
         )
         return suppress_hot_buckets(
             bands_all, ["band_id", "band_key"], T02_BUCKET_CAP
@@ -1336,7 +1336,7 @@ def t55_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: _with_shingles(
             table(spark, sf_dir, "documents").select("doc_id", "text"), spark
-        ).withColumn("sig", H.minhash_signature(F.col("shingles"))),
+        ).withColumn("sig", H.minhash_signature("shingles")),
     )
     # The standing band index IS t02's staged bucket-capped band table
     # (round-11 scale probe: with hot buckets uncapped, t55 ran 17.2x at
@@ -1366,12 +1366,12 @@ def t55_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("text") >= H.K)
     )
     dsig = _with_shingles(delta, spark).withColumn(
-        "sig", H.minhash_signature(F.col("shingles"))
+        "sig", H.minhash_signature("shingles")
     )
     dbands = dsig.select(
         "doc_id",
         F.size("shingles").alias("n_d"),
-        F.posexplode(H.band_keys(F.col("sig"))).alias("band_id", "band_key"),
+        F.posexplode(H.band_keys("sig")).alias("band_id", "band_key"),
     )
     # round 12 (guide §3.1): only pairs at jaccard >= threshold can ever
     # become a best match, and those force min/max set-size ratio >= the
@@ -1545,7 +1545,7 @@ def t65_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t65",
         sf_dir,
         lambda: _with_shingles(_t65_corpus(spark, sf_dir), spark)
-        .withColumn("sig", H.minhash_signature(F.col("shingles")))
+        .withColumn("sig", H.minhash_signature("shingles"))
         .select("doc_id", "shingles", "sig"),
     )
     # r=1 banding (every signature position its own band): a quarter-size

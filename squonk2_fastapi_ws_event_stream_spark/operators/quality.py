@@ -308,7 +308,7 @@ def _shingle_rows(docs: DataFrame, spark: SparkSession, id_alias: str) -> DataFr
     coef = H.coef_for(w)
     d = fan_out(docs.filter(F.length("text") >= w), spark).select(
         F.col("doc_id").alias(id_alias),
-        H.char_codes(F.col("text")).alias("codes"),
+        H.char_codes("text").alias("codes"),
         F.length("text").alias("len"),
     )
     positions = d.select(

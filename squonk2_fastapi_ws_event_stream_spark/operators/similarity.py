@@ -228,6 +228,23 @@ def _with_probe_cells(queries: DataFrame, packed: DataFrame, n_probe: int) -> Da
     )
 
 
+def _query_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strided query set (query_id, q_emb), ~N/QUERY_STRIDE rows, read
+    UNfanned (round 12, guide §2.4): every consumer either broadcasts it
+    or shuffles it by cell_id immediately, so fan_out's widening
+    repartition was a wasted exchange+stage under the broadcast — at 100
+    TB the query set is still corpus/100 and never the side that needs
+    scan parallelism."""
+    return (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+
+
 def _stride_ivf_index(spark: SparkSession, sf_dir: str):
     """(packed centroid row, assigned corpus) for the stride-centroid IVF
     family (v03/v12/v13/v14). The assigned table persists once per corpus
@@ -238,7 +255,13 @@ def _stride_ivf_index(spark: SparkSession, sf_dir: str):
 
     emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
     centroids = _staged_stride_centroids(sf_dir, emb)
-    packed = _packed_cells(centroids)
+    # round 12 (guide §2.4): the packed 1-row centroid array is ALSO a
+    # per-corpus index artifact — staging it removes the repeated
+    # collect_list aggregate + its exchange from every consumer's plan
+    # (~14 IVF queries × the probe and assignment sites); consumers now
+    # broadcast straight from the cached row.  Identical expression,
+    # identical values.
+    packed = _stage_cached("ivf_packed", sf_dir, lambda: _packed_cells(centroids))
     assigned = _stage_cached(
         "ivf_stride_assign",
         sf_dir,
@@ -255,10 +278,8 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, n_probe: int) -> DataFrame:
     # Cell assignment: map-side argmax, single pass over the corpus,
     # persisted via the shared stride-IVF index.
     emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
-    # Queries probe their n_probe nearest cells.
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+    # Queries probe their n_probe nearest cells (unfanned — see _query_rows).
+    queries = _query_rows(spark, sf_dir)
     probes = _with_probe_cells(queries, packed, n_probe)
     # Search only the probed cells.
     scored = (
@@ -389,7 +410,8 @@ def _kmeans_ivf_index(spark: SparkSession, sf_dir: str):
         return cents
 
     cents = _stage_cached("v07_kmeans_cents", sf_dir, train)
-    packed = _packed_cells(cents)
+    # staged for the same reason as ivf_packed (round 12, guide §2.4)
+    packed = _stage_cached("v07_packed", sf_dir, lambda: _packed_cells(cents))
     assigned = _stage_cached(
         "v07_kmeans_assign",
         sf_dir,
@@ -403,9 +425,7 @@ def _kmeans_ivf_index(spark: SparkSession, sf_dir: str):
 def v07_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF search against the learned centroids — identical plan to v03.
     emb, packed, assigned = _kmeans_ivf_index(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+    queries = _query_rows(spark, sf_dir)  # unfanned — see _query_rows
     probes = _with_probe_cells(queries, packed, N_PROBE)
     scored = (
         assigned.join(probes, "cell_id")
@@ -1066,39 +1086,45 @@ def _pq_encoded_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _stage_cached
 
     emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
-    cb = _pq_codebook(emb)
 
-    def code_of(m):
-        dists = F.transform(F.col("cbs"), lambda c: _pq_sub_l2(F.col("embedding"), c, m))
-        return F.array_position(dists, F.array_min(dists)).cast("int")
+    # round 12 (guide §7.3 — planning time IS a cost): the recon
+    # expression tree is ~13k Column nodes (8 subspaces × 16 codebook
+    # distances, each the unrolled 8-dim L2²); building it on every
+    # consumer call cost ~1.3 s of driver-side Python per bench run and
+    # was thrown away on every cache hit.  Constructing it INSIDE the
+    # build closure makes a staged hit construction-free — no plan or
+    # value change of any kind.
+    def build() -> DataFrame:
+        cb = _pq_codebook(emb)
 
-    recon = F.flatten(
-        F.array(
-            *[
-                F.slice(
-                    F.element_at(F.col("cbs"), code_of(m)),
-                    m * PQ_SUB_DIM + 1,
-                    PQ_SUB_DIM,
-                )
-                for m in range(PQ_N_SUB)
-            ]
+        def code_of(m):
+            dists = F.transform(
+                F.col("cbs"), lambda c: _pq_sub_l2(F.col("embedding"), c, m)
+            )
+            return F.array_position(dists, F.array_min(dists)).cast("int")
+
+        recon = F.flatten(
+            F.array(
+                *[
+                    F.slice(
+                        F.element_at(F.col("cbs"), code_of(m)),
+                        m * PQ_SUB_DIM + 1,
+                        PQ_SUB_DIM,
+                    )
+                    for m in range(PQ_N_SUB)
+                ]
+            )
         )
-    )
-    return _stage_cached(
-        "pq_encoded",
-        sf_dir,
-        lambda: assigned.crossJoin(F.broadcast(cb)).select(
+        return assigned.crossJoin(F.broadcast(cb)).select(
             "vec_id", "embedding", "cell_id", recon.alias("recon")
-        ),
-    )
+        )
+
+    return _stage_cached("pq_encoded", sf_dir, build)
 
 
 def v11_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fan_out(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark)
     encoded = _pq_encoded_index(spark, sf_dir).select("vec_id", "embedding", "recon")
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+    queries = _query_rows(spark, sf_dir)  # unfanned — see _query_rows
     approx_l2 = F.aggregate(
         F.zip_with(
             F.col("q_emb"),
@@ -1196,9 +1222,7 @@ SELECT query_id, rank, vec_id, cos, approx_l2 FROM ranked WHERE rank <= {TOP_K}
 def v14_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, packed, assigned = _stride_ivf_index(spark, sf_dir)
     encoded = _pq_encoded_index(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+    queries = _query_rows(spark, sf_dir)  # unfanned — see _query_rows
     probes = _with_probe_cells(queries, packed, N_PROBE)
     approx_l2 = F.aggregate(
         F.zip_with(

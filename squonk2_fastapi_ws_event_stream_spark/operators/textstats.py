@@ -231,8 +231,8 @@ def t11_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.length("text") >= H.K + WINNOW_WINDOW - 1),
             spark,
         )
-        .withColumn("_codes", H.char_codes(F.col("text")))
-        .withColumn("hs", H.shingle_hashes(F.col("_codes"), F.length("text")))
+        .withColumn("_codes", H.char_codes("text"))
+        .withColumn("hs", H.shingle_hashes("_codes", "length(text)"))
     )
     wins = F.transform(
         F.sequence(F.lit(1), F.size("hs") - F.lit(WINNOW_WINDOW - 1)),

@@ -93,6 +93,41 @@ _NEW_OR_CHANGED: tuple[str, ...] = (
     # join BEFORE the one remaining aggregate exchange. Output identical;
     # oracle untouched.
     "q31_supplier_diversity",
+    # (b2) IVF/PQ family (guide §2.4; VERDICT r11 task #5): the strided
+    # query set is read UNfanned (its widening repartition was a wasted
+    # exchange+stage under a broadcast / pre-shuffle side), and the
+    # packed 1-row centroid row joined the staged index artifacts
+    # (plan-invisible to fingerprints — only the fan_out removals drift).
+    # v10/v20/v21/v30 drift as downstream consumers of v03/v11's shared
+    # subtrees. Outputs identical; oracles untouched.
+    "v03_ann_ivf_topk",
+    "v07_ann_kmeans_topk",
+    "v10_ann_recall_at_k",
+    "v11_ann_pq_topk",
+    "v14_ann_ivf_pq_topk",
+    "v20_quantization_recall",
+    "v21_ann_mrr_eval",
+    "v30_retrieval_quality",
+    # (b3) hashing expression builders (guide §7.3 — planning cost):
+    # char_codes / shingle_hashes / minhash_signature / band_keys /
+    # simhash are now ONE parsed SQL expression each instead of py4j
+    # Column chains (simhash alone cost 870-1780 ms of driver time per
+    # query construction, re-paid every bench run).  The parsed trees
+    # lower to the identical long arithmetic — outputs bit-identical,
+    # oracles untouched; the analyzed-plan fingerprints drift only in
+    # cast/coercion shape.  Every builder consumer below:
+    "t03_simhash",
+    "t04_ngram_jaccard_pairs",
+    "t06_dedup_simhash_banded",
+    "t11_doc_fingerprint",
+    "t20_decontamination",
+    "t21_decontamination_removal",
+    "t40_triangle_count",
+    "t49_lsh_band_sweep",
+    "t65_containment_dedup",
+    # same §7.3 conversion for t66's 64 weighted vote sums + packed
+    # fingerprint (solo sf0.1 1.87 -> 1.35 s, construction 1.4 -> 0.35 s)
+    "t66_idf_simhash",
     # (c) e50 (guide §1.2): per-event refill increments are
     # fold-independent on the sorted log, so they moved out of the
     # sequential token-bucket fold into one transform — the fold had

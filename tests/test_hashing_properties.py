@@ -78,10 +78,10 @@ def test_spark_builders_match_python_reference(spark):
     ]
     df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "id long, text string")
     out = (
-        df.withColumn("codes", H.char_codes(F.col("text")))
-        .withColumn("hs", H.shingle_hashes(F.col("codes"), F.length("text")))
-        .withColumn("mh", H.minhash_signature(F.array_distinct(F.col("hs"))))
-        .withColumn("sh", H.simhash(F.col("hs")))
+        df.withColumn("codes", H.char_codes("text"))
+        .withColumn("hs", H.shingle_hashes("codes", "length(text)"))
+        .withColumn("mh", H.minhash_signature("array_distinct(hs)"))
+        .withColumn("sh", H.simhash("hs"))
         .select("id", "hs", "mh", "sh")
         .collect()
     )
@@ -120,7 +120,7 @@ def test_t06_banded_plan_equals_allpairs_ground_truth(spark):
     )
     unioned = docs.unionByName(exact).unionByName(near)
     sims = D._with_shingles(unioned, spark).select(
-        "doc_id", D.H.simhash(F.col("shingles"), D.T06_SIMHASH_BITS).alias("sim")
+        "doc_id", D.H.simhash("shingles", D.T06_SIMHASH_BITS).alias("sim")
     )
     a = sims.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
     b = sims.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))

@@ -68,7 +68,7 @@ def test_t02_prefilter_is_plan_only(spark):
         SF,
         lambda: D._with_shingles(
             D.table(spark, SF, "documents").select("doc_id", "text"), spark
-        ).withColumn("sig", D.H.minhash_signature(F.col("shingles"))),
+        ).withColumn("sig", D.H.minhash_signature("shingles")),
     )
 
     def verified(cand):
