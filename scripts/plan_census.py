@@ -29,8 +29,21 @@ if str(ROOT) not in sys.path:
 
 from scripts.opt_measure import plan_shape  # noqa: E402
 
-OUT = ROOT / "plans" / "r11" / "PLAN_CENSUS.json"
+# round 12 (VERDICT r11 task #7): the census is round-parameterized and
+# stamps the sha256 of PLAN_FINGERPRINTS.json it was generated against,
+# so tests/test_plan_census_fresh.py can mechanically reject a census
+# that predates the last acknowledged plan change (the r11 census
+# shipped stale — generated before the x25/x25b Expand removal).
+import hashlib
+import os
+
+ROUND = os.environ.get("SPARK_GRAFT_OPT_ROUND", "r12")
+OUT = ROOT / "plans" / ROUND / "PLAN_CENSUS.json"
 SF_DIR = "/root/testdata/sf0.001"
+
+
+def fingerprints_sha() -> str:
+    return hashlib.sha256((ROOT / "PLAN_FINGERPRINTS.json").read_bytes()).hexdigest()
 
 
 def main() -> None:
@@ -64,10 +77,16 @@ def main() -> None:
                 flags.append(f"wide-scan:{n_cols}cols")
         census[name] = {"shape": shape, "flags": flags}
 
+    census["_fingerprints_sha256"] = fingerprints_sha()
     OUT.parent.mkdir(parents=True, exist_ok=True)
     OUT.write_text(json.dumps(census, indent=1, sort_keys=True))
-    flagged = {n: c["flags"] for n, c in census.items() if c["flags"]}
-    print(f"{len(census)} queries; {len(flagged)} flagged")
+    flagged = {
+        n: c["flags"]
+        for n, c in census.items()
+        if not n.startswith("_") and c["flags"]
+    }
+    n_queries = len([n for n in census if not n.startswith("_")])
+    print(f"{n_queries} queries; {len(flagged)} flagged")
     for n, fl in sorted(flagged.items()):
         print(f"  {n}: {', '.join(fl)}")
 

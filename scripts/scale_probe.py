@@ -72,8 +72,19 @@ def build_corpus() -> None:
         f"FROM read_parquet('{BASE}/documents.parquet'), {rng}",
         "documents",
     )
+    # Per-replica cyclic dimension rotation (round 12): verbatim copies
+    # made every stride-sampled centroid identical across replicas, so
+    # ties collapsed all assignments into replica-0's cells — 10 cells
+    # held everything, 290 sat empty, and the v33 probe join degenerated
+    # to ~1e9 pairs at 30x (measured 1,150 s; SCALING.md round-12).  A
+    # rotation preserves norms and within-replica pairwise cosines (the
+    # corpus structure) while making replicas directionally distinct,
+    # matching the documents' per-replica vocabulary discipline.
     copy(
-        "SELECT vec_id + 1000000 * r AS vec_id, embedding, label "
+        "SELECT vec_id + 1000000 * r AS vec_id, "
+        "list_transform(range(1, len(embedding) + 1), "
+        "i -> embedding[((i - 1 + r) % len(embedding)) + 1]) AS embedding, "
+        "label "
         f"FROM read_parquet('{BASE}/embeddings.parquet'), {rng}",
         "embeddings",
     )
